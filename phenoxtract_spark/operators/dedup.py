@@ -1,0 +1,173 @@
+"""Deduplication operators for training-data pipelines (SURVEY §7.2 step 9).
+
+All variants are shuffle-conscious:
+
+- exact: hash-groupBy on a digest of the normalized text — one shuffle on a
+  well-distributed key (md5), no skew.
+- minhash/LSH: shingle → per-shingle digest → min-aggregate per (doc, seed)
+  → band signature → self-join on band buckets.  Candidate pairs only ever
+  meet inside a bucket, so the join is |bucket|²-bounded, not |corpus|².
+- simhash: token digests → per-bit weighted vote → fingerprint; near-dup =
+  fingerprint hamming distance ≤ k (bucketed by fingerprint for the join).
+- n-gram Jaccard: explode shingles → self-join on shingle → per-pair common
+  count vs sizes.  Exact but quadratic per shared shingle; use after LSH at
+  scale (verification stage).
+
+Portability: digests are md5 hex strings (identical bits in Spark, DuckDB,
+Python) so every operator is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: keep the lowest id per normalized-text digest.
+    Returns (id, digest, dup_count)."""
+    return (
+        df.select(F.col(id_col), F.md5(normalized_text(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def shingles(col: Column | str, k: int = 5, word: bool = True) -> Column:
+    """k-shingles as an array of strings.  Word shingles: sliding window of
+    k tokens joined by space (built-ins only: sequence + transform + slice).
+    Documents shorter than k tokens yield their full token string."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(normalized_text(c), " ") if word else F.split(c, "")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, k), " ")
+    )
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str,
+                      num_hashes: int = 16, k: int = 5) -> DataFrame:
+    """MinHash: for seed s, h_s(doc) = min over shingles of md5(s||'|'||shingle)
+    (lexicographic min of hex digests — a valid min-wise hash family and
+    bit-identical across engines).  Output long form: (id, seed, minhash).
+
+    Plan: explode shingles (map-side), groupBy (id, seed) with min() — the
+    partial aggregation combines map-side, so the shuffle carries only
+    num_hashes rows per doc."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(text_col, k))).alias("sh"),
+    )
+    seeded = ex.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        "sh",
+    )
+    return (
+        seeded.select(
+            F.col("id"),
+            F.col("seed").cast("bigint").alias("seed"),
+            F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("sh"))).alias("h"),
+        )
+        .groupBy("id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_bands(sig: DataFrame, rows_per_band: int = 4) -> DataFrame:
+    """Band the signature: band key = md5(concat of the band's minhashes in
+    seed order).  (id, band, band_key)."""
+    banded = sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    return (
+        banded.groupBy("id", "band")
+        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws(":", F.col("seed").cast("string"), F.col("minhash")))))).alias("band_key"))
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Self-join bands on (band, band_key) → distinct candidate pairs a<b.
+    The join key includes the band index so buckets never cross bands."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, k: int = 5,
+                        threshold: float = 0.5,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle
+    (optionally restricted to LSH ``candidates``).  Returns
+    (id_a, id_b, jacc) with jacc rounded to 6dp for cross-engine equality."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(text_col, k))).alias("sh"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, ["id_a", "id_b"], "left_semi")
+    out = (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+        .withColumn("jacc", F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6))
+        .filter(F.col("jacc") >= threshold)
+        .select("id_a", "id_b", "jacc")
+    )
+    return out
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint over word tokens.  Per token, a ``bits``-wide
+    digest from the first hex chars of md5; each bit votes ±1 weighted by
+    term frequency; fingerprint bit = sign of the vote.  Returns
+    (id, simhash bigint).  ``bits ≤ 28`` keeps the int exact in a double for
+    the SQL oracle."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalized_text(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    hashed = toks.withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 7), 16, 10).cast("bigint") % (2 ** bits)
+    )
+    bits_df = hashed.select(
+        "id", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    )
+    votes = (
+        bits_df.withColumn(
+            "vote",
+            F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1),
+        )
+        .groupBy("id", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return (
+        votes.withColumn(
+            "contrib",
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        )
+        .groupBy("id")
+        .agg(F.sum("contrib").alias("simhash"))
+    )

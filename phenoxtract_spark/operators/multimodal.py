@@ -1,0 +1,118 @@
+"""Multimodal column plumbing (SURVEY §7.2 step 9).
+
+Image/audio/video payloads are opaque ``binary`` columns with a typed
+metadata struct.  The Spark-side machinery — schema, partition-preserving
+``mapInPandas`` over Arrow batches, UDF signatures, batch shapes — is real
+and tested; the actual codec calls are STUBBED (decode libs are not in this
+container) behind ``DecoderStub``: a clearly-marked deterministic fake that
+produces shape-correct features, or ``NotImplementedError`` in strict mode.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                    T.StructField("codec", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_DIM = 8
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+class DecoderStub:
+    """STUB for image/audio decode: the real implementation would call
+    PIL/ffmpeg/torchaudio here.  ``fake=True`` yields a deterministic
+    md5-derived feature vector (shape-correct, reproducible); ``fake=False``
+    raises NotImplementedError, documenting the integration point."""
+
+    def __init__(self, fake: bool = True, dim: int = FEATURE_DIM):
+        self.fake, self.dim = fake, dim
+
+    def features(self, payload: bytes) -> list[float]:
+        if not self.fake:
+            raise NotImplementedError(
+                "media decode requires PIL/ffmpeg; not available in this environment"
+            )
+        digest = hashlib.md5(payload or b"").digest()
+        return [digest[i] / 255.0 for i in range(self.dim)]
+
+
+def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Build a media table from the documents fixture: payload = utf-8 bytes
+    of the text (a stand-in for real image bytes), meta filled from what a
+    container-level probe would report."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("string").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(media: DataFrame, decoder: DecoderStub | None = None,
+                     batch_hint: int = 1024) -> DataFrame:
+    """Feature extraction over Arrow batches via ``mapInPandas`` —
+    partition-preserving (no shuffle), constant memory per batch.  At 100 TB
+    this is the pattern: payloads never leave their partition; only the
+    fixed-width features flow downstream."""
+    decoder = decoder or DecoderStub()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+                    "feature": payloads.map(decoder.features),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: per media row, the timestamps (ms) a real
+    decoder would extract — demonstrates the explode-to-frames shape without
+    the codec.  Returns (media_id, frame_ts_ms)."""
+    dur = F.coalesce(F.col("meta.duration_ms"), F.lit(0))
+    return media.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(dur - 1, F.lit(0)), F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )

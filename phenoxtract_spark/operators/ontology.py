@@ -1,0 +1,152 @@
+"""External-lookup machinery as dimension tables (SURVEY §2.6 X1-X7).
+
+The reference makes blocking HTTP calls inline in the dataflow with
+per-process caches (bioportal_client.rs:52-346, loinc_client.rs:106-269).
+That cannot run inside executors at scale.  Spark-first replacement — the
+**pre-resolve pattern**:
+
+    1. ``df.select(term).distinct()`` → small driver-side list (bounded);
+    2. resolve via a pluggable resolver (offline fixtures in tests; batched
+       HTTP on the driver in production), negative results cached as a
+       sentinel (X4's "NOT_FOUND");
+    3. broadcast the resulting dimension table and join.
+
+No network ever happens in executors; per-row caching disappears entirely.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Iterable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_key
+
+NOT_FOUND = "NOT_FOUND"
+
+
+@dataclass(frozen=True)
+class OntologyTerm:
+    id: str
+    label: str
+    synonyms: tuple[str, ...] = ()
+
+
+def bidict_dim(spark: SparkSession, terms: Iterable[OntologyTerm],
+               resource: str = "") -> DataFrame:
+    """X1 OntologyBiDict (~ ontology/ontology_bidict.rs:15-136) as a
+    dimension DataFrame ``(key, id, label, kind, resource)`` with one row per
+    lowercase label/synonym/id — the case-insensitive trimap, relational."""
+    rows = []
+    for t in terms:
+        rows.append((t.label.strip().lower(), t.id, t.label, "label", resource))
+        rows.append((t.id.strip().lower(), t.id, t.label, "id", resource))
+        for s in t.synonyms:
+            rows.append((s.strip().lower(), t.id, t.label, "synonym", resource))
+    return spark.createDataFrame(
+        rows, schema="key string, id string, label string, kind string, resource string"
+    )
+
+
+def bidict_library(dims: list[DataFrame]) -> DataFrame:
+    """X2 (~ transform/bidict_library.rs:7-70): ordered list of bidicts,
+    first hit wins — union with a priority rank; lookup joins pick
+    ``row_number()==1`` over (key, priority)."""
+    ranked = [d.withColumn("_prio", F.lit(i)) for i, d in enumerate(dims)]
+    out = ranked[0]
+    for d in ranked[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def lookup_first_hit(df: DataFrame, column: str, library: DataFrame,
+                     out_id: str = "term_id", out_label: str = "term_label") -> DataFrame:
+    """Join a fact column against an X2 library; priority-ordered first hit.
+    Library is broadcast (dimension-sized by construction)."""
+    from pyspark.sql import Window
+
+    keyed = df.withColumn("_k", normalize_key(F.col(column)))
+    lib = library.select(
+        F.col("key").alias("_k"), "id", "label", "_prio"
+    )
+    w = Window.partitionBy("_k").orderBy(F.col("_prio"))
+    best = (
+        lib.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("_k", F.col("id").alias(out_id), F.col("label").alias(out_label))
+    )
+    return keyed.join(F.broadcast(best), "_k", "left").drop("_k")
+
+
+def pre_resolve(
+    df: DataFrame,
+    column: str,
+    resolver: Callable[[list[str]], dict[str, Optional[str]]],
+    spark: SparkSession,
+    max_distinct: int = 1_000_000,
+) -> DataFrame:
+    """X3/X4 pre-resolve pattern: distinct terms → driver-side resolver →
+    broadcast dim ``(key, resolved)`` with NOT_FOUND negative caching.
+
+    ``max_distinct`` bounds driver memory; beyond it, resolution must move to
+    a batched ``mapInPandas`` stage with an external cache service — raising
+    here is the honest behavior."""
+    terms = [
+        r[0]
+        for r in df.select(normalize_key(F.col(column)).alias("k"))
+        .filter(F.col("k").isNotNull())
+        .distinct()
+        .limit(max_distinct + 1)
+        .collect()
+    ]
+    if len(terms) > max_distinct:
+        raise ValueError(f"distinct({column}) exceeds max_distinct={max_distinct}")
+    resolved = resolver(terms)
+    rows = [(k, v if v is not None else NOT_FOUND) for k, v in resolved.items()]
+    dim = spark.createDataFrame(rows or [("", NOT_FOUND)], schema="key string, resolved string")
+    keyed = df.withColumn("_k", normalize_key(F.col(column)))
+    out = keyed.join(F.broadcast(dim.withColumnRenamed("key", "_k")), "_k", "left")
+    return out.withColumn(
+        f"{column}_resolved",
+        F.when(F.col("resolved") == NOT_FOUND, F.lit(None)).otherwise(F.col("resolved")),
+    ).drop("_k", "resolved")
+
+
+def resource_dim(spark: SparkSession, resources: list[dict]) -> DataFrame:
+    """X5 BioRegistry resource metadata as a static dimension
+    ``(prefix, name, url, version, iri_prefix)``."""
+    return spark.createDataFrame(
+        [
+            (r["prefix"], r.get("name"), r.get("url"), r.get("version"), r.get("iri_prefix"))
+            for r in resources
+        ],
+        schema="prefix string, name string, url string, version string, iri_prefix string",
+    )
+
+
+def distinct_resources_used(fact: DataFrame, curie_col: str) -> DataFrame:
+    """G11 resource dedup (~ phenopacket_builder.rs:683-702): distinct
+    case-insensitive CURIE prefixes appearing in a fact column."""
+    return (
+        fact.select(F.lower(F.split(F.col(curie_col), ":")[0]).alias("prefix"))
+        .filter(F.col("prefix").isNotNull())
+        .distinct()
+    )
+
+
+# ---- offline fixtures (mirrors the reference's mini-ontology test cache) ---
+
+MINI_HPO = [
+    OntologyTerm("HP:0001945", "Fever", ("pyrexia", "febrile")),
+    OntologyTerm("HP:0000822", "Hypertension", ("high blood pressure",)),
+    OntologyTerm("HP:0000246", "Sinusitis", ()),
+    OntologyTerm("HP:0031417", "Rhinorrhea", ("runny nose",)),
+    OntologyTerm("HP:0012735", "Cough", ()),
+]
+MINI_MONDO = [
+    OntologyTerm("MONDO:0005148", "type 2 diabetes mellitus", ("T2D", "NIDDM")),
+    OntologyTerm("MONDO:0004979", "asthma", ()),
+    OntologyTerm("MONDO:0005015", "diabetes mellitus", ("DM",)),
+]

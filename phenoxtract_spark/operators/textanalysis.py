@@ -1,0 +1,104 @@
+"""Text analysis operators for training-data pipelines (SURVEY §7.2 step 9):
+language-ID (stopword-vote heuristic), quality scoring, token counting,
+document fingerprinting.  All pure built-in expressions (codegen-friendly);
+each has an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalized_text, shingles
+
+# Small stopword vocabularies per language for the n-gram/stopword-vote
+# heuristic.  Votes = count of token-matches per language; argmax wins,
+# ties broken lexicographically; zero votes → 'und' (undetermined).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "ich", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "une", "que", "pour", "dans", "qui"),
+    "es": ("el", "la", "los", "y", "es", "una", "que", "por", "con", "para"),
+    "it": ("il", "la", "che", "e", "un", "per", "sono", "con", "non", "una"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization over normalized text; empty-string-safe."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(normalized_text(c), " "), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish token estimate: count word-piece-shaped matches
+    (letter runs, digit runs, single punctuation) — a regex proxy for
+    subword tokenizer counts."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_extract_all(F.lower(c), F.lit(r"[a-z]{1,8}|\d{1,3}|[^a-z0-9\s]"), 0)
+    return F.size(pieces)
+
+
+def lang_votes(col: Column | str, lang: str) -> Column:
+    """Stopword vote for one language: number of tokens in its vocabulary."""
+    vocab = LANG_STOPWORDS[lang]
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*vocab)))
+
+
+def detect_language(col: Column | str) -> Column:
+    """Heuristic language id: argmax of stopword votes, lexicographic
+    tie-break, 'und' when all votes are zero."""
+    langs = sorted(LANG_STOPWORDS)
+    pairs = F.array(
+        *[F.struct(lang_votes(col, l).alias("v"), F.lit(l).alias("lang")) for l in langs]
+    )
+    # array_sort on struct sorts by v then lang ascending; best = max v with
+    # *smallest* lang among ties → sort by (v desc, lang asc) via negated v.
+    neg = F.array(
+        *[F.struct((-lang_votes(col, l)).alias("nv"), F.lit(l).alias("lang")) for l in langs]
+    )
+    best = F.array_sort(neg)[0]
+    return F.when(best["nv"] < 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality score in [0,1]: length factor, alpha ratio,
+    stopword presence, punctuation sanity.  Deterministic arithmetic,
+    rounded to 6dp for cross-engine equality."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c).cast("double")
+    n_alpha = F.length(F.regexp_replace(F.lower(c), r"[^a-z]", "")).cast("double")
+    n_punct = F.length(F.regexp_replace(c, r"[^!-/:-@\[-`{-~]", "")).cast("double")
+    n_tok = token_count(c).cast("double")
+    en_stop = lang_votes(c, "en").cast("double")
+    length_factor = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    stop_factor = F.when(n_tok > 0, F.least(en_stop / (n_tok * 0.1 + 1e-9), F.lit(1.0))).otherwise(F.lit(0.0))
+    punct_sanity = F.when(n_chars > 0, F.lit(1.0) - F.least(n_punct / n_chars * 5, F.lit(1.0))).otherwise(F.lit(0.0))
+    return F.round(
+        0.3 * length_factor + 0.3 * alpha_ratio + 0.2 * stop_factor + 0.2 * punct_sanity, 6
+    )
+
+
+def fingerprint(col: Column | str, k: int = 8) -> Column:
+    """Document fingerprint: minimum md5 digest over k-word shingles — the
+    winnowing idea collapsed to window=∞ (one stable fingerprint per doc,
+    robust to local edits elsewhere in the doc)."""
+    return F.array_min(F.transform(shingles(col, k), lambda s: F.md5(s)))
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-projection bundle of the text metrics."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(c).alias("n_chars"),
+        token_count(c).alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_bpe_tokens"),
+        detect_language(c).alias("lang_pred"),
+        quality_score(c).alias("quality"),
+        fingerprint(c).alias("fingerprint"),
+    )

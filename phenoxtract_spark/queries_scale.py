@@ -1,0 +1,434 @@
+"""Oracle-checked queries for the beyond-reference scale operators:
+event-time windows, deduplication (exact / minhash / LSH / jaccard /
+simhash), similarity search, text analysis, multimodal plumbing.
+
+Digest-based operators use md5 hex strings so Spark and DuckDB produce
+bit-identical values (see operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators import dedup, multimodal, similarity, textanalysis
+from .queries_core import q, read_table
+from .streaming import events as ev
+
+# shared SQL fragment: normalized text + tokens (mirror of dedup.normalized_text)
+_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_SHINGLES3 = f"""
+  toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents),
+  sh AS (
+    SELECT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS sh
+    FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# event-time windows (streaming-shaped, batch-checked)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "events_tumbling_hour",
+    """
+    SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS VARCHAR) AS window_start,
+           event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling(spark, sf_dir):
+    e = read_table(spark, sf_dir, "events")
+    out = ev.tumbling(e, "1 hour")
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@q(
+    "events_sliding_window",
+    """
+    WITH starts AS (
+      SELECT event_id,
+             time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) - to_minutes(30 * o.off) AS ws,
+             CAST(ts AS TIMESTAMP) AS tsx
+      FROM events, (SELECT unnest([0, 1]) AS off) o
+    )
+    SELECT CAST(ws AS VARCHAR) AS window_start, count(*) AS n_events
+    FROM starts WHERE tsx < ws + to_minutes(60)
+    GROUP BY ws
+    """,
+)
+def events_sliding(spark, sf_dir):
+    e = read_table(spark, sf_dir, "events")
+    out = ev.sliding(e, "1 hour", "30 minutes")
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"), "n_events"
+    )
+
+
+@q(
+    "events_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS tsx,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes' OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), s AS (
+      SELECT user_id, tsx,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY tsx
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM o
+    )
+    SELECT user_id, epoch_us(min(tsx)) AS session_start_us,
+           epoch_us(max(tsx) + INTERVAL '30 minutes') AS session_end_us,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    e = read_table(spark, sf_dir, "events")
+    out = ev.session_windows(e, "30 minutes")
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dedup_exact",
+    f"""
+    SELECT md5({_NORM}) AS digest, min(doc_id) AS keep_id, count(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "doc_id", "text")
+
+
+@q(
+    "dedup_minhash_signature",
+    f"""
+    WITH {_SHINGLES3},
+    seeded AS (
+      SELECT doc_id, s.seed, md5(CAST(s.seed AS VARCHAR) || '|' || sh) AS h
+      FROM sh, (SELECT unnest(generate_series(0, 3)) AS seed) s
+    )
+    SELECT doc_id AS id, seed, min(h) AS minhash FROM seeded GROUP BY 1, 2
+    """,
+)
+def dedup_minhash(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.minhash_signature(d, "doc_id", "text", num_hashes=4, k=3)
+
+
+@q(
+    "dedup_lsh_candidates",
+    f"""
+    WITH {_SHINGLES3},
+    seeded AS (
+      SELECT doc_id, s.seed, md5(CAST(s.seed AS VARCHAR) || '|' || sh) AS h
+      FROM sh, (SELECT unnest(generate_series(0, 3)) AS seed) s
+    ),
+    sig AS (SELECT doc_id AS id, seed, min(h) AS minhash FROM seeded GROUP BY 1, 2),
+    bands AS (
+      SELECT id, seed // 2 AS band,
+             md5(array_to_string(list_sort(list(CAST(seed AS VARCHAR) || ':' || minhash)), '|')) AS band_key
+      FROM sig GROUP BY id, seed // 2
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+    """,
+)
+def dedup_lsh(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(d, "doc_id", "text", num_hashes=4, k=3)
+    bands = dedup.lsh_bands(sig, rows_per_band=2)
+    return dedup.lsh_candidate_pairs(bands)
+
+
+@q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES3},
+    dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jacc
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.2
+    """,
+)
+def dedup_jaccard(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.2)
+
+
+@q(
+    "dedup_simhash",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, t.tok FROM (
+        SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+      ) t WHERE t.tok != ''
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 7))::BIGINT % 65536 AS h FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, h, b.bit FROM hashed, (SELECT unnest(generate_series(0, 15)) AS bit) b
+    ),
+    votes AS (
+      SELECT doc_id, bit,
+             sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM bits GROUP BY 1, 2
+    )
+    SELECT doc_id AS id,
+           sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+    FROM votes GROUP BY 1
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.simhash(d, "doc_id", "text", bits=16)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_DOTS = """
+  idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+  qx AS (SELECT vec_id AS qid, i, CAST(embedding[i] AS DOUBLE) AS x
+         FROM embeddings, idx WHERE vec_id < 5),
+  vx AS (SELECT vec_id AS nid, i, CAST(embedding[i] AS DOUBLE) AS x
+         FROM embeddings, idx),
+  norms AS (SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE) ** 2)) AS nrm
+            FROM embeddings, idx GROUP BY vec_id),
+  dots AS (
+    SELECT qid, nid, sum(qx.x * vx.x) AS dot
+    FROM qx JOIN vx USING (i) WHERE qid != nid GROUP BY qid, nid
+  ),
+  scored AS (
+    SELECT qid AS query_id, nid AS neighbor_id,
+           round(dot / (nq.nrm * nv.nrm), 6) AS cos
+    FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nv ON nv.vec_id = nid
+  )
+"""
+
+
+@q(
+    "similarity_bruteforce_topk",
+    f"""
+    WITH {_DOTS},
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_bruteforce(spark, sf_dir):
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(e, queries, k=5)
+
+
+@q("similarity_ivf_topk", None)  # approximate path → rows-only; recall vs
+def sim_ivf(spark, sf_dir):  # brute force asserted in tests/test_similarity.py
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    centroids = e.filter(F.col("vec_id") % 61 == 0)
+    return similarity.ivf_topk(e, queries, centroids, k=5)
+
+
+@q("similarity_lsh_signature", None)  # hyperplanes are engine-side constants
+def sim_lsh_sig(spark, sf_dir):
+    e = read_table(spark, sf_dir, "embeddings")
+    return similarity.hyperplane_signature(e, num_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "text_token_counts",
+    f"""
+    SELECT doc_id, length(text) AS n_chars,
+           len(list_filter(string_split({_NORM}, ' '), t -> t != '')) AS n_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]{{1,8}}|[0-9]{{1,3}}|[^a-z0-9 ]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_tokens(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        textanalysis.token_count("text").cast("bigint").alias("n_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(r"[a-z]{1,8}|[0-9]{1,3}|[^a-z0-9 ]"), 0
+            )
+        ).cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+def _votes_sql(lang: str) -> str:
+    vocab = ", ".join(f"'{w}'" for w in textanalysis.LANG_STOPWORDS[lang])
+    return (
+        f"len(list_filter(list_filter(string_split({_NORM}, ' '), t -> t != ''),"
+        f" t -> t IN ({vocab})))"
+    )
+
+
+@q(
+    "text_langid",
+    f"""
+    WITH v AS (
+      SELECT doc_id, lang,
+             {_votes_sql('de')} AS v_de, {_votes_sql('en')} AS v_en,
+             {_votes_sql('es')} AS v_es, {_votes_sql('fr')} AS v_fr,
+             {_votes_sql('it')} AS v_it
+      FROM documents
+    )
+    SELECT doc_id, lang AS lang_declared,
+           CASE WHEN greatest(v_de, v_en, v_es, v_fr, v_it) = 0 THEN 'und'
+                WHEN v_de = greatest(v_de, v_en, v_es, v_fr, v_it) THEN 'de'
+                WHEN v_en = greatest(v_de, v_en, v_es, v_fr, v_it) THEN 'en'
+                WHEN v_es = greatest(v_de, v_en, v_es, v_fr, v_it) THEN 'es'
+                WHEN v_fr = greatest(v_de, v_en, v_es, v_fr, v_it) THEN 'fr'
+                ELSE 'it' END AS lang_pred
+    FROM v
+    """,
+)
+def text_langid(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        textanalysis.detect_language("text").alias("lang_pred"),
+    )
+
+
+@q(
+    "text_quality",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+             CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE) AS n_punct,
+             CAST(len(list_filter(string_split({_NORM}, ' '), t -> t != '')) AS DOUBLE) AS n_tok,
+             CAST({_votes_sql('en')} AS DOUBLE) AS en_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           round(0.3 * least(n_chars / 500.0, 1.0)
+               + 0.3 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+               + 0.2 * (CASE WHEN n_tok > 0
+                             THEN least(en_stop / (n_tok * 0.1 + 1e-9), 1.0) ELSE 0.0 END)
+               + 0.2 * (CASE WHEN n_chars > 0
+                             THEN 1.0 - least(n_punct / n_chars * 5, 1.0) ELSE 0.0 END), 6)
+           AS quality
+    FROM m
+    """,
+)
+def text_quality(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", textanalysis.quality_score("text").alias("quality"))
+
+
+@q(
+    "text_fingerprint",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id, md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS h
+      FROM toks, unnest(generate_series(1, greatest(len(t) - 7, 1))) AS u(i)
+    )
+    SELECT doc_id, min(h) AS fingerprint FROM sh GROUP BY 1
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", textanalysis.fingerprint("text", k=8).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "multimodal_bytes",
+    """
+    SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           'application/octet-stream' AS mime
+    FROM documents
+    """,
+)
+def mm_bytes(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(d, "doc_id", "text")
+    return media.select(
+        "media_id",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.col("meta.mime").alias("mime"),
+    )
+
+
+@q(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           unnest(range(0, greatest(n_chars * 10, 1), 1000)) AS frame_ts_ms
+    FROM documents
+    """,
+)
+def mm_frames(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.struct(
+            F.lit("video/fake").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+            F.lit(None).cast("string").alias("codec"),
+        ).alias("meta"),
+    )
+    return multimodal.frame_sample_plan(media, every_ms=1000)
+
+
+@q("multimodal_features", None)  # mapInPandas feature stub → rows-only check
+def mm_features(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(d, "doc_id", "text")
+    return multimodal.extract_features(media)

@@ -1,0 +1,91 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs ``local[N]``; the same config block is what we would
+ship for a multi-executor cluster (AQE on, adaptive skew-join, broadcast
+threshold sized for dimension tables).  Nothing here is local-mode-only.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "phenoxtract-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-aware defaults.
+
+    - AQE enabled: runtime coalescing of shuffle partitions + skew-join
+      splitting, so the same plan survives sf0.001 and 100 TB.
+    - Arrow enabled: every pandas UDF / ``applyInPandas`` path transfers
+      columnar batches instead of pickled rows.
+    - ``shuffle_partitions`` is only the *initial* number; AQE coalesces.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # driver testdata stores events.ts as TIMESTAMP(NANOS); read as long
+        # nanos and normalize in load_tables (Spark timestamps are micros)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Load the driver's parquet tables from ``sf_dir`` as a dict of DataFrames."""
+    names = names or [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    out = {}
+    for n in names:
+        p = os.path.join(sf_dir, f"{n}.parquet")
+        if os.path.exists(p):
+            df = spark.read.parquet(p)
+        else:
+            continue
+        if n == "events":
+            df = normalize_events(df)
+        out[n] = df
+    return out
+
+
+def normalize_events(df):
+    """events.ts arrives as long nanos (nanosAsLong); convert to a proper
+    TimestampType column (microsecond truncation, matching Spark's model)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        # integer division — float division loses µs precision at ~1e18 ns
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

@@ -1,0 +1,70 @@
+"""Time-windowed operators over the events stream (SURVEY §2.5 note +
+§7.2 step 9; the reference is batch-only — SURVEY §2 "operators the
+reference does NOT implement").
+
+The same expression layer serves batch DataFrames and Structured Streaming:
+``tumbling``/``sliding``/``session`` build window aggregations that work on
+a static events table and, unchanged, on ``readStream`` input with a
+watermark.  Batch mode is the oracle-checkable path; streaming mode is
+exercised with the rate/memory sources in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling(events: DataFrame, duration: str = "1 hour", ts: str = "ts") -> DataFrame:
+    """Tumbling-window counts/sums per event type."""
+    return (
+        events.groupBy(F.window(ts, duration).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding(events: DataFrame, duration: str = "1 hour", slide: str = "30 minutes",
+            ts: str = "ts") -> DataFrame:
+    return (
+        events.groupBy(F.window(ts, duration, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), "n_events")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes", ts: str = "ts",
+                    key: str = "user_id") -> DataFrame:
+    """Session windows per user (batch mode uses ``F.session_window``, which
+    Spark evaluates with the same state machinery as streaming).  Returns
+    per-session start/end/count."""
+    return (
+        events.groupBy(F.session_window(ts, gap).alias("w"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_tumbling(spark, source: DataFrame, duration: str = "1 hour",
+                       watermark: str = "2 hours", ts: str = "ts") -> DataFrame:
+    """Structured Streaming variant: same aggregation with a watermark for
+    late data.  ``source`` is a streaming DataFrame (readStream)."""
+    return (
+        source.withWatermark(ts, watermark)
+        .groupBy(F.window(ts, duration).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )

@@ -1,0 +1,126 @@
+"""Mapping strategies (M1-M5) incl. V6 error accumulation, and the
+per-subject grouping operators (G3, G6, G7, G12)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from phenoxtract_spark.operators import grouping, mapping, ontology
+
+
+def test_alias_map_passthrough_and_null(spark):
+    df = spark.createDataFrame([("a",), ("no_info",), ("z",)], "c string")
+    out = mapping.apply_alias_map(df, "c", {"a": "A", "no_info": None})
+    assert [r["c"] for r in out.collect()] == ["A", None, "z"]
+
+
+def test_synonym_mapping_strict_error_with_suggestions(spark):
+    df = spark.createDataFrame([("Male",), ("femal",)], "sex string")
+    dim = mapping.mapping_dim(spark, mapping.SEX_MAP)
+    with pytest.raises(mapping.UnmappedValueError) as e:
+        mapping.apply_synonym_mapping(df, "sex", dim, strict=True)
+    assert "femal" in str(e.value) and "female" in str(e.value)  # suggestion
+
+
+def test_synonym_mapping_case_insensitive(spark):
+    df = spark.createDataFrame([(" MALE ",), ("woman",)], "sex string")
+    dim = mapping.mapping_dim(spark, mapping.SEX_MAP)
+    out = mapping.apply_synonym_mapping(df, "sex", dim, strict=True)
+    assert [r["sex"] for r in out.collect()] == ["MALE", "FEMALE"]
+
+
+def test_ontology_normalize_labels_synonyms_ids(spark):
+    dim = ontology.bidict_dim(spark, ontology.MINI_HPO).select("key", "id")
+    df = spark.createDataFrame(
+        [("Fever",), ("PYREXIA",), ("HP:0000822",)], "term string"
+    )
+    out = mapping.normalize_to_ontology(df, "term", dim, strict=True)
+    assert [r["term"] for r in out.collect()] == [
+        "HP:0001945", "HP:0001945", "HP:0000822",
+    ]
+
+
+def test_ontology_normalize_strict_unmapped(spark):
+    dim = ontology.bidict_dim(spark, ontology.MINI_HPO).select("key", "id")
+    df = spark.createDataFrame([("no such term",)], "term string")
+    with pytest.raises(mapping.UnmappedValueError):
+        mapping.normalize_to_ontology(df, "term", dim, strict=True)
+
+
+def test_split_by_membership_primary_wins(spark):
+    prim = mapping.mapping_dim(spark, {"both": "x", "p": "x"})
+    sec = mapping.mapping_dim(spark, {"both": "x", "s": "x"})
+    df = spark.createDataFrame([("both",), ("p",), ("s",), ("neither",)], "c string")
+    out = mapping.split_by_membership(df, "c", prim, sec, "a", "b").orderBy("c")
+    rows = {r["c"]: (r["a"], r["b"]) for r in out.collect()}
+    assert rows == {
+        "both": ("both", None), "p": ("p", None),
+        "s": (None, "s"), "neither": (None, None),
+    }
+
+
+def test_single_valued_strict_raises(spark):
+    df = spark.createDataFrame([("p1", "M"), ("p1", "F"), ("p2", "M")], "sid string, sex string")
+    with pytest.raises(grouping.MultiplicityError):
+        grouping.single_valued([(df, "sid", "sex")], strict=True)
+    lenient = grouping.single_valued([(df, "sid", "sex")], strict=False).orderBy("subject_id")
+    assert [(r["subject_id"], r["value"]) for r in lenient.collect()] == [
+        ("p1", None), ("p2", "M"),
+    ]
+
+
+def test_single_valued_across_tables(spark):
+    # G3 cross-table: same value in two tables is fine; conflict raises
+    t1 = spark.createDataFrame([("p1", "1990")], "sid string, dob string")
+    t2 = spark.createDataFrame([("p1", "1990")], "pid string, birth string")
+    out = grouping.single_valued([(t1, "sid", "dob"), (t2, "pid", "birth")])
+    assert out.collect()[0]["value"] == "1990"
+
+
+def test_upsert_last_order(spark):
+    df = spark.createDataFrame(
+        [("p1", "HP:1", "mild", 1), ("p1", "HP:1", "severe", 2), ("p1", "HP:2", "x", 1)],
+        "sid string, hpo string, severity string, seq int",
+    )
+    out = grouping.upsert_last(df, ["sid", "hpo"], "seq").orderBy("hpo")
+    assert [(r["hpo"], r["severity"]) for r in out.collect()] == [
+        ("HP:1", "severe"), ("HP:2", "x"),
+    ]
+
+
+def test_header_collapse_conflict_raises(spark):
+    df = spark.createDataFrame(
+        [("p1", True), ("p1", False)], "sid string, `HP:0000001` boolean"
+    )
+    with pytest.raises(grouping.MultiplicityError):
+        grouping.header_hpo_collapse(df, "sid", ["HP:0000001"])
+
+
+def test_header_collapse_excluded(spark):
+    df = spark.createDataFrame(
+        [("p1", False), ("p2", True), ("p3", None)],
+        "sid string, `HP:0000001` boolean",
+    )
+    out = grouping.header_hpo_collapse(df, "sid", ["HP:0000001"]).orderBy("subject_id")
+    rows = [(r["subject_id"], r["observed"], r["excluded"]) for r in out.collect()]
+    # p3's (null,null) pair is dropped entirely
+    assert rows == [("p1", False, True), ("p2", True, False)]
+
+
+def test_require_anchor(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), (None, None), (None, 2.0)], "agent string, dose double"
+    )
+    ok = df.filter(F.col("dose") != 2.0)
+    assert grouping.require_anchor(ok, "agent", ["dose"]).count() == 1
+    with pytest.raises(grouping.MultiplicityError):
+        grouping.require_anchor(df, "agent", ["dose"])
+
+
+def test_pre_resolve_pattern(spark):
+    df = spark.createDataFrame([("fever",), ("unknownx",)], "term string")
+    resolved = ontology.pre_resolve(
+        df, "term", lambda terms: {t: ("HP:1" if t == "fever" else None) for t in terms}, spark
+    )
+    rows = {r["term"]: r["term_resolved"] for r in resolved.collect()}
+    assert rows == {"fever": "HP:1", "unknownx": None}

