@@ -95,14 +95,21 @@ def is_integral_double(col: Column | str) -> Column:
 
 
 def castability_stats(df: DataFrame, columns: list[str]) -> dict[str, dict[str, int]]:
-    """ONE aggregation job over all candidate columns: for each column count
-    non-null cells and how many survive each try_cast.  Drives the
-    driver-side decision for C2 (integral promotion) and C3 (ambivalent
-    cast priority bool→int→float→date→datetime)."""
+    """Two-phase aggregation over all candidate columns, driving the
+    driver-side decision for C2 (integral promotion) and C3 (ambivalent cast
+    priority bool→int→float→date→datetime).
+
+    Phase 1 (cheap: casts only) counts non-null / bool / int / float
+    survivors.  Phase 2 runs the expensive multi-format date/datetime parse
+    chains ONLY for string columns still undecided after phase 1 — numeric
+    and boolean columns never pay for six ``try_to_timestamp`` attempts.
+    Both phases are single jobs; at 100 TB run them on a sample and keep a
+    strict ``try_cast`` validation in the cast projection."""
+    dtypes = dict(df.dtypes)
     aggs: list[Column] = []
     for col in columns:
         c = F.col(col)
-        dt = dict(df.dtypes)[col]
+        dt = dtypes[col]
         aggs.append(F.count(c).alias(f"{col}__n"))
         if dt in ("double", "float", "int"):
             aggs.append(
@@ -115,13 +122,29 @@ def castability_stats(df: DataFrame, columns: list[str]) -> dict[str, dict[str, 
             )
             aggs.append(F.count(parse_int_via_float(s)).alias(f"{col}__int"))
             aggs.append(F.count(try_cast(s, "double")).alias(f"{col}__float"))
-            aggs.append(F.count(parse_date_multi(s)).alias(f"{col}__date"))
-            aggs.append(F.count(parse_datetime_multi(s)).alias(f"{col}__datetime"))
     row = df.agg(*aggs).collect()[0].asDict()
     out: dict[str, dict[str, int]] = {}
     for k, v in row.items():
         col, stat = k.rsplit("__", 1)
         out.setdefault(col, {})[stat] = v
+    # phase 2: date/datetime counts only where bool/int/float didn't decide
+    undecided = [
+        col
+        for col in columns
+        if dtypes[col] == "string"
+        and out[col].get("n", 0) > 0
+        and not any(out[col].get(t, -1) == out[col]["n"] for t in ("bool", "int", "float"))
+    ]
+    if undecided:
+        aggs2: list[Column] = []
+        for col in undecided:
+            s = F.trim(F.col(col))
+            aggs2.append(F.count(parse_date_multi(s)).alias(f"{col}__date"))
+            aggs2.append(F.count(parse_datetime_multi(s)).alias(f"{col}__datetime"))
+        row2 = df.agg(*aggs2).collect()[0].asDict()
+        for k, v in row2.items():
+            col, stat = k.rsplit("__", 1)
+            out.setdefault(col, {})[stat] = v
     return out
 
 

@@ -1,0 +1,304 @@
+"""Collection phase (SURVEY §2.5): fold every patient's rows — across all
+tables — into phenopacket sections.
+
+The reference materializes per-patient frames and runs 9 collectors in a
+loop (cdf_collector_broker.rs:32-91).  Spark-first: every collector is a
+*section builder* producing ``(subject_id, <section array>)`` via narrow
+projections unioned across tables, then ONE ``groupBy(subject_id)`` each;
+the final assembly left-joins sections onto the subject dimension.  Arrival
+order (builder upsert semantics) is made explicit with a ``seq`` column
+(table_rank, row order) resolved by window ``last`` (SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..descriptors import ContextKind, ContextualizedDataFrame
+from ..functions.durations import time_element_expr
+from ..operators import grouping
+
+
+def _subject(cdf: ContextualizedDataFrame):
+    return F.col(cdf.subject_col).cast("string").alias("subject_id")
+
+
+def _union(frames: list[DataFrame]) -> Optional[DataFrame]:
+    if not frames:
+        return None
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _linked_col(cdf: ContextualizedDataFrame, block: Optional[str], kind: ContextKind,
+                time_type=None) -> Optional[str]:
+    """G4 (~ contextualized_data_frame.rs:166-282): ≤1 column with the given
+    context inside a building block; >1 → error (plan-build time)."""
+    hits = [
+        c
+        for c, sc in cdf.resolved().items()
+        if sc.building_block_id == block
+        and sc.data_context.kind == kind
+        and (time_type is None or sc.data_context.time_type == time_type or sc.data_context.time_type is None)
+    ]
+    if len(hits) > 1:
+        raise grouping.MultiplicityError(
+            f"table {cdf.context.name!r} block {block!r}: multiple {kind} columns {hits}"
+        )
+    return hits[0] if hits else None
+
+
+def collect_individual(cdfs: Sequence[ContextualizedDataFrame]) -> DataFrame:
+    """IndividualCollector (~ individual_collector.rs:21-98): sex, DOB,
+    vital status, time at last encounter, cause of death, survival days —
+    each a G3 single-multiplicity element across all tables."""
+    fields = {
+        "sex": ContextKind.SUBJECT_SEX,
+        "date_of_birth": ContextKind.DATE_OF_BIRTH,
+        "vital_status": ContextKind.VITAL_STATUS,
+        "time_at_last_encounter": ContextKind.TIME_AT_LAST_ENCOUNTER,
+        "cause_of_death": ContextKind.CAUSE_OF_DEATH,
+        "survival_time_days": ContextKind.SURVIVAL_TIME_DAYS,
+    }
+    subjects = _union(
+        [cdf.df.select(_subject(cdf)) for cdf in cdfs]
+    ).distinct()
+    out = subjects
+    for name, kind in fields.items():
+        frames = [
+            (cdf.df, cdf.subject_col, col)
+            for cdf in cdfs
+            for col in cdf.columns_with_kind(kind)
+        ]
+        if not frames:
+            out = out.withColumn(name, F.lit(None).cast("string"))
+            continue
+        vals = grouping.single_valued(frames, alias=name, strict=True)
+        out = out.join(vals, "subject_id", "left")
+    return out
+
+
+def collect_hpo_in_cells(cdfs: Sequence[ContextualizedDataFrame]) -> Optional[DataFrame]:
+    """HpoInCellsCollector (~ hpo_in_cells_collector.rs:53-98): per HPO
+    column, row-zip with linked onset/resolution/severity/excluded (G5);
+    dedupe per (subject, hpo) keeping the LAST arrival (G6).
+    Long form: (subject_id, hpo_id, onset, resolution, severity, excluded, seq)."""
+    frames = []
+    for rank, cdf in enumerate(cdfs):
+        for col in cdf.columns_with_kind(ContextKind.HPO):
+            sc = cdf.resolved()[col]
+            block = sc.building_block_id
+            onset = _linked_col(cdf, block, ContextKind.ONSET)
+            resolution = _linked_col(cdf, block, ContextKind.TIME_OF_RESOLUTION)
+            severity = _linked_col(cdf, block, ContextKind.SEVERITY)
+            obs = _linked_col(cdf, block, ContextKind.OBSERVATION_STATUS)
+
+            def s(name):
+                return F.col(name).cast("string") if name else F.lit(None).cast("string")
+
+            frames.append(
+                cdf.df.filter(F.col(col).isNotNull()).select(
+                    _subject(cdf),
+                    F.col(col).cast("string").alias("hpo_id"),
+                    s(onset).alias("onset"),
+                    s(resolution).alias("resolution"),
+                    s(severity).alias("severity"),
+                    (
+                        (~F.col(obs).cast("boolean")).alias("excluded")
+                        if obs
+                        else F.lit(False).alias("excluded")
+                    ),
+                    F.lit(rank).alias("seq"),
+                )
+            )
+    long = _union(frames)
+    if long is None:
+        return None
+    return grouping.upsert_last(long, ["subject_id", "hpo_id"], "seq",
+                                ["onset", "resolution", "severity", "excluded"])
+
+
+def collect_hpo_in_headers(cdfs: Sequence[ContextualizedDataFrame]) -> Optional[DataFrame]:
+    """HpoInHeaderCollector (~ hpo_in_header_collector.rs:22-84): boolean
+    observation-status columns whose header IS the HPO id ('HP:x' or
+    'HP:x#block'), collapsed per (subject, hpo) with conflict detection (G7)."""
+    frames = []
+    for cdf in cdfs:
+        by_block: dict = {}
+        for col, sc in cdf.resolved().items():
+            if (
+                sc.data_context.kind == ContextKind.OBSERVATION_STATUS
+                and sc.header_context is not None
+                and sc.header_context.kind == ContextKind.HPO
+            ):
+                by_block.setdefault(sc.building_block_id, []).append(col)
+        for block, cols in by_block.items():
+            onset = _linked_col(cdf, block, ContextKind.ONSET)
+            collapsed = grouping.header_hpo_collapse(cdf.df, cdf.subject_col, cols, onset)
+            # header 'HP:x#block' → id 'HP:x' (~ transform/utils.rs:80-85)
+            frames.append(
+                collapsed.select(
+                    "subject_id",
+                    F.split(F.col("hpo_id"), "#")[0].alias("hpo_id"),
+                    "observed",
+                    "excluded",
+                    "onset",
+                )
+            )
+    return _union(frames)
+
+
+def collect_diseases(cdfs: Sequence[ContextualizedDataFrame]) -> Optional[DataFrame]:
+    """DiseaseCollector (~ disease_collector.rs:44-71): disease + linked
+    onset + primary site, row-zipped."""
+    frames = []
+    for cdf in cdfs:
+        for col in cdf.columns_with_kind(ContextKind.DISEASE):
+            sc = cdf.resolved()[col]
+            block = sc.building_block_id
+            onset = _linked_col(cdf, block, ContextKind.ONSET)
+            site = _linked_col(cdf, block, ContextKind.PRIMARY_SITE)
+
+            def s(name):
+                return F.col(name).cast("string") if name else F.lit(None).cast("string")
+
+            frames.append(
+                cdf.df.filter(F.col(col).isNotNull()).select(
+                    _subject(cdf),
+                    F.col(col).cast("string").alias("disease_id"),
+                    s(onset).alias("onset"),
+                    s(site).alias("primary_site"),
+                )
+            )
+    long = _union(frames)
+    return long.distinct() if long is not None else None
+
+
+def collect_quantitative_measurements(cdfs) -> Optional[DataFrame]:
+    """QuantitativeMeasurementCollector (~ quantitative_measurement_collector.rs:53-95):
+    value + assay (from context param) + unit + time + reference range."""
+    frames = []
+    for cdf in cdfs:
+        for col, sc in cdf.resolved().items():
+            if sc.data_context.kind != ContextKind.QUANTITATIVE_MEASUREMENT:
+                continue
+            block = sc.building_block_id
+            t = _linked_col(cdf, block, ContextKind.TIME_OF_MEASUREMENT)
+            lo = _linked_ref(cdf, block, "start")
+            hi = _linked_ref(cdf, block, "end")
+
+            def s(name):
+                return F.col(name).cast("string") if name else F.lit(None).cast("string")
+
+            def d(name):
+                return F.col(name).cast("double") if name else F.lit(None).cast("double")
+
+            frames.append(
+                cdf.df.filter(F.col(col).isNotNull()).select(
+                    _subject(cdf),
+                    F.lit(sc.data_context.assay_id).alias("assay_id"),
+                    F.col(col).cast("double").alias("value"),
+                    F.lit(sc.data_context.unit_ontology_id).alias("unit"),
+                    s(t).alias("time_observed"),
+                    d(lo).alias("ref_low"),
+                    d(hi).alias("ref_high"),
+                )
+            )
+    return _union(frames)
+
+
+def _linked_ref(cdf, block, boundary: str) -> Optional[str]:
+    from ..descriptors import Boundary
+
+    want = Boundary.START if boundary == "start" else Boundary.END
+    hits = [
+        c
+        for c, sc in cdf.resolved().items()
+        if sc.building_block_id == block
+        and sc.data_context.kind == ContextKind.REFERENCE_RANGE
+        and sc.data_context.boundary == want
+    ]
+    if len(hits) > 1:
+        raise grouping.MultiplicityError(f"multiple reference-range {boundary} cols {hits}")
+    return hits[0] if hits else None
+
+
+def features_section(hpo_cells: Optional[DataFrame], hpo_headers: Optional[DataFrame]) -> Optional[DataFrame]:
+    """Merge cell-sourced and header-sourced features into one
+    ``phenotypic_features`` array per subject (G10 section)."""
+    parts = []
+    if hpo_cells is not None:
+        parts.append(
+            hpo_cells.select(
+                "subject_id",
+                F.struct(
+                    F.col("hpo_id").alias("type_id"),
+                    F.col("excluded"),
+                    time_element_expr("onset").alias("onset"),
+                    time_element_expr("resolution").alias("resolution"),
+                    F.col("severity"),
+                ).alias("feature"),
+            )
+        )
+    if hpo_headers is not None:
+        parts.append(
+            hpo_headers.filter(F.col("observed").isNotNull()).select(
+                "subject_id",
+                F.struct(
+                    F.col("hpo_id").alias("type_id"),
+                    F.col("excluded"),
+                    time_element_expr("onset").alias("onset"),
+                    F.lit(None).cast(
+                        "struct<age:struct<iso8601duration:string>,timestamp:timestamp>"
+                    ).alias("resolution"),
+                    F.lit(None).cast("string").alias("severity"),
+                ).alias("feature"),
+            )
+        )
+    long = _union(parts)
+    if long is None:
+        return None
+    return long.groupBy("subject_id").agg(
+        F.sort_array(F.collect_list("feature")).alias("phenotypic_features")
+    )
+
+
+def diseases_section(diseases: Optional[DataFrame]) -> Optional[DataFrame]:
+    if diseases is None:
+        return None
+    return diseases.groupBy("subject_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("disease_id").alias("term_id"),
+                    time_element_expr("onset").alias("onset"),
+                    F.col("primary_site"),
+                )
+            )
+        ).alias("diseases")
+    )
+
+
+def measurements_section(meas: Optional[DataFrame]) -> Optional[DataFrame]:
+    if meas is None:
+        return None
+    return meas.groupBy("subject_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("assay_id"),
+                    F.col("value"),
+                    F.col("unit"),
+                    F.col("time_observed"),
+                    F.col("ref_low"),
+                    F.col("ref_high"),
+                )
+            )
+        ).alias("measurements")
+    )

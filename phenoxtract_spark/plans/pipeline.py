@@ -1,0 +1,111 @@
+"""The pipeline compiler: Extract → Transform → Load as ONE composed Spark
+plan (SURVEY §3; ~ pipeline.rs:36-85, transform/transform_module.rs:26-43).
+
+Stage parity with the reference:
+
+1. extract    — CDFs arrive from sources/readers (or any DataFrame + context)
+2. preprocess — C1 trim/null, C2/C3 inference casts, subject forced string
+                (~ preprocessor.rs:13-19)
+3. strategies — ordered, ``is_valid``-gated whole-table rewrites (M7)
+4. collect    — section builders (collectors.py), each one groupBy(subject)
+5. assemble   — nested packet struct + metadata stamp (G10), to_json
+6. load       — sharded JSONL (scale) or file-per-subject (S6 parity)
+
+Everything stays lazy until load; Catalyst sees the whole graph and can
+push filters into scans and broadcast every dimension join.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..descriptors import ContextKind, ContextualizedDataFrame
+from ..functions import casting, cleaning
+from ..operators import packet as packet_ops
+from . import collectors
+from .strategies import Strategy
+
+
+@dataclass
+class Pipeline:
+    """~ Pipeline (pipeline.rs:22-44): ctor + add_strategy + run."""
+
+    strategies: list[Strategy] = field(default_factory=list)
+    cohort: Optional[str] = None
+    created_by: str = "phenoxtract-spark"
+    validate_subjects: bool = True
+
+    def add_strategy(self, s: Strategy) -> "Pipeline":
+        self.strategies.append(s)
+        return self
+
+    def insert_strategy(self, i: int, s: Strategy) -> "Pipeline":
+        self.strategies.insert(i, s)
+        return self
+
+    # -- stage 2: preprocess (~ preprocessor.rs:13-19) ----------------------
+    def preprocess(self, cdfs: list[ContextualizedDataFrame]) -> list[ContextualizedDataFrame]:
+        out = []
+        for cdf in cdfs:
+            df = cleaning.clean_strings(cdf.df)
+            df = casting.ambivalent_cast(df)
+            df = casting.force_string(df, cdf.subject_col)
+            new = cdf.with_df(df)
+            if self.validate_subjects:
+                new.validate_subject_not_null()
+            out.append(new)
+        return out
+
+    # -- stage 3: strategies ------------------------------------------------
+    def transform(self, cdfs: list[ContextualizedDataFrame]) -> list[ContextualizedDataFrame]:
+        for s in self.strategies:
+            if s.is_valid(cdfs):
+                cdfs = s.apply(cdfs)
+        return cdfs
+
+    # -- stage 4+5: collect + assemble -------------------------------------
+    def collect(self, cdfs: list[ContextualizedDataFrame]) -> DataFrame:
+        individual = collectors.collect_individual(cdfs)
+        sections: dict[str, DataFrame] = {}
+        feats = collectors.features_section(
+            collectors.collect_hpo_in_cells(cdfs),
+            collectors.collect_hpo_in_headers(cdfs),
+        )
+        if feats is not None:
+            sections["phenotypic_features"] = feats
+        dis = collectors.diseases_section(collectors.collect_diseases(cdfs))
+        if dis is not None:
+            sections["diseases"] = dis
+        meas = collectors.measurements_section(
+            collectors.collect_quantitative_measurements(cdfs)
+        )
+        if meas is not None:
+            sections["measurements"] = meas
+        pid = (
+            packet_ops.cohort_packet_id(self.cohort, F.col("subject_id"))
+            if self.cohort
+            else None
+        )
+        return packet_ops.assemble_packets(
+            individual, sections, packet_id=pid, created_by=self.created_by
+        )
+
+    def run(self, cdfs: Sequence[ContextualizedDataFrame]) -> DataFrame:
+        """Full EP3 lifecycle: returns (subject_id, packet_json)."""
+        cdfs = self.preprocess(list(cdfs))
+        cdfs = self.transform(cdfs)
+        packets = self.collect(cdfs)
+        return packet_ops.packets_to_json(packets)
+
+    def run_and_load(self, cdfs, out_dir: str, file_per_subject: bool = False) -> None:
+        from ..sources import sinks
+
+        js = self.run(cdfs)
+        if file_per_subject:
+            sinks.write_file_per_subject(js, out_dir)
+        else:
+            sinks.write_jsonl(js, out_dir)

@@ -1,0 +1,174 @@
+"""Sources (S1/S3/S4/S7), sinks, the P2/P3 column-filter DSL, G8
+classification, and Structured Streaming over the shared window layer."""
+
+import json
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from phenoxtract_spark.descriptors import (
+    Context,
+    ContextKind,
+    ContextualizedDataFrame,
+    Identifier,
+    SeriesContext,
+    TableContext,
+)
+from phenoxtract_spark.operators import identify, interpret
+from phenoxtract_spark.sources import readers, sinks
+
+
+def test_csv_scan_with_headers(spark, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("sid;age\nP1;47\nP2;33\n")
+    cfg = readers.ExtractionConfig(name="t", has_headers=True, separator=";")
+    df = readers.read_csv(spark, str(p), cfg)
+    assert df.columns == ["sid", "age"]
+    assert df.count() == 2
+    assert dict(df.dtypes)["age"] == "int"  # inferSchema
+
+
+def test_csv_scan_headerless_default_names(spark, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("P1,fever\nP2,cough\n")
+    cfg = readers.ExtractionConfig(name="t", has_headers=False)
+    df = readers.read_csv(spark, str(p), cfg)
+    assert df.columns == ["0", "1"]  # S4 synthetic names
+
+
+def test_csv_scan_transposed(spark, tmp_path):
+    # patients are COLUMNS (S3): first column holds the row labels
+    p = tmp_path / "data.csv"
+    p.write_text("field,P1,P2\nPatient ID,P1,P2\nHP:0000001,true,false\n")
+    cfg = readers.ExtractionConfig(name="t", has_headers=True, patients_are_rows=False)
+    df = readers.read_csv(spark, str(p), cfg)
+    assert set(df.columns) == {"field", "Patient ID", "HP:0000001"}
+    rows = {r["Patient ID"]: r["HP:0000001"] for r in df.collect()}
+    assert rows == {"P1": "true", "P2": "false"}
+
+
+def test_config_loader_env_expansion(tmp_path, monkeypatch):
+    monkeypatch.setenv("PXS_TEST_NAME", "cohort42")
+    p = tmp_path / "cfg.json"
+    p.write_text('{"name": "${PXS_TEST_NAME}", "n": 3}')
+    cfg = readers.load_config(str(p))
+    assert cfg == {"name": "cohort42", "n": 3}
+
+
+def test_alias_map_csv(spark, tmp_path):
+    p = tmp_path / "aliases.csv"
+    p.write_text("raw,canonical\nno_info,\nfever,Fever\n")
+    dim = readers.read_alias_map_csv(spark, str(p), "raw", "canonical")
+    rows = {r["key"]: r["value"] for r in dim.collect()}
+    assert rows == {"no_info": None, "fever": "Fever"}
+
+
+def test_jsonl_sink(spark, tmp_path):
+    df = spark.createDataFrame([("P1", '{"id":"P1"}')], "subject_id string, packet_json string")
+    out = str(tmp_path / "out")
+    sinks.write_jsonl(df, out, num_shards=1)
+    import glob
+
+    files = glob.glob(f"{out}/part-*")
+    assert files and json.loads(open(files[0]).read().strip()) == {"id": "P1"}
+
+
+def test_column_filter_dsl(spark):
+    df = spark.createDataFrame(
+        [("P1", "fever", "2020-01-01", 5)],
+        "sid string, hpo string, onset string, num int",
+    )
+    ctx = TableContext(
+        name="t",
+        series_contexts=[
+            SeriesContext(identifier=Identifier.of("sid"), data_context=Context.subject_id()),
+            SeriesContext(
+                identifier=Identifier.of("hpo"),
+                data_context=Context(ContextKind.HPO),
+                building_block_id="A",
+            ),
+            SeriesContext(
+                identifier=Identifier.of("onset"),
+                data_context=Context(ContextKind.ONSET),
+                building_block_id="A",
+            ),
+        ],
+    )
+    cdf = ContextualizedDataFrame(df=df, context=ctx)
+    assert identify.ColumnFilter().where_data_kind(ContextKind.HPO).collect(cdf) == ["hpo"]
+    assert identify.ColumnFilter().where_building_block("A").collect(cdf) == ["hpo", "onset"]
+    assert identify.ColumnFilter().where_building_block(
+        identify.ColumnFilter.NONE
+    ).collect(cdf) == ["sid", "num"]
+    assert identify.ColumnFilter().where_data_type("int").collect(cdf) == ["num"]
+    assert identify.ColumnFilter().where_data_kind(
+        ContextKind.HPO, not_=True
+    ).where_data_type("string").collect(cdf) == ["sid", "onset"]
+
+
+def test_drop_all_null_columns(spark):
+    df = spark.createDataFrame(
+        [("P1", None, 1), ("P2", None, None)], "sid string, dead string, partial int"
+    )
+    out = identify.drop_all_null_columns(df)
+    assert out.columns == ["sid", "partial"]
+
+
+def test_classify_gene_variant(spark):
+    cases = [
+        ([], [], "NONE"),
+        (["g"], [], "CAUSATIVE_GENE"),
+        (["g"], ["v1"], "SINGLE"),
+        ([], ["v1", "v1"], "HOMOZYGOUS"),
+        (["g"], ["v1", "v2"], "COMPOUND_HET"),
+    ]
+    df = spark.createDataFrame(
+        [(g, v) for g, v, _ in cases], "genes array<string>, variants array<string>"
+    )
+    out = [
+        r["s"]
+        for r in df.select(
+            interpret.classify_gene_variant(F.col("genes"), F.col("variants")).alias("s")
+        ).collect()
+    ]
+    assert out == [c[2] for c in cases]
+
+
+def test_streaming_tumbling_window(spark, tmp_path):
+    """Structured Streaming parity: the same window expression layer runs on
+    a readStream source with a watermark (memory sink, one trigger)."""
+    from phenoxtract_spark.streaming import events as ev
+
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:10:00", "click"),
+            ("2024-01-01 00:20:00", "click"),
+            ("2024-01-01 01:05:00", "view"),
+        ],
+        "ts_raw string, event_type string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(src_dir))
+    stream = (
+        spark.readStream.schema("ts_raw string, event_type string")
+        .parquet(str(src_dir))
+        .select(F.col("ts_raw").cast("timestamp").alias("ts"), "event_type")
+    )
+    out = ev.streaming_tumbling(spark, stream, "1 hour", "2 hours")
+    query = (
+        out.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM tumbling_test ORDER BY window_start, event_type").collect()
+    got = [(str(r["window_start"]), r["event_type"], r["n_events"]) for r in rows]
+    assert got == [
+        ("2024-01-01 00:00:00", "click", 2),
+        ("2024-01-01 01:00:00", "view", 1),
+    ]
