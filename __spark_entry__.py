@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def _registry():
     # importing the query modules populates the shared registry
-    from phenoxtract_spark import queries_analytics  # noqa: F401
+    from phenoxtract_spark import queries_analytics, queries_joins  # noqa: F401
     from phenoxtract_spark import queries_core, queries_pipeline, queries_scale  # noqa: F401
 
     return queries_core.QUERIES

@@ -1,0 +1,137 @@
+"""Join strategies beyond Spark's defaults (SURVEY §2.5 note: the reference
+has no join surface at all; the engine exposes Spark's plus the
+scale-pattern joins a 100 TB pipeline needs).
+
+- ``as_of_join``: last right-side row at-or-before each left timestamp.
+  Implemented as union + window ``last(ignorenulls)`` — ONE shuffle on the
+  key, no range-join row explosion, no per-key driver loops.  This is the
+  streaming-friendly formulation (state = one row per key).
+- ``salted_join`` / ``salted_agg``: explicit skew mitigation.  AQE's skew
+  handling (enabled in session.py) covers sort-merge joins at runtime;
+  salting is for the cases AQE can't split (broadcast-ineligible skewed
+  aggregation keys), and for deterministic plan shape.
+- ``write_bucketed``: co-locate repeated large-large joins by pre-bucketing
+  both sides on the join key — the shuffle happens once at write time,
+  every later join is shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+    right_order: str | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.ts <= left.ts`` on the same keys.
+
+    Union both sides, sort within key by (ts, side[, right_order]) — right
+    rows at an equal timestamp sort first so they ARE visible to the left
+    row, and ``right_order`` breaks ties among right rows deterministically
+    (highest wins) — then carry the last non-null right values forward.
+    Wall-clock cost: one shuffle+sort on ``keys``; memory: O(1) per row
+    (running last), never |L|×|R|.
+    """
+    ord_type = dict(right.dtypes).get(right_order, "int") if right_order else "int"
+    l_tagged = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(ord_type).alias("_ord"),
+        *[F.lit(None).cast(dict(right.dtypes)[v]).alias(f"_rv_{v}") for v in right_vals],
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+    )
+    r_tagged = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        (F.col(right_order) if right_order else F.lit(0)).cast(ord_type).alias("_ord"),
+        *[F.col(v).alias(f"_rv_{v}") for v in right_vals],
+        F.lit(None).cast(l_tagged.schema["_lrow"].dataType.simpleString()).alias("_lrow"),
+    )
+    u = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_ts", "_side", F.col("_ord").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "*",
+        *[
+            F.last(f"_rv_{v}", ignorenulls=True).over(w).alias(f"{prefix}{v}")
+            for v in right_vals
+        ],
+    ).filter(F.col("_side") == 1)
+    out_cols = [F.col("_lrow")[c].alias(c) for c in left.columns] + [
+        F.col(f"{prefix}{v}") for v in right_vals
+    ]
+    return carried.select(*out_cols)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[tuple[str, str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation for skewed keys: stage 1 aggregates on
+    (keys, salt) — spreading one hot key over ``salt_buckets`` reducers —
+    stage 2 merges partials on keys alone.
+
+    ``aggs`` is a list of ``(out_name, column, fn)`` with fn one of
+    sum/count/min/max (re-aggregable partials; decompose avg into
+    sum+count at the call site).  The salt derives from a hash of the whole
+    row: no extra column needed, deterministic per row."""
+    FNS = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    for _, _, fn in aggs:
+        if fn not in FNS:
+            raise ValueError(f"non-re-aggregable fn {fn!r}; use {sorted(FNS)}")
+    salted = df.withColumn(
+        "_salt", F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    )
+    stage1 = salted.groupBy(*keys, "_salt").agg(
+        *[FNS[fn](col).alias(f"_p_{name}") for name, col, fn in aggs]
+    )
+    return stage1.groupBy(*keys).agg(
+        *[MERGE[fn](f"_p_{name}").alias(name) for name, _, fn in aggs]
+    )
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join: salt the skewed side, replicate the small side
+    across every salt bucket, join on (key, salt).  Use when the small side
+    is too big to broadcast whole but each key's rows fit; for genuinely
+    small dims prefer ``F.broadcast``."""
+    s = skewed.withColumn(
+        "_salt", F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets))
+    )
+    replicated = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return s.join(replicated, [key, "_salt"]).drop("_salt")
+
+
+def write_bucketed(df: DataFrame, table_name: str, bucket_cols: list[str],
+                   num_buckets: int = 32, sort_cols: list[str] | None = None) -> None:
+    """Persist as a bucketed table: later equi-joins/aggs on ``bucket_cols``
+    between tables bucketed the same way run WITHOUT a shuffle."""
+    w = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)

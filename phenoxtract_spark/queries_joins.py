@@ -1,0 +1,143 @@
+"""Oracle-checked queries for the join toolbox (as-of, skew salting) and
+embedding near-duplicate pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators import joins, similarity
+from .queries_core import q, read_table
+
+
+@q(
+    "asof_last_event",
+    """
+    WITH l AS (
+      SELECT o_orderkey, o_custkey % 20 AS uid,
+             CAST(o_orderdate AS TIMESTAMP) + INTERVAL 29 YEAR AS ots
+      FROM orders
+    ), j AS (
+      SELECT l.o_orderkey, CAST(e.ts AS TIMESTAMP) AS ets, e.value,
+             row_number() OVER (PARTITION BY l.o_orderkey
+                                ORDER BY CAST(e.ts AS TIMESTAMP) DESC,
+                                         e.event_id DESC) AS rn
+      FROM l JOIN events e
+        ON e.user_id = l.uid AND CAST(e.ts AS TIMESTAMP) <= l.ots
+    )
+    SELECT l.o_orderkey, CAST(j.ets AS VARCHAR) AS asof_ts,
+           round(coalesce(j.value, -1), 2) AS asof_value
+    FROM l LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (o_orderkey)
+    """,
+)
+def asof_last_event(spark, sf_dir):
+    """As-of join: for each order (timestamp shifted into the events' 2024
+    range), the latest event at-or-before it for user ``custkey % 20``.
+    Spark side = scale-correct union+window; oracle = join+max_by."""
+    o = read_table(spark, sf_dir, "orders")
+    e = read_table(spark, sf_dir, "events")
+    left = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 20).alias("uid"),
+        (F.col("o_orderdate").cast("timestamp") + F.expr("INTERVAL 29 YEAR")).alias("ots"),
+    )
+    right = e.select(
+        F.col("user_id").alias("uid"),
+        F.col("ts"),
+        F.col("value"),
+        F.col("event_id"),
+    )
+    # deterministic tiebreak on equal timestamps: order right rows by
+    # (ts, event_id) before the window carry → last wins = max event_id
+    out = joins.as_of_join(
+        left,
+        right,
+        keys=["uid"],
+        left_ts="ots",
+        right_ts="ts",
+        right_vals=["ts", "value"],
+        right_order="event_id",
+    )
+    return out.select(
+        "o_orderkey",
+        F.col("asof_ts").cast("string").alias("asof_ts"),
+        F.round(F.coalesce(F.col("asof_value"), F.lit(-1.0)), 2).alias("asof_value"),
+    )
+
+
+@q(
+    "skew_salted_agg",
+    """
+    SELECT l_returnflag,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(*) AS n_items,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def skew_salted(spark, sf_dir):
+    """3-value grouping key = maximal skew; the salted two-stage plan keeps
+    every reducer busy and must agree exactly with the plain GROUP BY."""
+    li = read_table(spark, sf_dir, "lineitem")
+    out = joins.salted_agg(
+        li,
+        ["l_returnflag"],
+        [
+            ("sum_price", "l_extendedprice", "sum"),
+            ("n_items", "l_extendedprice", "count"),
+            ("min_price", "l_extendedprice", "min"),
+            ("max_price", "l_extendedprice", "max"),
+        ],
+        salt_buckets=8,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_price", 2).alias("sum_price"),
+        "n_items",
+        F.round("min_price", 2).alias("min_price"),
+        F.round("max_price", 2).alias("max_price"),
+    )
+
+
+@q(
+    "skew_salted_join",
+    """
+    SELECT l_orderkey, l_linenumber, o_orderstatus
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    """,
+)
+def skew_salted_join(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "k")
+    o = read_table(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "k")
+    out = joins.salted_join(
+        li.select("k", "l_linenumber"), o.select("k", "o_orderstatus"), "k", salt_buckets=4
+    )
+    return out.select(F.col("k").alias("l_orderkey"), "l_linenumber", "o_orderstatus")
+
+
+@q(
+    "similarity_neardup_pairs",
+    """
+    WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+    vx AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, idx),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM vx GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+      FROM vx a JOIN vx b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
+    FROM dots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
+    WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.4
+    """,
+)
+def neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.4).  Brute-force at
+    oracle scale; production path buckets candidates via
+    ``hyperplane_signature`` / ``ivf`` first."""
+    e = read_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = F.round(similarity.cosine(F.col("va"), F.col("vb")), 6)
+    return pairs.select("id_a", "id_b", cos.alias("cos")).filter(F.col("cos") >= 0.4)

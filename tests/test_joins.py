@@ -1,0 +1,82 @@
+"""Join toolbox: as-of join semantics, salted agg/join equivalence,
+bucketed-write plumbing."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from phenoxtract_spark.operators import joins
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [("u1", 100, "a"), ("u1", 250, "b"), ("u2", 50, "c")],
+        "uid string, ts bigint, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 90, 1.0, 1), ("u1", 100, 2.0, 2), ("u1", 200, 3.0, 3), ("u2", 60, 9.0, 4)],
+        "uid string, ts bigint, v double, eid int",
+    )
+    out = joins.as_of_join(
+        left, right, ["uid"], "ts", "ts", ["v"], right_order="eid"
+    )
+    rows = {r["tag"]: r["asof_v"] for r in out.collect()}
+    # at ts=100 the equal-timestamp right row (v=2.0) IS visible
+    assert rows == {"a": 2.0, "b": 3.0, "c": None}
+
+
+def test_asof_join_tiebreak_highest_order_wins(spark):
+    left = spark.createDataFrame([("u1", 100)], "uid string, ts bigint")
+    right = spark.createDataFrame(
+        [("u1", 100, 1.0, 1), ("u1", 100, 2.0, 2)], "uid string, ts bigint, v double, eid int"
+    )
+    out = joins.as_of_join(left, right, ["uid"], "ts", "ts", ["v"], right_order="eid")
+    assert out.collect()[0]["asof_v"] == 2.0
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plain = {
+        r["l_returnflag"]: (r["s"], r["n"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = {
+        r["l_returnflag"]: (r["s"], r["n"])
+        for r in joins.salted_agg(
+            li, ["l_returnflag"], [("s", "l_quantity", "sum"), ("n", "l_quantity", "count")]
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_agg_rejects_avg(spark):
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    with pytest.raises(ValueError):
+        joins.salted_agg(df, ["k"], [("m", "v", "avg")])
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("k"), "l_linenumber"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("k"), "o_orderstatus"
+    )
+    plain = li.join(o, "k").count()
+    salted = joins.salted_join(li, o, "k", salt_buckets=4).count()
+    assert plain == salted
+
+
+def test_write_bucketed_roundtrip(spark, tmp_path):
+    # warehouse dir is a static conf — use the session default location
+    df = spark.createDataFrame([(i, i % 3) for i in range(30)], "id bigint, grp int")
+    joins.write_bucketed(df, "bucketed_test", ["grp"], num_buckets=4, sort_cols=["id"])
+    back = spark.table("bucketed_test")
+    assert back.count() == 30
+    # bucket metadata recorded in the catalog
+    desc = spark.sql("DESCRIBE EXTENDED bucketed_test").collect()
+    txt = "\n".join(str(r) for r in desc)
+    assert "Num Buckets" in txt
+    spark.sql("DROP TABLE bucketed_test")
