@@ -86,8 +86,20 @@ def quality_score(col: Column | str) -> Column:
 def fingerprint(col: Column | str, k: int = 8) -> Column:
     """Document fingerprint: minimum md5 digest over k-word shingles — the
     winnowing idea collapsed to window=∞ (one stable fingerprint per doc,
-    robust to local edits elsewhere in the doc)."""
+    robust to local edits elsewhere in the doc).  Expression form; for bulk
+    scoring prefer :func:`fingerprint_df` (explode + min-agg stays inside
+    codegen; nested higher-order funcs don't)."""
     return F.array_min(F.transform(shingles(col, k), lambda s: F.md5(s)))
+
+
+def fingerprint_df(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
+    """Bulk fingerprinting: one explode + map-side partial min per doc —
+    the shuffle carries a single 32-char digest per document."""
+    ex = df.select(
+        F.col(id_col),
+        F.explode(shingles(text_col, k)).alias("_sh"),
+    )
+    return ex.groupBy(id_col).agg(F.min(F.md5("_sh")).alias("fingerprint"))
 
 
 def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

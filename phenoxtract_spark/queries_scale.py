@@ -378,7 +378,7 @@ def text_quality(spark, sf_dir):
 )
 def text_fingerprint(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
-    return d.select("doc_id", textanalysis.fingerprint("text", k=8).alias("fingerprint"))
+    return textanalysis.fingerprint_df(d, "doc_id", "text", k=8)
 
 
 # ---------------------------------------------------------------------------
