@@ -14,14 +14,19 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_DIR)
+# executor Python workers inherit the driver env in local mode; exporting the
+# repo on PYTHONPATH lets by-reference-pickled functions import the package
+# even when the driver process runs from another cwd
+os.environ["PYTHONPATH"] = _REPO_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 
 def _registry():
     # importing the query modules populates the shared registry
     from phenoxtract_spark import queries_analytics, queries_joins  # noqa: F401
     from phenoxtract_spark import queries_core, queries_pipeline, queries_scale  # noqa: F401
-    from phenoxtract_spark import queries_scalars  # noqa: F401
+    from phenoxtract_spark import queries_analytics2, queries_scalars  # noqa: F401
 
     return queries_core.QUERIES
 

@@ -90,15 +90,28 @@ def extract_features(media: DataFrame, decoder: DecoderStub | None = None,
     this is the pattern: payloads never leave their partition; only the
     fixed-width features flow downstream."""
     decoder = decoder or DecoderStub()
+    # capture plain values, not the DecoderStub instance: a closure pickles
+    # by value, so workers never need to import phenoxtract_spark
+    fake, dim = decoder.fake, decoder.dim
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def feats(payload):
+            if not fake:
+                raise NotImplementedError(
+                    "media decode requires PIL/ffmpeg; not available here"
+                )
+            digest = hashlib.md5(payload or b"").digest()
+            return [digest[i] / 255.0 for i in range(dim)]
+
         for pdf in batches:
             payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
-                    "feature": payloads.map(decoder.features),
+                    "feature": payloads.map(feats),
                 }
             )
 

@@ -1,0 +1,92 @@
+"""Custom stateful streaming operator: applyInPandasWithState running
+totals, exercised through a real streaming query (availableNow trigger),
+and checked for agreement with the batch-equivalent aggregation."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from phenoxtract_spark.streaming import stateful
+
+
+@pytest.fixture()
+def event_rows():
+    return [
+        (1, "2024-01-01 00:00:01", 10.0),
+        (1, "2024-01-01 00:10:00", 5.5),
+        (2, "2024-01-01 00:00:02", 7.25),
+        (2, "2024-01-01 01:00:00", None),
+        (3, "2024-01-01 02:00:00", 1.0),
+    ]
+
+
+def test_stateful_running_totals_stream(spark, tmp_path, event_rows):
+    src = tmp_path / "events_src"
+    df = spark.createDataFrame(event_rows, "user_id bigint, ts_raw string, value double")
+    df.coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = (
+        spark.readStream.schema("user_id bigint, ts_raw string, value double")
+        .parquet(str(src))
+        .select("user_id", F.col("ts_raw").cast("timestamp").alias("ts"), "value")
+    )
+    out = stateful.running_totals_stream(stream)
+    query = (
+        out.writeStream.format("memory")
+        .queryName("stateful_totals_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM stateful_totals_test").collect()
+    }
+    assert got == {1: (2, 15.5), 2: (2, 7.25), 3: (1, 1.0)}
+
+
+def test_stateful_state_carries_across_batches(spark, tmp_path, event_rows):
+    """Two micro-batches in one query (maxFilesPerTrigger=1): totals from
+    the first batch must fold into the second via GroupState."""
+    src = tmp_path / "events_src2"
+    src.mkdir()
+    df1 = spark.createDataFrame(event_rows[:2], "user_id bigint, ts_raw string, value double")
+    df1.coalesce(1).write.mode("append").parquet(str(src))
+    df2 = spark.createDataFrame(
+        [(1, "2024-01-01 03:00:00", 4.5)], "user_id bigint, ts_raw string, value double"
+    )
+    df2.coalesce(1).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema("user_id bigint, ts_raw string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .select("user_id", "value")
+    )
+    out = stateful.running_totals_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_carry_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode emits one row per batch; the final (max-n) row per user is
+    # the carried total: 2 events (10.0+5.5) in one batch + 1 event (4.5)
+    rows = spark.sql(
+        "SELECT user_id, max_by(total_value, n_events) AS total, max(n_events) AS n "
+        "FROM stateful_carry_test GROUP BY user_id"
+    ).collect()
+    got = {r["user_id"]: (r["n"], r["total"]) for r in rows}
+    assert got[1] == (3, 20.0)
+
+
+def test_batch_equivalent_matches(spark, event_rows):
+    df = spark.createDataFrame(event_rows, "user_id bigint, ts_raw string, value double")
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in stateful.running_totals_batch(df).collect()
+    }
+    assert got == {1: (2, 15.5), 2: (2, 7.25), 3: (1, 1.0)}
