@@ -97,8 +97,11 @@ def salted_agg(
     for _, _, fn in aggs:
         if fn not in FNS:
             raise ValueError(f"non-re-aggregable fn {fn!r}; use {sorted(FNS)}")
-    salted = df.withColumn(
-        "_salt", F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    # project + hash ONLY the involved columns: hashing every column would
+    # force the scan to read the whole table and defeat column pruning
+    needed = list(dict.fromkeys(keys + [c for _, c, _ in aggs]))
+    salted = df.select(*needed).withColumn(
+        "_salt", F.pmod(F.hash(*[F.col(c) for c in needed]), F.lit(salt_buckets))
     )
     stage1 = salted.groupBy(*keys, "_salt").agg(
         *[FNS[fn](col).alias(f"_p_{name}") for name, col, fn in aggs]
@@ -119,7 +122,7 @@ def salted_join(
     is too big to broadcast whole but each key's rows fit; for genuinely
     small dims prefer ``F.broadcast``."""
     s = skewed.withColumn(
-        "_salt", F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets))
+        "_salt", F.pmod(F.hash(F.col(key), F.monotonically_increasing_id()), F.lit(salt_buckets))
     )
     replicated = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

@@ -54,34 +54,73 @@ def _linked_col(cdf: ContextualizedDataFrame, block: Optional[str], kind: Contex
     return hits[0] if hits else None
 
 
-def collect_individual(cdfs: Sequence[ContextualizedDataFrame]) -> DataFrame:
+INDIVIDUAL_FIELDS = {
+    "sex": ContextKind.SUBJECT_SEX,
+    "date_of_birth": ContextKind.DATE_OF_BIRTH,
+    "vital_status": ContextKind.VITAL_STATUS,
+    "time_at_last_encounter": ContextKind.TIME_AT_LAST_ENCOUNTER,
+    "cause_of_death": ContextKind.CAUSE_OF_DEATH,
+    "survival_time_days": ContextKind.SURVIVAL_TIME_DAYS,
+}
+
+
+def collect_individual(cdfs: Sequence[ContextualizedDataFrame],
+                       error_limit: int = 5) -> DataFrame:
     """IndividualCollector (~ individual_collector.rs:21-98): sex, DOB,
     vital status, time at last encounter, cause of death, survival days —
-    each a G3 single-multiplicity element across all tables."""
-    fields = {
-        "sex": ContextKind.SUBJECT_SEX,
-        "date_of_birth": ContextKind.DATE_OF_BIRTH,
-        "vital_status": ContextKind.VITAL_STATUS,
-        "time_at_last_encounter": ContextKind.TIME_AT_LAST_ENCOUNTER,
-        "cause_of_death": ContextKind.CAUSE_OF_DEATH,
-        "survival_time_days": ContextKind.SURVIVAL_TIME_DAYS,
-    }
-    subjects = _union(
-        [cdf.df.select(_subject(cdf)) for cdf in cdfs]
-    ).distinct()
-    out = subjects
-    for name, kind in fields.items():
-        frames = [
-            (cdf.df, cdf.subject_col, col)
-            for cdf in cdfs
-            for col in cdf.columns_with_kind(kind)
+    each a G3 single-multiplicity element across all tables.
+
+    ONE shuffle total: every (table, field-column) projects to a tagged
+    narrow row (subject, field, value); the union groups by subject with a
+    conditional ``collect_set`` per field.  The old shape (one
+    ``single_valued`` groupBy+join per field) shuffled once per field."""
+    parts = []
+    for cdf in cdfs:
+        # marker row keeps subjects visible even when every field is null
+        parts.append(
+            cdf.df.select(
+                _subject(cdf), F.lit("_marker").alias("_field"), F.lit(None).cast("string").alias("_v")
+            )
+        )
+        for name, kind in INDIVIDUAL_FIELDS.items():
+            for col in cdf.columns_with_kind(kind):
+                parts.append(
+                    cdf.df.filter(F.col(col).isNotNull()).select(
+                        _subject(cdf),
+                        F.lit(name).alias("_field"),
+                        F.col(col).cast("string").alias("_v"),
+                    )
+                )
+    long = _union(parts)
+    agg = long.groupBy("subject_id").agg(
+        *[
+            F.collect_set(F.when(F.col("_field") == name, F.col("_v"))).alias(f"_s_{name}")
+            for name in INDIVIDUAL_FIELDS
         ]
-        if not frames:
-            out = out.withColumn(name, F.lit(None).cast("string"))
-            continue
-        vals = grouping.single_valued(frames, alias=name, strict=True)
-        out = out.join(vals, "subject_id", "left")
-    return out
+    )
+    # G3 strictness: >1 distinct value for any field → bounded error
+    conflict = None
+    for name in INDIVIDUAL_FIELDS:
+        c = F.size(f"_s_{name}") > 1
+        conflict = c if conflict is None else (conflict | c)
+    bad = agg.filter(conflict).select(
+        "subject_id", *[f"_s_{n}" for n in INDIVIDUAL_FIELDS]
+    ).limit(error_limit).collect()
+    if bad:
+        detail = [
+            (r["subject_id"], {n: sorted(r[f"_s_{n}"]) for n in INDIVIDUAL_FIELDS if len(r[f"_s_{n}"]) > 1})
+            for r in bad
+        ]
+        raise grouping.MultiplicityError(
+            f"multiple distinct values for individual fields: {detail}"
+        )
+    return agg.select(
+        "subject_id",
+        *[
+            F.try_element_at(f"_s_{name}", F.lit(1)).alias(name)
+            for name in INDIVIDUAL_FIELDS
+        ],
+    )
 
 
 def collect_hpo_in_cells(cdfs: Sequence[ContextualizedDataFrame]) -> Optional[DataFrame]:
