@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_signature",
     "dedup_lsh_candidates",
+    "dedup_pipeline_canonical",
     "dedup_simhash",
     "similarity_bruteforce_topk",
     "text_quality",

@@ -110,9 +110,41 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, k: int = 5,
                         threshold: float = 0.5,
                         candidates: DataFrame | None = None) -> DataFrame:
-    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle
-    (optionally restricted to LSH ``candidates``).  Returns
-    (id_a, id_b, jacc) with jacc rounded to 6dp for cross-engine equality."""
+    """Exact n-gram Jaccard similarity.  Returns (id_a, id_b, jacc) with
+    jacc rounded to 6dp for cross-engine equality.
+
+    Two plans:
+    - with ``candidates`` (the LSH path): join each candidate pair to the
+      two docs' distinct-shingle ARRAYS and compute
+      ``size(array_intersect)`` — cost ∝ |candidates|, never corpus².
+      (Filtering after a shingle self-join would still pay the quadratic
+      popular-shingle blowup before discarding non-candidates.)
+    - without: discovery mode — shingle self-join over pairs sharing ≥1
+      shingle.  Exact but inherently quadratic per shared shingle; use the
+      LSH candidates at scale."""
+    if candidates is not None:
+        arrs = df.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(shingles(text_col, k)).alias("shs"),
+        )
+        out = (
+            candidates.join(
+                arrs.select(F.col("id").alias("id_a"), F.col("shs").alias("sa")), "id_a"
+            )
+            .join(arrs.select(F.col("id").alias("id_b"), F.col("shs").alias("sb")), "id_b")
+            .withColumn("common", F.size(F.array_intersect("sa", "sb")))
+            .withColumn(
+                "jacc",
+                F.round(
+                    F.col("common")
+                    / (F.size("sa") + F.size("sb") - F.col("common")),
+                    6,
+                ),
+            )
+            .filter(F.col("jacc") >= threshold)
+            .select("id_a", "id_b", "jacc")
+        )
+        return out
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(text_col, k))).alias("sh"),
@@ -126,8 +158,6 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, k: int = 5,
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    if candidates is not None:
-        common = common.join(candidates, ["id_a", "id_b"], "left_semi")
     out = (
         common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")

@@ -1,0 +1,103 @@
+"""Composite queries: the full near-dup dedup pipeline as a user would run
+it (minhash → LSH buckets → exact Jaccard verify → canonical id), and
+TPC-H q6 (the classic pushdown showcase)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators import dedup
+from .queries_core import q, read_table
+from .queries_scale import _SHINGLES3
+
+
+@q(
+    "dedup_pipeline_canonical",
+    f"""
+    WITH {_SHINGLES3},
+    seeded AS (
+      SELECT doc_id, s.seed, md5(CAST(s.seed AS VARCHAR) || '|' || sh) AS h
+      FROM sh, (SELECT unnest(generate_series(0, 3)) AS seed) s
+    ),
+    sig AS (SELECT doc_id AS id, seed, min(h) AS minhash FROM seeded GROUP BY 1, 2),
+    bands AS (
+      SELECT id, seed // 2 AS band,
+             md5(array_to_string(list_sort(list(CAST(seed AS VARCHAR) || ':' || minhash)), '|')) AS band_key
+      FROM sig GROUP BY id, seed // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+    ),
+    dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT common.id_a, common.id_b
+      FROM common
+      JOIN cand ON cand.id_a = common.id_a AND cand.id_b = common.id_b
+      JOIN sizes sa ON sa.doc_id = common.id_a
+      JOIN sizes sb ON sb.doc_id = common.id_b
+      WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.3
+    ),
+    partners AS (
+      SELECT id_a AS doc_id, id_b AS partner FROM verified
+      UNION ALL SELECT id_b, id_a FROM verified
+    )
+    SELECT d.doc_id,
+           least(d.doc_id, coalesce(min(p.partner), d.doc_id)) AS canonical_id
+    FROM documents d LEFT JOIN partners p USING (doc_id)
+    GROUP BY d.doc_id
+    """,
+)
+def dedup_pipeline(spark, sf_dir):
+    """Full near-dup pipeline: LSH candidates bound the quadratic verify;
+    canonical id = min(doc, verified partners).  (One-step canonicalization;
+    transitive closure would iterate this to a fixpoint.)"""
+    d = read_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(d, "doc_id", "text", num_hashes=4, k=3)
+    cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, rows_per_band=2))
+    verified = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", k=3, threshold=0.3, candidates=cand
+    ).select("id_a", "id_b")
+    partners = verified.unionByName(
+        verified.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).select(F.col("id_a").alias("doc_id"), F.col("id_b").alias("partner"))
+    return (
+        d.select("doc_id")
+        .join(partners, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.least(
+                F.col("doc_id"), F.coalesce(F.min("partner"), F.col("doc_id"))
+            ).alias("canonical_id")
+        )
+    )
+
+
+@q(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q6(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
