@@ -67,13 +67,25 @@ def apply_synonym_mapping(
     strict: bool = True,
     error_limit: int = 20,
     out_col: str | None = None,
+    ledger=None,
 ) -> DataFrame:
     """M2 (~ mapping.rs:181-278): broadcast-join on lower(trim(key));
-    strict mode errors with every unmapped value + closest-match suggestions."""
+    strict mode errors with every unmapped value + closest-match suggestions.
+    With a ``ledger`` (errors.ErrorLedger), the offender probe registers
+    lazily instead of running its own action — all strategies' checks then
+    share ONE validation job."""
     out_col = out_col or column
     keyed = df.withColumn("_k", normalize_key(F.col(column)))
     dimmed = F.broadcast(dim.select(normalize_key("key").alias("_k"), F.col("value").alias("_mapped")))
     joined = keyed.join(dimmed, "_k", "left")
+    if strict and ledger is not None:
+        ledger.add_check(
+            f"unmapped:{column}",
+            joined.filter(F.col(column).isNotNull() & F.col("_mapped").isNull())
+            .select(column).distinct(),
+        )
+        result = joined.withColumn(out_col, F.col("_mapped"))
+        return result.drop("_k", "_mapped")
     if strict:
         bad_rows = (
             joined.filter(F.col(column).isNotNull() & F.col("_mapped").isNull())
@@ -117,16 +129,24 @@ def normalize_to_ontology(
     strict: bool = True,
     error_limit: int = 20,
     out_col: str | None = None,
+    ledger=None,
 ) -> DataFrame:
     """M3 (~ ontology_normaliser.rs:75-141): label-or-synonym → canonical id
     via a broadcast ontology dimension ``(key, id)`` (key already lowercased
-    label or synonym).  CURIE-shaped cells pass through untouched."""
+    label or synonym).  CURIE-shaped cells pass through untouched.
+    ``ledger`` defers the strict check into one shared validation job."""
     out_col = out_col or column
     is_id = F.col(column).rlike(id_pattern)
     keyed = df.withColumn("_k", F.when(~is_id, normalize_key(F.col(column))))
     dim = F.broadcast(ontology_dim.select(normalize_key("key").alias("_k"), F.col("id").alias("_id")))
     joined = keyed.join(dim, "_k", "left")
-    if strict:
+    if strict and ledger is not None:
+        ledger.add_check(
+            f"unmapped_ontology:{column}",
+            joined.filter(F.col(column).isNotNull() & ~is_id & F.col("_id").isNull())
+            .select(column).distinct(),
+        )
+    elif strict:
         bad = (
             joined.filter(F.col(column).isNotNull() & ~is_id & F.col("_id").isNull())
             .select(column).distinct().limit(error_limit).collect()

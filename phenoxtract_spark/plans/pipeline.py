@@ -38,6 +38,9 @@ class Pipeline:
     cohort: Optional[str] = None
     created_by: str = "phenoxtract-spark"
     validate_subjects: bool = True
+    # pass the same errors.ErrorLedger to strict strategies and here: their
+    # offender probes then share ONE validation job, run after transform
+    ledger: object = None
 
     def add_strategy(self, s: Strategy) -> "Pipeline":
         self.strategies.append(s)
@@ -98,6 +101,8 @@ class Pipeline:
         """Full EP3 lifecycle: returns (subject_id, packet_json)."""
         cdfs = self.preprocess(list(cdfs))
         cdfs = self.transform(cdfs)
+        if self.ledger is not None:
+            self.ledger.validate()
         packets = self.collect(cdfs)
         return packet_ops.packets_to_json(packets)
 

@@ -70,6 +70,7 @@ class MappingStrategy(Strategy):
     kind: ContextKind
     dictionary: dict
     strict: bool = True
+    ledger: object = None  # errors.ErrorLedger → defer strict checks
 
     def is_valid(self, cdfs):
         return any(self._columns(cdf, self.kind) for cdf in cdfs)
@@ -80,7 +81,9 @@ class MappingStrategy(Strategy):
         for cdf in cdfs:
             df = cdf.df
             for col in self._columns(cdf, self.kind):
-                df = mapping.apply_synonym_mapping(df, col, dim, strict=self.strict)
+                df = mapping.apply_synonym_mapping(
+                    df, col, dim, strict=self.strict, ledger=self.ledger
+                )
             out.append(cdf.with_df(df))
         return out
 
@@ -93,6 +96,7 @@ class OntologyNormaliserStrategy(Strategy):
     ontology_dim: DataFrame
     kinds: tuple[ContextKind, ...] = (ContextKind.HPO, ContextKind.DISEASE)
     strict: bool = True
+    ledger: object = None  # errors.ErrorLedger → defer strict checks
 
     def is_valid(self, cdfs):
         return any(self._columns(cdf, k) for cdf in cdfs for k in self.kinds)
@@ -104,7 +108,8 @@ class OntologyNormaliserStrategy(Strategy):
             for k in self.kinds:
                 for col in self._columns(cdf, k):
                     df = mapping.normalize_to_ontology(
-                        df, col, self.ontology_dim, strict=self.strict
+                        df, col, self.ontology_dim, strict=self.strict,
+                        ledger=self.ledger,
                     )
             out.append(cdf.with_df(df))
         return out
