@@ -93,13 +93,12 @@ def fingerprint(col: Column | str, k: int = 8) -> Column:
 
 
 def fingerprint_df(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
-    """Bulk fingerprinting: one explode + map-side partial min per doc —
+    """Bulk fingerprinting: window-built shingles + partial min per doc —
     the shuffle carries a single 32-char digest per document."""
-    ex = df.select(
-        F.col(id_col),
-        F.explode(shingles(text_col, k)).alias("_sh"),
-    )
-    return ex.groupBy(id_col).agg(F.min(F.md5("_sh")).alias("fingerprint"))
+    from .dedup import shingles_long
+
+    ex = shingles_long(df, id_col, text_col, k).withColumnRenamed("id", id_col)
+    return ex.groupBy(id_col).agg(F.min(F.md5("sh")).alias("fingerprint"))
 
 
 def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
