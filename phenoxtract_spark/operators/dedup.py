@@ -184,6 +184,46 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, k: int = 5,
     return out
 
 
+def connected_components(vertices: DataFrame, edges: DataFrame,
+                         max_iter: int = 25) -> DataFrame:
+    """Min-label propagation over undirected edges until fixpoint:
+    canonical_id(v) = min id in v's connected component.  The transitive
+    closure of one-step near-dup canonicalization.
+
+    Iterative algorithm on Spark (Pregel-style): each round joins labels to
+    the symmetrized edge list and takes the min neighbor label; the ONLY
+    driver-side value is the scalar changed-count used for convergence.
+    Rounds needed = component diameter (near-dup clusters: a handful).
+    Each round's result is localCheckpointed to keep the plan from growing
+    unboundedly across iterations."""
+    sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = vertices.select(F.col(vertices.columns[0]).alias("id")).withColumn(
+        "label", F.col("id")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("_changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("canonical_id"))
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """SimHash fingerprint over word tokens.  Per token, a ``bits``-wide
     digest from the first hex chars of md5; each bit votes ±1 weighted by

@@ -128,3 +128,13 @@ def test_pivot_flags_block_suffix(spark):
     long = spark.createDataFrame([("p1", "HP:1")], "subject_id string, hpo_id string")
     wide = pivoting.pivot_flags(long, block_id="B")
     assert "HP:1#B" in wide.columns
+
+
+def test_connected_components_transitive(spark):
+    # chain 1-2-3 plus isolated 4: all of {1,2,3} fold to 1
+    verts = spark.createDataFrame([(1,), (2,), (3,), (4,)], "doc_id bigint")
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a bigint, id_b bigint")
+    from phenoxtract_spark.operators.dedup import connected_components
+
+    out = {r["id"]: r["canonical_id"] for r in connected_components(verts, edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4}
