@@ -343,7 +343,11 @@ STRATEGY_KINDS = {
 }
 
 
-def build_strategy(kind: str, **kwargs) -> Strategy:
-    if kind not in STRATEGY_KINDS:
-        raise ValueError(f"unknown strategy kind {kind!r}; known: {sorted(STRATEGY_KINDS)}")
-    return STRATEGY_KINDS[kind](**kwargs)
+def build_strategy(strategy: str, **kwargs) -> Strategy:
+    # first param deliberately not named "kind": MappingStrategy's own
+    # ``kind`` (a ContextKind) arrives via kwargs from the config compiler
+    if strategy not in STRATEGY_KINDS:
+        raise ValueError(
+            f"unknown strategy kind {strategy!r}; known: {sorted(STRATEGY_KINDS)}"
+        )
+    return STRATEGY_KINDS[strategy](**kwargs)

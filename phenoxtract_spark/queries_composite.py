@@ -140,6 +140,88 @@ def dedup_cc(spark, sf_dir):
 
 
 @q(
+    "tpch_q12_priority_shipping",
+    """
+    SELECT l_linestatus,
+           count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+           count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q12(spark, sf_dir):
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "tpch_q14_promo_share",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    """,
+)
+def q14(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev),
+                4,
+            ).alias("promo_share")
+        )
+    )
+
+
+@q(
+    "events_window_dedup",
+    """
+    SELECT user_id, event_type,
+           CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS VARCHAR) AS hour_start,
+           min(event_id) AS first_event_id
+    FROM events
+    GROUP BY user_id, event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+    """,
+)
+def events_window_dedup(spark, sf_dir):
+    """Windowed event deduplication (batch analog of
+    dropDuplicatesWithinWatermark): keep the first event per
+    (user, type, hour window)."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id",
+            "event_type",
+            F.window("ts", "1 hour").alias("w"),
+        )
+        .agg(F.min("event_id").alias("first_event_id"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("w.start").cast("string").alias("hour_start"),
+            "first_event_id",
+        )
+    )
+
+
+@q(
     "tpch_q6_forecast_revenue",
     """
     SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
