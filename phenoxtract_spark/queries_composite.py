@@ -140,6 +140,52 @@ def dedup_cc(spark, sf_dir):
 
 
 @q(
+    "dedup_simhash_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, t.tok FROM (
+        SELECT doc_id, unnest(string_split({{norm}}, ' ')) AS tok FROM documents
+      ) t WHERE t.tok != ''
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 7))::BIGINT % 65536 AS h FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, h, b.bit FROM hashed, (SELECT unnest(generate_series(0, 15)) AS bit) b
+    ),
+    votes AS (
+      SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM bits GROUP BY 1, 2
+    ),
+    sh AS (
+      SELECT doc_id AS id,
+             sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+      FROM votes GROUP BY 1
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sh a JOIN sh b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """.replace("{norm}", "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"),
+)
+def simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: hamming(fingerprints) ≤ 2.  Brute pairing at
+    oracle scale; at 100 TB, band the fingerprint bytes and join per band
+    (same pattern as minhash LSH)."""
+    d = read_table(spark, sf_dir, "documents")
+    sh = dedup.simhash(d, "doc_id", "text", bits=16)
+    a = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("sb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.expr("sa ^ sb")).cast("bigint"))
+        .filter(F.col("hamming") <= 2)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+@q(
     "tpch_q12_priority_shipping",
     """
     SELECT l_linestatus,

@@ -138,3 +138,22 @@ def test_connected_components_transitive(spark):
 
     out = {r["id"]: r["canonical_id"] for r in connected_components(verts, edges).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_lsh_recall_against_exact_jaccard(spark, sf_dir):
+    """Measured LSH quality gate: candidates from (8 hashes, 2 rows/band)
+    must recover ≥80% of pairs with exact 3-gram Jaccard ≥ 0.5 on the
+    documents fixture (deterministic: md5-based hash family)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5).collect()
+    }
+    sig = dedup.minhash_signature(d, "doc_id", "text", num_hashes=8, k=3)
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, rows_per_band=2)).collect()
+    }
+    if truth:
+        recall = len(truth & cand) / len(truth)
+        assert recall >= 0.8, (recall, len(truth), len(cand))
