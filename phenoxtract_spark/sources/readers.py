@@ -59,11 +59,12 @@ def read_excel(spark: SparkSession, path: str, cfg: ExtractionConfig,
     except ImportError as e:  # pragma: no cover
         raise NotImplementedError("excel reading requires pandas") from e
     try:
-        pdf = pd.read_excel(path, sheet_name=sheet, header=0 if cfg.has_headers else None)
+        import openpyxl  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
             "excel reading requires openpyxl; not installed in this container"
         ) from e
+    pdf = pd.read_excel(path, sheet_name=sheet, header=0 if cfg.has_headers else None)
     if not cfg.has_headers:
         pdf.columns = default_column_names(len(pdf.columns))
     else:

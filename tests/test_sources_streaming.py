@@ -172,3 +172,20 @@ def test_streaming_tumbling_window(spark, tmp_path):
         ("2024-01-01 00:00:00", "click", 2),
         ("2024-01-01 01:00:00", "view", 1),
     ]
+
+
+def test_excel_reader_gated_without_openpyxl(spark, tmp_path):
+    """S2: the Excel reader must fail with a clear NotImplementedError when
+    the decode library is absent (this container has no openpyxl), not an
+    obscure ImportError from deep inside pandas."""
+    try:
+        import openpyxl  # noqa: F401
+
+        pytest.skip("openpyxl present; gated path not reachable")
+    except ImportError:
+        pass
+    fake = tmp_path / "cohort.xlsx"
+    fake.write_bytes(b"PK\x03\x04 not a real workbook")
+    cfg = readers.ExtractionConfig(name="xl")
+    with pytest.raises(NotImplementedError, match="openpyxl"):
+        readers.read_excel(spark, str(fake), cfg)
