@@ -36,6 +36,7 @@ def assemble_packets(
     sections: dict[str, DataFrame],
     packet_id: Column | None = None,
     created_by: str = "phenoxtract-spark",
+    resources: DataFrame | None = None,
 ) -> DataFrame:
     """Join per-section aggregates onto the subject dimension and build the
     nested packet struct.  ``subjects`` must have a ``subject_id`` column;
@@ -49,9 +50,15 @@ def assemble_packets(
         out = out.withColumn(name, F.coalesce(F.col(name), F.lit(None).cast(arr_type)))
         out = out.withColumn(name, F.coalesce(F.col(name), F.array().cast(arr_type)))
     pid = packet_id if packet_id is not None else F.col("subject_id")
+    if resources is not None:
+        out = out.join(resources, "subject_id", "left")
+        res_col = F.coalesce(F.col("resources"), F.array().cast("array<string>"))
+    else:
+        res_col = F.array().cast("array<string>")
     meta = F.struct(
         F.lit(created_by).alias("created_by"),
         F.lit(SCHEMA_VERSION).alias("phenopacket_schema_version"),
+        res_col.alias("resources"),
     )
     subject_fields = [c for c in subjects.columns]
     packet = F.struct(

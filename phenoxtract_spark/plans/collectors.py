@@ -268,6 +268,104 @@ def _linked_ref(cdf, block, boundary: str) -> Optional[str]:
     return hits[0] if hits else None
 
 
+def collect_interpretations(cdfs: Sequence[ContextualizedDataFrame]) -> Optional[DataFrame]:
+    """G8/G9 (~ interpretation_collector.rs:16-196): per building block with
+    gene (HGNC) / variant (HGVS) columns, classify each row and group into
+    one Interpretation per (subject, disease).  G9: when the block's disease
+    lives in ANOTHER table, resolve it cross-table via G3 single-multiplicity
+    and broadcast-join it onto the variant rows."""
+    from ..operators import interpret
+
+    # disease values per (subject, block) across ALL tables — the G9 source
+    disease_frames: dict = {}
+    for cdf in cdfs:
+        for col, sc in cdf.resolved().items():
+            if sc.data_context.kind == ContextKind.DISEASE and sc.building_block_id:
+                disease_frames.setdefault(sc.building_block_id, []).append(
+                    (cdf.df, cdf.subject_col, col)
+                )
+    rows_frames = []
+    for cdf in cdfs:
+        by_block: dict = {}
+        for col, sc in cdf.resolved().items():
+            if sc.building_block_id and sc.data_context.kind in (
+                ContextKind.HGNC, ContextKind.HGVS
+            ):
+                by_block.setdefault(sc.building_block_id, {"genes": [], "variants": []})
+                key = "genes" if sc.data_context.kind == ContextKind.HGNC else "variants"
+                by_block[sc.building_block_id][key].append(col)
+        for block, cols in by_block.items():
+            genes_arr = F.filter(
+                F.array(*[F.col(c).cast("string") for c in cols["genes"]])
+                if cols["genes"] else F.array().cast("array<string>"),
+                lambda x: x.isNotNull(),
+            )
+            variants_arr = F.filter(
+                F.array(*[F.col(c).cast("string") for c in cols["variants"]])
+                if cols["variants"] else F.array().cast("array<string>"),
+                lambda x: x.isNotNull(),
+            )
+            local_disease = _linked_col(cdf, block, ContextKind.DISEASE)
+            base = cdf.df.select(
+                _subject(cdf),
+                (F.col(local_disease).cast("string") if local_disease else F.lit(None).cast("string")).alias("disease"),
+                genes_arr.alias("genes"),
+                variants_arr.alias("variants"),
+            )
+            if local_disease is None and block in disease_frames:
+                dval = grouping.single_valued(
+                    disease_frames[block], alias="disease_x", strict=True
+                )
+                base = (
+                    base.drop("disease")
+                    .join(F.broadcast(dval), "subject_id", "left")
+                    .withColumnRenamed("disease_x", "disease")
+                )
+            rows_frames.append(
+                base.filter((F.size("genes") > 0) | (F.size("variants") > 0))
+            )
+    long = _union(rows_frames)
+    if long is None:
+        return None
+    return interpret.assemble_interpretations(
+        long, "subject_id", "disease", "genes", "variants"
+    )
+
+
+def collect_resources(cdfs: Sequence[ContextualizedDataFrame]) -> Optional[DataFrame]:
+    """G11 (~ phenopacket_builder.rs:683-702): per subject, the distinct
+    lowercase CURIE prefixes of every ontology-valued cell in the packet —
+    the meta_data.resources list."""
+    CURIE_KINDS = (ContextKind.HPO, ContextKind.DISEASE)
+    frames = []
+    for cdf in cdfs:
+        for col, sc in cdf.resolved().items():
+            take = sc.data_context.kind in CURIE_KINDS or (
+                sc.header_context is not None
+                and sc.header_context.kind == ContextKind.HPO
+            )
+            if not take:
+                continue
+            value = (
+                F.lit(col)  # header-HPO: the CURIE is the column NAME
+                if sc.header_context is not None
+                and sc.header_context.kind == ContextKind.HPO
+                else F.col(col).cast("string")
+            )
+            frames.append(
+                cdf.df.select(
+                    _subject(cdf),
+                    F.lower(F.split(value, ":")[0]).alias("prefix"),
+                ).filter(value.rlike(r"^[A-Za-z][A-Za-z0-9.]*:"))
+            )
+    long = _union(frames)
+    if long is None:
+        return None
+    return long.groupBy("subject_id").agg(
+        F.sort_array(F.collect_set("prefix")).alias("resources")
+    )
+
+
 def features_section(hpo_cells: Optional[DataFrame], hpo_headers: Optional[DataFrame]) -> Optional[DataFrame]:
     """Merge cell-sourced and header-sourced features into one
     ``phenotypic_features`` array per subject (G10 section)."""

@@ -88,13 +88,30 @@ class Pipeline:
         )
         if meas is not None:
             sections["measurements"] = meas
+        interp = collectors.collect_interpretations(cdfs)
+        if interp is not None:
+            sections["interpretations"] = interp.groupBy("subject_id").agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("interpretation_id"),
+                            F.col("disease_id"),
+                            F.col("genomic_interpretations"),
+                        )
+                    )
+                ).alias("interpretations")
+            )
         pid = (
             packet_ops.cohort_packet_id(self.cohort, F.col("subject_id"))
             if self.cohort
             else None
         )
         return packet_ops.assemble_packets(
-            individual, sections, packet_id=pid, created_by=self.created_by
+            individual,
+            sections,
+            packet_id=pid,
+            created_by=self.created_by,
+            resources=collectors.collect_resources(cdfs),
         )
 
     def run(self, cdfs: Sequence[ContextualizedDataFrame]) -> DataFrame:

@@ -98,10 +98,10 @@ def cohort(spark):
     )
     labs = spark.createDataFrame(
         [
-            ("P001", 5.4, 3.5, 5.0, "type 2 diabetes mellitus"),
-            ("P002", None, None, None, "asthma"),
+            ("P001", 5.4, 3.5, 5.0, "type 2 diabetes mellitus", "BRCA1", "c.68_69delAG", None),
+            ("P002", None, None, None, "asthma", None, "c.1A>G", "c.2T>C"),
         ],
-        "pid string, wbc double, lo double, hi double, dx string",
+        "pid string, wbc double, lo double, hi double, dx string, gene string, var1 string, var2 string",
     )
     labs_ctx = TableContext(
         "labs",
@@ -112,6 +112,12 @@ def cohort(spark):
             sc("lo", ContextKind.REFERENCE_RANGE, boundary=Boundary.START, building_block_id="L"),
             sc("hi", ContextKind.REFERENCE_RANGE, boundary=Boundary.END, building_block_id="L"),
             sc("dx", ContextKind.DISEASE, building_block_id="DX"),
+            sc("gene", ContextKind.HGNC, building_block_id="DX"),
+            SeriesContext(
+                identifier=Identifier.of(["var1", "var2"]),
+                data_context=Context(ContextKind.HGVS),
+                building_block_id="DX",
+            ),
         ],
     )
     return [
@@ -155,6 +161,12 @@ def test_full_cohort_packets(spark, cohort):
     )
     d1 = p1["diseases"][0]
     assert d1["term_id"] == "MONDO:0005148"
+    # G8: gene + one variant → SINGLE; id = '{subject}-{disease}'
+    i1 = p1["interpretations"][0]
+    assert i1["disease_id"] == "MONDO:0005148"
+    assert i1["genomic_interpretations"][0]["status"] == "SINGLE"
+    # G11: meta_data.resources = distinct CURIE prefixes used in the packet
+    assert p1["meta_data"]["resources"] == ["hp", "mondo"]
 
     p2 = out["P002"]
     assert p2["subject"]["sex"] == "FEMALE" and p2["subject"]["vital_status"] == "DECEASED"
@@ -164,6 +176,9 @@ def test_full_cohort_packets(spark, cohort):
     assert set(feats2) == {"HP:0000822", "HP:0012735", "HP:0000246"}
     assert p2.get("measurements", []) == []
     assert p2["diseases"][0]["term_id"] == "MONDO:0004979"
+    # two distinct variants, no gene → COMPOUND_HET
+    gi2 = p2["interpretations"][0]["genomic_interpretations"][0]
+    assert gi2["status"] == "COMPOUND_HET"
 
 
 def test_full_cohort_ledger_catches_bad_rows(spark, cohort):
