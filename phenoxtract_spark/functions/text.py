@@ -33,7 +33,13 @@ def prefixed_id(prefix: Column | str, value: Column | str, sep: str = "-") -> Co
     already starts with '{prefix}{sep}'."""
     p, v = _c(prefix).cast("string"), _c(value).cast("string")
     already = v.startswith(F.concat(p, F.lit(sep)))
-    return F.when(already, v).otherwise(F.concat_ws(sep, p, v))
+    # null value → null id (concat_ws would silently emit the bare prefix,
+    # colliding every null row onto one id)
+    return (
+        F.when(v.isNull(), F.lit(None).cast("string"))
+        .when(already, v)
+        .otherwise(F.concat_ws(sep, p, v))
+    )
 
 
 def is_curie(col: Column | str) -> Column:

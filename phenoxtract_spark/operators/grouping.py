@@ -124,9 +124,19 @@ def header_hpo_collapse(
         long = long.unionByName(p)
     long = long.filter(F.col("observed").isNotNull() | F.col("onset").isNotNull())
     agg = long.groupBy("subject_id", "hpo_id").agg(
-        F.collect_set(F.struct("observed", "onset")).alias("_pairs")
+        F.collect_set(F.struct("observed", "onset")).alias("_all_pairs")
     )
-    bad = agg.filter(F.size("_pairs") > 1).limit(error_limit).collect()
+    # pairs with a real observation take precedence; observed-null pairs
+    # (onset asserted without status) only matter when nothing else exists —
+    # conflicting means >1 DISTINCT pair with non-null observed
+    # (~ hpo_in_header_collector.rs: (None,None) removed, null-status warns)
+    agg = agg.withColumn(
+        "_obs_pairs", F.filter(F.col("_all_pairs"), lambda p: p["observed"].isNotNull())
+    ).withColumn(
+        "_pairs",
+        F.when(F.size("_obs_pairs") > 0, F.col("_obs_pairs")).otherwise(F.col("_all_pairs")),
+    )
+    bad = agg.filter(F.size("_obs_pairs") > 1).limit(error_limit).collect()
     if bad:
         raise MultiplicityError(
             f"conflicting observation-status pairs: "

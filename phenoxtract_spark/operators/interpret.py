@@ -36,8 +36,11 @@ def classify_gene_variant(genes: Column, variants: Column) -> Column:
     v = F.coalesce(variants, F.array().cast("array<string>"))
     nv = F.size(v)
     ndv = F.size(F.array_distinct(v))
+    # >1 gene or >2 variants are data errors in the reference (it returns
+    # Err); here they classify to null so callers can collect/filter them
     return (
-        F.when((F.size(g) == 0) & (nv == 0), STATUS_NONE)
+        F.when(F.size(g) > 1, F.lit(None).cast("string"))
+        .when((F.size(g) == 0) & (nv == 0), STATUS_NONE)
         .when(nv == 0, STATUS_CAUSATIVE_GENE)
         .when(nv == 1, STATUS_SINGLE)
         .when((nv == 2) & (ndv == 1), STATUS_HOMOZYGOUS)

@@ -43,12 +43,19 @@ def as_of_join(
     (running last), never |L|×|R|.
     """
     ord_type = dict(right.dtypes).get(right_order, "int") if right_order else "int"
+    rtypes = dict(right.dtypes)
+    # the right values travel as ONE struct so the window carry is atomic:
+    # carrying columns independently with last(ignorenulls) could stitch
+    # together fields from different right rows when values are null
+    rstruct_type = (
+        "struct<" + ",".join(f"`{v}`:{rtypes[v]}" for v in right_vals) + ">"
+    )
     l_tagged = left.select(
         *[F.col(k) for k in keys],
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.lit(None).cast(ord_type).alias("_ord"),
-        *[F.lit(None).cast(dict(right.dtypes)[v]).alias(f"_rv_{v}") for v in right_vals],
+        F.lit(None).cast(rstruct_type).alias("_rv"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
     )
     r_tagged = right.select(
@@ -56,7 +63,7 @@ def as_of_join(
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         (F.col(right_order) if right_order else F.lit(0)).cast(ord_type).alias("_ord"),
-        *[F.col(v).alias(f"_rv_{v}") for v in right_vals],
+        F.struct(*[F.col(v) for v in right_vals]).alias("_rv"),
         F.lit(None).cast(l_tagged.schema["_lrow"].dataType.simpleString()).alias("_lrow"),
     )
     u = l_tagged.unionByName(r_tagged)
@@ -66,14 +73,10 @@ def as_of_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(
-        "*",
-        *[
-            F.last(f"_rv_{v}", ignorenulls=True).over(w).alias(f"{prefix}{v}")
-            for v in right_vals
-        ],
+        "*", F.last("_rv", ignorenulls=True).over(w).alias("_rlast")
     ).filter(F.col("_side") == 1)
     out_cols = [F.col("_lrow")[c].alias(c) for c in left.columns] + [
-        F.col(f"{prefix}{v}") for v in right_vals
+        F.col("_rlast")[v].alias(f"{prefix}{v}") for v in right_vals
     ]
     return carried.select(*out_cols)
 
@@ -97,11 +100,13 @@ def salted_agg(
     for _, _, fn in aggs:
         if fn not in FNS:
             raise ValueError(f"non-re-aggregable fn {fn!r}; use {sorted(FNS)}")
-    # project + hash ONLY the involved columns: hashing every column would
-    # force the scan to read the whole table and defeat column pruning
+    # project ONLY the involved columns (hashing every column would defeat
+    # column pruning); salt from a unique per-row id, NOT the row values —
+    # a hot key whose rows are identical would otherwise all hash to one
+    # bucket and never spread
     needed = list(dict.fromkeys(keys + [c for _, c, _ in aggs]))
     salted = df.select(*needed).withColumn(
-        "_salt", F.pmod(F.hash(*[F.col(c) for c in needed]), F.lit(salt_buckets))
+        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets))
     )
     stage1 = salted.groupBy(*keys, "_salt").agg(
         *[FNS[fn](col).alias(f"_p_{name}") for name, col, fn in aggs]

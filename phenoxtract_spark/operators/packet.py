@@ -47,7 +47,6 @@ def assemble_packets(
     for name, sec in sections.items():
         out = out.join(sec, "subject_id", "left")
         arr_type = sec.schema[name].dataType.simpleString()
-        out = out.withColumn(name, F.coalesce(F.col(name), F.lit(None).cast(arr_type)))
         out = out.withColumn(name, F.coalesce(F.col(name), F.array().cast(arr_type)))
     pid = packet_id if packet_id is not None else F.col("subject_id")
     if resources is not None:

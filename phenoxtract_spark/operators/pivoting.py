@@ -37,6 +37,18 @@ def transpose(df: DataFrame, header_col: str | None = None) -> DataFrame:
         F.expr(f"stack({len(others)}, {stack_expr}) as (_patient, _value)"),
     )
     keys = [r[0] for r in long.select("_key").distinct().collect()]
+    n_rows = df.count()
+    if len(keys) < n_rows:
+        dupes = [
+            r[0]
+            for r in long.groupBy("_key").count().filter(F.col("count") > len(others))
+            .limit(5).collect()
+        ]
+        raise ValueError(
+            f"transpose: header column {header_col!r} has duplicate values "
+            f"({n_rows} rows, {len(keys)} distinct); e.g. {dupes} — rows would "
+            "silently collapse"
+        )
     wide = (
         long.groupBy("_patient")
         .pivot("_key", keys)

@@ -52,11 +52,8 @@ def detect_language(col: Column | str) -> Column:
     """Heuristic language id: argmax of stopword votes, lexicographic
     tie-break, 'und' when all votes are zero."""
     langs = sorted(LANG_STOPWORDS)
-    pairs = F.array(
-        *[F.struct(lang_votes(col, l).alias("v"), F.lit(l).alias("lang")) for l in langs]
-    )
-    # array_sort on struct sorts by v then lang ascending; best = max v with
-    # *smallest* lang among ties → sort by (v desc, lang asc) via negated v.
+    # sort by (votes desc, lang asc) via negated votes: best = max votes,
+    # lexicographically-smallest language among ties
     neg = F.array(
         *[F.struct((-lang_votes(col, l)).alias("nv"), F.lit(l).alias("lang")) for l in langs]
     )

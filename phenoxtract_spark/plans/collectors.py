@@ -153,7 +153,14 @@ def collect_hpo_in_cells(cdfs: Sequence[ContextualizedDataFrame]) -> Optional[Da
                         if obs
                         else F.lit(False).alias("excluded")
                     ),
-                    F.lit(rank).alias("seq"),
+                    # arrival order = (table rank, file row order): the row
+                    # component makes duplicate (subject, hpo) rows WITHIN a
+                    # table resolve deterministically, like the reference's
+                    # last-row-wins builder upsert
+                    F.struct(
+                        F.lit(rank).alias("r"),
+                        F.monotonically_increasing_id().alias("i"),
+                    ).alias("seq"),
                 )
             )
     long = _union(frames)

@@ -186,7 +186,12 @@ class DateToAgeStrategy(Strategy):
             for col in self._columns(cdf, ContextKind.DATE_OF_BIRTH):
                 frames.append((cdf.df, subj, col))
         dob = grouping.single_valued(frames, alias="dob", strict=True)
-        return dob.select("subject_id", F.col("dob").cast("date").alias("dob"))
+        # collision-proof internal names: user tables may legitimately have
+        # columns called 'subject_id' or 'dob'
+        return dob.select(
+            F.col("subject_id").alias("__pxs_sid"),
+            F.col("dob").cast("date").alias("__pxs_dob"),
+        )
 
     def apply(self, cdfs):
         dob = F.broadcast(self.dob_map(cdfs))
@@ -198,8 +203,8 @@ class DateToAgeStrategy(Strategy):
                 continue
             subj = cdf.subject_col
             df = cdf.df.join(
-                dob, F.col(subj).cast("string") == dob.subject_id, "left"
-            ).drop("subject_id")
+                dob, F.col(subj).cast("string") == dob["__pxs_sid"], "left"
+            ).drop("__pxs_sid")
             for col in cols:
                 from ..functions.casting import parse_date_multi
 
@@ -208,8 +213,10 @@ class DateToAgeStrategy(Strategy):
                     if dict(cdf.df.dtypes)[col] == "date"
                     else parse_date_multi(F.col(col).cast("string"))
                 )
-                df = df.withColumn(col, durations.date_diff_to_iso(F.col("dob"), as_date))
-            df = df.drop("dob")
+                df = df.withColumn(
+                    col, durations.date_diff_to_iso(F.col("__pxs_dob"), as_date)
+                )
+            df = df.drop("__pxs_dob")
             # P7 retag: Date → Age on the converted columns
             new_scs = []
             for sc in cdf.context.series_contexts:
@@ -309,10 +316,10 @@ class MultiHpoColExpansionStrategy(Strategy):
                 long = pivoting.explode_multi_ids(df, subj, col, extract_hpo_ids)
                 wide = pivoting.pivot_flags(
                     long, max_width=self.max_width, block_id=sc.building_block_id
-                )
+                ).withColumnRenamed("subject_id", "__pxs_sid")
                 df = df.drop(col).join(
-                    wide, F.col(subj).cast("string") == wide.subject_id, "left"
-                ).drop("subject_id")
+                    wide, F.col(subj).cast("string") == wide["__pxs_sid"], "left"
+                ).drop("__pxs_sid")
                 new_scs = [s for s in new_scs if not s.identifier.matches(col)]
                 suffix = f"#{sc.building_block_id}" if sc.building_block_id else ""
                 new_scs.append(

@@ -80,3 +80,18 @@ def test_write_bucketed_roundtrip(spark, tmp_path):
     txt = "\n".join(str(r) for r in desc)
     assert "Num Buckets" in txt
     spark.sql("DROP TABLE bucketed_test")
+
+
+def test_asof_join_does_not_mix_fields_across_rows(spark):
+    """Regression: right values must carry as ONE row; null fields in the
+    most recent right row must not be backfilled from older rows."""
+    left = spark.createDataFrame([("u1", 300)], "uid string, ts bigint")
+    right = spark.createDataFrame(
+        [("u1", 100, 5.0, None, 1), ("u1", 200, None, 7.0, 2)],
+        "uid string, ts bigint, a double, b double, eid int",
+    )
+    out = joins.as_of_join(
+        left, right, ["uid"], "ts", "ts", ["a", "b"], right_order="eid"
+    ).collect()[0]
+    # most recent right row is (a=null, b=7.0) — a must NOT be 5.0
+    assert out["asof_a"] is None and out["asof_b"] == 7.0

@@ -124,3 +124,23 @@ def test_pre_resolve_pattern(spark):
     )
     rows = {r["term"]: r["term_resolved"] for r in resolved.collect()}
     assert rows == {"fever": "HP:1", "unknownx": None}
+
+
+def test_header_collapse_null_observed_does_not_conflict(spark):
+    """Regression: a row asserting only an onset (observed null) must not
+    conflict with a real observation for the same HPO."""
+    df = spark.createDataFrame(
+        [("p1", True, "2020"), ("p1", None, "2021")],
+        "sid string, `HP:0000001` boolean, onset string",
+    )
+    out = grouping.header_hpo_collapse(df, "sid", ["HP:0000001"], "onset").collect()
+    assert len(out) == 1
+    assert out[0]["observed"] is True and out[0]["onset"] == "2020"
+
+
+def test_prefixed_id_null_value(spark):
+    from phenoxtract_spark.functions.text import prefixed_id
+
+    df = spark.createDataFrame([("x",), (None,)], "v string")
+    out = [r["p"] for r in df.select(prefixed_id(F.lit("C"), F.col("v")).alias("p")).collect()]
+    assert out == ["C-x", None]

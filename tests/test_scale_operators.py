@@ -157,3 +157,11 @@ def test_lsh_recall_against_exact_jaccard(spark, sf_dir):
     if truth:
         recall = len(truth & cand) / len(truth)
         assert recall >= 0.8, (recall, len(truth), len(cand))
+
+
+def test_transpose_rejects_duplicate_headers(spark):
+    df = spark.createDataFrame(
+        [("dup", "a", "b"), ("dup", "c", "d")], "k string, c1 string, c2 string"
+    )
+    with pytest.raises(ValueError, match="duplicate values"):
+        pivoting.transpose(df, header_col="k")
