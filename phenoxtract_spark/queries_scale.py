@@ -105,6 +105,36 @@ def events_sessionize(spark, sf_dir):
     )
 
 
+@q(
+    "events_stream_stream_join",
+    """
+    SELECT i.user_id, i.event_id AS impression_id, c.event_id AS click_id,
+           CAST(CAST(i.ts AS TIMESTAMP) AS VARCHAR) AS imp_ts,
+           CAST(CAST(c.ts AS TIMESTAMP) AS VARCHAR) AS click_ts
+    FROM events i JOIN events c
+      ON c.user_id = i.user_id
+     AND i.event_type = 'click' AND c.event_type = 'purchase'
+     AND CAST(c.ts AS TIMESTAMP) >= CAST(i.ts AS TIMESTAMP)
+     AND CAST(c.ts AS TIMESTAMP) <= CAST(i.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+    """,
+)
+def events_ss_join(spark, sf_dir):
+    """Batch semantics of the stream-stream join (same function runs on
+    readStream inputs with watermarks — tests/test_sources_streaming.py)."""
+    e = read_table(spark, sf_dir, "events")
+    out = ev.stream_stream_join(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+    )
+    return out.select(
+        "user_id",
+        "impression_id",
+        "click_id",
+        F.col("imp_ts").cast("string").alias("imp_ts"),
+        F.col("click_ts").cast("string").alias("click_ts"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------

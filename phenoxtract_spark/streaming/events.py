@@ -68,3 +68,36 @@ def streaming_tumbling(spark, source: DataFrame, duration: str = "1 hour",
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
     )
+
+
+def stream_stream_join(impressions: DataFrame, clicks: DataFrame,
+                       key: str = "user_id",
+                       impression_watermark: str = "2 hours",
+                       click_watermark: str = "3 hours",
+                       max_delay: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join with event-time bounds: each click joins the
+    impression it followed within ``max_delay``.  Watermarks bound the join
+    state on both sides — without them Spark would buffer both streams
+    forever.  Works identically on batch DataFrames (the time-bound becomes
+    a plain range predicate)."""
+    imp = impressions.select(
+        F.col(key).alias("i_key"),
+        F.col("ts").alias("imp_ts"),
+        F.col("event_id").alias("impression_id"),
+    )
+    clk = clicks.select(
+        F.col(key).alias("c_key"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    if imp.isStreaming:
+        imp = imp.withWatermark("imp_ts", impression_watermark)
+        clk = clk.withWatermark("click_ts", click_watermark)
+    return imp.join(
+        clk,
+        (F.col("i_key") == F.col("c_key"))
+        & (F.col("click_ts") >= F.col("imp_ts"))
+        & (F.col("click_ts") <= F.col("imp_ts") + F.expr(f"INTERVAL {max_delay}")),
+    ).select(
+        F.col("i_key").alias(key), "impression_id", "click_id", "imp_ts", "click_ts"
+    )

@@ -189,3 +189,45 @@ def test_excel_reader_gated_without_openpyxl(spark, tmp_path):
     cfg = readers.ExtractionConfig(name="xl")
     with pytest.raises(NotImplementedError, match="openpyxl"):
         readers.read_excel(spark, str(fake), cfg)
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Stream-stream inner join: clicks attach to prior impressions within
+    the delay bound; state bounded by watermarks on both sides."""
+    from phenoxtract_spark.streaming import events as ev
+
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 100), (2, "2024-01-01 10:05:00", 101)],
+        "user_id bigint, ts_raw string, event_id bigint",
+    ).coalesce(1).write.parquet(str(imp_dir))
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:30:00", 200),   # within 1h of imp 100 → joins
+            (2, "2024-01-01 11:30:00", 201),   # 85min after imp 101 → dropped
+        ],
+        "user_id bigint, ts_raw string, event_id bigint",
+    ).coalesce(1).write.parquet(str(clk_dir))
+
+    def stream(d):
+        return (
+            spark.readStream.schema("user_id bigint, ts_raw string, event_id bigint")
+            .parquet(str(d))
+            .select("user_id", F.col("ts_raw").cast("timestamp").alias("ts"), "event_id")
+        )
+
+    out = ev.stream_stream_join(stream(imp_dir), stream(clk_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ss_join_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [
+        (r["user_id"], r["impression_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM ss_join_test").collect()
+    ]
+    assert rows == [(1, 100, 200)]
