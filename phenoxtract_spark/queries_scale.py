@@ -288,8 +288,50 @@ def sim_bruteforce(spark, sf_dir):
     return similarity.brute_force_topk(e, queries, k=5)
 
 
-@q("similarity_ivf_topk", None)  # approximate path → rows-only; recall vs
-def sim_ivf(spark, sf_dir):  # brute force asserted in tests/test_similarity.py
+@q(
+    "similarity_ivf_topk",
+    """
+    WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+    vx AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, idx),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM vx GROUP BY vec_id),
+    cen AS (SELECT vec_id AS cid FROM embeddings WHERE vec_id % 61 = 0),
+    adots AS (
+      SELECT v.vec_id AS id, c.cid,
+             round(sum(v.x * cv.x) / (nv.nrm * nc.nrm), 6) AS cos
+      FROM vx v
+      JOIN cen c ON true
+      JOIN vx cv ON cv.vec_id = c.cid AND cv.i = v.i
+      JOIN norms nv ON nv.vec_id = v.vec_id
+      JOIN norms nc ON nc.vec_id = c.cid
+      GROUP BY v.vec_id, c.cid, nv.nrm, nc.nrm
+    ),
+    assign AS (
+      SELECT id, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid) AS rn
+        FROM adots) WHERE rn = 1
+    ),
+    pair AS (
+      SELECT q.id AS query_id, n.id AS neighbor_id
+      FROM assign q JOIN assign n ON q.cid = n.cid
+      WHERE q.id < 5 AND n.id != q.id
+    ),
+    pdots AS (
+      SELECT p.query_id, p.neighbor_id,
+             round(sum(a.x * b.x) / (na.nrm * nb.nrm), 6) AS cos
+      FROM pair p
+      JOIN vx a ON a.vec_id = p.query_id
+      JOIN vx b ON b.vec_id = p.neighbor_id AND b.i = a.i
+      JOIN norms na ON na.vec_id = p.query_id
+      JOIN norms nb ON nb.vec_id = p.neighbor_id
+      GROUP BY p.query_id, p.neighbor_id, na.nrm, nb.nrm
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM pdots) WHERE rank <= 5
+    """,
+)
+def sim_ivf(spark, sf_dir):  # recall vs brute force also asserted in tests
     e = read_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
     centroids = e.filter(F.col("vec_id") % 61 == 0)
