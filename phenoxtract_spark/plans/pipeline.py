@@ -57,6 +57,27 @@ class Pipeline:
             df = cleaning.clean_strings(cdf.df)
             df = casting.ambivalent_cast(df)
             df = casting.force_string(df, cdf.subject_col)
+            # honor the config surface the reference declares:
+            # fill_missing → coalesce (declared-but-never-applied in the
+            # reference, SURVEY §1.1); output_type → specific cast (C4)
+            for col, sc in cdf.context.resolve(df.columns).items():
+                if sc.fill_missing is not None:
+                    dt = dict(df.dtypes)[col]
+                    df = df.withColumn(
+                        col, F.coalesce(F.col(col), F.lit(sc.fill_missing).cast(dt))
+                    )
+                if sc.output_type is not None:
+                    target = sc.output_type.value
+                    casted = casting.specific_cast_expr(F.col(col), target)
+                    if self.ledger is not None:
+                        self.ledger.add_check(
+                            f"uncastable:{cdf.context.name}.{col}→{target}",
+                            df.filter(F.col(col).isNotNull() & casted.isNull())
+                            .select(col).distinct(),
+                        )
+                        df = df.withColumn(col, casted)
+                    else:
+                        df = casting.specific_cast(df, col, target)
             new = cdf.with_df(df)
             if self.validate_subjects:
                 new.validate_subject_not_null()

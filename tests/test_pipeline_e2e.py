@@ -268,3 +268,55 @@ def test_file_per_subject_sink(spark, tmp_path):
     with open(f"{out_dir}/P1.json") as f:
         packet = json.load(f)
     assert packet["id"] == "P1"
+
+
+def test_fill_missing_and_output_type(spark):
+    """SURVEY §1.1: fill_missing (declared no-op in the reference) IS
+    applied here as coalesce; output_type casts strictly (C4)."""
+    from phenoxtract_spark.descriptors import OutputDataType
+
+    df = spark.createDataFrame(
+        [("P1", None, "12"), ("P2", "7", None)], "sid string, score string, n string"
+    )
+    ctx = TableContext(
+        name="t",
+        series_contexts=[
+            sc("sid", ContextKind.SUBJECT_ID),
+            SeriesContext(
+                identifier=Identifier.of("score"),
+                data_context=Context(ContextKind.SURVIVAL_TIME_DAYS),
+                fill_missing="0",
+            ),
+            SeriesContext(
+                identifier=Identifier.of("n"),
+                data_context=Context(ContextKind.NONE),
+                output_type=OutputDataType.INT64,
+            ),
+        ],
+    )
+    pipe = Pipeline()
+    processed = pipe.preprocess([ContextualizedDataFrame(df=df, context=ctx)])
+    rows = {r["sid"]: r for r in processed[0].df.collect()}
+    assert rows["P1"]["score"] == 0       # filled (ambivalent cast made it bigint)
+    assert rows["P2"]["score"] == 7
+    assert rows["P1"]["n"] == 12 and dict(processed[0].df.dtypes)["n"] == "bigint"
+
+
+def test_output_type_strict_cast_error(spark):
+    from phenoxtract_spark.descriptors import OutputDataType
+    from phenoxtract_spark.functions.casting import CastError
+
+    df = spark.createDataFrame([("P1", "notanumber")], "sid string, n string")
+    ctx = TableContext(
+        name="t",
+        series_contexts=[
+            sc("sid", ContextKind.SUBJECT_ID),
+            SeriesContext(
+                identifier=Identifier.of("n"),
+                data_context=Context(ContextKind.NONE),
+                output_type=OutputDataType.FLOAT64,
+            ),
+        ],
+    )
+    with pytest.raises(CastError):
+        Pipeline().preprocess([ContextualizedDataFrame(df=df, context=ctx)])
