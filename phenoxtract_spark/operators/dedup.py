@@ -184,6 +184,63 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, k: int = 5,
     return out
 
 
+def banded_pairs(df: DataFrame, bits: int, band_width: int,
+                 id_col: str = "id", fp_col: str = "fp") -> DataFrame:
+    """Generic fingerprint banding: split a ``bits``-wide bigint fingerprint
+    into contiguous bands of ``band_width`` bits (the last band takes any
+    remainder) and self-join per (band, band value).  Pairs only meet inside
+    a bucket — the join is Σ|bucket|²-bounded, never |corpus|².
+    Returns distinct (id_a, id_b), id_a < id_b."""
+    n_bands = max(bits // band_width, 1)
+    bands = []
+    for i in range(n_bands):
+        start = i * band_width
+        width = band_width if i < n_bands - 1 else bits - start
+        mask = (1 << width) - 1
+        bands.append(
+            F.struct(
+                F.lit(i).alias("band"),
+                F.expr(f"(fp_ >> {start}) & {mask}").alias("bval"),
+            )
+        )
+    banded = (
+        df.select(F.col(id_col).alias("id"), F.col(fp_col).alias("fp_"))
+        .select("id", F.explode(F.array(*bands)).alias("b"))
+        .select("id", F.col("b.band").alias("band"), F.col("b.bval").alias("bval"))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash_band_pairs(fingerprints: DataFrame, bits: int = 16,
+                       max_hamming: int = 2, id_col: str = "id",
+                       fp_col: str = "simhash") -> DataFrame:
+    """SimHash near-dup pairs WITHOUT the all-pairs crossJoin: band the
+    fingerprint into ``max_hamming + 1`` bands — by pigeonhole, two
+    fingerprints within hamming ≤ max_hamming agree exactly on at least one
+    band — so the banded join is EXACT (identical result to brute force),
+    while pairs only ever meet inside a (band, band value) bucket.
+    Returns (id_a, id_b, hamming)."""
+    n_bands = max_hamming + 1
+    cand = banded_pairs(fingerprints, bits=bits, band_width=bits // n_bands,
+                        id_col=id_col, fp_col=fp_col)
+    fa = fingerprints.select(F.col(id_col).alias("id_a"), F.col(fp_col).alias("_fa"))
+    fb = fingerprints.select(F.col(id_col).alias("id_b"), F.col(fp_col).alias("_fb"))
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("hamming", F.bit_count(F.expr("_fa ^ _fb")).cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def connected_components(vertices: DataFrame, edges: DataFrame,
                          max_iter: int = 25) -> DataFrame:
     """Min-label propagation over undirected edges until fixpoint:
@@ -221,6 +278,18 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    else:
+        # max_iter rounds exhausted before the fixpoint: a component with
+        # diameter > max_iter would get wrong canonical ids — say so loudly.
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "labels may be non-canonical for components with diameter "
+            f"> {max_iter}. Raise max_iter.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("id"), F.col("label").alias("canonical_id"))
 
 

@@ -142,7 +142,10 @@ def header_hpo_collapse(
             f"conflicting observation-status pairs: "
             f"{[(r['subject_id'], r['hpo_id']) for r in bad]}"
         )
-    pair = F.element_at("_pairs", 1)
+    # sort before picking: when only (null-observed, onset) pairs exist and
+    # several onsets disagree, collect_set order is nondeterministic — the
+    # sorted first element makes the surviving pair stable across runs
+    pair = F.element_at(F.array_sort("_pairs"), 1)
     return agg.select(
         "subject_id",
         "hpo_id",

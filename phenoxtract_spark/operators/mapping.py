@@ -95,7 +95,9 @@ def apply_synonym_mapping(
             .collect()
         )
         if bad_rows:
-            vocab = [r["key"] for r in dim.select("key").collect()]
+            # dims are small by contract, but bound the collect anyway —
+            # every other error path is limit-bounded
+            vocab = [r["key"] for r in dim.select("key").limit(10000).collect()]
             entries = [
                 (r[0], difflib.get_close_matches(str(r[0]).lower(), vocab, n=3))
                 for r in bad_rows

@@ -121,27 +121,98 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
     )
 
 
-def hyperplane_signature(vectors: DataFrame, num_planes: int = 16,
-                         id_col: str = "vec_id", vec_col: str = "embedding",
-                         seed: int = 42) -> DataFrame:
-    """Random-hyperplane LSH signature.  Plane p's component j is a
-    deterministic pseudo-random ±1 derived from md5(seed|p|j) — reproducible
-    across engines and runs without RNG state.  Signature = bigint of sign
-    bits.  Returns (id, sig)."""
-    dim_probe = vectors.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
-    planes = []
+def plane_components(seed: int, num_planes: int, dim: int) -> list[list[float]]:
+    """±1 hyperplane components: component (p, j) = +1 iff the first 8 hex
+    chars of md5(f"{seed}|{p}|{j}") are even.  Reproducible in any engine
+    (the SQL oracle derives the identical planes from md5)."""
     import hashlib
 
-    for p in range(num_planes):
-        comps = []
-        for j in range(dim_probe):
-            h = hashlib.md5(f"{seed}|{p}|{j}".encode()).hexdigest()
-            comps.append(1.0 if int(h[:8], 16) % 2 == 0 else -1.0)
-        planes.append(comps)
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}|{p}|{j}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1.0
+            for j in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def hyperplane_signature(vectors: DataFrame, dim: int, num_planes: int = 16,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         seed: int = 42, round_dp: int = 6) -> DataFrame:
+    """Random-hyperplane LSH signature.  Signature bit p = sign of the
+    vector's dot product with deterministic plane p (see
+    :func:`plane_components`).  Returns (id, sig bigint).
+
+    Scale notes: ``dim`` is a parameter (it's schema knowledge — no
+    ``.first()`` driver probe), and the P×dim plane matrix rides in ONE
+    broadcast single-row relation instead of P×dim plan literals, so the
+    plan stays O(1) regardless of dimension.  The dot is rounded before the
+    sign test so the bit is stable under summation-order ulp differences
+    across engines (same discipline as every cosine in this module)."""
+    spark = vectors.sparkSession
+    planes = plane_components(seed, num_planes, dim)
+    planes_df = F.broadcast(
+        spark.createDataFrame([(planes,)], "planes array<array<double>>")
+    )
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    sig = F.lit(0).cast("bigint")
-    for p, comps in enumerate(planes):
-        plane = F.array(*[F.lit(x) for x in comps])
-        d = dot(F.col("v"), plane)
-        sig = sig + F.when(d > 0, F.shiftleft(F.lit(1), p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-    return v.select("id", sig.alias("sig"))
+
+    def _plane_dot(pl: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(F.col("v"), pl, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    # two-arg transform lambda receives (element, index): index = plane p
+    contribs = F.transform(
+        F.col("planes"),
+        lambda pl, p: F.when(
+            F.round(_plane_dot(pl), round_dp) > 0,
+            F.pow(F.lit(2.0), p).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    sig = F.aggregate(contribs, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    return v.crossJoin(planes_df).select("id", sig.alias("sig"))
+
+
+def hyperplane_candidate_pairs(vectors: DataFrame, dim: int, num_planes: int = 16,
+                               rows_per_band: int = 4, id_col: str = "vec_id",
+                               vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+    """LSH candidate pairs: band the signature into ``num_planes /
+    rows_per_band`` bands of ``rows_per_band`` sign bits; candidates = pairs
+    agreeing on ALL bits of ≥1 band.  The self-join key is (band, band
+    bits), so pairs only ever meet inside a bucket — never all-pairs.
+    Returns distinct (id_a, id_b), id_a < id_b."""
+    from .dedup import banded_pairs
+
+    sig = hyperplane_signature(vectors, dim, num_planes, id_col, vec_col, seed)
+    return banded_pairs(sig, bits=num_planes, band_width=rows_per_band,
+                        id_col="id", fp_col="sig")
+
+
+def ivf_neardup_pairs(vectors: DataFrame, centroids: DataFrame,
+                      threshold: float = 0.4, id_col: str = "vec_id",
+                      vec_col: str = "embedding", round_dp: int = 6) -> DataFrame:
+    """Near-duplicate pairs via IVF buckets: assign every vector to its
+    nearest centroid (broadcast dim), generate pairs ONLY within a bucket,
+    then cosine-verify.  Σ|bucket|² work instead of |corpus|²; with C
+    centroids ∝ corpus size the cost is linear in the corpus.  Approximate:
+    a near-dup pair straddling two buckets is missed (near-identical
+    vectors share a nearest centroid with high probability — the recall
+    gate in tests measures this against brute force).
+    Returns (id_a, id_b, cos)."""
+    assign = assign_ivf_centroid(vectors, centroids, id_col, vec_col)
+    a = assign.select(F.col("id").alias("id_a"), "centroid_id")
+    b = assign.select(F.col("id").alias("id_b"), "centroid_id")
+    pairs = a.join(b, "centroid_id").filter(F.col("id_a") < F.col("id_b"))
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = F.round(cosine(F.col("va"), F.col("vb")), round_dp)
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..descriptors import ContextKind, ContextualizedDataFrame
 from ..functions.durations import time_element_expr
 from ..operators import grouping
+from ..sources.readers import INGEST_ROWNUM
 
 
 def _subject(cdf: ContextualizedDataFrame):
@@ -153,13 +154,21 @@ def collect_hpo_in_cells(cdfs: Sequence[ContextualizedDataFrame]) -> Optional[Da
                         if obs
                         else F.lit(False).alias("excluded")
                     ),
-                    # arrival order = (table rank, file row order): the row
-                    # component makes duplicate (subject, hpo) rows WITHIN a
-                    # table resolve deterministically, like the reference's
-                    # last-row-wins builder upsert
+                    # arrival order = (table rank, within-table order): the
+                    # row component makes duplicate (subject, hpo) rows WITHIN
+                    # a table resolve deterministically, like the reference's
+                    # last-row-wins builder upsert.  Prefer the explicit
+                    # ingest row number captured at read time (true file
+                    # order); fall back to a hash of the full row — not file
+                    # order, but stable across runs/partitioning/retries
+                    # (monotonically_increasing_id is neither).
                     F.struct(
                         F.lit(rank).alias("r"),
-                        F.monotonically_increasing_id().alias("i"),
+                        (
+                            F.col(INGEST_ROWNUM)
+                            if INGEST_ROWNUM in cdf.df.columns
+                            else F.xxhash64(*[F.col(c) for c in cdf.df.columns])
+                        ).alias("i"),
                     ).alias("seq"),
                 )
             )

@@ -169,20 +169,14 @@ def dedup_cc(spark, sf_dir):
     """.replace("{norm}", "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"),
 )
 def simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs: hamming(fingerprints) ≤ 2.  Brute pairing at
-    oracle scale; at 100 TB, band the fingerprint bytes and join per band
-    (same pattern as minhash LSH)."""
+    """SimHash near-dup pairs: hamming(fingerprints) ≤ 2, paired via
+    ``max_hamming + 1`` fingerprint bands (pigeonhole: some band matches
+    exactly) — identical result to brute force, but the join only ever
+    meets inside a (band, band-value) bucket, never all-pairs.  The oracle
+    keeps the brute-force pairing as ground truth for the same reason."""
     d = read_table(spark, sf_dir, "documents")
     sh = dedup.simhash(d, "doc_id", "text", bits=16)
-    a = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("sa"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("sb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", F.bit_count(F.expr("sa ^ sb")).cast("bigint"))
-        .filter(F.col("hamming") <= 2)
-        .select("id_a", "id_b", "hamming")
-    )
+    return dedup.simhash_band_pairs(sh, bits=16, max_hamming=2)
 
 
 @q(

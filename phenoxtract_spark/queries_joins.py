@@ -121,23 +121,45 @@ def skew_salted_join(spark, sf_dir):
     WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
     vx AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, idx),
     norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM vx GROUP BY vec_id),
-    dots AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
-      FROM vx a JOIN vx b ON a.i = b.i AND a.vec_id < b.vec_id
+    cen AS (SELECT vec_id AS cid FROM embeddings WHERE vec_id % 61 = 0),
+    adots AS (
+      SELECT v.vec_id AS id, c.cid,
+             round(sum(v.x * cv.x) / (nv.nrm * nc.nrm), 6) AS cos
+      FROM vx v
+      JOIN cen c ON true
+      JOIN vx cv ON cv.vec_id = c.cid AND cv.i = v.i
+      JOIN norms nv ON nv.vec_id = v.vec_id
+      JOIN norms nc ON nc.vec_id = c.cid
+      GROUP BY v.vec_id, c.cid, nv.nrm, nc.nrm
+    ),
+    assign AS (
+      SELECT id, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid) AS rn
+        FROM adots) WHERE rn = 1
+    ),
+    pair AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM assign a JOIN assign b ON a.cid = b.cid AND a.id < b.id
+    ),
+    pdots AS (
+      SELECT p.id_a, p.id_b, sum(a.x * b.x) AS dot
+      FROM pair p
+      JOIN vx a ON a.vec_id = p.id_a
+      JOIN vx b ON b.vec_id = p.id_b AND b.i = a.i
       GROUP BY 1, 2
     )
     SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
-    FROM dots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
+    FROM pdots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
     WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.4
     """,
 )
 def neardup_pairs(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (cos ≥ 0.4).  Brute-force at
-    oracle scale; production path buckets candidates via
-    ``hyperplane_signature`` / ``ivf`` first."""
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.4) via IVF buckets:
+    pairs are generated ONLY within a nearest-centroid bucket (centroids =
+    the deterministic vec_id % 61 slice, a broadcast dim), then
+    cosine-verified — Σ|bucket|² work, never the all-pairs crossJoin.  The
+    oracle replicates the centroid assignment, and brute force survives as
+    the test-side recall baseline (test_scale_operators)."""
     e = read_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    cos = F.round(similarity.cosine(F.col("va"), F.col("vb")), 6)
-    return pairs.select("id_a", "id_b", cos.alias("cos")).filter(F.col("cos") >= 0.4)
+    centroids = e.filter(F.col("vec_id") % 61 == 0)
+    return similarity.ivf_neardup_pairs(e, centroids, threshold=0.4)

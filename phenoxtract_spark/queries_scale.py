@@ -197,11 +197,27 @@ def dedup_lsh(spark, sf_dir):
     "dedup_ngram_jaccard",
     f"""
     WITH {_SHINGLES3},
+    seeded AS (
+      SELECT doc_id, s.seed, md5(CAST(s.seed AS VARCHAR) || '|' || sh) AS h
+      FROM sh, (SELECT unnest(generate_series(0, 3)) AS seed) s
+    ),
+    sig AS (SELECT doc_id AS id, seed, min(h) AS minhash FROM seeded GROUP BY 1, 2),
+    bands AS (
+      SELECT id, seed // 2 AS band,
+             md5(array_to_string(list_sort(list(CAST(seed AS VARCHAR) || ':' || minhash)), '|')) AS band_key
+      FROM sig GROUP BY id, seed // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+    ),
     dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
     sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
     common AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-      FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      SELECT c.id_a, c.id_b, count(*) AS c
+      FROM cand c
+      JOIN dsh a ON a.doc_id = c.id_a
+      JOIN dsh b ON b.doc_id = c.id_b AND b.sh = a.sh
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
@@ -213,8 +229,15 @@ def dedup_lsh(spark, sf_dir):
     """,
 )
 def dedup_jaccard(spark, sf_dir):
+    """n-gram Jaccard verify fed by LSH candidates (the scale path): cost
+    ∝ |candidates|, never the quadratic shingle self-join of discovery
+    mode — that form survives only as the test-side recall baseline."""
     d = read_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.2)
+    sig = dedup.minhash_signature(d, "doc_id", "text", num_hashes=4, k=3)
+    cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, rows_per_band=2))
+    return dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", k=3, threshold=0.2, candidates=cand
+    )
 
 
 @q(
@@ -338,10 +361,60 @@ def sim_ivf(spark, sf_dir):  # recall vs brute force also asserted in tests
     return similarity.ivf_topk(e, queries, centroids, k=5)
 
 
-@q("similarity_lsh_signature", None)  # hyperplanes are engine-side constants
+_PLANES_SQL = """
+    idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+    vx AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, idx),
+    planes AS (
+      SELECT p.p, i.i,
+             CASE WHEN ('0x' || substr(md5('42|' || CAST(p.p AS VARCHAR) || '|'
+                                        || CAST(i.i - 1 AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS w
+      FROM (SELECT unnest(generate_series(0, {np})) AS p) p, idx i
+    ),
+    pd AS (
+      SELECT v.vec_id, pl.p, round(sum(v.x * pl.w), 6) AS d
+      FROM vx v JOIN planes pl ON pl.i = v.i
+      GROUP BY v.vec_id, pl.p
+    ),
+    sig AS (
+      SELECT vec_id AS id,
+             sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS sig
+      FROM pd GROUP BY vec_id
+    )
+"""
+
+
+@q(
+    "similarity_lsh_signature",
+    "WITH " + _PLANES_SQL.replace("{np}", "7") + " SELECT id, sig FROM sig",
+)
 def sim_lsh_sig(spark, sf_dir):
+    """Hyperplane sign-bit signatures.  The md5-derived planes are
+    reproducible in SQL, so the oracle rebuilds the identical plane matrix
+    and signature — this is a value-checked query, not rows-only."""
     e = read_table(spark, sf_dir, "embeddings")
-    return similarity.hyperplane_signature(e, num_planes=8)
+    return similarity.hyperplane_signature(e, dim=64, num_planes=8)
+
+
+@q(
+    "similarity_lsh_candidate_pairs",
+    "WITH " + _PLANES_SQL.replace("{np}", "15") + """,
+    bands AS (
+      SELECT id, b.band, (sig >> (b.band * 4)) & 15 AS bval
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.id < b.id
+    """,
+)
+def sim_lsh_cand(spark, sf_dir):
+    """Banded-signature candidate pairs: 16 planes → 4 bands × 4 sign bits;
+    candidates agree on all bits of ≥1 band.  The self-join key is
+    (band, band bits) — bucket-bounded, never all-pairs."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return similarity.hyperplane_candidate_pairs(
+        e, dim=64, num_planes=16, rows_per_band=4
+    )
 
 
 # ---------------------------------------------------------------------------

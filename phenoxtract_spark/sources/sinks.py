@@ -46,12 +46,23 @@ def write_file_per_subject(packets: DataFrame, out_dir: str,
             return [_strip_default(v) for v in obj]
         return obj
 
+    def _safe_basename(sid) -> str:
+        # subject ids are arbitrary strings from data: percent-encode
+        # anything that could escape out_dir ('/', '..', control chars)
+        s = str(sid)
+        enc = "".join(
+            c if (c.isalnum() or c in "._-") else f"%{ord(c):02X}" for c in s
+        )
+        if not enc or set(enc) <= {"."}:
+            enc = "_" + enc
+        return enc
+
     def write_part(rows):
         for row in rows:
             obj = json.loads(row[json_col])
             if drop_default_survival:
                 obj = _strip_default(obj)
-            fname = os.path.join(out_dir, f"{row[id_col]}.json")
+            fname = os.path.join(out_dir, f"{_safe_basename(row[id_col])}.json")
             with open(fname, "w") as f:
                 json.dump(obj, f, indent=2 if pretty else None, sort_keys=False)
 

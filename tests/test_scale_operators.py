@@ -71,9 +71,80 @@ def test_similarity_bruteforce_and_ivf_recall(spark, sf_dir):
 
 def test_hyperplane_signature_deterministic(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(20)
-    s1 = {r["id"]: r["sig"] for r in similarity.hyperplane_signature(emb, 8).collect()}
-    s2 = {r["id"]: r["sig"] for r in similarity.hyperplane_signature(emb, 8).collect()}
+    s1 = {r["id"]: r["sig"] for r in similarity.hyperplane_signature(emb, 64, 8).collect()}
+    s2 = {r["id"]: r["sig"] for r in similarity.hyperplane_signature(emb, 64, 8).collect()}
     assert s1 == s2 and len(s1) == 20
+
+
+def test_simhash_band_pairs_exact_vs_bruteforce(docs, spark):
+    """Pigeonhole banding is EXACT: banded pairs == brute-force pairs."""
+    sh = dedup.simhash(docs, "doc_id", "text", bits=16)
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_band_pairs(sh, bits=16, max_hamming=2).collect()
+    }
+    a = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("sb"))
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.expr("sa ^ sb")).cast("bigint"))
+        .filter(F.col("hamming") <= 2)
+        .collect()
+    }
+    assert banded == brute
+
+
+def test_ivf_neardup_recall_vs_bruteforce(spark, sf_dir):
+    """Measured recall gate: IVF-bucketed near-dup pairs must recover ≥80%
+    of true high-similarity pairs (cos ≥ 0.8, where near-dups live); the
+    brute-force crossJoin survives ONLY here as ground truth."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = F.round(similarity.cosine(F.col("va"), F.col("vb")), 6)
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= 0.8)
+        .collect()
+    }
+    centroids = emb.filter(F.col("vec_id") % 61 == 0)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.ivf_neardup_pairs(emb, centroids, threshold=0.8).collect()
+    }
+    if truth:
+        recall = len(truth & got) / len(truth)
+        assert recall >= 0.8, (recall, len(truth), len(got))
+
+
+def test_hyperplane_candidates_recall(spark, sf_dir):
+    """Banded-signature candidates must recover most cos ≥ 0.9 pairs."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = F.round(similarity.cosine(F.col("va"), F.col("vb")), 6)
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= 0.9)
+        .collect()
+    }
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.hyperplane_candidate_pairs(
+            emb, dim=64, num_planes=16, rows_per_band=4
+        ).collect()
+    }
+    if truth:
+        recall = len(truth & cand) / len(truth)
+        assert recall >= 0.6, (recall, len(truth), len(cand))
 
 
 def test_text_stats_bundle(docs):
