@@ -32,10 +32,33 @@ class ExtractionConfig:
     separator: str = ","
 
 
-def read_csv(spark: SparkSession, path: str, cfg: ExtractionConfig) -> DataFrame:
+#: Name of the optional ingest-order column (see :func:`attach_ingest_rownum`).
+INGEST_ROWNUM = "_ingest_rownum"
+
+
+def attach_ingest_rownum(df: DataFrame) -> DataFrame:
+    """Attach a stable file-row-order column ``_ingest_rownum``.
+
+    ``zipWithIndex`` numbers rows in partition order; for file-based sources
+    the input splits (and therefore the numbering) are deterministic across
+    runs, which ``monotonically_increasing_id`` is not (it changes under
+    AQE/repartition/task retry).  Used by collectors that need the
+    reference's last-ROW-wins upsert semantics (builder.rs upserts)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(INGEST_ROWNUM, T.LongType(), False)]
+    )
+    rdd = df.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
+    return df.sparkSession.createDataFrame(rdd, schema)
+
+
+def read_csv(spark: SparkSession, path: str, cfg: ExtractionConfig,
+             attach_rownum: bool = False) -> DataFrame:
     """S1 (~ extract/data_source.rs:82-128): CSV scan with separator/header
     options + schema inference; headerless → synthetic names (S4);
-    patients-are-columns → transpose (S3)."""
+    patients-are-columns → transpose (S3).  ``attach_rownum`` adds the
+    stable ingest-order column (see :func:`attach_ingest_rownum`)."""
     df = (
         spark.read.option("sep", cfg.separator)
         .option("header", str(cfg.has_headers).lower())
@@ -46,36 +69,128 @@ def read_csv(spark: SparkSession, path: str, cfg: ExtractionConfig) -> DataFrame
         df = df.toDF(*default_column_names(len(df.columns)))
     if not cfg.patients_are_rows:
         df = _transpose(df)
+    if attach_rownum:
+        df = attach_ingest_rownum(df)
     return df
+
+
+def _iso_duration_str(td) -> str:
+    """timedelta → ISO-8601 duration string (what C9/C11 consume)."""
+    total = td.total_seconds()
+    sign = "-" if total < 0 else ""
+    total = abs(total)
+    days, rem = divmod(total, 86400)
+    hours, rem = divmod(rem, 3600)
+    minutes, secs = divmod(rem, 60)
+    parts = [f"{sign}P"]
+    if days:
+        parts.append(f"{int(days)}D")
+    if hours or minutes or secs or not days:
+        parts.append("T")
+        if hours:
+            parts.append(f"{int(hours)}H")
+        if minutes:
+            parts.append(f"{int(minutes)}M")
+        if secs or not (hours or minutes):
+            s = f"{secs:.6f}".rstrip("0").rstrip(".")
+            parts.append(f"{s}S")
+    return "".join(parts)
+
+
+def _stringify_excel_value(v) -> str | None:
+    """Mixed-type column fallback (~ excel_range_reader.rs:144-154): every
+    value of the column rendered as text."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, _dt.timedelta):
+        return _iso_duration_str(v)
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    return str(v)
 
 
 def read_excel(spark: SparkSession, path: str, cfg: ExtractionConfig,
                sheet: str | int = 0) -> DataFrame:
-    """S2 (~ extract/excel_range_reader.rs:23-159): typed-cell decode with
-    mixed-type columns stringified.  Driver-side pandas parse (gated
-    import), distributed thereafter."""
-    try:
-        import pandas as pd
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError("excel reading requires pandas") from e
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "excel reading requires openpyxl; not installed in this container"
-        ) from e
-    pdf = pd.read_excel(path, sheet_name=sheet, header=0 if cfg.has_headers else None)
-    if not cfg.has_headers:
-        pdf.columns = default_column_names(len(pdf.columns))
+    """S2 (~ extract/excel_range_reader.rs:23-159): typed-cell decode via
+    the stdlib OOXML parser (:mod:`.xlsx` — no openpyxl dependency).
+
+    Decode matrix parity: Empty/Error → null, Bool → bool, numbers → float,
+    date-styled → timestamp, duration-styled → ISO-8601 duration STRING
+    (the form the duration operators C9/C11 consume; the reference keeps a
+    typed Duration(ms) column), strings '' → null, and a column mixing
+    value types is stringified wholesale.  ``patients_are_rows=False``
+    orients vectors from rows instead of columns BEFORE header extraction,
+    like the reference's loading vectors."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    from .xlsx import parse_xlsx
+
+    grid = parse_xlsx(path, sheet)
+    # loading vectors (~ :36-48): per-column when patients are rows,
+    # per-row when patients are columns
+    if cfg.patients_are_rows:
+        vectors = [list(col) for col in zip(*grid)] if grid else []
     else:
-        pdf.columns = [str(c) for c in pdf.columns]
-    # mixed-type columns → string (Excel decode fallback, :144-154)
-    for c in pdf.columns:
-        if pdf[c].dtype == object:
-            pdf[c] = pdf[c].map(lambda v: None if pd.isna(v) else str(v))
-    df = spark.createDataFrame(pdf)
-    if not cfg.patients_are_rows:
-        df = _transpose(df)
+        vectors = [list(r) for r in grid]
+    names: list[str]
+    if cfg.has_headers:
+        names, datas = [], []
+        for i, vec in enumerate(vectors):
+            if not vec or not isinstance(vec[0], str):
+                raise ValueError(
+                    f"worksheet column {i}: header row is not a string "
+                    f"(got {vec[0]!r})"
+                )
+            names.append(vec[0])
+            datas.append(vec[1:])
+    else:
+        names = default_column_names(len(vectors))
+        datas = vectors
+    cols = {}
+    for name, data in zip(names, datas):
+        types = {type(v) for v in data if v is not None}
+        # bool is not an int subtype issue here: cells decode to exactly
+        # one of float/bool/str/datetime/timedelta
+        if len(types) > 1:
+            data = [_stringify_excel_value(v) for v in data]
+            types = {str}
+        if types == {_dt.timedelta}:
+            data = [None if v is None else _iso_duration_str(v) for v in data]
+            types = {str}
+        if not types:  # all-null column → string
+            cols[name] = pd.Series(data, dtype="object")
+        elif types == {float}:
+            cols[name] = pd.Series(data, dtype="float64")
+        elif types == {bool}:
+            cols[name] = pd.Series(data, dtype="object")
+        elif types == {_dt.datetime}:
+            cols[name] = pd.Series(data, dtype="datetime64[us]")
+        else:
+            cols[name] = pd.Series(data, dtype="object")
+    pdf = pd.DataFrame(cols, columns=names)
+    from pyspark.sql import types as T
+
+    spark_fields = []
+    for name in names:
+        s = cols[name]
+        if s.dtype == "float64":
+            t = T.DoubleType()
+        elif str(s.dtype).startswith("datetime64"):
+            t = T.TimestampType()
+        elif all(isinstance(v, bool) or v is None for v in s) and any(
+            isinstance(v, bool) for v in s
+        ):
+            t = T.BooleanType()
+        else:
+            t = T.StringType()
+        spark_fields.append(T.StructField(name, t, True))
+    df = spark.createDataFrame(pdf, schema=T.StructType(spark_fields))
     return df
 
 
