@@ -23,6 +23,7 @@ DATE_FORMATS = [
     "MM/dd/yyyy",
     "dd-MM-yyyy",
     "dd.MM.yyyy",
+    "d.M.yyyy",  # single-digit day/month variant ('21.1.2026')
 ]
 DATETIME_FORMATS = [
     "yyyy-MM-dd HH:mm:ss",

@@ -21,7 +21,7 @@ from ..functions.text import normalize_key
 SEX_MAP = {
     "m": "MALE", "male": "MALE", "man": "MALE", "boy": "MALE",
     "f": "FEMALE", "female": "FEMALE", "woman": "FEMALE", "girl": "FEMALE",
-    "o": "OTHER_SEX", "other": "OTHER_SEX",
+    "o": "OTHER_SEX", "other": "OTHER_SEX", "intersex": "OTHER_SEX",
     "u": "UNKNOWN_SEX", "unknown": "UNKNOWN_SEX", "na": "UNKNOWN_SEX",
 }
 VITAL_STATUS_MAP = {

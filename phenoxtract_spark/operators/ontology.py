@@ -150,3 +150,118 @@ MINI_MONDO = [
     OntologyTerm("MONDO:0004979", "asthma", ()),
     OntologyTerm("MONDO:0005015", "diabetes mellitus", ("DM",)),
 ]
+
+
+# ---- X6 ontology factory: file parse + disk cache --------------------------
+# (~ ontology/ontology_factory.rs:42-397 — the reference parses OBO via
+# fastobo / obographs JSON via ontolius and memoizes per (resource, version);
+# here: stdlib parsers → OntologyTerm list → bidict dimension, with a
+# parquet disk cache so repeat sessions skip the parse.)
+
+
+def parse_obo(path: str) -> list[OntologyTerm]:
+    """Parse an OBO 1.2 file's [Term] stanzas into OntologyTerms.
+    Captures id / name / synonym text / alt_id; obsolete terms skipped
+    (~ build_obodoc_ontology, ontology_factory.rs:136-162)."""
+    import re
+
+    terms: list[OntologyTerm] = []
+    cur: Optional[dict] = None
+
+    def flush():
+        if cur and cur.get("id") and cur.get("name") and not cur.get("obsolete"):
+            terms.append(
+                OntologyTerm(cur["id"], cur["name"], tuple(cur["synonyms"]))
+            )
+
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith("["):
+                flush()
+                cur = {"synonyms": []} if line == "[Term]" else None
+                continue
+            if cur is None or not line or line.startswith("!"):
+                continue
+            key, _, value = line.partition(":")
+            value = value.strip()
+            if key == "id":
+                cur["id"] = value
+            elif key == "name":
+                cur["name"] = value
+            elif key == "synonym":
+                m = re.match(r'"((?:[^"\\]|\\.)*)"', value)
+                if m:
+                    cur["synonyms"].append(m.group(1).replace('\\"', '"'))
+            elif key == "alt_id":
+                cur["synonyms"].append(value)
+            elif key == "is_obsolete" and value.lower().startswith("true"):
+                cur["obsolete"] = True
+    flush()
+    return terms
+
+
+_OBO_PURL = "http://purl.obolibrary.org/obo/"
+
+
+def parse_obograph_json(path: str) -> list[OntologyTerm]:
+    """Parse an OBO-graphs JSON export (the format the reference's registry
+    caches, e.g. hp@2025-09-01.json) into OntologyTerms.  Node ids are IRIs
+    (``.../HP_0000118``) → CURIEs; synonyms from meta.synonyms[].val;
+    deprecated nodes skipped."""
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        doc = json.load(f)
+    terms = []
+    for graph in doc.get("graphs", []):
+        for node in graph.get("nodes", []):
+            if node.get("type") not in (None, "CLASS"):
+                continue
+            meta = node.get("meta") or {}
+            if meta.get("deprecated"):
+                continue
+            label = node.get("lbl")
+            iri = node.get("id", "")
+            if not label or not iri.startswith(_OBO_PURL):
+                continue
+            curie = iri[len(_OBO_PURL):].replace("_", ":", 1)
+            syns = tuple(
+                s["val"] for s in meta.get("synonyms", []) if s.get("val")
+            )
+            terms.append(OntologyTerm(curie, label, syns))
+    return terms
+
+
+def ontology_factory(spark: SparkSession, path: str, resource: str = "",
+                     cache_dir: Optional[str] = None) -> DataFrame:
+    """X6: load an ontology file (.obo or obographs .json) into a bidict
+    dimension, with a parquet disk cache keyed by file name + mtime —
+    repeat sessions read the columnar cache instead of re-parsing
+    (~ CachedOntologyFactory, ontology_factory.rs:84-262)."""
+    import os
+
+    if cache_dir:
+        stem = os.path.basename(path).replace(".", "_")
+        mtime = int(os.stat(path).st_mtime)
+        cached = os.path.join(cache_dir, f"{stem}@{mtime}.parquet")
+        if os.path.exists(cached):
+            return spark.read.parquet(cached)
+    terms = (
+        parse_obograph_json(path) if path.endswith(".json") else parse_obo(path)
+    )
+    if not terms:
+        raise ValueError(f"no ontology terms parsed from {path}")
+    dim = bidict_dim(spark, terms, resource=resource)
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        dim.write.mode("overwrite").parquet(cached)
+        return spark.read.parquet(cached)
+    return dim
+
+
+def labels_dim_from_terms(spark: SparkSession, terms: Iterable[OntologyTerm]) -> DataFrame:
+    """(id, label) rendering dimension from parsed terms."""
+    return spark.createDataFrame(
+        [(t.id, t.label) for t in terms], schema="id string, label string"
+    )

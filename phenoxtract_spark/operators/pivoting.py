@@ -85,12 +85,19 @@ def explode_multi_ids(df: DataFrame, subject: str, column: str,
 
 
 def pivot_flags(long: DataFrame, subject: str = "subject_id", key: str = "hpo_id",
-                max_width: int = 10_000, block_id: str | None = None) -> DataFrame:
+                max_width: int = 10_000, block_id: str | None = None,
+                key_order: list | None = None) -> DataFrame:
     """M6 wide form: one boolean column per distinct id (header ``id`` or
     ``id#block``, ~ transform/utils.rs:62-85).  Distinct-key collect is the
     driver bottleneck — bounded by ``max_width`` with a hard error directing
-    callers to the long form."""
-    keys = [r[0] for r in long.select(key).distinct().limit(max_width + 1).collect()]
+    callers to the long form.  ``key_order`` pins the column order (e.g.
+    first-occurrence order for reference parity); default is sorted."""
+    if key_order is not None:
+        keys = list(key_order)
+    else:
+        keys = sorted(
+            r[0] for r in long.select(key).distinct().limit(max_width + 1).collect()
+        )
     if len(keys) > max_width:
         raise PivotWidthError(
             f"{key} cardinality exceeds max_width={max_width}; use the long form"
@@ -98,10 +105,10 @@ def pivot_flags(long: DataFrame, subject: str = "subject_id", key: str = "hpo_id
     header = (lambda k: f"{k}#{block_id}") if block_id else (lambda k: k)
     wide = (
         long.groupBy(subject)
-        .pivot(key, sorted(keys))
+        .pivot(key, keys)
         .agg(F.first(F.lit(True)))
     )
     renames = {k: header(k) for k in keys}
     return wide.select(
-        F.col(subject), *[F.col(f"`{k}`").alias(renames[k]) for k in sorted(keys)]
+        F.col(subject), *[F.col(f"`{k}`").alias(renames[k]) for k in keys]
     )

@@ -60,6 +60,7 @@ INDIVIDUAL_FIELDS = {
     "date_of_birth": ContextKind.DATE_OF_BIRTH,
     "vital_status": ContextKind.VITAL_STATUS,
     "time_at_last_encounter": ContextKind.TIME_AT_LAST_ENCOUNTER,
+    "time_of_death": ContextKind.TIME_OF_DEATH,
     "cause_of_death": ContextKind.CAUSE_OF_DEATH,
     "survival_time_days": ContextKind.SURVIVAL_TIME_DAYS,
 }
@@ -124,13 +125,29 @@ def collect_individual(cdfs: Sequence[ContextualizedDataFrame],
     )
 
 
+def _row_ord(cdf: ContextualizedDataFrame):
+    """Within-table row order: the explicit ingest row number when captured
+    at read time (true file order), else a deterministic hash of the full
+    row — stable across runs/partitioning/retries."""
+    if INGEST_ROWNUM in cdf.df.columns:
+        return F.col(INGEST_ROWNUM)
+    return F.xxhash64(*[F.col(c) for c in cdf.df.columns])
+
+
 def collect_hpo_in_cells(cdfs: Sequence[ContextualizedDataFrame]) -> Optional[DataFrame]:
     """HpoInCellsCollector (~ hpo_in_cells_collector.rs:53-98): per HPO
     column, row-zip with linked onset/resolution/severity/excluded (G5);
     dedupe per (subject, hpo) keeping the LAST arrival (G6).
-    Long form: (subject_id, hpo_id, onset, resolution, severity, excluded, seq)."""
+
+    Arrival order is COLUMN-major like the reference's per-series loop:
+    ``seq`` ranks by (table+column frame index, row order); the kept row's
+    values are last-arrival, while ``ord`` (the group's FIRST arrival)
+    preserves the reference builder's insertion position for section
+    ordering (IndexMap upsert keeps the original slot).
+    Long form: (subject_id, hpo_id, onset, resolution, severity, excluded, ord)."""
     frames = []
-    for rank, cdf in enumerate(cdfs):
+    fidx = 0
+    for cdf in cdfs:
         for col in cdf.columns_with_kind(ContextKind.HPO):
             sc = cdf.resolved()[col]
             block = sc.building_block_id
@@ -154,29 +171,23 @@ def collect_hpo_in_cells(cdfs: Sequence[ContextualizedDataFrame]) -> Optional[Da
                         if obs
                         else F.lit(False).alias("excluded")
                     ),
-                    # arrival order = (table rank, within-table order): the
-                    # row component makes duplicate (subject, hpo) rows WITHIN
-                    # a table resolve deterministically, like the reference's
-                    # last-row-wins builder upsert.  Prefer the explicit
-                    # ingest row number captured at read time (true file
-                    # order); fall back to a hash of the full row — not file
-                    # order, but stable across runs/partitioning/retries
-                    # (monotonically_increasing_id is neither).
                     F.struct(
-                        F.lit(rank).alias("r"),
-                        (
-                            F.col(INGEST_ROWNUM)
-                            if INGEST_ROWNUM in cdf.df.columns
-                            else F.xxhash64(*[F.col(c) for c in cdf.df.columns])
-                        ).alias("i"),
+                        F.lit(fidx).cast("long").alias("r"),
+                        _row_ord(cdf).alias("i"),
                     ).alias("seq"),
                 )
             )
+            fidx += 1
     long = _union(frames)
     if long is None:
         return None
+    from pyspark.sql.window import Window
+
+    long = long.withColumn(
+        "ord", F.min("seq").over(Window.partitionBy("subject_id", "hpo_id"))
+    )
     return grouping.upsert_last(long, ["subject_id", "hpo_id"], "seq",
-                                ["onset", "resolution", "severity", "excluded"])
+                                ["onset", "resolution", "severity", "excluded", "ord"])
 
 
 def collect_hpo_in_headers(cdfs: Sequence[ContextualizedDataFrame]) -> Optional[DataFrame]:
@@ -184,6 +195,7 @@ def collect_hpo_in_headers(cdfs: Sequence[ContextualizedDataFrame]) -> Optional[
     observation-status columns whose header IS the HPO id ('HP:x' or
     'HP:x#block'), collapsed per (subject, hpo) with conflict detection (G7)."""
     frames = []
+    fidx = 0
     for cdf in cdfs:
         by_block: dict = {}
         for col, sc in cdf.resolved().items():
@@ -196,6 +208,17 @@ def collect_hpo_in_headers(cdfs: Sequence[ContextualizedDataFrame]) -> Optional[
         for block, cols in by_block.items():
             onset = _linked_col(cdf, block, ContextKind.ONSET)
             collapsed = grouping.header_hpo_collapse(cdf.df, cdf.subject_col, cols, onset)
+            # arrival order for header features = column position in the
+            # table (the reference iterates header series in column order)
+            pos_pairs = []
+            for i, c in enumerate(cols):
+                pos_pairs += [F.lit(c), F.lit(i)]
+            ord_col = F.struct(
+                F.lit(fidx).cast("long").alias("r"),
+                F.element_at(F.create_map(*pos_pairs), F.col("hpo_id"))
+                .cast("long")
+                .alias("i"),
+            )
             # header 'HP:x#block' → id 'HP:x' (~ transform/utils.rs:80-85)
             frames.append(
                 collapsed.select(
@@ -204,15 +227,21 @@ def collect_hpo_in_headers(cdfs: Sequence[ContextualizedDataFrame]) -> Optional[
                     "observed",
                     "excluded",
                     "onset",
+                    ord_col.alias("ord"),
                 )
             )
+            fidx += 1
     return _union(frames)
 
 
 def collect_diseases(cdfs: Sequence[ContextualizedDataFrame]) -> Optional[DataFrame]:
     """DiseaseCollector (~ disease_collector.rs:44-71): disease + linked
-    onset + primary site, row-zipped."""
+    onset + primary site, row-zipped.  Exact duplicate rows collapse (one
+    groupBy) keeping the FIRST arrival position as ``ord``; distinct
+    (disease, onset) combinations stay separate entries like the
+    reference's per-row builder pushes."""
     frames = []
+    fidx = 0
     for cdf in cdfs:
         for col in cdf.columns_with_kind(ContextKind.DISEASE):
             sc = cdf.resolved()[col]
@@ -229,17 +258,28 @@ def collect_diseases(cdfs: Sequence[ContextualizedDataFrame]) -> Optional[DataFr
                     F.col(col).cast("string").alias("disease_id"),
                     s(onset).alias("onset"),
                     s(site).alias("primary_site"),
+                    F.struct(
+                        F.lit(fidx).cast("long").alias("r"),
+                        _row_ord(cdf).alias("i"),
+                    ).alias("seq"),
                 )
             )
+            fidx += 1
     long = _union(frames)
-    return long.distinct() if long is not None else None
+    if long is None:
+        return None
+    return long.groupBy("subject_id", "disease_id", "onset", "primary_site").agg(
+        F.min("seq").alias("ord")
+    )
 
 
 def collect_quantitative_measurements(cdfs) -> Optional[DataFrame]:
     """QuantitativeMeasurementCollector (~ quantitative_measurement_collector.rs:53-95):
-    value + assay (from context param) + unit + time + reference range."""
+    value + assay (from context param) + unit + time + reference range.
+    ``ord`` = (table index, series position, row order) so quantitative and
+    qualitative measurements interleave in column order like the reference."""
     frames = []
-    for cdf in cdfs:
+    for tidx, cdf in enumerate(cdfs):
         for col, sc in cdf.resolved().items():
             if sc.data_context.kind != ContextKind.QUANTITATIVE_MEASUREMENT:
                 continue
@@ -263,6 +303,50 @@ def collect_quantitative_measurements(cdfs) -> Optional[DataFrame]:
                     s(t).alias("time_observed"),
                     d(lo).alias("ref_low"),
                     d(hi).alias("ref_high"),
+                    F.struct(
+                        F.lit(tidx).cast("long").alias("r"),
+                        F.lit(_meas_ord(cdf, col)).cast("long").alias("c"),
+                        _row_ord(cdf).alias("i"),
+                    ).alias("ord"),
+                )
+            )
+    return _union(frames)
+
+
+def _meas_ord(cdf: ContextualizedDataFrame, col: str) -> int:
+    """Series position of a measurement column within its table — the
+    reference pushes measurements in column order, quantitative and
+    qualitative interleaved."""
+    return cdf.df.columns.index(col)
+
+
+def collect_qualitative_measurements(cdfs) -> Optional[DataFrame]:
+    """QualitativeMeasurementCollector (~ qualitative_measurement_collector.rs):
+    ontology-coded measurement values (e.g. PATO terms, post-normalization)
+    + assay from the context parameter + linked observation time.
+    Long form: (subject_id, assay_id, value_id, time_observed, ord)."""
+    frames = []
+    for tidx, cdf in enumerate(cdfs):
+        for col, sc in cdf.resolved().items():
+            if sc.data_context.kind != ContextKind.QUALITATIVE_MEASUREMENT:
+                continue
+            block = sc.building_block_id
+            t = _linked_col(cdf, block, ContextKind.TIME_OF_MEASUREMENT)
+
+            def s(name):
+                return F.col(name).cast("string") if name else F.lit(None).cast("string")
+
+            frames.append(
+                cdf.df.filter(F.col(col).isNotNull()).select(
+                    _subject(cdf),
+                    F.lit(sc.data_context.assay_id).alias("assay_id"),
+                    F.col(col).cast("string").alias("value_id"),
+                    s(t).alias("time_observed"),
+                    F.struct(
+                        F.lit(tidx).cast("long").alias("r"),
+                        F.lit(_meas_ord(cdf, col)).cast("long").alias("c"),
+                        _row_ord(cdf).alias("i"),
+                    ).alias("ord"),
                 )
             )
     return _union(frames)
@@ -285,13 +369,24 @@ def _linked_ref(cdf, block, boundary: str) -> Optional[str]:
 
 
 def collect_interpretations(cdfs: Sequence[ContextualizedDataFrame]) -> Optional[DataFrame]:
-    """G8/G9 (~ interpretation_collector.rs:16-196): per building block with
-    gene (HGNC) / variant (HGVS) columns, classify each row and group into
-    one Interpretation per (subject, disease).  G9: when the block's disease
-    lives in ANOTHER table, resolve it cross-table via G3 single-multiplicity
-    and broadcast-join it onto the variant rows."""
+    """G8/G9: classify each genomic row and group into one Interpretation
+    per (subject, disease).  See :func:`interpretation_rows` for the long
+    form the classification runs over."""
     from ..operators import interpret
 
+    long = interpretation_rows(cdfs)
+    if long is None:
+        return None
+    return interpret.assemble_interpretations(
+        long, "subject_id", "disease", "genes", "variants"
+    )
+
+
+def interpretation_rows(cdfs: Sequence[ContextualizedDataFrame]) -> Optional[DataFrame]:
+    """G8/G9 long form (~ interpretation_collector.rs:16-196): one row per
+    source row carrying (subject, disease, genes[], variants[], ord).  G9:
+    when the block's disease lives in ANOTHER table, resolve it cross-table
+    via G3 single-multiplicity and broadcast-join it onto the variant rows."""
     # disease values per (subject, block) across ALL tables — the G9 source
     disease_frames: dict = {}
     for cdf in cdfs:
@@ -301,6 +396,7 @@ def collect_interpretations(cdfs: Sequence[ContextualizedDataFrame]) -> Optional
                     (cdf.df, cdf.subject_col, col)
                 )
     rows_frames = []
+    fidx = 0
     for cdf in cdfs:
         by_block: dict = {}
         for col, sc in cdf.resolved().items():
@@ -327,7 +423,12 @@ def collect_interpretations(cdfs: Sequence[ContextualizedDataFrame]) -> Optional
                 (F.col(local_disease).cast("string") if local_disease else F.lit(None).cast("string")).alias("disease"),
                 genes_arr.alias("genes"),
                 variants_arr.alias("variants"),
+                F.struct(
+                    F.lit(fidx).cast("long").alias("r"),
+                    _row_ord(cdf).alias("i"),
+                ).alias("ord"),
             )
+            fidx += 1
             if local_disease is None and block in disease_frames:
                 dval = grouping.single_valued(
                     disease_frames[block], alias="disease_x", strict=True
@@ -340,12 +441,7 @@ def collect_interpretations(cdfs: Sequence[ContextualizedDataFrame]) -> Optional
             rows_frames.append(
                 base.filter((F.size("genes") > 0) | (F.size("variants") > 0))
             )
-    long = _union(rows_frames)
-    if long is None:
-        return None
-    return interpret.assemble_interpretations(
-        long, "subject_id", "disease", "genes", "variants"
-    )
+    return _union(rows_frames)
 
 
 def collect_resources(cdfs: Sequence[ContextualizedDataFrame]) -> Optional[DataFrame]:
@@ -382,14 +478,35 @@ def collect_resources(cdfs: Sequence[ContextualizedDataFrame]) -> Optional[DataF
     )
 
 
+def ordered_section(long: DataFrame, item: "F.Column", alias: str,
+                    ord_col: "F.Column | None" = None) -> DataFrame:
+    """Aggregate (subject, item) rows into a per-subject array in ARRIVAL
+    order: sort_array over (ord, item) structs, then strip the ord — the
+    distributed equivalent of the reference builder's insertion-ordered
+    section vectors."""
+    o = ord_col if ord_col is not None else F.col("ord")
+    return (
+        long.select("subject_id", F.struct(o.alias("o"), item.alias("x")).alias("_oi"))
+        .groupBy("subject_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list("_oi")), lambda p: p["x"]
+            ).alias(alias)
+        )
+    )
+
+
 def features_section(hpo_cells: Optional[DataFrame], hpo_headers: Optional[DataFrame]) -> Optional[DataFrame]:
     """Merge cell-sourced and header-sourced features into one
-    ``phenotypic_features`` array per subject (G10 section)."""
+    ``phenotypic_features`` array per subject (G10 section), in arrival
+    order: all cell-sourced features first (the reference's HpoInCells
+    collector runs before HpoInHeader), each in (table+column, row) order."""
     parts = []
     if hpo_cells is not None:
         parts.append(
             hpo_cells.select(
                 "subject_id",
+                F.struct(F.lit(0).alias("c"), F.col("ord").alias("s")).alias("ord"),
                 F.struct(
                     F.col("hpo_id").alias("type_id"),
                     F.col("excluded"),
@@ -403,6 +520,7 @@ def features_section(hpo_cells: Optional[DataFrame], hpo_headers: Optional[DataF
         parts.append(
             hpo_headers.filter(F.col("observed").isNotNull()).select(
                 "subject_id",
+                F.struct(F.lit(1).alias("c"), F.col("ord").alias("s")).alias("ord"),
                 F.struct(
                     F.col("hpo_id").alias("type_id"),
                     F.col("excluded"),
@@ -417,41 +535,35 @@ def features_section(hpo_cells: Optional[DataFrame], hpo_headers: Optional[DataF
     long = _union(parts)
     if long is None:
         return None
-    return long.groupBy("subject_id").agg(
-        F.sort_array(F.collect_list("feature")).alias("phenotypic_features")
-    )
+    return ordered_section(long, F.col("feature"), "phenotypic_features")
 
 
 def diseases_section(diseases: Optional[DataFrame]) -> Optional[DataFrame]:
     if diseases is None:
         return None
-    return diseases.groupBy("subject_id").agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    F.col("disease_id").alias("term_id"),
-                    time_element_expr("onset").alias("onset"),
-                    F.col("primary_site"),
-                )
-            )
-        ).alias("diseases")
+    return ordered_section(
+        diseases,
+        F.struct(
+            F.col("disease_id").alias("term_id"),
+            time_element_expr("onset").alias("onset"),
+            F.col("primary_site"),
+        ),
+        "diseases",
     )
 
 
 def measurements_section(meas: Optional[DataFrame]) -> Optional[DataFrame]:
     if meas is None:
         return None
-    return meas.groupBy("subject_id").agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    F.col("assay_id"),
-                    F.col("value"),
-                    F.col("unit"),
-                    F.col("time_observed"),
-                    F.col("ref_low"),
-                    F.col("ref_high"),
-                )
-            )
-        ).alias("measurements")
+    return ordered_section(
+        meas,
+        F.struct(
+            F.col("assay_id"),
+            F.col("value"),
+            F.col("unit"),
+            F.col("time_observed"),
+            F.col("ref_low"),
+            F.col("ref_high"),
+        ),
+        "measurements",
     )

@@ -99,7 +99,22 @@ class OntologyNormaliserStrategy(Strategy):
     ledger: object = None  # errors.ErrorLedger → defer strict checks
 
     def is_valid(self, cdfs):
-        return any(self._columns(cdf, k) for cdf in cdfs for k in self.kinds)
+        return any(self._columns(cdf, k) for cdf in cdfs for k in self.kinds) or any(
+            self._header_cols(cdf) for cdf in cdfs
+        )
+
+    def _header_cols(self, cdf):
+        """Columns whose HEADER carries an ontology term of our kinds and is
+        not already a CURIE (~ ontology_normaliser.rs:75-141 renames them)."""
+        import re
+
+        return [
+            c
+            for c, sc in cdf.resolved().items()
+            if sc.header_context is not None
+            and sc.header_context.kind in self.kinds
+            and not re.match(r"^[A-Za-z]+:\d+(#.*)?$", c)
+        ]
 
     def apply(self, cdfs):
         out = []
@@ -111,7 +126,52 @@ class OntologyNormaliserStrategy(Strategy):
                         df, col, self.ontology_dim, strict=self.strict,
                         ledger=self.ledger,
                     )
-            out.append(cdf.with_df(df))
+            # header normalization: 'Rhinorrhea' column → 'HP:0031417'
+            # (driver-side lookup bounded by the table's column count; the
+            # dim is dimension-sized by contract)
+            hdr_cols = self._header_cols(cdf)
+            ctx = cdf.context
+            if hdr_cols:
+                from ..descriptors import Identifier, TableContext
+                from dataclasses import replace as _replace
+
+                bases = {c: c.split("#", 1) for c in hdr_cols}
+                keys = [parts[0].strip().lower() for parts in bases.values()]
+                hits = {
+                    r["key"]: r["id"]
+                    for r in self.ontology_dim.filter(
+                        F.col("key").isin(keys)
+                    ).select("key", "id").collect()
+                }
+                renames = {}
+                for c, parts in bases.items():
+                    base_key = parts[0].strip().lower()
+                    if base_key in hits:
+                        new = hits[base_key] + (f"#{parts[1]}" if len(parts) > 1 else "")
+                        renames[c] = new
+                    elif self.strict:
+                        raise mapping.UnmappedValueError(c, [(parts[0], [])])
+                if renames:
+                    for old, new in renames.items():
+                        df = df.withColumnRenamed(old, new)
+                    new_scs = []
+                    for sc in ctx.series_contexts:
+                        all_matches = sc.identifier.resolve(cdf.df.columns)
+                        if any(c in renames for c in all_matches):
+                            # re-point the identifier at the renamed column(s),
+                            # keeping any matches that were not renamed
+                            new_scs.append(
+                                _replace(
+                                    sc,
+                                    identifier=Identifier.of(
+                                        [renames.get(c, c) for c in all_matches]
+                                    ),
+                                )
+                            )
+                        else:
+                            new_scs.append(sc)
+                    ctx = TableContext(name=ctx.name, series_contexts=new_scs)
+            out.append(ContextualizedDataFrame(df=df, context=ctx))
         return out
 
 
@@ -125,6 +185,7 @@ class AgeToIso8601Strategy(Strategy):
         ContextKind.ONSET,
         ContextKind.TIME_OF_DEATH,
         ContextKind.TIME_OF_RESOLUTION,
+        ContextKind.TIME_OF_MEASUREMENT,
     )
 
     def _age_cols(self, cdf):
@@ -314,8 +375,38 @@ class MultiHpoColExpansionStrategy(Strategy):
             for col in cols:
                 sc = cdf.resolved()[col]
                 long = pivoting.explode_multi_ids(df, subj, col, extract_hpo_ids)
+                # column order = global first occurrence (row-major, like the
+                # reference's insertion-ordered header map); row component =
+                # ingest rownum when captured, else the subject key
+                from ..sources.readers import INGEST_ROWNUM
+
+                row_ord = (
+                    F.col(INGEST_ROWNUM).cast("string")
+                    if INGEST_ROWNUM in df.columns
+                    else F.col(subj).cast("string")
+                )
+                occurrences = df.select(
+                    F.lpad(row_ord, 12, "0").alias("_ro"),
+                    F.posexplode(extract_hpo_ids(F.col(col))).alias("_p", "_id"),
+                ).filter(F.col("_id").isNotNull())
+                key_order = [
+                    r["_id"]
+                    for r in occurrences.groupBy("_id")
+                    .agg(F.min(F.struct("_ro", "_p")).alias("_o"))
+                    .orderBy("_o")
+                    .limit(self.max_width + 1)
+                    .collect()
+                ]
+                if not key_order:
+                    # no ids anywhere in the column (e.g. all-null input):
+                    # drop the source column and its context — appending the
+                    # regex context would dangle (V3) with zero pivot columns
+                    df = df.drop(col)
+                    new_scs = [s for s in new_scs if not s.identifier.matches(col)]
+                    continue
                 wide = pivoting.pivot_flags(
-                    long, max_width=self.max_width, block_id=sc.building_block_id
+                    long, max_width=self.max_width, block_id=sc.building_block_id,
+                    key_order=key_order,
                 ).withColumnRenamed("subject_id", "__pxs_sid")
                 df = df.drop(col).join(
                     wide, F.col(subj).cast("string") == wide["__pxs_sid"], "left"

@@ -289,10 +289,35 @@ def percentile_exact(spark, sf_dir):
     )
 
 
-@q("approx_aggregates", None)  # approximate by construction → rows-only check
+@q(
+    "approx_aggregates",
+    """
+    SELECT count(DISTINCT l_partkey) AS exact_parts,
+           abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+             <= 0.05 * count(DISTINCT l_partkey) AS acd_within_5pct,
+           abs(approx_quantile(l_extendedprice, 0.5)
+               - quantile_cont(l_extendedprice, 0.5))
+             <= 0.02 * quantile_cont(l_extendedprice, 0.5) AS median_within_2pct
+    FROM lineitem
+    """,
+)
 def approx_aggs(spark, sf_dir):
+    """Approximate aggregates with a TOLERANCED oracle: each engine runs its
+    own sketch (HLL / t-digest-ish) next to the exact aggregate and asserts
+    the approximation lands within the documented error bound — the
+    booleans (and the exact count) must agree across engines even though
+    the raw sketch values differ."""
     li = read_table(spark, sf_dir, "lineitem")
+    exact_parts = F.countDistinct("l_partkey")
+    exact_median = F.percentile("l_extendedprice", F.lit(0.5))
     return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+        exact_parts.alias("exact_parts"),
+        (
+            F.abs(F.approx_count_distinct("l_partkey") - exact_parts)
+            <= 0.05 * exact_parts
+        ).alias("acd_within_5pct"),
+        (
+            F.abs(F.percentile_approx("l_extendedprice", 0.5, 1000) - exact_median)
+            <= 0.02 * exact_median
+        ).alias("median_within_2pct"),
     )

@@ -531,8 +531,41 @@ def g10_flat(spark, sf_dir):
     )
 
 
-@q("g10_packet_json", None)  # JSON text layout is engine-specific → rows-only check
+@q(
+    "g10_packet_json",
+    """
+    WITH items AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS subject_id,
+             list(struct_pack(
+                    id := o_orderkey,
+                    status := o_orderstatus,
+                    total := o_totalprice,
+                    "date" := CAST(CAST(o_orderdate AS DATE) AS VARCHAR))
+                  ORDER BY o_orderkey) AS orders
+      FROM orders GROUP BY 1
+    ), subj AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS subject_id, c_name AS name,
+             c_mktsegment AS segment
+      FROM customer
+    )
+    SELECT s.subject_id,
+           CAST(to_json(struct_pack(
+             id := s.subject_id,
+             subject := struct_pack(subject_id := s.subject_id,
+                                    name := s.name, segment := s.segment),
+             orders := coalesce(i.orders, []),
+             meta_data := struct_pack(
+               created_by := 'phenoxtract-spark',
+               phenopacket_schema_version := '2.0',
+               resources := CAST([] AS VARCHAR[])))) AS VARCHAR) AS packet_json
+    FROM subj s LEFT JOIN items i USING (subject_id)
+    """,
+)
 def g10_json(spark, sf_dir):
+    """Nested packet → canonical JSON text, value-checked: the oracle
+    rebuilds the identical JSON with DuckDB struct_pack/to_json (both
+    engines render minified JSON with struct-field key order, explicit
+    nulls, and shortest-round-trip doubles)."""
     from .operators import packet
 
     c = read_table(spark, sf_dir, "customer")
@@ -555,4 +588,4 @@ def g10_json(spark, sf_dir):
         F.col("c_mktsegment").alias("segment"),
     )
     pk = packet.assemble_packets(subjects, {"orders": sec})
-    return packet.packets_to_json(pk)
+    return packet.packets_to_json(pk, ignore_null_fields=False)

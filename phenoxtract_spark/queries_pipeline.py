@@ -186,7 +186,28 @@ def c10_timestamp(spark, sf_dir):
     return e.select("event_id", timestamp_seconds_expr(formatted).alias("epoch_sec"))
 
 
-@q("pipeline_e2e_packets", None)  # full EP3 run → rows-only (JSON layout)
+@q(
+    "pipeline_e2e_packets",
+    """
+    SELECT CAST(c_custkey AS VARCHAR) AS subject_id,
+           CAST(to_json(struct_pack(
+             id := 'TPCH-' || CAST(c_custkey AS VARCHAR),
+             subject := struct_pack(
+               subject_id := CAST(c_custkey AS VARCHAR),
+               sex := CASE WHEN c_custkey % 2 = 0 THEN 'MALE' ELSE 'FEMALE' END,
+               date_of_birth := CAST(NULL AS VARCHAR),
+               vital_status := CAST(NULL AS VARCHAR),
+               time_at_last_encounter := 'P' || CAST(c_custkey % 100 AS VARCHAR) || 'Y',
+               time_of_death := CAST(NULL AS VARCHAR),
+               cause_of_death := CAST(NULL AS VARCHAR),
+               survival_time_days := CAST(NULL AS VARCHAR)),
+             meta_data := struct_pack(
+               created_by := 'phenoxtract-spark',
+               phenopacket_schema_version := '2.0',
+               resources := CAST([] AS VARCHAR[])))) AS VARCHAR) AS packet_json
+    FROM customer
+    """,
+)
 def pipeline_e2e(spark, sf_dir):
     from .descriptors import (
         Context,
@@ -220,4 +241,9 @@ def pipeline_e2e(spark, sf_dir):
     pipe = Pipeline(cohort="TPCH")
     pipe.add_strategy(MappingStrategy(spark, ContextKind.SUBJECT_SEX, mapping.SEX_MAP))
     pipe.add_strategy(AgeToIso8601Strategy())
-    return pipe.run([ContextualizedDataFrame(df=c, context=ctx)])
+    # canonical (null-explicit) serialization: byte-comparable with the
+    # DuckDB struct_pack/to_json oracle
+    from .operators import packet as packet_ops
+
+    cdfs = pipe.transform(pipe.preprocess([ContextualizedDataFrame(df=c, context=ctx)]))
+    return packet_ops.packets_to_json(pipe.collect(cdfs), ignore_null_fields=False)

@@ -572,8 +572,29 @@ def mm_frames(spark, sf_dir):
     return multimodal.frame_sample_plan(media, every_ms=1000)
 
 
-@q("multimodal_features", None)  # mapInPandas feature stub → rows-only check
+@q(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           [round(('0x' || substr(md5(text), 2 * i - 1, 2))::BIGINT / 255.0, 5)
+            for i in generate_series(1, 8)] AS feature
+    FROM documents
+    """,
+)
 def mm_features(spark, sf_dir):
+    """Arrow ``mapInPandas`` feature extraction.  The decode STUB's fake
+    features are md5-derived and therefore reproducible in SQL — so even
+    the Python-side plumbing is value-checked end-to-end (rounded to 5dp:
+    the stub emits float32, the oracle computes in double; 6dp already
+    diverges for 3 of the 256 byte values)."""
     d = read_table(spark, sf_dir, "documents")
     media = multimodal.attach_binary_payload(d, "doc_id", "text")
-    return multimodal.extract_features(media)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.transform(F.col("feature"), lambda x: F.round(x.cast("double"), 5)).alias(
+            "feature"
+        ),
+    )

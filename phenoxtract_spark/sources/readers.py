@@ -14,8 +14,6 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.pivoting import transpose as _transpose
-
 
 def default_column_names(n: int) -> list[str]:
     """S4 (~ extract/utils.rs:1-3): headerless columns named "0".."n-1"."""
@@ -56,19 +54,37 @@ def attach_ingest_rownum(df: DataFrame) -> DataFrame:
 def read_csv(spark: SparkSession, path: str, cfg: ExtractionConfig,
              attach_rownum: bool = False) -> DataFrame:
     """S1 (~ extract/data_source.rs:82-128): CSV scan with separator/header
-    options + schema inference; headerless → synthetic names (S4);
-    patients-are-columns → transpose (S3).  ``attach_rownum`` adds the
-    stable ingest-order column (see :func:`attach_ingest_rownum`)."""
-    df = (
-        spark.read.option("sep", cfg.separator)
-        .option("header", str(cfg.has_headers).lower())
-        .option("inferSchema", "true")
-        .csv(path)
-    )
-    if not cfg.has_headers:
-        df = df.toDF(*default_column_names(len(df.columns)))
+    options + schema inference; headerless → synthetic names (S4).
+
+    ``patients_are_rows=False`` (S3) loads vectors from ROWS like the
+    reference's loading-vector transpose: each file row becomes an output
+    column (header = the row's first cell when ``has_headers``), each file
+    COLUMN becomes an output row — duplicate patient columns survive as
+    duplicate rows.  That path materializes on the driver: transposed
+    tables are config-scale cohort spreadsheets by definition; 100 TB data
+    arrives patients-are-rows.
+
+    ``attach_rownum`` adds the stable ingest-order column
+    (see :func:`attach_ingest_rownum`)."""
     if not cfg.patients_are_rows:
-        df = _transpose(df)
+        raw = (
+            spark.read.option("sep", cfg.separator)
+            .option("header", "false")
+            .csv(path)
+        )
+        raw = attach_ingest_rownum(raw)
+        rows = raw.orderBy(INGEST_ROWNUM).drop(INGEST_ROWNUM).collect()
+        vectors = [list(r) for r in rows]
+        df = vectors_to_df(spark, vectors, cfg.has_headers)
+    else:
+        df = (
+            spark.read.option("sep", cfg.separator)
+            .option("header", str(cfg.has_headers).lower())
+            .option("inferSchema", "true")
+            .csv(path)
+        )
+        if not cfg.has_headers:
+            df = df.toDF(*default_column_names(len(df.columns)))
     if attach_rownum:
         df = attach_ingest_rownum(df)
     return df
@@ -138,14 +154,26 @@ def read_excel(spark: SparkSession, path: str, cfg: ExtractionConfig,
         vectors = [list(col) for col in zip(*grid)] if grid else []
     else:
         vectors = [list(r) for r in grid]
+    return vectors_to_df(spark, vectors, cfg.has_headers)
+
+
+def vectors_to_df(spark: SparkSession, vectors: list[list], has_headers: bool) -> DataFrame:
+    """Loading vectors → typed Spark DataFrame
+    (~ excel_range_reader.rs:124-159 convert_vectors_to_columns): header =
+    first element (must be a string) or synthetic names; single-typed
+    vectors keep their type, mixed vectors stringify wholesale."""
+    import datetime as _dt
+
+    import pandas as pd
+
     names: list[str]
-    if cfg.has_headers:
+    if has_headers:
         names, datas = [], []
         for i, vec in enumerate(vectors):
             if not vec or not isinstance(vec[0], str):
                 raise ValueError(
                     f"worksheet column {i}: header row is not a string "
-                    f"(got {vec[0]!r})"
+                    f"(got {vec[0] if vec else None!r})"
                 )
             names.append(vec[0])
             datas.append(vec[1:])
@@ -195,7 +223,7 @@ def read_excel(spark: SparkSession, path: str, cfg: ExtractionConfig,
 
 
 def load_config(path: str) -> dict:
-    """S7 (~ config/config_loader.rs:8-43): YAML/TOML/JSON config with
+    """S7 (~ config/config_loader.rs:8-43): YAML/TOML/JSON/RON config with
     ``${ENV}`` expansion."""
     import json
 
@@ -213,7 +241,178 @@ def load_config(path: str) -> dict:
         import tomllib
 
         return tomllib.loads(raw)
+    if path.endswith(".ron"):
+        return parse_ron(raw)
     return json.loads(raw)
+
+
+def parse_ron(text: str):
+    """Minimal RON (Rusty Object Notation) reader covering the config
+    subset the reference's loader accepts (config crate ``FileFormat::Ron``):
+    structs/maps → dict, lists, strings, numbers, bools, ``Some(x)`` → x,
+    ``None`` → None, bare identifiers (enum variants) → strings, ``//`` and
+    ``/* */`` comments, trailing commas."""
+    import re
+
+    s = re.sub(r"//[^\n]*", "", text)
+    s = re.sub(r"/\*.*?\*/", "", s, flags=re.DOTALL)
+    pos = 0
+
+    def skip_ws():
+        nonlocal pos
+        while pos < len(s) and s[pos].isspace():
+            pos += 1
+
+    def error(msg):
+        line = s[:pos].count("\n") + 1
+        return ValueError(f"RON parse error at line {line}: {msg}")
+
+    def parse_value():
+        nonlocal pos
+        skip_ws()
+        if pos >= len(s):
+            raise error("unexpected end of input")
+        ch = s[pos]
+        if ch == "(":
+            return parse_struct()
+        if ch == "{":
+            return parse_map()
+        if ch == "[":
+            return parse_list()
+        if ch in "\"'":
+            return parse_string(ch)
+        m = re.match(r"[+-]?\d[\d_]*(\.[\d_]+)?([eE][+-]?\d+)?", s[pos:])
+        if m and m.group(0):
+            tok = m.group(0)
+            pos += len(tok)
+            tok = tok.replace("_", "")
+            return float(tok) if ("." in tok or "e" in tok.lower()) else int(tok)
+        m = re.match(r"[A-Za-z_][A-Za-z0-9_]*", s[pos:])
+        if not m:
+            raise error(f"unexpected character {ch!r}")
+        ident = m.group(0)
+        pos += len(ident)
+        if ident == "true":
+            return True
+        if ident == "false":
+            return False
+        if ident == "None":
+            return None
+        skip_ws()
+        if pos < len(s) and s[pos] == "(":
+            inner = parse_struct()
+            if ident == "Some":
+                # Some(x) unwraps; tuple-ish payloads keep the single value
+                return inner
+            # named struct / newtype enum variant → {variant: payload}
+            return {ident: inner}
+        return ident  # unit enum variant → its name
+
+    def parse_string(quote):
+        nonlocal pos
+        pos += 1
+        out = []
+        while pos < len(s):
+            c = s[pos]
+            if c == "\\":
+                nxt = s[pos + 1]
+                out.append({"n": "\n", "t": "\t", "r": "\r"}.get(nxt, nxt))
+                pos += 2
+                continue
+            if c == quote:
+                pos += 1
+                return "".join(out)
+            out.append(c)
+            pos += 1
+        raise error("unterminated string")
+
+    def parse_struct():
+        # ( key: value, ... ) → dict; ( v1, v2 ) tuple → list; () → {}
+        nonlocal pos
+        pos += 1  # (
+        skip_ws()
+        if pos < len(s) and s[pos] == ")":
+            pos += 1
+            return {}
+        # look ahead: identifier followed by ':' → struct fields
+        save = pos
+        m = re.match(r"[A-Za-z_][A-Za-z0-9_]*", s[pos:])
+        is_fields = False
+        if m:
+            after = pos + len(m.group(0))
+            while after < len(s) and s[after].isspace():
+                after += 1
+            is_fields = after < len(s) and s[after] == ":"
+        if not is_fields:
+            pos = save
+            items = []
+            while True:
+                items.append(parse_value())
+                skip_ws()
+                if s[pos] == ",":
+                    pos += 1
+                    skip_ws()
+                if s[pos] == ")":
+                    pos += 1
+                    return items[0] if len(items) == 1 else items
+        out = {}
+        while True:
+            skip_ws()
+            if s[pos] == ")":
+                pos += 1
+                return out
+            m = re.match(r"[A-Za-z_][A-Za-z0-9_]*", s[pos:])
+            if not m:
+                raise error("expected field name")
+            name = m.group(0)
+            pos += len(m.group(0))
+            skip_ws()
+            if s[pos] != ":":
+                raise error(f"expected ':' after field {name!r}")
+            pos += 1
+            out[name] = parse_value()
+            skip_ws()
+            if pos < len(s) and s[pos] == ",":
+                pos += 1
+
+    def parse_map():
+        nonlocal pos
+        pos += 1  # {
+        out = {}
+        while True:
+            skip_ws()
+            if s[pos] == "}":
+                pos += 1
+                return out
+            key = parse_value()
+            skip_ws()
+            if s[pos] != ":":
+                raise error("expected ':' in map")
+            pos += 1
+            out[key] = parse_value()
+            skip_ws()
+            if pos < len(s) and s[pos] == ",":
+                pos += 1
+
+    def parse_list():
+        nonlocal pos
+        pos += 1  # [
+        out = []
+        while True:
+            skip_ws()
+            if s[pos] == "]":
+                pos += 1
+                return out
+            out.append(parse_value())
+            skip_ws()
+            if pos < len(s) and s[pos] == ",":
+                pos += 1
+
+    val = parse_value()
+    skip_ws()
+    if pos != len(s):
+        raise error("trailing content after document")
+    return val
 
 
 def read_alias_map_csv(spark: SparkSession, path: str, key_col: str, alias_col: str) -> DataFrame:

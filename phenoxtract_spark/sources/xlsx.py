@@ -189,4 +189,11 @@ def parse_xlsx(path: str, sheet: str | int = 0) -> list[list]:
             rows.append(cells)
             if cells:
                 width = max(width, max(cells) + 1)
-        return [[row.get(i) for i in range(width)] for row in rows]
+        grid = [[row.get(i) for i in range(width)] for row in rows]
+        # used-range trim: styled-but-empty trailing rows/columns parse as
+        # all-None — calamine's Range excludes them, so do we
+        while grid and all(v is None for v in grid[-1]):
+            grid.pop()
+        while grid and all(row[-1] is None for row in grid):
+            grid = [row[:-1] for row in grid]
+        return grid

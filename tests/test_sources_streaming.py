@@ -174,20 +174,14 @@ def test_streaming_tumbling_window(spark, tmp_path):
     ]
 
 
-def test_excel_reader_gated_without_openpyxl(spark, tmp_path):
-    """S2: the Excel reader must fail with a clear NotImplementedError when
-    the decode library is absent (this container has no openpyxl), not an
-    obscure ImportError from deep inside pandas."""
-    try:
-        import openpyxl  # noqa: F401
-
-        pytest.skip("openpyxl present; gated path not reachable")
-    except ImportError:
-        pass
+def test_excel_reader_rejects_corrupt_workbook(spark, tmp_path):
+    """S2: the stdlib OOXML reader (no openpyxl needed) fails loudly on a
+    corrupt workbook instead of returning an empty frame.  Real decode
+    coverage lives in test_xlsx_reader.py."""
     fake = tmp_path / "cohort.xlsx"
     fake.write_bytes(b"PK\x03\x04 not a real workbook")
     cfg = readers.ExtractionConfig(name="xl")
-    with pytest.raises(NotImplementedError, match="openpyxl"):
+    with pytest.raises(Exception, match="(?i)zip|workbook|archive"):
         readers.read_excel(spark, str(fake), cfg)
 
 

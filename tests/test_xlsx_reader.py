@@ -185,3 +185,27 @@ def test_read_excel_header_must_be_string(spark, tmp_path):
     cfg = ExtractionConfig("h", has_headers=True, patients_are_rows=True)
     with pytest.raises(ValueError, match="header row"):
         read_excel(spark, path, cfg)
+
+
+def test_ron_config_parse(tmp_path):
+    """S7 RON format (~ config/config_loader.rs:8-43 FileFormat::Ron)."""
+    from phenoxtract_spark.sources.readers import load_config
+
+    p = tmp_path / "config.ron"
+    p.write_text(
+        """
+        // comment
+        (
+            data_sources: [ Csv(( source: "test/path", separator: ',',
+                                  has_headers: true, limit: Some(3), )) ],
+            pipeline: ( strategies: ["alias_map"], mode: Strict,
+                        fill: None, weights: { "a": 1.5 } ),
+        )
+        """
+    )
+    cfg = load_config(str(p))
+    assert cfg["data_sources"][0]["Csv"]["source"] == "test/path"
+    assert cfg["data_sources"][0]["Csv"]["limit"] == 3
+    assert cfg["pipeline"]["mode"] == "Strict"
+    assert cfg["pipeline"]["fill"] is None
+    assert cfg["pipeline"]["weights"] == {"a": 1.5}
