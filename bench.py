@@ -7,6 +7,13 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query executes fully via the noop sink (no driver collect, no disk
 write) — measures scan + compute + shuffle, not result serialization.
+
+A second **sf1 scale probe** (disable with SPARK_GRAFT_SF1=0) synthesizes a
+10x dataset from sf0.1 (tools/gen_scale_data.py, cached in /tmp) and re-runs
+the scale-sensitive queries there.  The probe exists to catch nonlinear
+blowups — a bucketed join degrading to quadratic shows up as >>10x the sf0.1
+time.  Per-query seconds land under the "sf1" key; the headline "value"
+stays the sf0.1 total so round-over-round comparisons stay apples-to-apples.
 """
 
 from __future__ import annotations
@@ -47,6 +54,26 @@ HEADLINE = [
     "text_fingerprint",
 ]
 
+# Scale-sensitive subset re-run at sf1 (10x).  Linear operators should land
+# near 10x their sf0.1 time; anything quadratic-in-disguise (all-pairs joins,
+# skewed buckets) blows past that and gets flagged by the ratio.
+SF1_PROBE = [
+    "dedup_exact",
+    "dedup_minhash_signature",
+    "dedup_lsh_candidates",
+    "dedup_pipeline_canonical",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "similarity_ivf_topk",
+    "similarity_lsh_candidate_pairs",
+    "events_sessionize",
+    "events_tumbling_hour",
+    "text_quality",
+    "text_fingerprint",
+    "tpch_q1_pricing_summary",
+]
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -74,17 +101,39 @@ def main():
         sf = float(sf)
     except ValueError:
         pass
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": results,
-                "sf": sf,
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+    }
+
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf == 0.1:
+        try:
+            from tools.gen_scale_data import generate
+
+            g0 = time.time()
+            sf1_dir = generate(src_dir=sf_dir)
+            gen_sec = round(time.time() - g0, 3)
+            sf1_results: dict[str, float] = {}
+            for name in SF1_PROBE:
+                if name not in qs:
+                    continue
+                t0 = time.time()
+                df = qs[name](spark, sf1_dir)
+                df.write.format("noop").mode("overwrite").save()
+                sf1_results[name] = round(time.time() - t0, 3)
+            payload["sf1"] = {
+                "gen_sec": gen_sec,
+                "queries": sf1_results,
+                "total_sec": round(sum(sf1_results.values()), 3),
+                "note": "10x sf0.1 via tools/gen_scale_data.py; copies are near-dups (dedup stress)",
             }
-        )
-    )
+        except Exception as exc:  # the probe must never sink the headline bench
+            payload["sf1"] = {"error": f"{type(exc).__name__}: {exc}"}
+
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -87,6 +87,11 @@ def _prefix_of(col: Column) -> Column:
     return F.lower(F.split(col, ":")[0])
 
 
+def _camel(snake: str) -> str:
+    head, *rest = snake.split("_")
+    return head + "".join(w.capitalize() for w in rest)
+
+
 def render_packets_v2(
     cdfs: Sequence,
     labels_dim: DataFrame,
@@ -374,6 +379,108 @@ def render_packets_v2(
         )
         prefix_frames.append(gi_prefixes)
 
+    # ---- medicalActions (procedures first, then treatments — broker order)
+    medact_sec = None
+    procs = collectors.collect_medical_procedures(cdfs)
+    treats = collectors.collect_medical_treatments(cdfs)
+    act_fields = [
+        "treatment_target", "treatment_intent",
+        "response_to_treatment", "treatment_termination_reason",
+    ]
+    act_parts = []
+    if procs is not None:
+        p = _olabel(procs, labels_dim, "procedure_code", "_plbl")
+        p = _olabel(p, labels_dim, "body_site", "_blbl")
+        for f_ in act_fields:
+            p = _olabel(p, labels_dim, f_, f"_{f_}_lbl")
+        act_parts.append(
+            p.select(
+                "subject_id",
+                F.struct(F.lit(0).alias("c"), F.col("ord").alias("s")).alias("ord"),
+                F.struct(
+                    F.struct(
+                        _oclass("procedure_code", "_plbl").alias("code"),
+                        F.when(
+                            F.col("body_site").isNotNull(), _oclass("body_site", "_blbl")
+                        ).alias("bodySite"),
+                        time_element_v2("performed").alias("performed"),
+                    ).alias("procedure"),
+                    F.lit(None).cast(
+                        "struct<agent:struct<id:string,label:string>,"
+                        "routeOfAdministration:struct<id:string,label:string>,"
+                        "drugType:string,"
+                        "cumulativeDose:struct<unit:struct<id:string,label:string>,value:double>>"
+                    ).alias("treatment"),
+                    *[
+                        F.when(
+                            F.col(f_).isNotNull(), _oclass(f_, f"_{f_}_lbl")
+                        ).alias(_camel(f_))
+                        for f_ in act_fields
+                    ],
+                ).alias("item"),
+                F.array(
+                    _prefix_of(F.col("procedure_code")),
+                    _prefix_of(F.col("body_site")),
+                    *[_prefix_of(F.col(f_)) for f_ in act_fields],
+                ).alias("_prefixes"),
+            )
+        )
+    if treats is not None:
+        t = _olabel(treats, labels_dim, "agent", "_aglbl")
+        t = _olabel(t, labels_dim, "route_of_administration", "_rlbl")
+        t = _olabel(t, labels_dim, "dose_unit", "_dulbl")
+        for f_ in act_fields:
+            t = _olabel(t, labels_dim, f_, f"_{f_}_lbl")
+        dose = F.when(
+            F.col("dose_value").isNotNull() & F.col("dose_unit").isNotNull(),
+            F.struct(
+                _oclass("dose_unit", "_dulbl").alias("unit"),
+                F.col("dose_value").alias("value"),
+            ),
+        )
+        act_parts.append(
+            t.select(
+                "subject_id",
+                F.struct(F.lit(1).alias("c"), F.col("ord").alias("s")).alias("ord"),
+                F.struct(
+                    F.lit(None).cast(
+                        "struct<code:struct<id:string,label:string>,"
+                        "bodySite:struct<id:string,label:string>,"
+                        "performed:struct<age:struct<iso8601duration:string>,timestamp:string>>"
+                    ).alias("procedure"),
+                    F.struct(
+                        _oclass("agent", "_aglbl").alias("agent"),
+                        F.when(
+                            F.col("route_of_administration").isNotNull(),
+                            _oclass("route_of_administration", "_rlbl"),
+                        ).alias("routeOfAdministration"),
+                        F.col("drug_type").alias("drugType"),
+                        dose.alias("cumulativeDose"),
+                    ).alias("treatment"),
+                    *[
+                        F.when(
+                            F.col(f_).isNotNull(), _oclass(f_, f"_{f_}_lbl")
+                        ).alias(_camel(f_))
+                        for f_ in act_fields
+                    ],
+                ).alias("item"),
+                F.array(
+                    _prefix_of(F.col("agent")),
+                    _prefix_of(F.col("route_of_administration")),
+                    _prefix_of(F.col("dose_unit")),
+                    *[_prefix_of(F.col(f_)) for f_ in act_fields],
+                ).alias("_prefixes"),
+            )
+        )
+    if act_parts:
+        a = act_parts[0]
+        for part in act_parts[1:]:
+            a = a.unionByName(part)
+        medact_sec = collectors.ordered_section(a, F.col("item"), "medicalActions")
+        prefix_frames.append(
+            a.select("subject_id", F.explode("_prefixes").alias("prefix"))
+        )
+
     # ---- metaData.resources ----------------------------------------------
     resources_sec = None
     if resources and prefix_frames:
@@ -415,10 +522,11 @@ def render_packets_v2(
 
     # ---- subject + assembly ----------------------------------------------
     out = individual
-    for sec in (features_sec, diseases_sec, meas_sec, interp_sec, resources_sec):
+    for sec in (features_sec, diseases_sec, meas_sec, interp_sec, medact_sec, resources_sec):
         if sec is not None:
             out = out.join(sec, "subject_id", "left")
-    for arr in ("phenotypicFeatures", "diseases", "measurements", "interpretations", "resources"):
+    for arr in ("phenotypicFeatures", "diseases", "measurements", "interpretations",
+                "medicalActions", "resources"):
         if arr not in out.columns:
             out = out.withColumn(arr, F.lit(None).cast("array<string>"))
 
@@ -462,6 +570,7 @@ def render_packets_v2(
         _nonempty("measurements").alias("measurements"),
         _nonempty("interpretations").alias("interpretations"),
         _nonempty("diseases").alias("diseases"),
+        _nonempty("medicalActions").alias("medicalActions"),
         meta.alias("metaData"),
     )
     return out.select(

@@ -368,6 +368,279 @@ def _linked_ref(cdf, block, boundary: str) -> Optional[str]:
     return hits[0] if hits else None
 
 
+# phenopackets DrugType enum (phenopacket_builder.rs:578-585 parses via
+# from_str_name — unknown names are a hard error there; we validate the same
+# set at plan level when strict)
+DRUG_TYPES = {
+    "UNKNOWN_DRUG_TYPE",
+    "PRESCRIPTION",
+    "EHR_MEDICATION_LIST",
+    "ADMINISTRATION_RELATED_TO_PROCEDURE",
+}
+
+_MEDICAL_ACTION_KINDS = (
+    ContextKind.TREATMENT_TARGET,
+    ContextKind.TREATMENT_INTENT,
+    ContextKind.RESPONSE_TO_TREATMENT,
+    ContextKind.TREATMENT_TERMINATION_REASON,
+)
+
+
+def _medical_action_cols(cdf: ContextualizedDataFrame, block: Optional[str]):
+    """MedicalActionData (~ medical_action.rs:21-52): the four optional
+    action-level columns linked into the same building block."""
+    return {
+        "treatment_target": _linked_col(cdf, block, ContextKind.TREATMENT_TARGET),
+        "treatment_intent": _linked_col(cdf, block, ContextKind.TREATMENT_INTENT),
+        "response_to_treatment": _linked_col(cdf, block, ContextKind.RESPONSE_TO_TREATMENT),
+        "treatment_termination_reason": _linked_col(
+            cdf, block, ContextKind.TREATMENT_TERMINATION_REASON
+        ),
+    }
+
+
+def collect_medical_procedures(cdfs: Sequence[ContextualizedDataFrame]) -> Optional[DataFrame]:
+    """MedicalProcedureCollector (~ medical_procedure_collector.rs:96-135):
+    per Procedure column, row-zip the linked body-site / time-of-procedure /
+    action-level columns; null-procedure rows are skipped (no row error —
+    medical_procedure_data.rs:56-66 returns None).
+
+    Plan-build strictness (~ medical_procedure_data.rs:38-48): a block with
+    body-site or procedure-time columns but NO procedure column is a config
+    error.  Long form: (subject_id, procedure_code, body_site, performed,
+    treatment_target, treatment_intent, response_to_treatment,
+    treatment_termination_reason, ord)."""
+    frames = []
+    fidx = 0
+    for cdf in cdfs:
+        blocks = {sc.building_block_id for sc in cdf.resolved().values()}
+        proc_blocks = set()
+        for col, sc in cdf.resolved().items():
+            if sc.data_context.kind == ContextKind.PROCEDURE:
+                proc_blocks.add(sc.building_block_id)
+        for block in blocks:
+            if block in proc_blocks:
+                continue
+            orphan = _linked_col(cdf, block, ContextKind.PROCEDURE_BODY_SITE) or _linked_col(
+                cdf, block, ContextKind.TIME_OF_PROCEDURE
+            )
+            if orphan:
+                raise grouping.MultiplicityError(
+                    f"table {cdf.context.name!r} block {block!r}: column {orphan!r} "
+                    "(procedure body-site/time) has no Procedure column in its block"
+                )
+        for col, sc in cdf.resolved().items():
+            if sc.data_context.kind != ContextKind.PROCEDURE:
+                continue
+            block = sc.building_block_id
+            body = _linked_col(cdf, block, ContextKind.PROCEDURE_BODY_SITE)
+            t = _linked_col(cdf, block, ContextKind.TIME_OF_PROCEDURE)
+            act = _medical_action_cols(cdf, block)
+
+            def s(name):
+                return F.col(name).cast("string") if name else F.lit(None).cast("string")
+
+            frames.append(
+                cdf.df.filter(F.col(col).isNotNull()).select(
+                    _subject(cdf),
+                    F.col(col).cast("string").alias("procedure_code"),
+                    s(body).alias("body_site"),
+                    s(t).alias("performed"),
+                    *[s(c).alias(k) for k, c in act.items()],
+                    F.struct(
+                        F.lit(fidx).cast("long").alias("r"),
+                        _row_ord(cdf).alias("i"),
+                    ).alias("ord"),
+                )
+            )
+            fidx += 1
+    return _union(frames)
+
+
+def collect_medical_treatments(
+    cdfs: Sequence[ContextualizedDataFrame],
+    ledger=None,
+    error_limit: int = 5,
+    strict: bool = True,
+) -> Optional[DataFrame]:
+    """MedicalTreatmentCollector (~ medical_treatment_collector.rs:106-152):
+    per TreatmentAgent column, row-zip route-of-administration / drug-type /
+    cumulative dose (QuantityValue + QuantityUnit + ReferenceRange) and the
+    four action-level columns.
+
+    Strictness, matching the reference:
+    - plan-build (~ medical_treatment_data.rs:54-66, quantity_data.rs:34-48):
+      route/drug/dose columns with no agent column in the block, a dose value
+      column without a unit column (or vice versa), or a reference-range
+      boundary without its pair → error before any job runs;
+    - row-level (~ medical_treatment_data.rs:104-117): a null agent alongside
+      non-null route/drug/dose values → RequiredValueMissing.  Registered on
+      the shared :class:`~phenoxtract_spark.errors.ErrorLedger` when given
+      (ONE validation job for the whole pipeline), else checked eagerly with
+      a bounded collect.
+
+    Long form: (subject_id, agent, route_of_administration, drug_type,
+    dose_value, dose_unit, ref_low, ref_high, treatment_target,
+    treatment_intent, response_to_treatment, treatment_termination_reason,
+    ord)."""
+    frames = []
+    bad_frames = []
+    fidx = 0
+    for cdf in cdfs:
+        agent_blocks = {
+            sc.building_block_id
+            for sc in cdf.resolved().values()
+            if sc.data_context.kind == ContextKind.TREATMENT_AGENT
+        }
+        for col, sc in cdf.resolved().items():
+            kind = sc.data_context.kind
+            if (
+                kind
+                in (
+                    ContextKind.ROUTE_OF_ADMINISTRATION,
+                    ContextKind.DRUG_TYPE,
+                )
+                and sc.building_block_id not in agent_blocks
+            ):
+                raise grouping.MultiplicityError(
+                    f"table {cdf.context.name!r} block {sc.building_block_id!r}: "
+                    f"column {col!r} ({kind.value}) has no TreatmentAgent column in its block"
+                )
+        for col, sc in cdf.resolved().items():
+            if sc.data_context.kind != ContextKind.TREATMENT_AGENT:
+                continue
+            block = sc.building_block_id
+            route = _linked_col(cdf, block, ContextKind.ROUTE_OF_ADMINISTRATION)
+            drug = _linked_col(cdf, block, ContextKind.DRUG_TYPE)
+            qval = _linked_col(cdf, block, ContextKind.QUANTITY_VALUE)
+            qunit = _linked_col(cdf, block, ContextKind.QUANTITY_UNIT)
+            if (qval is None) != (qunit is None):
+                raise grouping.MultiplicityError(
+                    f"table {cdf.context.name!r} block {block!r}: cumulative dose needs "
+                    f"BOTH QuantityValue and QuantityUnit columns (have value={qval!r}, unit={qunit!r})"
+                )
+            lo = _linked_ref(cdf, block, "start")
+            hi = _linked_ref(cdf, block, "end")
+            if (lo is None) != (hi is None):
+                raise grouping.MultiplicityError(
+                    f"table {cdf.context.name!r} block {block!r}: reference range needs "
+                    f"BOTH start and end columns (have start={lo!r}, end={hi!r})"
+                )
+            act = _medical_action_cols(cdf, block)
+
+            def s(name):
+                return F.col(name).cast("string") if name else F.lit(None).cast("string")
+
+            def d(name):
+                return F.col(name).cast("double") if name else F.lit(None).cast("double")
+
+            if strict:
+                others = [c for c in (route, drug, qval, qunit) if c]
+                if others:
+                    present = None
+                    for c in others:
+                        p = F.col(c).isNotNull()
+                        present = p if present is None else (present | p)
+                    bad_frames.append(
+                        cdf.df.filter(F.col(col).isNull() & present).select(
+                            _subject(cdf).alias("offender")
+                        )
+                    )
+            frames.append(
+                cdf.df.filter(F.col(col).isNotNull()).select(
+                    _subject(cdf),
+                    F.col(col).cast("string").alias("agent"),
+                    s(route).alias("route_of_administration"),
+                    s(drug).alias("drug_type"),
+                    d(qval).alias("dose_value"),
+                    s(qunit).alias("dose_unit"),
+                    d(lo).alias("ref_low"),
+                    d(hi).alias("ref_high"),
+                    *[s(c).alias(k) for k, c in act.items()],
+                    F.struct(
+                        F.lit(fidx).cast("long").alias("r"),
+                        _row_ord(cdf).alias("i"),
+                    ).alias("ord"),
+                )
+            )
+            fidx += 1
+    if bad_frames:
+        bad = _union(bad_frames)
+        if ledger is not None:
+            ledger.add_check("treatment_agent_missing", bad)
+        else:
+            rows = bad.limit(error_limit).collect()
+            if rows:
+                raise grouping.MultiplicityError(
+                    "treatment values without an agent for subjects: "
+                    f"{sorted({r['offender'] for r in rows})}"
+                )
+    return _union(frames)
+
+
+def medical_actions_section(
+    procedures: Optional[DataFrame], treatments: Optional[DataFrame]
+) -> Optional[DataFrame]:
+    """Merge procedure and treatment rows into one ``medical_actions`` array
+    per subject.  Broker order (cdf_collector_broker.rs:77-91) runs
+    MedicalProcedureCollector before MedicalTreatmentCollector, so all
+    procedures precede all treatments; within each, arrival order."""
+    parts = []
+    if procedures is not None:
+        parts.append(
+            procedures.select(
+                "subject_id",
+                F.struct(F.lit(0).alias("c"), F.col("ord").alias("s")).alias("ord"),
+                F.struct(
+                    F.struct(
+                        F.col("procedure_code").alias("code"),
+                        F.col("body_site"),
+                        time_element_expr("performed").alias("performed"),
+                    ).alias("procedure"),
+                    F.lit(None).cast(
+                        "struct<agent:string,route_of_administration:string,"
+                        "drug_type:string,dose_value:double,dose_unit:string,"
+                        "ref_low:double,ref_high:double>"
+                    ).alias("treatment"),
+                    F.col("treatment_target"),
+                    F.col("treatment_intent"),
+                    F.col("response_to_treatment"),
+                    F.col("treatment_termination_reason"),
+                ).alias("action"),
+            )
+        )
+    if treatments is not None:
+        parts.append(
+            treatments.select(
+                "subject_id",
+                F.struct(F.lit(1).alias("c"), F.col("ord").alias("s")).alias("ord"),
+                F.struct(
+                    F.lit(None).cast(
+                        "struct<code:string,body_site:string,"
+                        "performed:struct<age:struct<iso8601duration:string>,timestamp:timestamp>>"
+                    ).alias("procedure"),
+                    F.struct(
+                        F.col("agent"),
+                        F.col("route_of_administration"),
+                        F.col("drug_type"),
+                        F.col("dose_value"),
+                        F.col("dose_unit"),
+                        F.col("ref_low"),
+                        F.col("ref_high"),
+                    ).alias("treatment"),
+                    F.col("treatment_target"),
+                    F.col("treatment_intent"),
+                    F.col("response_to_treatment"),
+                    F.col("treatment_termination_reason"),
+                ).alias("action"),
+            )
+        )
+    long = _union(parts)
+    if long is None:
+        return None
+    return ordered_section(long, F.col("action"), "medical_actions")
+
+
 def collect_interpretations(cdfs: Sequence[ContextualizedDataFrame]) -> Optional[DataFrame]:
     """G8/G9: classify each genomic row and group into one Interpretation
     per (subject, disease).  See :func:`interpretation_rows` for the long

@@ -109,6 +109,12 @@ class Pipeline:
         )
         if meas is not None:
             sections["measurements"] = meas
+        medact = collectors.medical_actions_section(
+            collectors.collect_medical_procedures(cdfs),
+            collectors.collect_medical_treatments(cdfs, ledger=self.ledger),
+        )
+        if medact is not None:
+            sections["medical_actions"] = medact
         interp = collectors.collect_interpretations(cdfs)
         if interp is not None:
             sections["interpretations"] = interp.groupBy("subject_id").agg(

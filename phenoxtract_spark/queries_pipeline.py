@@ -170,6 +170,119 @@ def g11_prefixes(spark, sf_dir):
 
 
 @q(
+    "g13_medical_actions",
+    """
+    SELECT * FROM (
+      SELECT CAST(o_custkey AS VARCHAR) AS subject_id,
+             'procedure' AS kind,
+             'NCIT:C' || CAST(o_orderkey % 20 AS VARCHAR) AS code,
+             CASE WHEN o_orderkey % 2 = 0
+                  THEN 'UBERON:' || CAST(o_orderkey % 8 AS VARCHAR) END AS detail,
+             CAST(NULL AS DOUBLE) AS dose_value,
+             CAST(NULL AS VARCHAR) AS dose_unit,
+             CASE WHEN o_orderkey % 4 = 0 THEN 'MONDO:0000001' END AS target
+      FROM orders WHERE o_orderkey % 5 != 0
+      UNION ALL
+      SELECT CAST(o_custkey AS VARCHAR),
+             'treatment',
+             'CHEBI:' || CAST(o_orderkey % 50 AS VARCHAR),
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN 'NCIT:C' || CAST(o_orderkey % 5 AS VARCHAR) END,
+             ROUND(CAST(o_orderkey % 90 AS DOUBLE) / 3.0, 6),
+             'UO:0000022',
+             CASE WHEN o_orderkey % 4 = 0 THEN 'MONDO:0000001' END
+      FROM orders WHERE o_orderkey % 7 != 0
+    )
+    """,
+)
+def g13_medical_actions(spark, sf_dir):
+    """G13 medical-action collectors (~ medical_procedure_collector.rs:96-135,
+    medical_treatment_collector.rs:106-152): synthesize a procedure table and
+    a treatment table from ``orders``, run both collectors (row-zip of linked
+    building-block columns, null-anchor rows skipped), and emit the unified
+    long form."""
+    from .descriptors import (
+        Context,
+        ContextKind,
+        ContextualizedDataFrame,
+        Identifier,
+        SeriesContext,
+        TableContext,
+    )
+    from .plans import collectors
+
+    o = read_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    proc = o.select(
+        F.col("o_custkey").cast("string").alias("sid"),
+        F.when(key % 5 != 0, F.concat(F.lit("NCIT:C"), (key % 20))).alias("proc"),
+        F.when(key % 2 == 0, F.concat(F.lit("UBERON:"), (key % 8))).alias("site"),
+        F.when(key % 4 == 0, F.lit("MONDO:0000001")).alias("ptarget"),
+    )
+    treat = o.select(
+        F.col("o_custkey").cast("string").alias("sid"),
+        F.when(key % 7 != 0, F.concat(F.lit("CHEBI:"), (key % 50))).alias("agent"),
+        F.when((key % 7 != 0) & (key % 3 == 0), F.concat(F.lit("NCIT:C"), (key % 5))).alias("route"),
+        F.when(key % 7 != 0, F.round((key % 90).cast("double") / 3.0, 6)).alias("dval"),
+        F.when(key % 7 != 0, F.lit("UO:0000022")).alias("dunit"),
+        F.when((key % 7 != 0) & (key % 4 == 0), F.lit("MONDO:0000001")).alias("target"),
+    )
+
+    def sc(col, kind, block=None):
+        return SeriesContext(
+            identifier=Identifier.of(col), data_context=Context(kind), building_block_id=block
+        )
+
+    proc_cdf = ContextualizedDataFrame(
+        df=proc,
+        context=TableContext(
+            name="procedures",
+            series_contexts=[
+                sc("sid", ContextKind.SUBJECT_ID),
+                sc("proc", ContextKind.PROCEDURE, "b1"),
+                sc("site", ContextKind.PROCEDURE_BODY_SITE, "b1"),
+                sc("ptarget", ContextKind.TREATMENT_TARGET, "b1"),
+            ],
+        ),
+    )
+    treat_cdf = ContextualizedDataFrame(
+        df=treat,
+        context=TableContext(
+            name="treatments",
+            series_contexts=[
+                sc("sid", ContextKind.SUBJECT_ID),
+                sc("agent", ContextKind.TREATMENT_AGENT, "b1"),
+                sc("route", ContextKind.ROUTE_OF_ADMINISTRATION, "b1"),
+                sc("dval", ContextKind.QUANTITY_VALUE, "b1"),
+                sc("dunit", ContextKind.QUANTITY_UNIT, "b1"),
+                sc("target", ContextKind.TREATMENT_TARGET, "b1"),
+            ],
+        ),
+    )
+    p_long = collectors.collect_medical_procedures([proc_cdf])
+    t_long = collectors.collect_medical_treatments([treat_cdf])
+    return p_long.select(
+        "subject_id",
+        F.lit("procedure").alias("kind"),
+        F.col("procedure_code").alias("code"),
+        F.col("body_site").alias("detail"),
+        F.lit(None).cast("double").alias("dose_value"),
+        F.lit(None).cast("string").alias("dose_unit"),
+        F.col("treatment_target").alias("target"),
+    ).unionByName(
+        t_long.select(
+            "subject_id",
+            F.lit("treatment").alias("kind"),
+            F.col("agent").alias("code"),
+            F.col("route_of_administration").alias("detail"),
+            "dose_value",
+            "dose_unit",
+            F.col("treatment_target").alias("target"),
+        )
+    )
+
+
+@q(
     "c10_timestamp_parse",
     """
     SELECT event_id,
