@@ -1,0 +1,205 @@
+"""Corpus-curation operators for LLM training-data pipelines: repetition
+filters (Gopher-style), PII scrubbing, deterministic dataset splits, and
+train/test decontamination.
+
+These extend the beyond-reference block (SURVEY §7.2 step 9).  Everything is
+built-in-expression / explode+groupBy work — no Python row loops — and every
+metric is deterministic so the DuckDB oracles compare bit-identically.
+
+Scale notes (100 TB):
+- repetition_stats shuffles once on (doc, n, gram) with map-side combine;
+  gram rows are bounded by token count, never cross-document.
+- pii_scrub is a pure projection (regexp chains inside codegen).
+- dataset_split is a pure projection (md5 prefix → bucket), reproducible
+  across engines, runs, and cluster layouts — no sampling, no RNG state.
+- decontaminate joins train shingles against DISTINCT test shingles; the
+  test side is the small side by construction (held-out sets are orders of
+  magnitude smaller than train) and is broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalized_text, shingles_long
+
+# ---------------------------------------------------------------------------
+# repetition filters (Gopher-style, token-based)
+# ---------------------------------------------------------------------------
+
+
+def _gram_counts(df: DataFrame, id_col: str, text_col: str,
+                 ns: tuple[int, ...] = (1, 2, 3)) -> DataFrame:
+    """(id, n, gram, cnt) for all requested n-gram sizes in ONE window pass:
+    posexplode tokens, build each n-gram from the token and its lead()s, then
+    unpivot — a single shuffle on (id, n, gram) with partial aggregation."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.filter(F.split(normalized_text(text_col), " "),
+                              lambda t: t != "")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    cols = [F.col("id"), F.col("pos"), F.col("tok").alias("g1")]
+    prev = F.col("tok")
+    for n in range(2, max(ns) + 1):
+        prev = F.concat_ws(" ", prev, F.lead("tok", n - 1).over(w))
+        cols.append(prev.alias(f"g{n}"))
+    wide = toks.select(*cols)
+    # unpivot to (id, n, gram); drop incomplete grams at the document tail
+    # (lead() returns null there and concat_ws silently skips it, so detect
+    # truncation by word count)
+    stacked = wide.select(
+        "id",
+        F.stack(
+            F.lit(len(ns)),
+            *[x for n in ns for x in (F.lit(n), F.col(f"g{n}"))],
+        ).alias("n", "gram"),
+    ).filter(F.size(F.split(F.col("gram"), " ")) == F.col("n"))
+    return stacked.groupBy("id", "n", "gram").agg(F.count("*").alias("cnt"))
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document repetition metrics (all rounded to 6dp):
+
+    - ``n_tokens``: whitespace token count
+    - ``top_word_frac``: occurrences of the most frequent token / n_tokens
+    - ``top_2gram_frac``: tokens covered by the most frequent 2-gram
+      (count × 2 / n_tokens)
+    - ``dup_3gram_frac``: tokens covered by 3-grams occurring more than once
+      (Σ count × 3 / n_tokens, capped at 1.0 — sliding shingles overlap)
+
+    High values flag boilerplate / degenerate repetition (Gopher §A.1.1-style
+    filters, re-expressed over token n-grams)."""
+    counts = _gram_counts(df, id_col, text_col, ns=(1, 2, 3))
+    agg = counts.groupBy("id").agg(
+        F.sum(F.when(F.col("n") == 1, F.col("cnt"))).alias("_n_tokens"),
+        F.max(F.when(F.col("n") == 1, F.col("cnt"))).alias("_top1"),
+        F.max(F.when(F.col("n") == 2, F.col("cnt"))).alias("_top2"),
+        F.sum(
+            F.when((F.col("n") == 3) & (F.col("cnt") > 1), F.col("cnt"))
+        ).alias("_dup3"),
+    )
+    nt = F.col("_n_tokens").cast("double")
+    return agg.select(
+        F.col("id").alias(id_col),
+        F.col("_n_tokens").alias("n_tokens"),
+        F.round(F.col("_top1") / nt, 6).alias("top_word_frac"),
+        F.round(F.coalesce(F.col("_top2"), F.lit(0)) * 2 / nt, 6).alias("top_2gram_frac"),
+        F.round(
+            F.least(F.coalesce(F.col("_dup3"), F.lit(0)) * 3 / nt, F.lit(1.0)), 6
+        ).alias("dup_3gram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax valid in BOTH Java regex (Spark) and RE2
+# (DuckDB): no backreferences, no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\+\d[\d\- ]{6,}\d"
+
+
+def pii_counts(col: Column | str) -> list[Column]:
+    """(n_email, n_ip, n_phone) match counts for one text column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), 0)).alias("n_email"),
+        F.size(F.regexp_extract_all(c, F.lit(PII_IPV4), 0)).alias("n_ip"),
+        F.size(F.regexp_extract_all(c, F.lit(PII_PHONE), 0)).alias("n_phone"),
+    ]
+
+
+def pii_scrub(col: Column | str) -> Column:
+    """Redact emails → [EMAIL], IPv4 → [IP], then phones → [PHONE].
+    Application order is fixed (email first: it may contain digit runs a
+    phone pattern would chew up) so engines agree bit-for-bit."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, PII_EMAIL, "[EMAIL]")
+    c = F.regexp_replace(c, PII_IPV4, "[IP]")
+    c = F.regexp_replace(c, PII_PHONE, "[PHONE]")
+    return c
+
+
+def scrub_documents(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Projection bundle: counts on the raw text + the scrubbed text."""
+    return df.select(
+        F.col(id_col),
+        *pii_counts(text_col),
+        pii_scrub(text_col).alias("scrubbed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic dataset split
+# ---------------------------------------------------------------------------
+
+
+def split_bucket(id_col: Column | str, seed: str, buckets: int = 10000) -> Column:
+    """Uniform bucket in [0, buckets) from the md5 of ``seed || '::' || id``.
+    Pure projection — reproducible across engines, runs, partitionings, and
+    cluster sizes, unlike ``rand()``/``randomSplit`` whose output depends on
+    partition layout.  First 8 hex chars (< 2^32) → decimal → mod."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(F.concat_ws("::", F.lit(seed), c.cast("string")))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(buckets)
+    )
+
+
+def dataset_split(df: DataFrame, id_col: str, seed: str = "split-v1",
+                  weights: dict[str, float] | None = None) -> DataFrame:
+    """Assign every row to a named split by cumulative weight over the
+    deterministic hash bucket.  Default 80/10/10 train/val/test."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    bucket = split_bucket(id_col, seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = bucket < int(round(acc * 10000))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = (expr.otherwise(F.lit(names[-1])) if expr is not None
+            else F.lit(names[-1]))
+    return df.withColumn("bucket", bucket).withColumn("split", expr)
+
+
+# ---------------------------------------------------------------------------
+# train/test decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(train: DataFrame, test: DataFrame, id_col: str,
+                  text_col: str, k: int = 8,
+                  min_overlap: int = 1) -> DataFrame:
+    """Flag training documents sharing ≥ ``min_overlap`` distinct k-word
+    shingles with any held-out document (the n-gram–overlap decontamination
+    used for LLM eval hygiene).
+
+    Returns (train_id, n_shared_shingles, n_test_docs_hit) — aggregated per
+    training doc, so output is bounded by |train|, not by pair count.  The
+    test side is reduced to DISTINCT (shingle, test_id) and broadcast: the
+    held-out set is small by construction; the big train side streams
+    map-side through the hash join with no shuffle."""
+    tr = shingles_long(train, id_col, text_col, k).select(
+        F.col("id").alias("train_id"), "sh"
+    )
+    te = shingles_long(test, id_col, text_col, k).select(
+        F.col("id").alias("test_id"), "sh"
+    ).distinct()
+    joined = tr.join(F.broadcast(te), "sh")
+    return (
+        joined.groupBy("train_id")
+        .agg(
+            F.countDistinct("sh").alias("n_shared_shingles"),
+            F.countDistinct("test_id").alias("n_test_docs_hit"),
+        )
+        .filter(F.col("n_shared_shingles") >= min_overlap)
+    )

@@ -1,0 +1,180 @@
+"""Oracle-checked queries for the corpus-curation operators: repetition
+filters, PII scrubbing, deterministic splits, train/test decontamination.
+
+These are the training-data hygiene passes a 100 TB pipeline runs between
+raw ingest and tokenization.  Every query is deterministic (hash-based
+splits, fixed scrub order, rounded fractions) so DuckDB compares
+bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators import curation
+from .queries_core import q, read_table
+from .queries_scale import _NORM
+
+# ---------------------------------------------------------------------------
+# repetition metrics
+# ---------------------------------------------------------------------------
+
+_GRAMS_SQL = f"""
+  toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents),
+  grams AS (
+    SELECT doc_id, n.n, array_to_string(list_slice(t, i, i + n.n - 1), ' ') AS gram
+    FROM toks,
+         (SELECT unnest([1, 2, 3]) AS n) n,
+         unnest(generate_series(1, len(t))) AS u(i)
+    WHERE i + n.n - 1 <= len(t)
+  ),
+  counts AS (SELECT doc_id, n, gram, count(*) AS cnt FROM grams GROUP BY 1, 2, 3)
+"""
+
+
+@q(
+    "text_repetition",
+    f"""
+    WITH {_GRAMS_SQL},
+    agg AS (
+      SELECT doc_id,
+             sum(cnt) FILTER (n = 1) AS n_tokens,
+             max(cnt) FILTER (n = 1) AS top1,
+             max(cnt) FILTER (n = 2) AS top2,
+             sum(cnt) FILTER (n = 3 AND cnt > 1) AS dup3
+      FROM counts GROUP BY 1
+    )
+    SELECT doc_id, n_tokens,
+           round(top1 / CAST(n_tokens AS DOUBLE), 6) AS top_word_frac,
+           round(coalesce(top2, 0) * 2 / CAST(n_tokens AS DOUBLE), 6) AS top_2gram_frac,
+           round(least(coalesce(dup3, 0) * 3 / CAST(n_tokens AS DOUBLE), 1.0), 6)
+             AS dup_3gram_frac
+    FROM agg
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters: most-frequent word/2-gram coverage
+    and duplicated-3-gram coverage per document.  One shuffle on
+    (doc, n, gram) with map-side combine; output is one row per doc."""
+    d = read_table(spark, sf_dir, "documents")
+    out = curation.repetition_stats(d, "doc_id", "text")
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (deterministic synthetic PII injected in-query: the corpus
+# itself is PII-free, so both engines append the same doc_id-derived
+# email/IP/phone before scrubbing — exercising match+replace exactly)
+# ---------------------------------------------------------------------------
+
+_INJECT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " || ' via 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'"
+    " || ' or +1 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+)
+
+
+@q(
+    "text_pii_scrub",
+    f"""
+    WITH injected AS (SELECT doc_id, {_INJECT_SQL} AS text FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{curation.PII_EMAIL}')) AS n_email,
+           len(regexp_extract_all(text, '{curation.PII_IPV4}')) AS n_ip,
+           len(regexp_extract_all(text, '{curation.PII_PHONE}')) AS n_phone,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{curation.PII_EMAIL}', '[EMAIL]', 'g'),
+               '{curation.PII_IPV4}', '[IP]', 'g'),
+             '{curation.PII_PHONE}', '[PHONE]', 'g') AS scrubbed
+    FROM injected
+    """,
+)
+def text_pii(spark, sf_dir):
+    """Email/IPv4/phone redaction with per-class match counts — a pure
+    projection (regexp chains stay inside codegen)."""
+    d = read_table(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 or +1 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("text"),
+    )
+    return curation.scrub_documents(injected, "doc_id", "text").select(
+        "doc_id",
+        F.col("n_email").cast("bigint").alias("n_email"),
+        F.col("n_ip").cast("bigint").alias("n_ip"),
+        F.col("n_phone").cast("bigint").alias("n_phone"),
+        "scrubbed",
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic dataset split
+# ---------------------------------------------------------------------------
+
+_BUCKET_SQL = (
+    "('0x' || substr(md5('split-v1::' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    " % 10000"
+)
+
+
+@q(
+    "curation_split",
+    f"""
+    SELECT doc_id, {_BUCKET_SQL} AS bucket,
+           CASE WHEN {_BUCKET_SQL} < 8000 THEN 'train'
+                WHEN {_BUCKET_SQL} < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def curation_split(spark, sf_dir):
+    """Deterministic 80/10/10 split from an md5-prefix bucket — stable
+    across engines, runs, and cluster layouts (``randomSplit`` is not)."""
+    d = read_table(spark, sf_dir, "documents")
+    return curation.dataset_split(d, "doc_id").select("doc_id", "bucket", "split")
+
+
+# ---------------------------------------------------------------------------
+# train/test decontamination
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "curation_decontaminate",
+    f"""
+    WITH split AS (
+      SELECT doc_id, text,
+             CASE WHEN {_BUCKET_SQL} < 8000 THEN 'train'
+                  WHEN {_BUCKET_SQL} < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, split, string_split({_NORM}, ' ') AS t FROM split),
+    sh AS (
+      SELECT doc_id, split, array_to_string(list_slice(t, i, i + 7), ' ') AS sh
+      FROM toks, unnest(generate_series(1, greatest(len(t) - 7, 1))) AS u(i)
+    ),
+    te AS (SELECT DISTINCT doc_id AS test_id, sh FROM sh WHERE split = 'test'),
+    tr AS (SELECT doc_id AS train_id, sh FROM sh WHERE split = 'train')
+    SELECT train_id, count(DISTINCT tr.sh) AS n_shared_shingles,
+           count(DISTINCT test_id) AS n_test_docs_hit
+    FROM tr JOIN te ON tr.sh = te.sh
+    GROUP BY 1
+    """,
+)
+def curation_decontam(spark, sf_dir):
+    """8-gram overlap between the hash-split train and test partitions;
+    the DISTINCT test shingle set is broadcast (held-out sets are small by
+    construction), so the train side joins map-side with no shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    s = curation.dataset_split(d, "doc_id")
+    train = s.filter(F.col("split") == "train")
+    test = s.filter(F.col("split") == "test")
+    return curation.decontaminate(train, test, "doc_id", "text", k=8)

@@ -1,0 +1,101 @@
+"""Corpus-curation operators: repetition filters, PII scrub, deterministic
+splits, decontamination — hand-computable literal frames."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from phenoxtract_spark.operators import curation
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),                       # one word repeated
+            (2, "a b c a b c a b c"),                         # repeating 3-cycle
+            (3, "all distinct words here now"),               # no repetition
+            (4, "x"),                                         # single token
+        ],
+        "doc_id bigint, text string",
+    )
+
+
+def test_repetition_stats_values(docs):
+    out = {r["doc_id"]: r for r in curation.repetition_stats(docs, "doc_id", "text").collect()}
+    # doc 1: 4 tokens, "spam" ×4; 2-gram "spam spam" ×3 → 6/4 capped? top_2gram
+    # is not capped (only dup_3gram is) → 1.5; 3-gram "spam spam spam" ×2 → 6/4 → capped 1.0
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["top_word_frac"] == 1.0
+    assert out[1]["top_2gram_frac"] == 1.5
+    assert out[1]["dup_3gram_frac"] == 1.0
+    # doc 2: 9 tokens, top word ×3 → 1/3; "a b" ×3 → 6/9; "a b c" ×3 ... dup3 =
+    # grams with cnt>1: "a b c"×3, "b c a"×2, "c a b"×2 → (3+2+2)*3/9 → capped 1.0
+    assert out[2]["top_word_frac"] == round(3 / 9, 6)
+    assert out[2]["top_2gram_frac"] == round(6 / 9, 6)
+    assert out[2]["dup_3gram_frac"] == 1.0
+    # doc 3: no repeats
+    assert out[3]["top_word_frac"] == 0.2
+    assert out[3]["top_2gram_frac"] == 0.4  # every 2-gram unique: 2/5
+    assert out[3]["dup_3gram_frac"] == 0.0
+    # doc 4: single token; no 2/3-grams at all
+    assert out[4]["n_tokens"] == 1
+    assert out[4]["top_word_frac"] == 1.0
+    assert out[4]["top_2gram_frac"] == 0.0
+    assert out[4]["dup_3gram_frac"] == 0.0
+
+
+def test_pii_scrub_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a@b.com or c.d-e@f.org, ip 10.0.0.1, call +1 555-0142 now")],
+        "id bigint, text string",
+    )
+    row = curation.scrub_documents(df, "id", "text").first()
+    assert row["n_email"] == 2 and row["n_ip"] == 1 and row["n_phone"] == 1
+    assert row["scrubbed"] == "mail [EMAIL] or [EMAIL], ip [IP], call [PHONE] now"
+
+
+def test_pii_scrub_order_email_before_phone(spark):
+    # digits inside an email must not be half-eaten by the phone pattern
+    df = spark.createDataFrame([(1, "x +12 345-6789@example.com y")], "id bigint, text string")
+    row = curation.scrub_documents(df, "id", "text").first()
+    assert "[EMAIL]" in row["scrubbed"] and "@" not in row["scrubbed"]
+
+
+def test_dataset_split_deterministic_and_weighted(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = curation.dataset_split(df, "doc_id").groupBy("split").count()
+    counts = {r["split"]: r["count"] for r in a.collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    # same seed → identical assignment; different seed → different
+    b = curation.dataset_split(df, "doc_id")
+    assert a.exceptAll(b.groupBy("split").count()).count() == 0
+    c = curation.dataset_split(df, "doc_id", seed="other")
+    diff = (
+        curation.dataset_split(df, "doc_id").select("doc_id", "split")
+        .join(c.select("doc_id", F.col("split").alias("split2")), "doc_id")
+        .filter(F.col("split") != F.col("split2"))
+        .count()
+    )
+    assert diff > 0
+
+
+def test_decontaminate_flags_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven eight nine ten"),
+            (2, "totally unrelated training document with private words"),
+        ],
+        "doc_id bigint, text string",
+    )
+    test = spark.createDataFrame(
+        [(10, "zzz one two three four five six seven eight qqq")],
+        "doc_id bigint, text string",
+    )
+    out = curation.decontaminate(train, test, "doc_id", "text", k=8)
+    rows = {r["train_id"]: r for r in out.collect()}
+    # train doc 1 shares exactly one 8-gram window ("one..eight") with test 10
+    assert list(rows) == [1]
+    assert rows[1]["n_shared_shingles"] == 1
+    assert rows[1]["n_test_docs_hit"] == 1
