@@ -178,3 +178,115 @@ def curation_decontam(spark, sf_dir):
     train = s.filter(F.col("split") == "train")
     test = s.filter(F.col("split") == "test")
     return curation.decontaminate(train, test, "doc_id", "text", k=8)
+
+
+# ---------------------------------------------------------------------------
+# data-quality constraint suite (single aggregation pass)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "quality_constraints",
+    """
+    WITH m AS (
+      SELECT count(*) FILTER (o_orderkey IS NULL) AS v_null,
+             count(o_orderkey) - count(DISTINCT o_orderkey) AS v_uniq,
+             count(*) FILTER (o_totalprice < 0) AS v_min,
+             count(*) FILTER (o_orderstatus NOT IN ('O', 'F') AND o_orderstatus IS NOT NULL) AS v_set,
+             count(*) FILTER (o_orderpriority IS NOT NULL
+                              AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')) AS v_re
+      FROM orders
+    )
+    SELECT * FROM (
+      SELECT 'o_orderkey' AS "column", 'not_null' AS "check", v_null AS n_violations, v_null = 0 AS passed FROM m
+      UNION ALL SELECT 'o_orderkey', 'unique', v_uniq, v_uniq = 0 FROM m
+      UNION ALL SELECT 'o_totalprice', 'min_ge', v_min, v_min = 0 FROM m
+      UNION ALL SELECT 'o_orderstatus', 'in_set', v_set, v_set = 0 FROM m
+      UNION ALL SELECT 'o_orderpriority', 'matches', v_re, v_re = 0 FROM m
+    ) ORDER BY "column", "check"
+    """,
+)
+def quality_constraints(spark, sf_dir):
+    """Deequ-style declared contract over orders, evaluated in ONE
+    aggregation job (conditional aggregates + unpivot).  The in_set check
+    is deliberately missing status 'P' so a real violation count flows
+    through the report."""
+    from .operators.quality import Check, constraint_report
+
+    o = read_table(spark, sf_dir, "orders")
+    checks = [
+        Check("o_orderkey", "not_null"),
+        Check("o_orderkey", "unique"),
+        Check("o_totalprice", "min_ge", 0),
+        Check("o_orderstatus", "in_set", ("O", "F")),
+        Check("o_orderpriority", "matches", r"^[1-5]-[A-Z ]+$"),
+    ]
+    return constraint_report(o, checks)
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "curation_stratified_sample",
+    """
+    SELECT doc_id, lang, rn FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('sample-v1::' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def curation_stratified(spark, sf_dir):
+    """Exact-count stratified sample: 20 docs per language, ranked by a
+    seeded md5 of the id — deterministic across engines/runs/layouts, unlike
+    ``sampleBy`` (Bernoulli: approximate counts, layout-sensitive).  One
+    shuffle on the stratum key; rank truncation happens map-side per
+    partition before the final window (Spark pushes the rn filter into a
+    running-window top-k)."""
+    from pyspark.sql.window import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat_ws("::", F.lit("sample-v1"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(key, F.col("doc_id"))
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).cast("bigint").alias("rn"))
+        .filter(F.col("rn") <= 20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary heavy hitters
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "text_vocab_topk",
+    f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split({_NORM}, ' '), t -> t != '')) AS tok
+      FROM documents
+    )
+    SELECT tok, count(*) AS freq FROM toks GROUP BY 1
+    ORDER BY freq DESC, tok LIMIT 100
+    """,
+)
+def text_vocab(spark, sf_dir):
+    """Corpus-level token frequency top-100: explode → groupBy(token) with
+    map-side combine → TakeOrdered (no global sort materialization).  The
+    shuffle row count is |vocab| per partition, not |tokens|."""
+    from .operators.textanalysis import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "tok")
+        .limit(100)
+    )

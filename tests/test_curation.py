@@ -99,3 +99,30 @@ def test_decontaminate_flags_overlap(spark):
     assert list(rows) == [1]
     assert rows[1]["n_shared_shingles"] == 1
     assert rows[1]["n_test_docs_hit"] == 1
+
+
+def test_constraint_report_single_pass(spark):
+    from phenoxtract_spark.operators.quality import Check, constraint_report
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", -1.0), (2, None, 3.0), (None, "zz", 0.0)],
+        "id bigint, code string, val double",
+    )
+    checks = [
+        Check("id", "not_null"),
+        Check("id", "unique"),
+        Check("val", "min_ge", 0),
+        Check("code", "in_set", ("a", "b")),
+        Check("code", "matches", r"^[a-z]$"),
+    ]
+    rep = {(r["column"], r["check"]): r for r in constraint_report(df, checks).collect()}
+    assert rep[("id", "not_null")]["n_violations"] == 1
+    assert rep[("id", "unique")]["n_violations"] == 1      # id=2 twice
+    assert rep[("val", "min_ge")]["n_violations"] == 1     # -1.0
+    assert rep[("code", "in_set")]["n_violations"] == 1    # "zz" (null ignored)
+    assert rep[("code", "matches")]["n_violations"] == 1   # "zz"
+    assert not rep[("id", "unique")]["passed"]
+    # exactly one aggregation job: the plan contains a single Aggregate chain,
+    # no joins
+    plan = constraint_report(df, checks)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
