@@ -75,3 +75,93 @@ def running_totals_batch(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stateful sessionization with event-time timeout
+# ---------------------------------------------------------------------------
+
+SESSIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("end_ms", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def sessionize_stream(events: DataFrame, gap: str = "30 minutes",
+                      ts: str = "ts") -> DataFrame:
+    """Custom stateful sessionization: sessions close when the event-time
+    watermark passes ``last_event + gap`` (``EventTimeTimeout``), then emit
+    exactly one appended row — the semantics of ``F.session_window`` in
+    append mode, re-implemented as user state to show the pattern for
+    session logic the built-in can't express (e.g. cart-abandonment payloads,
+    per-session feature vectors).
+
+    State per key is one (start, end, n) tuple — O(active sessions) executor
+    memory, bounded by the watermark.  Requires ``withWatermark`` ≥ gap on
+    the source, which this function applies.
+    """
+    import datetime as _dt
+
+    gap_n, gap_unit = gap.split()
+    gap_ms = int(gap_n) * {
+        "second": 1000, "seconds": 1000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+    }[gap_unit]
+
+    def update(key, pdfs, state: GroupState):
+        import datetime as dt
+
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_ms, end_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [dt.datetime.utcfromtimestamp(start_ms / 1000)],
+                    "session_end": [dt.datetime.utcfromtimestamp((end_ms + gap_ms) / 1000)],
+                    "n_events": [n],
+                }
+            )
+            return
+        start_ms, end_ms, n = state.get if state.exists else (None, None, 0)
+        for pdf in pdfs:
+            # normalize to ns regardless of the Arrow batch's unit (us vs ns)
+            ts_ms = pd.to_datetime(pdf["ts"]).astype("datetime64[ns]").astype("int64") // 1_000_000
+            lo, hi = int(ts_ms.min()), int(ts_ms.max())
+            start_ms = lo if start_ms is None else min(start_ms, lo)
+            end_ms = hi if end_ms is None else max(end_ms, hi)
+            n += len(pdf)
+        state.update((start_ms, end_ms, n))
+        # close the session once the watermark passes last_event + gap
+        state.setTimeoutTimestamp(end_ms + gap_ms)
+        yield from ()
+
+    from pyspark.sql import functions as F
+
+    # project to (user_id, ts) before grouping: state shuffle carries only
+    # what the session machine needs, and the update fn sees a fixed schema
+    watermarked = (
+        events.select("user_id", F.col(ts).alias("ts")).withWatermark("ts", gap)
+    )
+    return watermarked.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSIONS_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -90,3 +90,75 @@ def test_batch_equivalent_matches(spark, event_rows):
         for r in stateful.running_totals_batch(df).collect()
     }
     assert got == {1: (2, 15.5), 2: (2, 7.25), 3: (1, 1.0)}
+
+
+def test_stateful_sessionize_event_time_timeout(spark, tmp_path):
+    """Sessions close when the watermark passes last_event + gap and agree
+    with the batch F.session_window semantics (start, end = last + gap, n)."""
+    import datetime as dt
+
+    from phenoxtract_spark.streaming import events as ev
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    # batch 1: two sessions forming for users 1 and 2
+    b1 = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),
+        (2, "2024-01-01 00:05:00"),
+    ]
+    # batch 2: user 1 continues within gap; flush user far ahead advances the
+    # watermark so every earlier session times out in the following batch
+    b2 = [
+        (1, "2024-01-01 00:30:00"),
+        (99, "2024-01-01 06:00:00"),
+    ]
+    spark.createDataFrame(b1, "user_id bigint, ts_raw string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "b1"))
+    spark.createDataFrame(b2, "user_id bigint, ts_raw string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "b2"))
+
+    from phenoxtract_spark.streaming import stateful
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts_raw string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+        .select("user_id", F.col("ts_raw").cast("timestamp").alias("ts"))
+    )
+    out = stateful.sessionize_stream(stream, gap="30 minutes")
+    query = (
+        out.writeStream.format("memory")
+        .queryName("sessionize_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(180)
+    got = {
+        r["user_id"]: (r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessionize_test").collect()
+    }
+    # user 2's lone event: session [00:05, 00:35), 1 event
+    assert got[2] == (
+        dt.datetime(2024, 1, 1, 0, 5), dt.datetime(2024, 1, 1, 0, 35), 1
+    )
+    # user 1: events at 00:00/00:10/00:30 chain into one session ending 01:00
+    assert got[1] == (
+        dt.datetime(2024, 1, 1, 0, 0), dt.datetime(2024, 1, 1, 1, 0), 3
+    )
+    # flush user 99's session never closes (watermark stops at its event)
+    assert 99 not in got
+    # batch session_window agrees for the closed sessions
+    all_rows = spark.createDataFrame(
+        b1 + b2, "user_id bigint, ts_raw string"
+    ).select("user_id", F.col("ts_raw").cast("timestamp").alias("ts"))
+    batch = {
+        r["user_id"]: (r["session_start"], r["session_end"], r["n_events"])
+        for r in ev.session_windows(all_rows, gap="30 minutes").collect()
+        if r["user_id"] in (1, 2)
+    }
+    assert batch == {k: v for k, v in got.items()}
