@@ -73,3 +73,61 @@ def write_parquet_partitioned(df: DataFrame, path: str, partition_cols: list[str
                               mode: str = "overwrite") -> None:
     """General columnar sink with partition pruning for downstream readers."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def merge_upsert_sink(keyed: DataFrame, target_dir: str, key_col: str,
+                      checkpoint_dir: str, seq_col: str | None = None):
+    """Streaming upsert sink: ``foreachBatch`` merge of each micro-batch
+    into a keyed parquet target — latest row per key wins (by ``seq_col``
+    when given, else batch arrival).
+
+    This is the exactly-once pattern for plain parquet: foreachBatch gives
+    at-least-once batch delivery, and the merge is idempotent (re-applying
+    a batch yields the same target), so replays after failure are safe.
+    The merge itself is one anti-join + union + overwrite — no driver-side
+    rows.  At 100 TB you'd point this at a table format with real MERGE
+    (Delta/Iceberg); the operator shape is identical.
+
+    Returns the StreamingQuery (caller awaits/stops)."""
+    from pyspark.sql import functions as F
+
+    spark = keyed.sparkSession
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        # last row per key within the batch
+        if seq_col:
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy(key_col).orderBy(F.col(seq_col).desc())
+            batch = (
+                batch.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            batch = batch.dropDuplicates([key_col])
+        if os.path.isdir(target_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(target_dir)
+        ):
+            current = spark.read.parquet(target_dir)
+            keep = current.join(
+                F.broadcast(batch.select(key_col)), key_col, "left_anti"
+            )
+            merged = keep.unionByName(batch)
+        else:
+            merged = batch
+        # overwrite via a staging dir: parquet has no transactional replace
+        staging = target_dir.rstrip("/") + "._staging"
+        merged.write.mode("overwrite").parquet(staging)
+        import shutil
+
+        if os.path.isdir(target_dir):
+            shutil.rmtree(target_dir)
+        os.replace(staging, target_dir)
+
+    return (
+        keyed.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -162,3 +162,35 @@ def test_stateful_sessionize_event_time_timeout(spark, tmp_path):
         if r["user_id"] in (1, 2)
     }
     assert batch == {k: v for k, v in got.items()}
+
+
+def test_merge_upsert_sink_idempotent(spark, tmp_path):
+    """foreachBatch merge: later batches replace rows per key; re-running
+    the same input (new checkpoint) leaves the target unchanged."""
+    src = tmp_path / "upsert_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k bigint, v string, seq bigint"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [(2, "b2", 21), (3, "c", 30)], "k bigint, v string, seq bigint"
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    from phenoxtract_spark.sources.sinks import merge_upsert_sink
+
+    target = str(tmp_path / "upsert_target")
+
+    def run(ckpt):
+        stream = spark.readStream.schema("k bigint, v string, seq bigint").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(src / "*"))
+        q = merge_upsert_sink(stream, target, "k", str(tmp_path / ckpt), seq_col="seq")
+        q.awaitTermination(120)
+
+    run("ck1")
+    got = {r["k"]: (r["v"], r["seq"]) for r in spark.read.parquet(target).collect()}
+    assert got == {1: ("a", 10), 2: ("b2", 21), 3: ("c", 30)}
+    # replay from scratch (fresh checkpoint) → same target state
+    run("ck2")
+    got2 = {r["k"]: (r["v"], r["seq"]) for r in spark.read.parquet(target).collect()}
+    assert got2 == got
