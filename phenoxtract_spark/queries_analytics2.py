@@ -321,3 +321,149 @@ def tpch_q18(spark, sf_dir):
         )
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
     )
+
+
+@q(
+    "stats_numeric_profile",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS sx,
+             sum(CAST(l_discount AS DECIMAL(38,8))) AS sy,
+             sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS sxx,
+             sum(CAST(l_discount * l_discount AS DECIMAL(38,8))) AS syy,
+             sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,8))) AS sxy
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           round(CAST(sx AS DOUBLE) / n, 4) AS avg_price,
+           round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                      / (n - 1)), 4) AS stddev_price,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS corr_price_discount
+    FROM s
+    """,
+)
+def stats_profile(spark, sf_dir):
+    """Statistical profile per return flag: mean / sample stddev / Pearson
+    correlation derived from DECIMAL moment sums.  Double accumulation is
+    order-dependent (Spark's stddev/corr and DuckDB's disagree at the last
+    ulp over 60k rows); exact decimal Σx/Σx²/Σxy then one fixed double
+    formula gives bit-identical results in both engines."""
+    li = read_table(spark, sf_dir, "lineitem")
+    d = lambda c: c.cast("decimal(38,8)")
+    x, y = F.col("l_extendedprice"), F.col("l_discount")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d(x)).alias("sx"),
+        F.sum(d(y)).alias("sy"),
+        F.sum(d(x * x)).alias("sxx"),
+        F.sum(d(y * y)).alias("syy"),
+        F.sum(d(x * y)).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(sx / n, 4).alias("avg_price"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 4).alias("stddev_price"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_price_discount"),
+    )
+
+
+@q(
+    "g10_packet_roundtrip",
+    """
+    WITH items AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS subject_id,
+             list(struct_pack(
+                    id := o_orderkey,
+                    status := o_orderstatus,
+                    total := o_totalprice,
+                    "date" := CAST(CAST(o_orderdate AS DATE) AS VARCHAR))
+                  ORDER BY o_orderkey) AS orders
+      FROM orders GROUP BY 1
+    ), subj AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS subject_id, c_name AS name,
+             c_mktsegment AS segment
+      FROM customer
+    ), pk AS (
+      SELECT s.subject_id,
+             CAST(to_json(struct_pack(
+               id := s.subject_id,
+               subject := struct_pack(subject_id := s.subject_id,
+                                      name := s.name, segment := s.segment),
+               orders := coalesce(i.orders, []),
+               meta_data := struct_pack(
+                 created_by := 'phenoxtract-spark',
+                 phenopacket_schema_version := '2.0',
+                 resources := CAST([] AS VARCHAR[])))) AS VARCHAR) AS packet_json
+      FROM subj s LEFT JOIN items i USING (subject_id)
+    )
+    SELECT subject_id,
+           json_extract_string(packet_json, '$.subject.name') AS name,
+           CAST(json_array_length(json_extract(packet_json, '$.orders')) AS BIGINT)
+             AS n_orders,
+           json_extract_string(packet_json, '$.orders[0].status') AS first_status
+    FROM pk
+    """,
+)
+def g10_roundtrip(spark, sf_dir):
+    """JSON sink → JSON source roundtrip: parse the rendered packet back
+    with from_json (full nested schema) and extract scalar, array-length,
+    and array-element fields.  Proves the packets are a machine-readable
+    interchange format, not just a blessed string."""
+    from pyspark.sql import types as T
+
+    reg = __import__("phenoxtract_spark.queries_core", fromlist=["QUERIES"]).QUERIES
+    packets = reg["g10_packet_json"][0](spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField(
+                "subject",
+                T.StructType(
+                    [
+                        T.StructField("subject_id", T.StringType()),
+                        T.StructField("name", T.StringType()),
+                        T.StructField("segment", T.StringType()),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "orders",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("id", T.LongType()),
+                            T.StructField("status", T.StringType()),
+                            T.StructField("total", T.DoubleType()),
+                            T.StructField("date", T.StringType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    parsed = packets.select(
+        "subject_id", F.from_json("packet_json", schema).alias("p")
+    )
+    return parsed.select(
+        "subject_id",
+        F.col("p.subject.name").alias("name"),
+        F.size("p.orders").cast("bigint").alias("n_orders"),
+        F.col("p.orders")[0]["status"].alias("first_status"),
+    )
