@@ -218,15 +218,21 @@ def banded_pairs(df: DataFrame, bits: int, band_width: int,
     )
 
 
-def simhash_band_pairs(fingerprints: DataFrame, bits: int = 16,
-                       max_hamming: int = 2, id_col: str = "id",
+def simhash_band_pairs(fingerprints: DataFrame, bits: int = 60,
+                       max_hamming: int = 3, id_col: str = "id",
                        fp_col: str = "simhash") -> DataFrame:
     """SimHash near-dup pairs WITHOUT the all-pairs crossJoin: band the
     fingerprint into ``max_hamming + 1`` bands — by pigeonhole, two
     fingerprints within hamming ≤ max_hamming agree exactly on at least one
     band — so the banded join is EXACT (identical result to brute force),
     while pairs only ever meet inside a (band, band value) bucket.
-    Returns (id_a, id_b, hamming)."""
+    Returns (id_a, id_b, hamming).
+
+    Scale: spurious bucket-mates are Σ_bands n²/2^band_width.  The defaults
+    (60-bit fingerprint, hamming ≤ 3 → 4 bands × 15 bits) keep that at
+    n²/32768 per band; raising max_hamming narrows the bands and the cost
+    grows by 2^(lost bits) — at corpus scale prefer widening the fingerprint
+    over loosening the threshold."""
     n_bands = max_hamming + 1
     cand = banded_pairs(fingerprints, bits=bits, band_width=bits // n_bands,
                         id_col=id_col, fp_col=fp_col)
@@ -293,37 +299,43 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     return labels.select(F.col("id"), F.col("label").alias("canonical_id"))
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
     """SimHash fingerprint over word tokens.  Per token, a ``bits``-wide
     digest from the first hex chars of md5; each bit votes ±1 weighted by
     term frequency; fingerprint bit = sign of the vote.  Returns
-    (id, simhash bigint).  ``bits ≤ 28`` keeps the int exact in a double for
-    the SQL oracle."""
+    (id, simhash bigint).
+
+    Default 60 bits (15 hex chars — stays exact in a signed 64-bit int in
+    both engines).  Width is what makes banded pairing scale: with b-bit
+    bands, random collisions are n²/2^b per band, so 15-bit bands (60/4)
+    give 32768× fewer spurious bucket-mates than the 5-bit bands a 16-bit
+    fingerprint forces.  ``bits ≤ 60`` required."""
+    if bits > 60:
+        raise ValueError("bits > 60 overflows the signed-bigint fingerprint")
+    hex_chars = (bits + 3) // 4
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalized_text(text_col), " ")).alias("tok"),
     ).filter(F.col("tok") != "")
     hashed = toks.withColumn(
-        "h", F.conv(F.substring(F.md5("tok"), 1, 7), 16, 10).cast("bigint") % (2 ** bits)
+        "h",
+        F.conv(F.substring(F.md5("tok"), 1, hex_chars), 16, 10).cast("bigint")
+        % (2 ** bits),
     )
-    bits_df = hashed.select(
-        "id", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    )
-    votes = (
-        bits_df.withColumn(
-            "vote",
-            F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1),
-        )
-        .groupBy("id", "bit")
-        .agg(F.sum("vote").alias("v"))
-    )
-    return (
-        votes.withColumn(
-            "contrib",
-            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
-                F.lit(0).cast("bigint")
-            ),
-        )
-        .groupBy("id")
-        .agg(F.sum("contrib").alias("simhash"))
-    )
+    # one aggregate column per bit instead of exploding ``bits`` rows per
+    # token: the vote pass stays at |token rows| (not |tokens| × bits) and
+    # the whole fingerprint is a single wide groupBy inside codegen
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(bits)
+    ]
+    agg = hashed.groupBy("id").agg(*votes)
+    fp = None
+    for b in range(bits):
+        contrib = F.when(
+            F.col(f"_v{b}") > 0, F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        fp = contrib if fp is None else fp + contrib
+    return agg.select("id", fp.alias("simhash"))

@@ -47,11 +47,23 @@ def brute_force_topk(
     ``queries`` is small (broadcast); candidates stream map-side, so the only
     shuffle is the per-query top-k aggregation.  Self-matches excluded.
     Returns (query_id, neighbor_id, cos, rank)."""
+    # norms are precomputed ONCE per side: cosine() inline would re-run two
+    # l2_norm aggregates for every (query, candidate) pair — 3 higher-order
+    # aggregates per pair instead of 1.  Numerically identical (same
+    # operands, same op order), ~3× less HOF work.
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            l2_norm(F.col(vec_col)).alias("_qn"),
+        )
     )
-    c = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    raw = cosine(F.col("qv"), F.col("cv"))
+    c = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+    )
+    raw = dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn"))
     # rank on the ROUNDED score: makes the top-k boundary deterministic
     # across engines despite summation-order ulp differences
     scored = (
@@ -77,12 +89,25 @@ def assign_ivf_centroid(vectors: DataFrame, centroids: DataFrame,
     Returns (id, centroid_id).  Centroids can come from any source — here
     typically a sampled subset of the vectors themselves (deterministic)."""
     cen = F.broadcast(
-        centroids.select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv"))
+        centroids.select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("cv"),
+            l2_norm(F.col(vec_col)).alias("_cn"),
+        )
     )
-    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    # rounded score → deterministic assignment across engines/runs
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("_vn"),
+    )
+    # rounded score → deterministic assignment across engines/runs; norms
+    # precomputed per side (1 HOF aggregate per pair, not 3)
     scored = v.crossJoin(cen).select(
-        "id", "centroid_id", F.round(cosine(F.col("v"), F.col("cv")), 6).alias("_cos")
+        "id",
+        "centroid_id",
+        F.round(
+            dot(F.col("v"), F.col("cv")) / (F.col("_vn") * F.col("_cn")), 6
+        ).alias("_cos"),
     )
     w = Window.partitionBy("id").orderBy(F.col("_cos").desc(), F.col("centroid_id"))
     return (
@@ -97,13 +122,17 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
              round_dp: int | None = 6) -> DataFrame:
     """Approximate top-k: compare only pairs sharing a centroid bucket."""
     assign = assign_ivf_centroid(vectors, centroids, id_col, vec_col)
-    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).join(
-        assign.withColumnRenamed("id", "neighbor_id"), "neighbor_id"
-    )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).join(
-        assign.withColumnRenamed("id", "query_id"), "query_id"
-    )
-    raw = cosine(F.col("qv"), F.col("cv"))
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+    ).join(assign.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    ).join(assign.withColumnRenamed("id", "query_id"), "query_id")
+    raw = dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn"))
     scored = (
         v.join(q, "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -207,9 +236,20 @@ def ivf_neardup_pairs(vectors: DataFrame, centroids: DataFrame,
     a = assign.select(F.col("id").alias("id_a"), "centroid_id")
     b = assign.select(F.col("id").alias("id_b"), "centroid_id")
     pairs = a.join(b, "centroid_id").filter(F.col("id_a") < F.col("id_b"))
-    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    cos = F.round(cosine(F.col("va"), F.col("vb")), round_dp)
+    # norms once per side, not per pair (see brute_force_topk)
+    va = vectors.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("_na"),
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("_nb"),
+    )
+    cos = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")), round_dp
+    )
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")

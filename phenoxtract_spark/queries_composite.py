@@ -148,10 +148,12 @@ def dedup_cc(spark, sf_dir):
       ) t WHERE t.tok != ''
     ),
     hashed AS (
-      SELECT doc_id, ('0x' || substr(md5(tok), 1, 7))::BIGINT % 65536 AS h FROM toks
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1152921504606846976 AS h
+      FROM toks
     ),
     bits AS (
-      SELECT doc_id, h, b.bit FROM hashed, (SELECT unnest(generate_series(0, 15)) AS bit) b
+      SELECT doc_id, h, b.bit FROM hashed, (SELECT unnest(generate_series(0, 59)) AS bit) b
     ),
     votes AS (
       SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
@@ -165,18 +167,21 @@ def dedup_cc(spark, sf_dir):
     SELECT a.id AS id_a, b.id AS id_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
     FROM sh a JOIN sh b ON a.id < b.id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """.replace("{norm}", "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"),
 )
 def simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs: hamming(fingerprints) ≤ 2, paired via
-    ``max_hamming + 1`` fingerprint bands (pigeonhole: some band matches
-    exactly) — identical result to brute force, but the join only ever
-    meets inside a (band, band-value) bucket, never all-pairs.  The oracle
-    keeps the brute-force pairing as ground truth for the same reason."""
+    """SimHash near-dup pairs: hamming(fingerprints) ≤ 3 over 60-bit
+    fingerprints, paired via ``max_hamming + 1`` bands (pigeonhole: some
+    band matches exactly) — identical result to brute force, but the join
+    only ever meets inside a (band, band-value) bucket, never all-pairs.
+    The 60/4-bit geometry keeps spurious bucket-mates at n²/2^15 per band
+    (the old 16-bit fingerprint forced 5-bit bands — n²/32 — which the sf1
+    probe exposed as effectively quadratic).  The oracle keeps brute-force
+    pairing as ground truth."""
     d = read_table(spark, sf_dir, "documents")
-    sh = dedup.simhash(d, "doc_id", "text", bits=16)
-    return dedup.simhash_band_pairs(sh, bits=16, max_hamming=2)
+    sh = dedup.simhash(d, "doc_id", "text", bits=60)
+    return dedup.simhash_band_pairs(sh, bits=60, max_hamming=3)
 
 
 @q(

@@ -121,7 +121,9 @@ def skew_salted_join(spark, sf_dir):
     WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
     vx AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, idx),
     norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM vx GROUP BY vec_id),
-    cen AS (SELECT vec_id AS cid FROM embeddings WHERE vec_id % 61 = 0),
+    cen AS (SELECT vec_id AS cid FROM embeddings
+            WHERE vec_id % (SELECT greatest(61, CAST(floor(sqrt(count(*))) AS BIGINT))
+                            FROM embeddings) = 0),
     adots AS (
       SELECT v.vec_id AS id, c.cid,
              round(sum(v.x * cv.x) / (nv.nrm * nc.nrm), 6) AS cos
@@ -156,10 +158,15 @@ def skew_salted_join(spark, sf_dir):
 def neardup_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.4) via IVF buckets:
     pairs are generated ONLY within a nearest-centroid bucket (centroids =
-    the deterministic vec_id % 61 slice, a broadcast dim), then
+    a deterministic vec_id stride slice, a broadcast dim), then
     cosine-verified — Σ|bucket|² work, never the all-pairs crossJoin.  The
-    oracle replicates the centroid assignment, and brute force survives as
-    the test-side recall baseline (test_scale_operators)."""
+    stride adapts as max(61, ⌊√n⌋) so centroid count grows ∝ √n and the
+    assignment pass stays n^1.5, not n²/61.  The oracle replicates the
+    centroid assignment, and brute force survives as the test-side recall
+    baseline (test_scale_operators)."""
+    import math
+
     e = read_table(spark, sf_dir, "embeddings")
-    centroids = e.filter(F.col("vec_id") % 61 == 0)
+    stride = max(61, int(math.isqrt(e.count())))
+    centroids = e.filter(F.col("vec_id") % stride == 0)
     return similarity.ivf_neardup_pairs(e, centroids, threshold=0.4)

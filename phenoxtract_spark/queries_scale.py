@@ -249,10 +249,12 @@ def dedup_jaccard(spark, sf_dir):
       ) t WHERE t.tok != ''
     ),
     hashed AS (
-      SELECT doc_id, ('0x' || substr(md5(tok), 1, 7))::BIGINT % 65536 AS h FROM toks
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1152921504606846976 AS h
+      FROM toks
     ),
     bits AS (
-      SELECT doc_id, h, b.bit FROM hashed, (SELECT unnest(generate_series(0, 15)) AS bit) b
+      SELECT doc_id, h, b.bit FROM hashed, (SELECT unnest(generate_series(0, 59)) AS bit) b
     ),
     votes AS (
       SELECT doc_id, bit,
@@ -266,7 +268,7 @@ def dedup_jaccard(spark, sf_dir):
 )
 def dedup_simhash(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
-    return dedup.simhash(d, "doc_id", "text", bits=16)
+    return dedup.simhash(d, "doc_id", "text", bits=60)
 
 
 # ---------------------------------------------------------------------------
@@ -317,7 +319,9 @@ def sim_bruteforce(spark, sf_dir):
     WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
     vx AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, idx),
     norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM vx GROUP BY vec_id),
-    cen AS (SELECT vec_id AS cid FROM embeddings WHERE vec_id % 61 = 0),
+    cen AS (SELECT vec_id AS cid FROM embeddings
+            WHERE vec_id % (SELECT greatest(61, CAST(floor(sqrt(count(*))) AS BIGINT))
+                            FROM embeddings) = 0),
     adots AS (
       SELECT v.vec_id AS id, c.cid,
              round(sum(v.x * cv.x) / (nv.nrm * nc.nrm), 6) AS cos
@@ -355,9 +359,16 @@ def sim_bruteforce(spark, sf_dir):
     """,
 )
 def sim_ivf(spark, sf_dir):  # recall vs brute force also asserted in tests
+    """Centroid count scales as √n (stride = max(61, ⌊√n⌋), n from parquet
+    metadata): a FIXED stride makes C grow linearly and the assignment pass
+    n²/stride — quadratic in disguise, which the sf1 probe caught.  √n
+    centroids keep assignment at n^1.5 while bucket sizes stay ≈√n."""
+    import math
+
     e = read_table(spark, sf_dir, "embeddings")
+    stride = max(61, int(math.isqrt(e.count())))
     queries = e.filter(F.col("vec_id") < 5)
-    centroids = e.filter(F.col("vec_id") % 61 == 0)
+    centroids = e.filter(F.col("vec_id") % stride == 0)
     return similarity.ivf_topk(e, queries, centroids, k=5)
 
 
@@ -398,9 +409,9 @@ def sim_lsh_sig(spark, sf_dir):
 
 @q(
     "similarity_lsh_candidate_pairs",
-    "WITH " + _PLANES_SQL.replace("{np}", "15") + """,
+    "WITH " + _PLANES_SQL.replace("{np}", "31") + """,
     bands AS (
-      SELECT id, b.band, (sig >> (b.band * 4)) & 15 AS bval
+      SELECT id, b.band, (sig >> (b.band * 8)) & 255 AS bval
       FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b
     )
     SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -408,12 +419,16 @@ def sim_lsh_sig(spark, sf_dir):
     """,
 )
 def sim_lsh_cand(spark, sf_dir):
-    """Banded-signature candidate pairs: 16 planes → 4 bands × 4 sign bits;
+    """Banded-signature candidate pairs: 32 planes → 4 bands × 8 sign bits;
     candidates agree on all bits of ≥1 band.  The self-join key is
-    (band, band bits) — bucket-bounded, never all-pairs."""
+    (band, band bits) — bucket-bounded, never all-pairs.  8-bit bands put
+    256 values per band (the earlier 4-bit geometry had 16 — n²/16 spurious
+    bucket-mates, which the sf1 probe exposed); recall for cos ≥ 0.9 pairs
+    stays ≈0.75 (measured gate in tests), and larger corpora should widen
+    bands + add planes rather than shrink bands."""
     e = read_table(spark, sf_dir, "embeddings")
     return similarity.hyperplane_candidate_pairs(
-        e, dim=64, num_planes=16, rows_per_band=4
+        e, dim=64, num_planes=32, rows_per_band=8
     )
 
 

@@ -77,23 +77,25 @@ def test_hyperplane_signature_deterministic(spark, sf_dir):
 
 
 def test_simhash_band_pairs_exact_vs_bruteforce(docs, spark):
-    """Pigeonhole banding is EXACT: banded pairs == brute-force pairs."""
-    sh = dedup.simhash(docs, "doc_id", "text", bits=16)
-    banded = {
-        (r["id_a"], r["id_b"], r["hamming"])
-        for r in dedup.simhash_band_pairs(sh, bits=16, max_hamming=2).collect()
-    }
-    a = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("sa"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("sb"))
-    brute = {
-        (r["id_a"], r["id_b"], r["hamming"])
-        for r in a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", F.bit_count(F.expr("sa ^ sb")).cast("bigint"))
-        .filter(F.col("hamming") <= 2)
-        .collect()
-    }
-    assert banded == brute
+    """Pigeonhole banding is EXACT: banded pairs == brute-force pairs —
+    at the 60-bit default geometry and at a narrow 16-bit one."""
+    for bits, h in ((60, 3), (16, 2)):
+        sh = dedup.simhash(docs, "doc_id", "text", bits=bits)
+        banded = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dedup.simhash_band_pairs(sh, bits=bits, max_hamming=h).collect()
+        }
+        a = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("sa"))
+        b = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("sb"))
+        brute = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("hamming", F.bit_count(F.expr("sa ^ sb")).cast("bigint"))
+            .filter(F.col("hamming") <= h)
+            .collect()
+        }
+        assert banded == brute
 
 
 def test_ivf_neardup_recall_vs_bruteforce(spark, sf_dir):
@@ -139,7 +141,7 @@ def test_hyperplane_candidates_recall(spark, sf_dir):
     cand = {
         (r["id_a"], r["id_b"])
         for r in similarity.hyperplane_candidate_pairs(
-            emb, dim=64, num_planes=16, rows_per_band=4
+            emb, dim=64, num_planes=32, rows_per_band=8
         ).collect()
     }
     if truth:
