@@ -27,7 +27,7 @@ def _registry():
     from phenoxtract_spark import queries_analytics, queries_joins  # noqa: F401
     from phenoxtract_spark import queries_core, queries_pipeline, queries_scale  # noqa: F401
     from phenoxtract_spark import queries_analytics2, queries_composite, queries_scalars  # noqa: F401
-    from phenoxtract_spark import queries_curation, queries_tpch  # noqa: F401
+    from phenoxtract_spark import queries_curation, queries_llm, queries_tpch  # noqa: F401
 
     return queries_core.QUERIES
 

@@ -1,0 +1,126 @@
+"""Distributed k-means (Lloyd iterations) over an embedding column.
+
+The training-data use case: cluster document embeddings for semantic
+sharding / diversity sampling / semantic-dedup bucketing.  Everything is
+DataFrame-native:
+
+- **assignment** is a crossJoin against a BROADCAST centroid dim (C
+  centroids, C ≪ n) with a JVM-side squared-L2 over ``zip_with`` — one
+  map-side pass, no shuffle of the vector side;
+- **recomputation** posexplodes members to (cluster, dim, value) rows and
+  averages per (cluster, dim) — a single shuffle whose width is C × dim
+  rows, with map-side partial aggregation doing the heavy lifting;
+- each iteration's centroids are ROUNDED to ``round_dp`` so the fixpoint
+  trajectory is identical across engines/runs (the same discipline as every
+  cosine in operators/similarity.py).
+
+At 100 TB: vectors never shuffle — per iteration the data-side cost is one
+scan + one (cluster, dim)-keyed partial agg; the driver only ever holds the
+C × dim centroid matrix (broadcast each round).  Iterations are bounded and
+small (k-means for bucketing converges usefully in a handful of rounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Squared euclidean distance between two array columns (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+
+
+def kmeans_assign(vectors: DataFrame, centroids: DataFrame,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  cen_id_col: str = "cid", cen_vec_col: str = "cv",
+                  round_dp: int = 6) -> DataFrame:
+    """Nearest-centroid assignment under squared L2.  ``centroids`` is the
+    small side (broadcast); ties on the rounded distance break toward the
+    smallest centroid id, so the assignment is deterministic across
+    engines.  Returns (id, cluster)."""
+    cen = F.broadcast(
+        centroids.select(
+            F.col(cen_id_col).alias("_cid"), F.col(cen_vec_col).alias("_cv")
+        )
+    )
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+    scored = v.crossJoin(cen).select(
+        "id", "_cid", F.round(_sq_l2(F.col("_v"), F.col("_cv")), round_dp).alias("_d2")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("_d2").asc(), F.col("_cid").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", F.col("_cid").alias("cluster"))
+    )
+
+
+def kmeans_recompute(vectors: DataFrame, assign: DataFrame,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     round_dp: int = 6) -> DataFrame:
+    """New centroids = per-cluster elementwise mean, rounded.  The explode
+    widens rows ×dim but aggregates immediately (map-side combine), so the
+    shuffle carries only (cluster, dim) partials.  Returns (cid, cv)."""
+    member = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v")).join(
+        assign, "id"
+    )
+    per_dim = (
+        member.select("cluster", F.posexplode("_v").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(F.round(F.avg(F.col("x").cast("double")), round_dp).alias("cx"))
+    )
+    return (
+        per_dim.groupBy(F.col("cluster").alias("cid"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("_pairs"))
+        .select("cid", F.transform(F.col("_pairs"), lambda p: p["cx"]).alias("cv"))
+    )
+
+
+def kmeans_iterate(vectors: DataFrame, init_centroids: DataFrame,
+                   iterations: int = 2, id_col: str = "vec_id",
+                   vec_col: str = "embedding", round_dp: int = 6) -> DataFrame:
+    """Run ``iterations`` Lloyd rounds from deterministic seed centroids and
+    return the final assignment (id, cluster).  ``init_centroids`` must have
+    (cid, cv) columns — typically a strided slice of the vectors themselves
+    (see the registered query).  Intermediate centroid frames are tiny
+    (C rows); no localCheckpoint needed for the bounded iteration counts
+    bucketing uses."""
+    cen = init_centroids
+    assign = None
+    for _ in range(iterations):
+        assign = kmeans_assign(
+            vectors, cen, id_col=id_col, vec_col=vec_col, round_dp=round_dp
+        )
+        cen = kmeans_recompute(
+            vectors, assign, id_col=id_col, vec_col=vec_col, round_dp=round_dp
+        )
+    # final assignment against the last recomputed centroids, so the
+    # returned clustering reflects every completed round
+    return kmeans_assign(vectors, cen, id_col=id_col, vec_col=vec_col,
+                         round_dp=round_dp)
+
+
+def cluster_profile(vectors: DataFrame, assign: DataFrame,
+                    centroids: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding", round_dp: int = 4) -> DataFrame:
+    """Per-cluster size + inertia (sum of squared distances to the
+    centroid) — the convergence/skew diagnostic.  Returns
+    (cluster, n_members, inertia)."""
+    member = (
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+        .join(assign, "id")
+        .join(
+            F.broadcast(centroids.select(F.col("cid").alias("cluster"), "cv")),
+            "cluster",
+        )
+    )
+    return member.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        F.round(F.sum(_sq_l2(F.col("_v"), F.col("cv"))), round_dp).alias("inertia"),
+    )

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .dedup import normalized_text, shingles
 
@@ -109,4 +110,80 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         detect_language(c).alias("lang_pred"),
         quality_score(c).alias("quality"),
         fingerprint(c).alias("fingerprint"),
+    )
+
+
+def tokens_long(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Long-form tokens (id, tok) — the explode-once base for corpus-level
+    statistics (tf-idf, LM scoring).  Empty tokens dropped."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(text_col)).alias("tok"),
+    )
+
+
+def tfidf_topk(df: DataFrame, id_col: str, text_col: str, k: int = 3,
+               round_dp: int = 6) -> DataFrame:
+    """Top-k terms per document by tf-idf.
+
+    tf = term count in the doc; idf = ln((N + 1) / (df + 1)) with df =
+    number of docs containing the term.  Rank ties break lexicographically
+    on the term so the top-k boundary is deterministic.
+
+    Plan shape: one explode feeding TWO aggregations — per-(doc, term)
+    counts (shuffle on doc+term) and per-term document frequency (shuffle
+    on term, broadcast back: the distinct-term dim is vocabulary-sized,
+    far smaller than the corpus).  N is a literal-free scalar joined as a
+    one-row broadcast, so nothing here caps corpus size.
+    Returns (id, tok, tf, score, rank)."""
+    toks = tokens_long(df, id_col, text_col)
+    tf = toks.groupBy("id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("_n"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log((F.col("_n") + 1).cast("double") / (F.col("df") + 1).cast("double")),
+                round_dp,
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("id", "tok", "tf", "score", "rank")
+    )
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
+                    round_dp: int = 4) -> DataFrame:
+    """Unigram language-model score per document: mean ln p(token) under
+    the corpus's own unigram distribution — the perplexity-style fluency /
+    outlier signal (gibberish and boilerplate both sit far from the
+    corpus mean).
+
+    p(tok) = corpus_count(tok) / corpus_total; every token of every doc has
+    a count by construction (the model IS the corpus), so the join is
+    inner with no smoothing term.  Plan: explode once, aggregate the
+    corpus counts (vocabulary-sized dim, broadcast back), then one
+    per-doc aggregation.  Returns (id, n_tokens, avg_logprob)."""
+    toks = tokens_long(df, id_col, text_col)
+    counts = toks.groupBy("tok").agg(F.count("*").alias("_cnt"))
+    total = toks.agg(F.count("*").alias("_tot"))
+    return (
+        toks.join(counts, "tok")
+        .join(F.broadcast(total))
+        .withColumn(
+            "_logp", F.log(F.col("_cnt").cast("double") / F.col("_tot").cast("double"))
+        )
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("_logp"), round_dp).alias("avg_logprob"),
+        )
     )

@@ -1,0 +1,271 @@
+"""Oracle-checked queries for the corpus-curation additions: k-means
+bucketing over embeddings, tf-idf term extraction, unigram-LM fluency
+scoring, and quality-aware canonical selection for near-dup groups.
+
+Cross-engine discipline as everywhere: doubles rounded in-query on both
+sides, int32-producing Spark functions cast to bigint, md5 hex for digests,
+deterministic tie-breaks on every ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .operators import clustering, textanalysis
+from .queries_core import q, read_table
+
+_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+# DuckDB mirror of one squared-L2 nearest-centroid assignment given CTEs
+# ``vx`` (vec_id, i, x) and a centroid relation {cen} (cid, i, x); emits
+# {out} (vec_id, cid).
+_ASSIGN_SQL = """
+  d_{out} AS (
+    SELECT v.vec_id, c.cid, round(sum((v.x - c.x) * (v.x - c.x)), 6) AS d2
+    FROM vx v JOIN {cen} c ON v.i = c.i
+    GROUP BY v.vec_id, c.cid
+  ),
+  {out} AS (
+    SELECT vec_id, cid FROM (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+      FROM d_{out}
+    ) WHERE rn = 1
+  )
+"""
+
+
+@q(
+    "clustering_kmeans_assign",
+    """
+    WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+    vx AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, idx),
+    cen0 AS (
+      SELECT vec_id AS cid, i, x FROM vx
+      WHERE vec_id % (SELECT greatest(61, CAST(floor(sqrt(count(*))) AS BIGINT))
+                      FROM embeddings) = 0
+    ),
+    """
+    + _ASSIGN_SQL.format(cen="cen0", out="a1")
+    + """,
+    cen1 AS (
+      SELECT a1.cid, v.i, round(avg(v.x), 6) AS x
+      FROM vx v JOIN a1 ON v.vec_id = a1.vec_id
+      GROUP BY a1.cid, v.i
+    ),
+    """
+    + _ASSIGN_SQL.format(cen="cen1", out="a2")
+    + """,
+    cen2 AS (
+      SELECT a2.cid, v.i, round(avg(v.x), 6) AS x
+      FROM vx v JOIN a2 ON v.vec_id = a2.vec_id
+      GROUP BY a2.cid, v.i
+    ),
+    """
+    + _ASSIGN_SQL.format(cen="cen2", out="a3")
+    + """
+    SELECT vec_id, cid AS cluster FROM a3
+    """,
+)
+def kmeans_assign_q(spark, sf_dir):
+    """Two Lloyd rounds from deterministic strided seeds, then the final
+    assignment — k-means as embedding bucketing for semantic sharding.
+    Centroid count scales as √n (same stride rule as the IVF queries);
+    per round the vectors are scanned once map-side against broadcast
+    centroids and only C × dim averaged partials shuffle.  Every distance
+    and every centroid coordinate is rounded before use, so the two
+    engines walk the identical trajectory."""
+    import math
+
+    e = read_table(spark, sf_dir, "embeddings")
+    stride = max(61, int(math.isqrt(e.count())))
+    seeds = e.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    return clustering.kmeans_iterate(e, seeds, iterations=2).select(
+        F.col("id").alias("vec_id"), "cluster"
+    )
+
+
+@q(
+    "text_tfidf_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, t.tok FROM (
+        SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+      ) t WHERE t.tok != ''
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, tok, tf,
+           round(CAST(tf AS DOUBLE) * ln((n_docs + 1.0) / (df + 1.0)), 6) AS score,
+           rank
+    FROM (
+      SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df, n.n_docs,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY round(CAST(tf AS DOUBLE)
+                              * ln((n_docs + 1.0) / (df + 1.0)), 6) DESC,
+                        tf.tok ASC
+             ) AS rank
+      FROM tf JOIN dfreq ON tf.tok = dfreq.tok, n
+    ) WHERE rank <= 3
+    """,
+)
+def tfidf_topk_q(spark, sf_dir):
+    """Top-3 tf-idf terms per document (keyword extraction / topic
+    signal).  The vocabulary-sized document-frequency dim broadcasts back
+    onto the per-doc counts; ties rank lexicographically so the top-k
+    boundary is stable."""
+    d = read_table(spark, sf_dir, "documents")
+    return textanalysis.tfidf_topk(d, "doc_id", "text", k=3).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@q(
+    "text_unigram_logprob",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, t.tok FROM (
+        SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+      ) t WHERE t.tok != ''
+    ),
+    counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT count(*) AS total FROM toks)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))), 4)
+             AS avg_logprob
+    FROM toks JOIN counts USING (tok), tot
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob_q(spark, sf_dir):
+    """Mean unigram log-probability per document under the corpus's own
+    unigram model — the perplexity-style fluency signal for quality
+    filtering."""
+    d = read_table(spark, sf_dir, "documents")
+    return textanalysis.unigram_logprob(d, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@q(
+    "dedup_canonical_by_quality",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id, md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS h
+      FROM toks, unnest(generate_series(1, greatest(len(t) - 7, 1))) AS u(i)
+    ),
+    fp AS (SELECT doc_id, min(h) AS fingerprint FROM sh GROUP BY doc_id),
+    m AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+               AS n_alpha,
+             CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))
+                  AS DOUBLE) AS n_punct,
+             CAST(len(list_filter(string_split({_NORM}, ' '), x -> x != ''))
+                  AS DOUBLE) AS n_tok,
+             CAST(len(list_filter(string_split({_NORM}, ' '),
+                  x -> list_contains(['the','and','of','to','is','in','that','it',
+                                      'was','for'], x))) AS DOUBLE) AS en_stop
+      FROM documents
+    ),
+    quality AS (
+      SELECT doc_id,
+             round(0.3 * least(n_chars / 500.0, 1.0)
+                 + 0.3 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+                 + 0.2 * (CASE WHEN n_tok > 0
+                               THEN least(en_stop / (n_tok * 0.1 + 1e-9), 1.0)
+                               ELSE 0.0 END)
+                 + 0.2 * (CASE WHEN n_chars > 0
+                               THEN 1.0 - least(n_punct / n_chars * 5, 1.0)
+                               ELSE 0.0 END), 6) AS quality
+      FROM m
+    )
+    SELECT fingerprint, doc_id AS kept_doc_id, quality AS kept_quality,
+           n_dups
+    FROM (
+      SELECT fp.fingerprint, fp.doc_id, q.quality,
+             count(*) OVER (PARTITION BY fp.fingerprint) AS n_dups,
+             row_number() OVER (
+               PARTITION BY fp.fingerprint
+               ORDER BY q.quality DESC, fp.doc_id ASC
+             ) AS rn
+      FROM fp JOIN quality q USING (doc_id)
+    ) WHERE rn = 1 AND n_dups > 1
+    """,
+)
+def canonical_by_quality_q(spark, sf_dir):
+    """Quality-aware canonical selection: within each near-dup group
+    (documents sharing an 8-shingle min-digest fingerprint), KEEP the
+    highest-quality member instead of the min-id — what a curation
+    pipeline actually wants from dedup.  One fingerprint aggregation, one
+    quality projection, one windowed argmax per group; ties break on
+    doc_id.  Only groups with real duplicates are emitted."""
+    d = read_table(spark, sf_dir, "documents")
+    fp = textanalysis.fingerprint_df(d, "doc_id", "text", k=8)
+    quality = d.select("doc_id", textanalysis.quality_score("text").alias("quality"))
+    joined = fp.join(quality, "doc_id")
+    w = Window.partitionBy("fingerprint")
+    ranked = (
+        joined.withColumn("n_dups", F.count("*").over(w))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                w.orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .filter((F.col("rn") == 1) & (F.col("n_dups") > 1))
+    )
+    return ranked.select(
+        "fingerprint",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("quality").alias("kept_quality"),
+        "n_dups",
+    )
+
+
+@q(
+    "curation_shard_assign",
+    f"""
+    WITH sized AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16
+               AS shard,
+             len(list_filter(string_split({_NORM}, ' '), x -> x != ''))
+               AS n_tokens
+      FROM documents
+    )
+    SELECT shard, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+    FROM sized GROUP BY shard
+    """,
+)
+def shard_assign_q(spark, sf_dir):
+    """Deterministic output sharding for training-data writes: shard =
+    md5(doc_id) mod 16 (content-independent, engine-independent — NOT
+    Spark's hash(), which DuckDB can't reproduce), with per-shard doc and
+    token totals for budget accounting.  At scale this is the
+    repartition-by-expression before the sharded writer (sinks.py)."""
+    d = read_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 16
+    )
+    return (
+        d.select(
+            shard.alias("shard"),
+            textanalysis.token_count("text").cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )

@@ -1,0 +1,177 @@
+"""Unit tests for the corpus-curation operators: k-means bucketing,
+tf-idf extraction, unigram-LM scoring, quality-canonical dedup selection."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from phenoxtract_spark.operators import clustering, textanalysis
+from phenoxtract_spark.queries_core import read_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings")
+
+
+def _seeds(emb, stride):
+    return emb.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+
+
+def test_kmeans_assignment_total_and_valid(emb):
+    """Every vector gets exactly one cluster, drawn from the seed ids'
+    closure (recomputed centroids keep their seed cid)."""
+    seeds = _seeds(emb, 61)
+    assign = clustering.kmeans_iterate(emb, seeds, iterations=1)
+    n = emb.count()
+    assert assign.count() == n
+    assert assign.select("id").distinct().count() == n
+    seed_ids = {r["cid"] for r in seeds.select("cid").collect()}
+    got = {r["cluster"] for r in assign.select("cluster").distinct().collect()}
+    assert got <= seed_ids
+
+
+def test_kmeans_inertia_never_increases(emb):
+    """Lloyd's algorithm is monotone: total inertia after a recompute+
+    reassign round is <= the seed assignment's inertia."""
+    seeds = _seeds(emb, 61)
+    a0 = clustering.kmeans_assign(emb, seeds, cen_id_col="cid", cen_vec_col="cv")
+    c1 = clustering.kmeans_recompute(emb, a0)
+    a1 = clustering.kmeans_assign(emb, c1, cen_id_col="cid", cen_vec_col="cv")
+
+    def inertia(assign, cen):
+        prof = clustering.cluster_profile(emb, assign, cen)
+        return prof.agg(F.sum("inertia")).collect()[0][0]
+
+    i0 = inertia(a0, seeds)
+    i1 = inertia(a1, c1)
+    assert i1 <= i0 + 1e-6
+
+
+def test_kmeans_deterministic(emb):
+    seeds = _seeds(emb, 61)
+    a = sorted(
+        (r["id"], r["cluster"])
+        for r in clustering.kmeans_iterate(emb, seeds, iterations=2).collect()
+    )
+    b = sorted(
+        (r["id"], r["cluster"])
+        for r in clustering.kmeans_iterate(
+            emb.repartition(7), seeds, iterations=2
+        ).collect()
+    )
+    assert a == b
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "common common zebra"),
+            (2, "common common common"),
+            (3, "common quartz quartz"),
+        ],
+        ["doc_id", "text"],
+    )
+    top = textanalysis.tfidf_topk(docs, "doc_id", "text", k=1)
+    got = {r["id"]: r["tok"] for r in top.collect()}
+    # 'common' appears in every doc → idf ln(4/4)=0; rare terms win
+    assert got[1] == "zebra"
+    assert got[3] == "quartz"
+    # doc 2 has only 'common': score 0 rows still rank (k=1 keeps one)
+    assert got[2] == "common"
+
+
+def test_tfidf_rank_is_dense_per_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha alpha beta")],
+        ["doc_id", "text"],
+    )
+    top = textanalysis.tfidf_topk(docs, "doc_id", "text", k=3)
+    for _, grp in __import__("itertools").groupby(
+        sorted(top.collect(), key=lambda r: (r["id"], r["rank"])), key=lambda r: r["id"]
+    ):
+        ranks = [r["rank"] for r in grp]
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_unigram_logprob_uniform_corpus(spark):
+    """In a corpus where every token is equally frequent, every doc scores
+    ln(1/V)."""
+    docs = spark.createDataFrame(
+        [(1, "aa bb"), (2, "cc dd")], ["doc_id", "text"]
+    )
+    out = {r["id"]: r["avg_logprob"] for r in
+           textanalysis.unigram_logprob(docs, "doc_id", "text").collect()}
+    expect = round(math.log(1 / 4), 4)
+    assert out == {1: expect, 2: expect}
+
+
+def test_unigram_logprob_repetitive_doc_scores_higher(spark):
+    docs = spark.createDataFrame(
+        [(1, "the the the the"), (2, "one rare word here")],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r["avg_logprob"] for r in
+           textanalysis.unigram_logprob(docs, "doc_id", "text").collect()}
+    # 'the' has corpus probability 4/8; the rare words 1/8 each
+    assert out[1] > out[2]
+
+
+def test_canonical_by_quality_keeps_best(spark):
+    """Near-identical docs (same 2-shingle fingerprint) collapse to the
+    highest-quality member."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    noisy = base + " !!!! #### $$$$ %%%% @@@@ ^^^^"
+    docs = spark.createDataFrame(
+        [(1, noisy), (2, base), (3, "completely different text about ships")],
+        ["doc_id", "text"],
+    )
+    fp = textanalysis.fingerprint_df(docs, "doc_id", "text", k=2)
+    quality = docs.select(
+        "doc_id", textanalysis.quality_score("text").alias("quality")
+    )
+    from pyspark.sql.window import Window
+
+    joined = fp.join(quality, "doc_id")
+    w = Window.partitionBy("fingerprint")
+    kept = (
+        joined.withColumn("n_dups", F.count("*").over(w))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                w.orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .filter((F.col("rn") == 1) & (F.col("n_dups") > 1))
+        .collect()
+    )
+    assert len(kept) == 1
+    # doc 2 (clean) must beat doc 1 (punctuation-soup suffix)
+    assert kept[0]["doc_id"] == 2
+
+
+def test_shard_assignment_is_total_and_stable(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 16
+    )
+    out = d.select(shard.alias("shard"))
+    assert out.filter((F.col("shard") < 0) | (F.col("shard") > 15)).count() == 0
+    # deterministic across partitionings
+    a = out.groupBy("shard").count().collect()
+    b = (
+        d.repartition(9)
+        .select(shard.alias("shard"))
+        .groupBy("shard")
+        .count()
+        .collect()
+    )
+    assert sorted((r["shard"], r["count"]) for r in a) == sorted(
+        (r["shard"], r["count"]) for r in b
+    )
