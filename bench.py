@@ -87,14 +87,19 @@ def main():
     results: dict[str, float] = {}
     # warm the JVM/codegen once with a trivial action
     spark.range(1000).count()
+    errors: dict[str, str] = {}
     total0 = time.time()
     for name in HEADLINE:
         if name not in qs:
             continue
         t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        results[name] = round(time.time() - t0, 3)
+        try:
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            results[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # one broken query must never zero the artifact
+            results[name] = "ERR"
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
     total = round(time.time() - total0, 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -108,6 +113,8 @@ def main():
         "queries": results,
         "sf": sf,
     }
+    if errors:
+        payload["errors"] = errors
 
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf == 0.1:
         try:
@@ -121,13 +128,21 @@ def main():
                 if name not in qs:
                     continue
                 t0 = time.time()
-                df = qs[name](spark, sf1_dir)
-                df.write.format("noop").mode("overwrite").save()
-                sf1_results[name] = round(time.time() - t0, 3)
+                try:
+                    df = qs[name](spark, sf1_dir)
+                    df.write.format("noop").mode("overwrite").save()
+                    sf1_results[name] = round(time.time() - t0, 3)
+                except Exception as exc:
+                    sf1_results[name] = "ERR"
+                    payload.setdefault("errors", {})[f"sf1:{name}"] = (
+                        f"{type(exc).__name__}: {exc}"[:300]
+                    )
             payload["sf1"] = {
                 "gen_sec": gen_sec,
                 "queries": sf1_results,
-                "total_sec": round(sum(sf1_results.values()), 3),
+                "total_sec": round(
+                    sum(v for v in sf1_results.values() if isinstance(v, float)), 3
+                ),
                 "note": "10x sf0.1 via tools/gen_scale_data.py; copies are near-dups (dedup stress)",
             }
         except Exception as exc:  # the probe must never sink the headline bench

@@ -88,12 +88,26 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
 
 
 def normalize_events(df):
-    """events.ts arrives as long nanos (nanosAsLong); convert to a proper
-    TimestampType column (microsecond truncation, matching Spark's model)."""
+    """Normalize ``events.ts`` to TimestampType regardless of how the parquet
+    encodes it.  The driver's testdata has shipped all three encodings across
+    rounds, so every case is handled:
+
+    - TIMESTAMP(NANOS) read as long via ``nanosAsLong`` → micros truncation;
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) read as TIMESTAMP_NTZ → cast
+      (session timezone is pinned UTC, so wall-clock values are preserved);
+    - TIMESTAMP(MICROS, adjusted) read as TimestampType → already normal.
+
+    Timestamp-consuming expressions (``unix_micros``, ``session_window``,
+    interval arithmetic) require TimestampType, so this is the single choke
+    point that makes every downstream query encoding-agnostic.
+    """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    if isinstance(df.schema["ts"].dataType, T.LongType):
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
         # integer division — float division loses µs precision at ~1e18 ns
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
