@@ -322,20 +322,35 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
         F.conv(F.substring(F.md5("tok"), 1, hex_chars), 16, 10).cast("bigint")
         % (2 ** bits),
     )
-    # one aggregate column per bit instead of exploding ``bits`` rows per
-    # token: the vote pass stays at |token rows| (not |tokens| × bits) and
-    # the whole fingerprint is a single wide groupBy inside codegen
-    votes = [
-        F.sum(
-            F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
-        ).alias(f"_v{b}")
-        for b in range(bits)
-    ]
-    agg = hashed.groupBy("id").agg(*votes)
+    # Packed vote counters: 3 bit-positions share one bigint aggregate, each
+    # in a 21-bit field accumulating that bit's ones-count (sum of the ±1
+    # votes is recoverable as 2*ones - n).  vs one aggregate per bit this is
+    # 3× fewer aggregation buffers and branch-free row expressions, while the
+    # vote pass still stays at |token rows| (never |tokens| × bits).  Field
+    # capacity is 2^21-1 tokens per document; three maxed fields sum to
+    # exactly 2^63-1, so the packing cannot overflow signed bigint.  Docs
+    # beyond the cap get a NULL fingerprint (explicit, never silently wrong).
+    field_w = 21
+    per_agg = 63 // field_w  # 3 fields per bigint
+    packed = []
+    for gi in range(0, bits, per_agg):
+        expr = None
+        for j, b in enumerate(range(gi, min(gi + per_agg, bits))):
+            e = F.shiftleft(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)), field_w * j
+            )
+            expr = e if expr is None else expr + e
+        packed.append(F.sum(expr).alias(f"_p{gi}"))
+    agg = hashed.groupBy("id").agg(F.count(F.lit(1)).alias("_n"), *packed)
+    mask = (1 << field_w) - 1
     fp = None
-    for b in range(bits):
-        contrib = F.when(
-            F.col(f"_v{b}") > 0, F.lit(1 << b).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-        fp = contrib if fp is None else fp + contrib
+    for gi in range(0, bits, per_agg):
+        for j, b in enumerate(range(gi, min(gi + per_agg, bits))):
+            ones = F.shiftright(F.col(f"_p{gi}"), field_w * j).bitwiseAND(F.lit(mask))
+            # bit set iff the +1 votes outnumber the -1 votes: 2*ones > n
+            contrib = F.when(
+                ones * 2 > F.col("_n"), F.lit(1 << b).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+            fp = contrib if fp is None else fp + contrib
+    fp = F.when(F.col("_n") < F.lit(1 << field_w), fp)
     return agg.select("id", fp.alias("simhash"))

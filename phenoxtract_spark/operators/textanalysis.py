@@ -141,7 +141,10 @@ def tfidf_topk(df: DataFrame, id_col: str, text_col: str, k: int = 3,
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     n_docs = df.agg(F.count("*").alias("_n"))
     scored = (
-        tf.join(dfreq, "tok")
+        # broadcast by construction, not by AQE's estimate: the term-df dim
+        # is vocabulary-sized (tok, count), orders of magnitude under the
+        # corpus even at 100 TB
+        tf.join(F.broadcast(dfreq), "tok")
         .join(F.broadcast(n_docs))
         .withColumn(
             "score",
@@ -176,7 +179,7 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
     counts = toks.groupBy("tok").agg(F.count("*").alias("_cnt"))
     total = toks.agg(F.count("*").alias("_tot"))
     return (
-        toks.join(counts, "tok")
+        toks.join(F.broadcast(counts), "tok")
         .join(F.broadcast(total))
         .withColumn(
             "_logp", F.log(F.col("_cnt").cast("double") / F.col("_tot").cast("double"))
