@@ -136,7 +136,17 @@ def dedup_cc(spark, sf_dir):
     verified = dedup.ngram_jaccard_pairs(
         d, "doc_id", "text", k=3, threshold=0.3, candidates=cand
     ).select("id_a", "id_b")
-    return dedup.connected_components(d.select("doc_id"), verified)
+    stats: dict = {}
+    out = dedup.connected_components(d.select("doc_id"), verified, stats=stats)
+    import logging
+
+    logging.getLogger(__name__).info(
+        "connected_components convergence: rounds=%d label_changes=%s converged=%s",
+        len(stats.get("label_changes", [])),
+        stats.get("label_changes"),
+        stats.get("converged"),
+    )
+    return out
 
 
 @q(

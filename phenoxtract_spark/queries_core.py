@@ -18,8 +18,11 @@ from .operators import grouping, mapping, pivoting
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # defensive: the driver's session may not carry our nanos conf
+    # defensive: the driver's session may not carry our confs — nanos-long
+    # parquet decode, and UTC so epoch extraction / tz-less datetime parsing
+    # is machine-timezone-independent (the oracle computes epochs in UTC)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         from .session import normalize_events

@@ -213,6 +213,26 @@ def test_connected_components_transitive(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 4}
 
 
+def test_connected_components_convergence_stats(spark):
+    """The per-round label-change metric justifies max_iter empirically:
+    a diameter-3 chain must converge with monotonically shrinking change
+    counts ending in 0, well inside the default round budget."""
+    verts = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id bigint")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a bigint, id_b bigint"
+    )
+    from phenoxtract_spark.operators.dedup import connected_components
+
+    stats: dict = {}
+    out = connected_components(verts, edges, stats=stats)
+    assert {r["canonical_id"] for r in out.collect()} == {1}
+    assert stats["converged"] is True
+    changes = stats["label_changes"]
+    assert changes[-1] == 0 and len(changes) <= 6
+    # monotone non-increasing after the first round on a chain graph
+    assert all(a >= b for a, b in zip(changes, changes[1:]))
+
+
 def test_lsh_recall_against_exact_jaccard(spark, sf_dir):
     """Measured LSH quality gate: candidates from (8 hashes, 2 rows/band)
     must recover ≥80% of pairs with exact 3-gram Jaccard ≥ 0.5 on the
