@@ -203,3 +203,57 @@ def decontaminate(train: DataFrame, test: DataFrame, id_col: str,
         )
         .filter(F.col("n_shared_shingles") >= min_overlap)
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (context-window assembly for LLM training)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(df: DataFrame, id_col: str, token_count, context_len: int = 2048,
+                   shards: int = 64, seed: str = "pack-v1") -> DataFrame:
+    """Concatenate-and-chunk sequence packing: assign every document a
+    position in a stream of fixed-size context windows (GPT-style
+    pretraining packing — docs are concatenated in a deterministic order
+    and the stream is chunked every ``context_len`` tokens; a document may
+    straddle a boundary and be split downstream).
+
+    ``pack_id`` = the window the document STARTS in (exclusive running
+    token total // context_len), ``pack_offset`` = its token offset inside
+    that window.  Order is (shard, id): shard is the deterministic md5
+    bucket, so the packing is reproducible across engines, runs, and
+    cluster layouts, and each shard is an independent stream.
+
+    Scale: ONE shuffle on shard + a per-shard running sum (window with
+    unbounded-preceding frame — Spark evaluates it as a single sort per
+    partition, O(1) running state, no quadratic frame re-scan).  Shard
+    count bounds per-task sort size: at 100 TB pick shards ≈ corpus_tokens
+    / (executor-comfortable ~10⁹ tokens); packing quality is unaffected
+    because every shard fills its own windows densely.
+
+    ``token_count`` is a Column (or column name) with the per-doc token
+    count — precomputed, or an expression like
+    ``textanalysis.token_count(text_col)``.
+    Returns (id, n_tokens, shard, pack_id, pack_offset).
+    """
+    from pyspark.sql import Window
+
+    tok = F.col(token_count) if isinstance(token_count, str) else token_count
+    base = df.select(
+        F.col(id_col).alias("id"),
+        tok.cast("bigint").alias("n_tokens"),
+        split_bucket(id_col, seed, buckets=shards).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint"))
+    return base.select(
+        "id",
+        "n_tokens",
+        "shard",
+        F.floor(prefix / context_len).cast("bigint").alias("pack_id"),
+        F.pmod(prefix, F.lit(context_len)).cast("bigint").alias("pack_offset"),
+    )

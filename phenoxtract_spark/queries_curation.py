@@ -290,3 +290,46 @@ def text_vocab(spark, sf_dir):
         .orderBy(F.col("freq").desc(), "tok")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+_PACK_BUCKET_SQL = (
+    "('0x' || substr(md5('pack-v1::' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 64"
+)
+
+
+@q(
+    "curation_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split({_NORM}, ' '), x -> x != '')) AS BIGINT)
+               AS n_tokens,
+             {_PACK_BUCKET_SQL} AS shard
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens, shard,
+             coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+      FROM t
+    )
+    SELECT doc_id AS id, n_tokens, shard,
+           prefix // 2048 AS pack_id, prefix % 2048 AS pack_offset
+    FROM c
+    """,
+)
+def curation_pack_sequences(spark, sf_dir):
+    """GPT-style concatenate-and-chunk packing into 2048-token context
+    windows over 64 deterministic shards — the batch-assembly step between
+    curation and tokenization.  One shuffle (shard) + one per-shard running
+    sum; see curation.pack_sequences for the 100 TB sharding argument."""
+    from .operators import textanalysis
+
+    d = read_table(spark, sf_dir, "documents")
+    return curation.pack_sequences(
+        d, "doc_id", textanalysis.token_count("text"), context_len=2048, shards=64
+    )

@@ -126,3 +126,47 @@ def test_constraint_report_single_pass(spark):
     # no joins
     plan = constraint_report(df, checks)._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan
+
+
+def test_pack_sequences_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from phenoxtract_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1)) for i in range(1, 101)], "doc_id bigint, text string"
+    )
+    out = curation.pack_sequences(
+        df, "doc_id", F.size(F.split(F.trim("text"), " ")), context_len=10, shards=4
+    ).collect()
+    assert len(out) == 100
+    by_shard: dict[int, list] = {}
+    for r in out:
+        assert 0 <= r["pack_offset"] < 10
+        assert 0 <= r["shard"] < 4
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["id"])
+        running = 0
+        for r in rows:
+            # pack_id/offset are exactly the exclusive running-total chunk
+            assert r["pack_id"] == running // 10, r
+            assert r["pack_offset"] == running % 10, r
+            running += r["n_tokens"]
+
+
+def test_pack_sequences_deterministic_across_partitionings(spark):
+    from pyspark.sql import functions as F
+
+    from phenoxtract_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [(i, "tok " * (i % 5 + 1)) for i in range(1, 51)], "doc_id bigint, text string"
+    )
+    tok = F.size(F.split(F.trim("text"), " "))
+    a = {tuple(r) for r in curation.pack_sequences(df, "doc_id", tok).collect()}
+    b = {
+        tuple(r)
+        for r in curation.pack_sequences(df.repartition(7), "doc_id", tok).collect()
+    }
+    assert a == b
