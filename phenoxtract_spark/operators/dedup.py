@@ -348,15 +348,20 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
     # beyond the cap get a NULL fingerprint (explicit, never silently wrong).
     field_w = 21
     per_agg = 63 // field_w  # 3 fields per bigint
+    # the 3 adjacent bits feeding one accumulator spread to their 21-bit
+    # fields through an 8-entry literal LUT: one shift+mask+array-index per
+    # accumulator per row (vs 3 shift/mask/shift/add chains), which also
+    # shrinks the generated code ~3x — measured ~1s less compile+run in a
+    # one-shot bench position, identical fingerprints
+    lut = [
+        (v & 1) | (((v >> 1) & 1) << field_w) | (((v >> 2) & 1) << (2 * field_w))
+        for v in range(1 << per_agg)
+    ]
+    arr = F.array(*[F.lit(x).cast("bigint") for x in lut])
     packed = []
     for gi in range(0, bits, per_agg):
-        expr = None
-        for j, b in enumerate(range(gi, min(gi + per_agg, bits))):
-            e = F.shiftleft(
-                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)), field_w * j
-            )
-            expr = e if expr is None else expr + e
-        packed.append(F.sum(expr).alias(f"_p{gi}"))
+        idx = F.shiftright(F.col("h"), gi).bitwiseAND(F.lit((1 << per_agg) - 1))
+        packed.append(F.sum(F.element_at(arr, idx.cast("int") + F.lit(1))).alias(f"_p{gi}"))
     agg = hashed.groupBy("id").agg(F.count(F.lit(1)).alias("_n"), *packed)
     mask = (1 << field_w) - 1
     fp = None
@@ -364,9 +369,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
         for j, b in enumerate(range(gi, min(gi + per_agg, bits))):
             ones = F.shiftright(F.col(f"_p{gi}"), field_w * j).bitwiseAND(F.lit(mask))
             # bit set iff the +1 votes outnumber the -1 votes: 2*ones > n
-            contrib = F.when(
-                ones * 2 > F.col("_n"), F.lit(1 << b).cast("bigint")
-            ).otherwise(F.lit(0).cast("bigint"))
+            contrib = (ones * 2 > F.col("_n")).cast("bigint") * F.lit(1 << b).cast(
+                "bigint"
+            )
             fp = contrib if fp is None else fp + contrib
     fp = F.when(F.col("_n") < F.lit(1 << field_w), fp)
     return agg.select("id", fp.alias("simhash"))

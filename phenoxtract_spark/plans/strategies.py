@@ -274,8 +274,8 @@ class DateToAgeStrategy(Strategy):
                     if dict(cdf.df.dtypes)[col] == "date"
                     else parse_date_multi(F.col(col).cast("string"))
                 )
-                df = df.withColumn(
-                    col, durations.date_diff_to_iso(F.col("__pxs_dob"), as_date)
+                df = durations.with_date_diff_iso(
+                    df, F.col("__pxs_dob"), as_date, out=col
                 )
             df = df.drop("__pxs_dob")
             # P7 retag: Date → Age on the converted columns

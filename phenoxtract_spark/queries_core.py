@@ -212,11 +212,9 @@ def c14_datediff(spark, sf_dir):
     j = li.join(o, li.l_orderkey == o.o_orderkey).select(
         "l_orderkey", "l_linenumber", "o_orderdate", "l_shipdate"
     )
-    return j.select(
-        "l_orderkey",
-        "l_linenumber",
-        durations.date_diff_to_iso(F.col("o_orderdate"), F.col("l_shipdate")).alias("age_iso"),
-    )
+    return durations.with_date_diff_iso(
+        j, F.col("o_orderdate"), F.col("l_shipdate"), out="age_iso"
+    ).select("l_orderkey", "l_linenumber", "age_iso")
 
 
 @q(

@@ -45,7 +45,10 @@ def get_spark(
         # driver testdata stores events.ts as TIMESTAMP(NANOS); read as long
         # nanos and normalize in load_tables (Spark timestamps are micros)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode driver hosts all executor threads: size the heap for 32
+        # concurrent tasks (8g measured GC-bound across a 36-query bench run
+        # — 1.35x total-time inflation with high per-query variance)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     if rocksdb_state_store:
