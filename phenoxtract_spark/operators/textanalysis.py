@@ -190,3 +190,49 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
             F.round(F.avg("_logp"), round_dp).alias("avg_logprob"),
         )
     )
+
+
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str,
+                   round_dp: int = 4) -> DataFrame:
+    """Bigram language-model score per document: mean ln p(tok | prev)
+    under the corpus's own bigram distribution — a sharper fluency signal
+    than the unigram model (word salad scores low even when its words are
+    common).
+
+    p(tok | prev) = corpus_count(prev, tok) / corpus_count(prev); every
+    document bigram has a count by construction (the model IS the corpus),
+    so both joins are inner with no smoothing.
+
+    Plan: ONE bigram explode (adjacent-pair zip of the token array — no
+    self-join, no window), a (prev, tok) count agg and a prev count agg,
+    both vocabulary²-bounded dims broadcast back, then one per-doc agg.
+    Docs with < 2 tokens have no bigrams and drop out (the caller
+    left-joins if coverage matters).  Returns (id, n_bigrams, avg_logprob).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(F.split(normalized_text(text_col), " "), lambda t: t != "").alias("t"),
+    )
+    pairs = toks.select(
+        "id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))).alias("prev"),
+                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))).alias("tok"),
+            )
+        ).alias("bg"),
+    ).select("id", F.col("bg.prev").alias("prev"), F.col("bg.tok").alias("tok"))
+    bg_counts = pairs.groupBy("prev", "tok").agg(F.count("*").alias("_bg"))
+    ctx_counts = pairs.groupBy("prev").agg(F.count("*").alias("_ctx"))
+    return (
+        pairs.join(F.broadcast(bg_counts), ["prev", "tok"])
+        .join(F.broadcast(ctx_counts), "prev")
+        .withColumn(
+            "_logp", F.log(F.col("_bg").cast("double") / F.col("_ctx").cast("double"))
+        )
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("_logp"), round_dp).alias("avg_logprob"),
+        )
+    )

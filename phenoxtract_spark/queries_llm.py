@@ -269,3 +269,33 @@ def shard_assign_q(spark, sf_dir):
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+@q(
+    "text_bigram_logprob",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split({_NORM}, ' '), x -> x != '') AS t
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, t[i] AS prev, t[i + 1] AS tok
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    bg AS (SELECT prev, tok, count(*) AS bgc FROM pairs GROUP BY 1, 2),
+    ctx AS (SELECT prev, count(*) AS ctxc FROM pairs GROUP BY 1)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(ln(CAST(bgc AS DOUBLE) / CAST(ctxc AS DOUBLE))), 4)
+             AS avg_logprob
+    FROM pairs JOIN bg USING (prev, tok) JOIN ctx USING (prev)
+    GROUP BY doc_id
+    """,
+)
+def bigram_logprob_q(spark, sf_dir):
+    """Mean bigram log-probability per document under the corpus's own
+    bigram model — sharper fluency/outlier signal than the unigram score
+    (word salad of common words still scores low)."""
+    d = read_table(spark, sf_dir, "documents")
+    return textanalysis.bigram_logprob(d, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )

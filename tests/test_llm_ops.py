@@ -175,3 +175,43 @@ def test_shard_assignment_is_total_and_stable(spark, sf_dir):
     assert sorted((r["shard"], r["count"]) for r in a) == sorted(
         (r["shard"], r["count"]) for r in b
     )
+
+
+def test_bigram_logprob_values(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from phenoxtract_spark.operators import textanalysis
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b"),      # bigrams: (a,b) x2, (b,a) x1
+            (2, "a b"),          # bigram: (a,b)
+            (3, "solo"),         # no bigrams -> drops out
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in textanalysis.bigram_logprob(df, "doc_id", "text").collect()
+    }
+    assert set(out) == {1, 2}
+    # corpus bigram counts: (a,b)=3, (b,a)=1; ctx: a=3, b=1... wait:
+    # pairs: doc1 -> (a,b),(b,a),(a,b); doc2 -> (a,b). bg: (a,b)=3,(b,a)=1
+    # ctx: prev=a -> 3, prev=b -> 1
+    # doc1: ln(3/3), ln(1/1), ln(3/3) -> avg 0.0 over 3 bigrams
+    # doc2: ln(3/3) -> 0.0
+    assert out[1] == (3, 0.0)
+    assert out[2] == (1, 0.0)
+
+
+def test_bigram_logprob_discriminates_word_salad(spark):
+    from phenoxtract_spark.operators import textanalysis
+
+    rows = [(i, "the cat sat on the mat") for i in range(10)]
+    rows.append((99, "mat the on cat the sat"))  # same words, scrambled
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["id"]: r["avg_logprob"]
+        for r in textanalysis.bigram_logprob(df, "doc_id", "text").collect()
+    }
+    assert out[99] < out[0], "scrambled doc must score below fluent docs"
