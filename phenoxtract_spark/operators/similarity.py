@@ -84,10 +84,13 @@ def brute_force_topk(
 
 
 def assign_ivf_centroid(vectors: DataFrame, centroids: DataFrame,
-                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """IVF assignment: nearest centroid by cosine (centroids broadcast).
-    Returns (id, centroid_id).  Centroids can come from any source — here
-    typically a sampled subset of the vectors themselves (deterministic)."""
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        nprobe: int = 1) -> DataFrame:
+    """IVF assignment: nearest centroid(s) by cosine (centroids broadcast).
+    Returns (id, centroid_id) — one row per probed centroid (``nprobe`` > 1
+    emits the top-``nprobe``; standard IVF probing for the query side).
+    Centroids can come from any source — here typically a sampled subset of
+    the vectors themselves (deterministic)."""
     cen = F.broadcast(
         centroids.select(
             F.col(id_col).alias("centroid_id"),
@@ -112,26 +115,36 @@ def assign_ivf_centroid(vectors: DataFrame, centroids: DataFrame,
     w = Window.partitionBy("id").orderBy(F.col("_cos").desc(), F.col("centroid_id"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= nprobe)
         .select("id", "centroid_id")
     )
 
 
 def ivf_topk(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
              id_col: str = "vec_id", vec_col: str = "embedding", k: int = 10,
-             round_dp: int | None = 6) -> DataFrame:
-    """Approximate top-k: compare only pairs sharing a centroid bucket."""
+             round_dp: int | None = 6, nprobe: int = 1) -> DataFrame:
+    """Approximate top-k: compare only pairs sharing a centroid bucket.
+
+    ``nprobe`` probes the query's top-n buckets (neighbors stay in exactly
+    one, so no pair is scored twice and no dedup pass is needed): recall
+    rises toward brute force at cost ∝ nprobe × bucket size — the standard
+    IVF recall/cost dial."""
     assign = assign_ivf_centroid(vectors, centroids, id_col, vec_col)
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         l2_norm(F.col(vec_col)).alias("_cn"),
     ).join(assign.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+    qassign = (
+        assign
+        if nprobe == 1
+        else assign_ivf_centroid(queries, centroids, id_col, vec_col, nprobe=nprobe)
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         l2_norm(F.col(vec_col)).alias("_qn"),
-    ).join(assign.withColumnRenamed("id", "query_id"), "query_id")
+    ).join(qassign.withColumnRenamed("id", "query_id"), "query_id")
     raw = dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn"))
     scored = (
         v.join(q, "centroid_id")

@@ -613,3 +613,63 @@ def mm_features(spark, sf_dir):
             "feature"
         ),
     )
+
+
+@q(
+    "similarity_ivf_nprobe_topk",
+    """
+    WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+    vx AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, idx),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM vx GROUP BY vec_id),
+    cen AS (SELECT vec_id AS cid FROM embeddings
+            WHERE vec_id % (SELECT greatest(61, CAST(floor(sqrt(count(*))) AS BIGINT))
+                            FROM embeddings) = 0),
+    adots AS (
+      SELECT v.vec_id AS id, c.cid,
+             round(sum(v.x * cv.x) / (nv.nrm * nc.nrm), 6) AS cos
+      FROM vx v
+      JOIN cen c ON true
+      JOIN vx cv ON cv.vec_id = c.cid AND cv.i = v.i
+      JOIN norms nv ON nv.vec_id = v.vec_id
+      JOIN norms nc ON nc.vec_id = c.cid
+      GROUP BY v.vec_id, c.cid, nv.nrm, nc.nrm
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid) AS rn
+      FROM adots
+    ),
+    assign AS (SELECT id, cid FROM ranked WHERE rn = 1),
+    qassign AS (SELECT id, cid FROM ranked WHERE rn <= 2 AND id < 5),
+    pair AS (
+      SELECT q.id AS query_id, n.id AS neighbor_id
+      FROM qassign q JOIN assign n ON q.cid = n.cid
+      WHERE n.id != q.id
+    ),
+    pdots AS (
+      SELECT p.query_id, p.neighbor_id,
+             round(sum(a.x * b.x) / (na.nrm * nb.nrm), 6) AS cos
+      FROM pair p
+      JOIN vx a ON a.vec_id = p.query_id
+      JOIN vx b ON b.vec_id = p.neighbor_id AND b.i = a.i
+      JOIN norms na ON na.vec_id = p.query_id
+      JOIN norms nb ON nb.vec_id = p.neighbor_id
+      GROUP BY p.query_id, p.neighbor_id, na.nrm, nb.nrm
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM pdots) WHERE rank <= 5
+    """,
+)
+def sim_ivf_nprobe(spark, sf_dir):
+    """IVF with nprobe=2: queries probe their two nearest buckets (neighbors
+    stay in one, so no pair dedup needed) — recall rises toward brute force
+    at cost ∝ nprobe x bucket size.  Same √n centroid geometry as
+    similarity_ivf_topk."""
+    import math
+
+    e = read_table(spark, sf_dir, "embeddings")
+    stride = max(61, int(math.isqrt(e.count())))
+    queries = e.filter(F.col("vec_id") < 5)
+    centroids = e.filter(F.col("vec_id") % stride == 0)
+    return similarity.ivf_topk(e, queries, centroids, k=5, nprobe=2)

@@ -258,3 +258,24 @@ def test_transpose_rejects_duplicate_headers(spark):
     )
     with pytest.raises(ValueError, match="duplicate values"):
         pivoting.transpose(df, header_col="k")
+
+
+def test_ivf_nprobe_monotone_recall(spark, sf_dir):
+    """nprobe is the recall dial: probing more query buckets can only add
+    candidate pairs, so the nprobe=2 result must contain every nprobe=1
+    pair and its recall vs brute force must be >= the nprobe=1 recall."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    centroids = emb.filter(F.col("vec_id") % 31 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    p1_pairs = similarity.ivf_topk(emb, queries, centroids, k=1000).collect()
+    p2_pairs = similarity.ivf_topk(emb, queries, centroids, k=1000, nprobe=2).collect()
+    s1 = {(r["query_id"], r["neighbor_id"]) for r in p1_pairs}
+    s2 = {(r["query_id"], r["neighbor_id"]) for r in p2_pairs}
+    assert s1 <= s2, "nprobe=2 candidate set must be a superset"
+    r1 = len(exact & s1) / len(exact)
+    r2 = len(exact & s2) / len(exact)
+    assert r2 >= r1
