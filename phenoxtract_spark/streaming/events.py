@@ -101,3 +101,19 @@ def stream_stream_join(impressions: DataFrame, clicks: DataFrame,
     ).select(
         F.col("i_key").alias(key), "impression_id", "click_id", "imp_ts", "click_ts"
     )
+
+
+def streaming_dedup(source: DataFrame, keys: tuple[str, ...] = ("event_id",),
+                    ts: str = "ts", watermark: str = "1 hour") -> DataFrame:
+    """At-least-once → effectively-once event dedup on a stream: drop
+    events whose key reappears within the watermark horizon
+    (``dropDuplicatesWithinWatermark``).  State is BOUNDED by the
+    watermark — expired keys are evicted — unlike ``dropDuplicates`` on a
+    stream, which accumulates every key forever and OOMs a 100 TB/day
+    ingest.  On a batch DataFrame the same call degrades to a plain
+    key-dedup (the watermark is irrelevant when all data is present)."""
+    if source.isStreaming:
+        return source.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return source.dropDuplicates(list(keys))

@@ -225,3 +225,42 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ss_join_test").collect()
     ]
     assert rows == [(1, 100, 200)]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark parity: re-delivered event_ids inside
+    the watermark horizon are dropped; state stays watermark-bounded."""
+    from phenoxtract_spark.streaming import events as ev
+
+    src_dir = tmp_path / "dedup_src"
+    src_dir.mkdir()
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", "click"),
+            (1, "2024-01-01 00:10:30", "click"),   # redelivery of event 1
+            (2, "2024-01-01 00:20:00", "view"),
+            (2, "2024-01-01 00:20:00", "view"),    # exact duplicate
+            (3, "2024-01-01 00:40:00", "click"),
+        ],
+        "event_id bigint, ts_raw string, event_type string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(src_dir))
+    stream = (
+        spark.readStream.schema("event_id bigint, ts_raw string, event_type string")
+        .parquet(str(src_dir))
+        .select("event_id", F.col("ts_raw").cast("timestamp").alias("ts"), "event_type")
+    )
+    out = ev.streaming_dedup(stream, keys=("event_id",), watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT event_id FROM dedup_test ORDER BY event_id").collect()
+    assert [r["event_id"] for r in rows] == [1, 2, 3]
+    # batch degradation: same function, plain dedup
+    batch = df.select("event_id", F.col("ts_raw").cast("timestamp").alias("ts"), "event_type")
+    assert ev.streaming_dedup(batch).count() == 3
