@@ -129,3 +129,66 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(dur - 1, F.lit(0)), F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64,
+                  fake: bool = True) -> DataFrame:
+    """Image resize over Arrow batches via ``mapInPandas`` — the same
+    partition-preserving shape as :func:`extract_features` (payloads never
+    cross a partition boundary; output size is width×height×3 regardless of
+    input size, so downstream stages see fixed-cost rows).
+
+    The codec is STUBBED like everything in this module: ``fake=True``
+    emits a deterministic pseudo-bitmap (md5 keystream over the payload,
+    exactly ``width*height*3`` bytes — shape-correct and reproducible so
+    the plumbing is value-testable); ``fake=False`` raises
+    ``NotImplementedError`` where PIL's ``Image.resize`` would run.
+    Returns (media_id, width, height, n_bytes, payload).
+    """
+    w, h = int(width), int(height)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        target = w * h * 3
+
+        def resize(payload):
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires PIL; not available in this environment"
+                )
+            out = bytearray()
+            counter = 0
+            seed = hashlib.md5(payload or b"").digest()
+            while len(out) < target:
+                out.extend(hashlib.md5(seed + counter.to_bytes(4, "big")).digest())
+                counter += 1
+            return bytes(out[:target])
+
+        for pdf in batches:
+            resized = pdf["payload"].map(resize)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": w,
+                    "height": h,
+                    "n_bytes": resized.map(len),
+                    "payload": resized,
+                }
+            )
+
+    out = media.mapInPandas(run, schema=RESIZED_SCHEMA)
+    return out.withColumn("width", F.col("width").cast("int")).withColumn(
+        "height", F.col("height").cast("int")
+    )

@@ -673,3 +673,28 @@ def sim_ivf_nprobe(spark, sf_dir):
     queries = e.filter(F.col("vec_id") < 5)
     centroids = e.filter(F.col("vec_id") % stride == 0)
     return similarity.ivf_topk(e, queries, centroids, k=5, nprobe=2)
+
+
+@q(
+    "multimodal_resize_plan",
+    """
+    SELECT doc_id AS media_id,
+           CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
+           CAST(32 * 32 * 3 AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def mm_resize(spark, sf_dir):
+    """Arrow ``mapInPandas`` image resize (stubbed codec): fixed-cost
+    width×height×3 output rows regardless of input size.  The oracle checks
+    the shape contract (dims, byte count); payload determinism is pinned in
+    pytest (the md5-keystream fake is reproducible)."""
+    d = read_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(d, "doc_id", "text")
+    resized = multimodal.resize_images(media, width=32, height=32)
+    return resized.select(
+        "media_id",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        "n_bytes",
+    )

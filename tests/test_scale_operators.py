@@ -279,3 +279,27 @@ def test_ivf_nprobe_monotone_recall(spark, sf_dir):
     r1 = len(exact & s1) / len(exact)
     r2 = len(exact & s2) / len(exact)
     assert r2 >= r1
+
+
+def test_resize_images_stub_shape_and_determinism(docs):
+    from phenoxtract_spark.operators import multimodal
+
+    media = multimodal.attach_binary_payload(docs, "doc_id", "text")
+    r1 = {r["media_id"]: r for r in multimodal.resize_images(media, 16, 8).collect()}
+    r2 = {r["media_id"]: r for r in multimodal.resize_images(media, 16, 8).collect()}
+    assert len(r1) == 4
+    for mid, row in r1.items():
+        assert row["n_bytes"] == 16 * 8 * 3 == len(row["payload"])
+        assert row["payload"] == r2[mid]["payload"], "fake resize must be deterministic"
+    # distinct payloads resize to distinct pseudo-bitmaps
+    assert len({bytes(r["payload"]) for r in r1.values()}) == 4
+
+
+def test_resize_images_strict_raises(docs):
+    import pytest as _pytest
+
+    from phenoxtract_spark.operators import multimodal
+
+    media = multimodal.attach_binary_payload(docs, "doc_id", "text")
+    with _pytest.raises(Exception):
+        multimodal.resize_images(media, 8, 8, fake=False).collect()
