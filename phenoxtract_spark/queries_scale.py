@@ -698,3 +698,76 @@ def mm_resize(spark, sf_dir):
         F.col("height").cast("bigint").alias("height"),
         "n_bytes",
     )
+
+
+@q(
+    "events_gapfill_hourly",
+    """
+    WITH agg AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS lo,
+             date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS hi
+      FROM events
+    ),
+    hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM b),
+    keys AS (SELECT DISTINCT event_type FROM events)
+    SELECT CAST(h.bucket AS VARCHAR) AS bucket, k.event_type,
+           coalesce(a.n, 0) AS n_events
+    FROM hours h
+    CROSS JOIN keys k
+    LEFT JOIN agg a ON a.bucket = h.bucket AND a.event_type = k.event_type
+    """,
+)
+def events_gapfill(spark, sf_dir):
+    """Hypertable-style dense series: every (hour, event_type) bucket in
+    range, zeros materialized.  The bucket spine is a broadcast dimension
+    (global range x key set), never corpus-sized."""
+    e = read_table(spark, sf_dir, "events")
+    out = ev.gapfill_hourly(e)
+    return out.select(
+        F.col("bucket").cast("string").alias("bucket"), "event_type", "n_events"
+    )
+
+
+@q(
+    "events_locf_resample",
+    """
+    WITH obs AS (
+      SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, value,
+             row_number() OVER (
+               PARTITION BY user_id, date_trunc('hour', CAST(ts AS TIMESTAMP))
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    last_obs AS (SELECT user_id, bucket, value FROM obs WHERE rn = 1),
+    spans AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+              FROM last_obs GROUP BY 1),
+    dense AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM spans
+    ),
+    joined AS (
+      SELECT d.user_id, d.bucket, l.value
+      FROM dense d LEFT JOIN last_obs l USING (user_id, bucket)
+    )
+    SELECT user_id, CAST(bucket AS VARCHAR) AS bucket,
+           round(last_value(value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS value
+    FROM joined
+    """,
+)
+def events_locf(spark, sf_dir):
+    """Last-observation-carried-forward hourly resampling per user:
+    sensor/feature densification with O(1) window state, no self-join."""
+    e = read_table(spark, sf_dir, "events")
+    out = ev.locf_resample(e, every="1 hour", tiebreak="event_id")
+    return out.select(
+        "user_id",
+        F.col("bucket").cast("string").alias("bucket"),
+        F.round(F.col("value"), 2).alias("value"),
+    )

@@ -117,3 +117,91 @@ def streaming_dedup(source: DataFrame, keys: tuple[str, ...] = ("event_id",),
             list(keys)
         )
     return source.dropDuplicates(list(keys))
+
+
+def gapfill_hourly(events: DataFrame, ts: str = "ts",
+                   key: str = "event_type") -> DataFrame:
+    """Hypertable-style gap fill: one row per (key, hour bucket) across the
+    stream's full time range, with empty buckets materialized at count 0 —
+    the `time_bucket_gapfill` shape for downstream charting/training that
+    needs a dense series.
+
+    Scale: the bucket spine is a DIMENSION (global min/max hour × distinct
+    keys — years of hours × a small key set, ~10⁵-10⁶ rows regardless of
+    corpus size), built from two single-row aggregates and broadcast; the
+    fact side is the normal tumbling aggregate.  The corpus never joins
+    against itself and the only full-data pass is the windowed count."""
+    agg = (
+        events.groupBy(
+            F.date_trunc("hour", F.col(ts)).alias("bucket"), F.col(key)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min(ts)).alias("_lo"),
+        F.date_trunc("hour", F.max(ts)).alias("_hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket")
+    )
+    keys = events.select(F.col(key)).distinct()
+    spine = F.broadcast(hours.crossJoin(keys))
+    return (
+        spine.join(agg, ["bucket", key], "left")
+        .select(
+            "bucket",
+            key,
+            F.coalesce(F.col("n_events"), F.lit(0).cast("bigint")).alias("n_events"),
+        )
+    )
+
+
+def locf_resample(events: DataFrame, every: str = "1 hour", ts: str = "ts",
+                  key: str = "user_id", value: str = "value",
+                  tiebreak: str | None = None) -> DataFrame:
+    """Last-observation-carried-forward resampling: one row per (key,
+    bucket) from the key's first observation onward, carrying the most
+    recent value across empty buckets (sensor/feature resampling for
+    training pipelines).
+
+    Plan: per-key last-in-bucket (one shuffle), densify each key's own
+    range via sequence-explode (rows ∝ Σ per-key span — the output size
+    itself), then a window `last(ignorenulls)` carry per key: O(1) running
+    state, no self-join, same shape streaming sessionization uses."""
+    from pyspark.sql.window import Window
+
+    bucket = F.window(ts, every)["start"]
+    order = [F.col(ts).desc()]
+    if tiebreak is not None:
+        # same-timestamp observations need a total order or the carried
+        # value is partition-layout-dependent (and oracle-divergent)
+        order.append(F.col(tiebreak).desc())
+    wlast = Window.partitionBy(key, "bucket").orderBy(*order)
+    last_in_bucket = (
+        events.withColumn("bucket", bucket)
+        .withColumn("_rn", F.row_number().over(wlast))
+        .filter(F.col("_rn") == 1)
+        .select(key, "bucket", F.col(value).alias("_obs"))
+    )
+    spans = last_in_bucket.groupBy(key).agg(
+        F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
+    )
+    dense = spans.select(
+        key,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.expr(f"INTERVAL {every}"))
+        ).alias("bucket"),
+    )
+    joined = dense.join(last_in_bucket, [key, "bucket"], "left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        key,
+        "bucket",
+        F.last("_obs", ignorenulls=True).over(w).alias("value"),
+    )

@@ -264,3 +264,50 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     # batch degradation: same function, plain dedup
     batch = df.select("event_id", F.col("ts_raw").cast("timestamp").alias("ts"), "event_type")
     assert ev.streaming_dedup(batch).count() == 3
+
+
+def test_gapfill_hourly_materializes_zeros(spark):
+    from phenoxtract_spark.streaming import events as ev
+
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:10:00", "click"),
+            ("2024-01-01 03:20:00", "click"),   # hours 1-2 are gaps
+            ("2024-01-01 01:00:00", "view"),
+        ],
+        "ts_raw string, event_type string",
+    ).select(F.col("ts_raw").cast("timestamp").alias("ts"), "event_type")
+    out = {
+        (str(r["bucket"]), r["event_type"]): r["n_events"]
+        for r in ev.gapfill_hourly(df).collect()
+    }
+    # dense: 4 hours x 2 types = 8 rows
+    assert len(out) == 8
+    assert out[("2024-01-01 00:00:00", "click")] == 1
+    assert out[("2024-01-01 01:00:00", "click")] == 0
+    assert out[("2024-01-01 02:00:00", "view")] == 0
+    assert out[("2024-01-01 03:00:00", "click")] == 1
+
+
+def test_locf_carries_last_value_across_gaps(spark):
+    from phenoxtract_spark.streaming import events as ev
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:30:00", 1, 10.0),
+            (2, "2024-01-01 00:45:00", 1, 20.0),  # later obs in same bucket wins
+            (3, "2024-01-01 03:15:00", 1, 30.0),  # hours 1-2 carried at 20.0
+            (4, "2024-01-01 05:00:00", 2, 99.0),
+        ],
+        "event_id bigint, ts_raw string, user_id bigint, value double",
+    ).select("event_id", F.col("ts_raw").cast("timestamp").alias("ts"), "user_id", "value")
+    out = {
+        (r["user_id"], str(r["bucket"])): r["value"]
+        for r in ev.locf_resample(df, tiebreak="event_id").collect()
+    }
+    assert out[(1, "2024-01-01 00:00:00")] == 20.0
+    assert out[(1, "2024-01-01 01:00:00")] == 20.0
+    assert out[(1, "2024-01-01 02:00:00")] == 20.0
+    assert out[(1, "2024-01-01 03:00:00")] == 30.0
+    assert (1, "2024-01-01 04:00:00") not in out  # span ends at last obs
+    assert out[(2, "2024-01-01 05:00:00")] == 99.0
