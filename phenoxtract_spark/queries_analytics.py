@@ -321,3 +321,31 @@ def approx_aggs(spark, sf_dir):
             <= 0.02 * exact_median
         ).alias("median_within_2pct"),
     )
+
+
+@q(
+    "window_ntile_distribution",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           lead(o_orderkey) OVER w AS next_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_ntile(spark, sf_dir):
+    """Distribution-window surface: ntile quartiles, percent_rank,
+    cume_dist, lead — one shuffle on the partition key, single sort per
+    partition serves all four functions."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )

@@ -771,3 +771,41 @@ def events_locf(spark, sf_dir):
         F.col("bucket").cast("string").alias("bucket"),
         F.round(F.col("value"), 2).alias("value"),
     )
+
+
+@q(
+    "sketch_countmin_userfreq",
+    """
+    WITH params AS (SELECT unnest(generate_series(0, 3)) AS d),
+    rows_ AS (
+      SELECT d,
+             ('0x' || substr(md5('cms-v1|' || CAST(d AS VARCHAR) || '|'
+                                 || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 256
+               AS bucket
+      FROM events, params
+    ),
+    sketch AS (SELECT d, bucket, count(*) AS cnt FROM rows_ GROUP BY 1, 2),
+    probes AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS value, user_id
+               FROM events WHERE user_id < 20),
+    probe_rows AS (
+      SELECT p.value, pr.d,
+             ('0x' || substr(md5('cms-v1|' || CAST(pr.d AS VARCHAR) || '|'
+                                 || p.value), 1, 8))::BIGINT % 256 AS bucket
+      FROM probes p, params pr
+    )
+    SELECT value, min(cnt) AS est
+    FROM probe_rows JOIN sketch USING (d, bucket)
+    GROUP BY value
+    """,
+)
+def sketch_countmin(spark, sf_dir):
+    """Count-Min frequency estimation over event user_ids: md5-seeded
+    4x256 sketch built in one pass (mergeable counters), probed for the
+    first 20 users.  Engine-identical hashing makes the estimates exactly
+    value-checkable, not tolerance-checked."""
+    from .operators import sketches
+
+    e = read_table(spark, sf_dir, "events")
+    sk = sketches.count_min_build(e, "user_id", depth=4, width=256)
+    probes = e.filter(F.col("user_id") < 20).select("user_id").distinct()
+    return sketches.count_min_estimate(sk, probes, "user_id", depth=4, width=256)

@@ -303,3 +303,43 @@ def test_resize_images_strict_raises(docs):
     media = multimodal.attach_binary_payload(docs, "doc_id", "text")
     with _pytest.raises(Exception):
         multimodal.resize_images(media, 8, 8, fake=False).collect()
+
+
+def test_count_min_never_underestimates(spark):
+    from phenoxtract_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [(i % 10,) for i in range(1000)] + [(999,)], "v bigint"
+    )
+    sk = sketches.count_min_build(df, "v", depth=4, width=64)
+    # sketch is exactly depth x <=width counters summing to depth * n
+    total = sk.groupBy("d").sum("cnt").collect()
+    assert all(r["sum(cnt)"] == 1001 for r in total)
+    probes = df.select("v").distinct()
+    est = {
+        int(r["value"]): r["est"]
+        for r in sketches.count_min_estimate(sk, probes, "v", depth=4, width=64).collect()
+    }
+    truth = {r["v"]: r["count"] for r in df.groupBy("v").count().collect()}
+    for v, t in truth.items():
+        assert est[v] >= t, "CM must never underestimate"
+    assert est[999] >= 1
+
+
+def test_count_min_merge_equals_single_build(spark):
+    """Counter-wise sum of per-shard sketches == one-pass sketch: the
+    mergeability that makes CM the continuous-ingest rollup shape."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from phenoxtract_spark.operators import sketches
+
+    df = spark.createDataFrame([(i, i % 7) for i in range(500)], "i bigint, v bigint")
+    whole = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in sketches.count_min_build(df, "v", depth=3, width=32).collect()
+    }
+    h1 = sketches.count_min_build(df.filter("i < 200"), "v", depth=3, width=32)
+    h2 = sketches.count_min_build(df.filter("i >= 200"), "v", depth=3, width=32)
+    merged_df = h1.unionByName(h2).groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+    merged = {(r["d"], r["bucket"]): r["cnt"] for r in merged_df.collect()}
+    assert merged == whole
