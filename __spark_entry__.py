@@ -57,6 +57,12 @@ _PRIORITY = [
     # LLM-pipeline: text analysis / clustering
     "text_quality", "text_fingerprint", "text_tfidf_topk",
     "clustering_kmeans_assign",
+    # semantic dedup / fuzzy match / mixing
+    "dedup_semantic_canonical", "dedup_levenshtein_pairs",
+    "curation_embedding_decontaminate", "curation_source_mix",
+    # behavioral event-sequence analytics
+    "events_funnel", "events_retention_cohort",
+    "events_transition_matrix", "events_anomaly_zscore",
     # analytics spine
     "tpch_q1_pricing_summary", "window_running_total",
 ]
@@ -68,6 +74,7 @@ def _registry():
     from phenoxtract_spark import queries_core, queries_pipeline, queries_scale  # noqa: F401
     from phenoxtract_spark import queries_analytics2, queries_composite, queries_scalars  # noqa: F401
     from phenoxtract_spark import queries_curation, queries_llm, queries_tpch  # noqa: F401
+    from phenoxtract_spark import queries_behavior, queries_semantic  # noqa: F401
 
     reg = queries_core.QUERIES
     ordered = {n: reg[n] for n in _PRIORITY if n in reg}

@@ -1,0 +1,162 @@
+"""Behavioral / event-sequence analytics over event streams.
+
+The reference's event pipeline stops at windowed aggregation; production
+event analytics (and training-data telemetry) also need ordered-sequence
+operators: funnel conversion, cohort retention, transition matrices, and
+rolling anomaly detection.  All four are expressed as compositions of
+built-in DataFrame ops — no Python row loops — and every shuffle is keyed
+by ``user_id`` or a coarse time bucket, so the shapes hold at 100 TB:
+
+- funnel: one filtered min-aggregate per step (k small, k-1 broadcast-able
+  joins on user_id — the per-step frames are one row per converted user,
+  far smaller than the event stream);
+- retention: two user-keyed aggregates + one date-diff projection;
+- transitions: one window pass per user ordered by (ts, event_id) — the
+  tie-break makes the lag deterministic under any partitioning;
+- anomalies: per-bucket counts (coarse key), then an O(window) running
+  sum/sumsq window per series — integer partials, so the z-score is
+  bit-reproducible across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def funnel(events: DataFrame, steps: list[str], user_col: str = "user_id",
+           ts_col: str = "ts", type_col: str = "event_type") -> DataFrame:
+    """Strict-order funnel: a user converts step *i* only with an event of
+    ``steps[i]`` strictly after their step *i-1* conversion time.
+
+    Returns (step, step_idx, users) — users reaching each step.  Each stage
+    is ``filter → groupBy(user).min(ts)``; the stage frames shrink
+    monotonically and join on ``user_col``, so stage *i*'s input is the
+    event stream once plus a one-row-per-user frame — never event×event.
+    """
+    prev = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    frames = [prev]
+    for step in steps[1:]:
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .join(prev.withColumnRenamed("_t", "_prev_t"), user_col)
+            .filter(F.col(ts_col) > F.col("_prev_t"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("_t"))
+        )
+        frames.append(nxt)
+        prev = nxt
+    rows = []
+    for i, (step, frame) in enumerate(zip(steps, frames)):
+        rows.append(
+            frame.agg(F.count(F.lit(1)).alias("users")).select(
+                F.lit(step).alias("step"),
+                F.lit(i + 1).cast("bigint").alias("step_idx"),
+                "users",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def retention_cohorts(events: DataFrame, offsets: list[int],
+                      user_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """Day-granularity cohort retention: users are cohorted by their first
+    active day; a cohort is "retained at offset d" if the user has any
+    activity exactly d days later.
+
+    Returns (cohort_day, offset_days, users).  Two user-keyed aggregates
+    (first day, distinct active days) and one join on ``user_col`` — the
+    distinct-day frame is tiny relative to the stream, and the offset
+    filter prunes before the final coarse-keyed count.
+    """
+    day = F.col(ts_col).cast("date")
+    first = (
+        events.groupBy(user_col)
+        .agg(F.min(day).alias("cohort_day"))
+    )
+    active = events.select(user_col, day.alias("active_day")).distinct()
+    offs = ", ".join(str(int(o)) for o in offsets)
+    return (
+        active.join(first, user_col)
+        .withColumn("offset_days",
+                    F.datediff("active_day", "cohort_day").cast("bigint"))
+        .filter(F.expr(f"offset_days IN ({offs})"))
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.count_distinct(F.col(user_col)).alias("users"))
+    )
+
+
+def transition_matrix(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      id_col: str = "event_id") -> DataFrame:
+    """Per-user event-type transition counts and probabilities (first-order
+    Markov estimate).  One window pass per user ordered by (ts, id) — the
+    id tie-break makes ``lag`` deterministic when timestamps collide.
+
+    Returns (from_type, to_type, transitions, prob) with ``prob``
+    rounded to 6 places; row counts are exact integers so the division is
+    reproducible across engines.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.withColumn("_from", F.lag(type_col).over(w))
+        .filter(F.col("_from").isNotNull())
+        .groupBy(F.col("_from").alias("from_type"),
+                 F.col(type_col).alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("transitions"))
+    )
+    wf = Window.partitionBy("from_type")
+    return pairs.withColumn(
+        "prob",
+        F.round(F.col("transitions") / F.sum("transitions").over(wf), 6),
+    )
+
+
+def rolling_zscore(events: DataFrame, window_rows: int = 24,
+                   ts_col: str = "ts",
+                   type_col: str = "event_type") -> DataFrame:
+    """Rolling z-score anomaly detection over hourly event counts.
+
+    Counts events per (event_type, hour), then scores each bucket against
+    the preceding ``window_rows`` buckets of the same series using exact
+    integer partials: mean = Σx/n, var = (Σx² − (Σx)²/n)/(n−1).  Because
+    the windowed sums are integers, the double-arithmetic z-score is
+    bit-identical across engines and partitionings — no stddev-algorithm
+    variance.  Returns (event_type, bucket_hour, n_events, zscore) for
+    buckets with a full lookback window.
+
+    Scale shape: the count aggregate is the only data-sized shuffle (coarse
+    (type, hour) key); the window runs over the tiny bucket series.
+    """
+    hour = F.date_trunc("hour", F.col(ts_col))
+    counts = (
+        events.groupBy(F.col(type_col).alias("event_type"),
+                       hour.alias("bucket_hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_hour")
+        .rowsBetween(-window_rows, -1)
+    )
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum("n_events").over(w).cast("double")
+    sxx = F.sum(F.col("n_events") * F.col("n_events")).over(w).cast("double")
+    mean = sx / n
+    var = (sxx - sx * sx / n) / (n - F.lit(1.0))
+    z = (F.col("n_events").cast("double") - mean) / F.sqrt(var)
+    return (
+        counts.withColumn("_n", n)
+        .withColumn("zscore", F.round(z, 6))
+        .filter(F.col("_n") >= window_rows)
+        .drop("_n")
+    )

@@ -124,3 +124,46 @@ def cluster_profile(vectors: DataFrame, assign: DataFrame,
         F.count("*").alias("n_members"),
         F.round(F.sum(_sq_l2(F.col("_v"), F.col("cv"))), round_dp).alias("inertia"),
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic deduplication (SemDeDup-style canonical selection)
+# ---------------------------------------------------------------------------
+
+
+def semantic_canonical(vectors: DataFrame, centroids: DataFrame,
+                       threshold: float = 0.4, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic dedup over an embedding column: cluster the
+    corpus (nearest-centroid buckets — broadcast dim), find intra-cluster
+    cosine near-dup pairs, and map every vector to a canonical
+    representative = the smallest id among its direct semantic mates
+    (including itself).
+
+    Returns (id_col, canonical_id, is_duplicate).  Work is Σ|bucket|²
+    via :func:`~..similarity.ivf_neardup_pairs` — the corpus never meets
+    itself outside a cluster, and the mate-min aggregate is one narrow
+    shuffle on id.  (SemDeDup — Abbas et al. 2023 — prunes within k-means
+    clusters exactly this way; transitive closure, when wanted, composes
+    with ``dedup.connected_components`` on the pair list.)
+    """
+    from .similarity import ivf_neardup_pairs
+
+    pairs = ivf_neardup_pairs(vectors, centroids, threshold, id_col, vec_col)
+    mates = pairs.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("mate")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("mate"))
+    )
+    best = mates.groupBy("id").agg(F.min("mate").alias("_m"))
+    return (
+        vectors.select(F.col(id_col).alias("id"))
+        .join(best, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.least(F.col("id"), F.coalesce(F.col("_m"), F.col("id"))).alias(
+                "canonical_id"
+            ),
+        )
+        .withColumn("is_duplicate", F.col("canonical_id") < F.col(id_col))
+    )

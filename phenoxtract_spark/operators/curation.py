@@ -257,3 +257,72 @@ def pack_sequences(df: DataFrame, id_col: str, token_count, context_len: int = 2
         F.floor(prefix / context_len).cast("bigint").alias("pack_id"),
         F.pmod(prefix, F.lit(context_len)).cast("bigint").alias("pack_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-space decontamination
+# ---------------------------------------------------------------------------
+
+
+def embedding_decontaminate(train: DataFrame, test: DataFrame,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.4,
+                            round_dp: int = 6) -> DataFrame:
+    """Flag training vectors semantically close (cosine ≥ ``threshold``)
+    to any held-out vector — the embedding-space complement of n-gram
+    ``decontaminate`` (catches paraphrased eval leakage that shares no
+    shingle).
+
+    Returns (train_id, max_cos, n_test_hits), bounded by |train|.  The
+    held-out side broadcasts (eval sets are small by construction); the
+    train side streams map-side through the broadcast nested-loop, norms
+    computed once per side, never per pair.  For corpus-scale "test"
+    sides, pre-bucket both sides with ``similarity.assign_ivf_centroid``
+    instead.
+    """
+    from .similarity import dot, l2_norm
+
+    tr = train.select(
+        F.col(id_col).alias("train_id"),
+        F.col(vec_col).alias("_va"),
+        l2_norm(F.col(vec_col)).alias("_na"),
+    )
+    te = test.select(
+        F.col(id_col).alias("test_id"),
+        F.col(vec_col).alias("_vb"),
+        l2_norm(F.col(vec_col)).alias("_nb"),
+    )
+    cos = F.round(
+        dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), round_dp
+    )
+    return (
+        tr.crossJoin(F.broadcast(te))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .groupBy("train_id")
+        .agg(
+            F.max("cos").alias("max_cos"),
+            F.count(F.lit(1)).alias("n_test_hits"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# weighted source mixing
+# ---------------------------------------------------------------------------
+
+
+def weighted_sample(df: DataFrame, id_col: str, rate: Column,
+                    seed: str = "mix-v1") -> DataFrame:
+    """Deterministic weighted row sampling: keep a row iff its md5 bucket
+    (10k buckets) falls below ``rate``·10000.  ``rate`` is a Column of
+    doubles in [0, 1] — typically a per-source expression, making this the
+    data-mixing primitive for training recipes ("sample src A at 50%,
+    src B at 25%").  Pure projection + filter: reproducible across
+    engines, runs, and partitionings; no shuffle."""
+    b = split_bucket(id_col, seed)
+    return (
+        df.withColumn("rate", rate)
+        .filter(b < (F.col("rate") * 10000).cast("bigint"))
+    )

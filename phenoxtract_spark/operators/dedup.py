@@ -387,3 +387,45 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
             fp = contrib if fp is None else fp + contrib
     fp = F.when(F.col("_n") < F.lit(1 << field_w), fp)
     return agg.select("id", fp.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# edit-distance near-dup pairs (blocked fuzzy matching)
+# ---------------------------------------------------------------------------
+
+
+def levenshtein_block_pairs(df: DataFrame, id_col: str, text_col: str,
+                            block_chars: int = 12, cmp_chars: int = 80,
+                            max_dist: int = 8) -> DataFrame:
+    """Edit-distance near-duplicate pairs with prefix blocking: normalize,
+    block on the first ``block_chars`` characters, and compute Levenshtein
+    only within a block over a ``cmp_chars`` prefix.
+
+    Returns (id_a, id_b, lev) with id_a < id_b and lev ≤ ``max_dist``.
+
+    Scale shape: the self-join meets ONLY inside a (prefix) block —
+    Σ|block|² pairs, never corpus² — and the distance runs over bounded
+    prefixes so per-pair cost is O(cmp_chars²) regardless of document
+    length.  Blocking is a recall dial (an edit inside the block prefix
+    moves the row to another block); compose with ``lsh_candidate_pairs``
+    for shingle-based recall on prefix-divergent near-dups.
+    """
+    c = normalized_text(F.col(text_col))
+    d = df.select(
+        F.col(id_col).alias("_id"),
+        F.substring(c, 1, cmp_chars).alias("_t"),
+        F.substring(c, 1, block_chars).alias("_blk"),
+    )
+    a = d.select(
+        F.col("_id").alias("id_a"), F.col("_t").alias("_ta"), "_blk"
+    )
+    b = d.select(
+        F.col("_id").alias("id_b"), F.col("_t").alias("_tb"), "_blk"
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("lev", F.levenshtein(F.col("_ta"), F.col("_tb")).cast("bigint"))
+        .filter(F.col("lev") <= max_dist)
+        .select("id_a", "id_b", "lev")
+    )

@@ -1,0 +1,165 @@
+"""Oracle-checked behavioral / event-sequence analytics queries: funnel
+conversion, cohort retention, transition matrices, rolling-z-score anomaly
+detection, and a GROUPING SETS aggregation.
+
+Cross-engine discipline as everywhere: counts are exact bigints, every
+double derives from integer partials through an identical expression tree
+on both sides (so summation-order ulps can't differ), doubles round
+in-query, and window orderings carry an id tie-break so ``lag`` is
+deterministic under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators import behavior
+from .queries_core import q, read_table
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+@q(
+    "events_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS step, CAST(1 AS BIGINT) AS step_idx, count(*) AS users FROM s1
+    UNION ALL
+    SELECT 'click', CAST(2 AS BIGINT), count(*) FROM s2
+    UNION ALL
+    SELECT 'purchase', CAST(3 AS BIGINT), count(*) FROM s3
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Strict-order view→click→purchase funnel.  Each stage is one
+    filtered min-aggregate joined to the previous stage's one-row-per-user
+    frame — stage frames shrink monotonically and broadcast at scale."""
+    ev = read_table(spark, sf_dir, "events")
+    return behavior.funnel(ev, _FUNNEL_STEPS)
+
+
+@q(
+    "events_retention_cohort",
+    """
+    WITH first AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events)
+    SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, active_day) AS BIGINT) AS offset_days,
+           count(DISTINCT a.user_id) AS users
+    FROM active a JOIN first f ON a.user_id = f.user_id
+    WHERE date_diff('day', cohort_day, active_day) IN (1, 3, 7)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention(spark, sf_dir):
+    """Day-cohort retention at offsets 1/3/7: two user-keyed aggregates
+    (first day, distinct active days) + one user join; the final count is
+    on the coarse (cohort_day, offset) key."""
+    ev = read_table(spark, sf_dir, "events")
+    return behavior.retention_cohorts(ev, offsets=[1, 3, 7])
+
+
+@q(
+    "events_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+      FROM events
+    )
+    SELECT from_type, event_type AS to_type, count(*) AS transitions,
+           round(count(*) / CAST(
+             sum(count(*)) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS prob
+    FROM seq WHERE from_type IS NOT NULL
+    GROUP BY from_type, event_type
+    """,
+)
+def events_transitions(spark, sf_dir):
+    """First-order Markov transition estimate over per-user event
+    sequences; the (ts, event_id) ordering tie-break makes ``lag``
+    deterministic across engines and partitionings."""
+    ev = read_table(spark, sf_dir, "events")
+    return behavior.transition_matrix(ev)
+
+
+@q(
+    "events_anomaly_zscore",
+    """
+    WITH buckets AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_hour,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type, bucket_hour, n_events,
+             CAST(count(*) OVER w AS DOUBLE) AS n,
+             CAST(sum(n_events) OVER w AS DOUBLE) AS sx,
+             CAST(sum(n_events * n_events) OVER w AS DOUBLE) AS sxx
+      FROM buckets
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_hour
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, bucket_hour, n_events,
+           round((CAST(n_events AS DOUBLE) - sx / n)
+                 / sqrt((sxx - sx * sx / n) / (n - 1.0)), 6) AS zscore
+    FROM scored WHERE n >= 24
+    """,
+)
+def events_anomaly(spark, sf_dir):
+    """Rolling z-score over hourly per-type event counts.  The windowed
+    sums are exact integers, so mean/variance/z derive through an
+    identical double expression tree on both engines — bit-reproducible,
+    no stddev-algorithm variance."""
+    ev = read_table(spark, sf_dir, "events")
+    return behavior.rolling_zscore(ev, window_rows=24)
+
+
+@q(
+    "grouping_sets_revenue",
+    """
+    SELECT n_name, o_orderpriority,
+           CAST(grouping(n_name, o_orderpriority) AS BIGINT) AS gid,
+           sum(CAST(o_totalprice AS DECIMAL(18,4))) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), ())
+    """,
+)
+def grouping_sets_revenue(spark, sf_dir):
+    """GROUPING SETS in one aggregation pass (vs three unioned groupBys):
+    per-(nation, priority) revenue, per-nation subtotal, and grand total,
+    disambiguated by ``grouping_id``.  Money accumulates in DECIMAL(18,4)
+    so the subtotal hierarchy is exact."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return joined.groupingSets(
+        [["n_name", "o_orderpriority"], ["n_name"], []],
+        "n_name",
+        "o_orderpriority",
+    ).agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("revenue"),
+    )

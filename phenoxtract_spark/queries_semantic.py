@@ -1,0 +1,196 @@
+"""Oracle-checked semantic-dedup / fuzzy-match / data-mixing queries:
+SemDeDup-style canonical selection over embedding clusters, embedding-space
+decontamination, edit-distance near-dup pairs with prefix blocking, and
+deterministic weighted source mixing.
+
+Cross-engine discipline: cosines round in-query on both sides before any
+threshold; Levenshtein is the classic unit-cost edit distance in both
+engines; md5-bucket sampling replays bit-identically in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators import clustering, curation, dedup
+from .queries_core import q, read_table
+
+# Shared DuckDB CTE prelude: embeddings unnested to (vec_id, i, x) plus
+# per-vector L2 norms — the base relations every embedding oracle builds on.
+_VX_SQL = """
+    idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+    vx AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, idx),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM vx GROUP BY vec_id)
+"""
+
+# IVF bucket assignment by max-cosine centroid (stride slice), mirroring
+# similarity.assign_ivf_centroid — emits assign(id, cid).
+_ASSIGN_SQL = """
+    cen AS (SELECT vec_id AS cid FROM embeddings
+            WHERE vec_id % (SELECT greatest(61, CAST(floor(sqrt(count(*))) AS BIGINT))
+                            FROM embeddings) = 0),
+    adots AS (
+      SELECT v.vec_id AS id, c.cid,
+             round(sum(v.x * cv.x) / (nv.nrm * nc.nrm), 6) AS cos
+      FROM vx v
+      JOIN cen c ON true
+      JOIN vx cv ON cv.vec_id = c.cid AND cv.i = v.i
+      JOIN norms nv ON nv.vec_id = v.vec_id
+      JOIN norms nc ON nc.vec_id = c.cid
+      GROUP BY v.vec_id, c.cid, nv.nrm, nc.nrm
+    ),
+    assign AS (
+      SELECT id, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid) AS rn
+        FROM adots) WHERE rn = 1
+    )
+"""
+
+
+@q(
+    "dedup_semantic_canonical",
+    "WITH "
+    + _VX_SQL
+    + ","
+    + _ASSIGN_SQL
+    + """,
+    pair AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM assign a JOIN assign b ON a.cid = b.cid AND a.id < b.id
+    ),
+    pdots AS (
+      SELECT p.id_a, p.id_b, sum(a.x * b.x) AS dot
+      FROM pair p
+      JOIN vx a ON a.vec_id = p.id_a
+      JOIN vx b ON b.vec_id = p.id_b AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    dup AS (
+      SELECT id_a, id_b
+      FROM pdots JOIN norms na ON na.vec_id = id_a
+                 JOIN norms nb ON nb.vec_id = id_b
+      WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.4
+    ),
+    mates AS (
+      SELECT id_a AS id, id_b AS mate FROM dup
+      UNION ALL SELECT id_b, id_a FROM dup
+    ),
+    best AS (SELECT id, min(mate) AS m FROM mates GROUP BY id)
+    SELECT e.vec_id,
+           least(e.vec_id, coalesce(b.m, e.vec_id)) AS canonical_id,
+           least(e.vec_id, coalesce(b.m, e.vec_id)) < e.vec_id AS is_duplicate
+    FROM embeddings e LEFT JOIN best b ON e.vec_id = b.id
+    """,
+)
+def semantic_canonical(spark, sf_dir):
+    """SemDeDup-style semantic dedup: IVF-cluster the embeddings
+    (√n centroids, broadcast), cosine-verify pairs ONLY within a cluster,
+    then map every vector to the smallest id among its semantic mates.
+    Output is one row per vector — the keep/drop decision a curation
+    pipeline consumes directly."""
+    import math
+
+    e = read_table(spark, sf_dir, "embeddings")
+    stride = max(61, int(math.isqrt(e.count())))
+    centroids = e.filter(F.col("vec_id") % stride == 0)
+    return clustering.semantic_canonical(e, centroids, threshold=0.4)
+
+
+@q(
+    "curation_embedding_decontaminate",
+    "WITH "
+    + _VX_SQL
+    + """,
+    b AS (SELECT vec_id,
+                 ('0x' || substr(md5('decon-v1::' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 10000 AS bk
+          FROM embeddings),
+    te AS (SELECT vec_id FROM b WHERE bk < 1000),
+    tr AS (SELECT vec_id FROM b WHERE bk >= 1000),
+    dots AS (
+      SELECT t.vec_id AS train_id, s.vec_id AS test_id, sum(a.x * c.x) AS dot
+      FROM tr t JOIN te s ON true
+      JOIN vx a ON a.vec_id = t.vec_id
+      JOIN vx c ON c.vec_id = s.vec_id AND c.i = a.i
+      GROUP BY 1, 2
+    ),
+    cs AS (
+      SELECT train_id, round(dot / (na.nrm * nb.nrm), 6) AS cos
+      FROM dots JOIN norms na ON na.vec_id = train_id
+                JOIN norms nb ON nb.vec_id = test_id
+    )
+    SELECT train_id, max(cos) AS max_cos, count(*) AS n_test_hits
+    FROM cs WHERE cos >= 0.4 GROUP BY train_id
+    """,
+)
+def embedding_decontaminate(spark, sf_dir):
+    """Embedding-space train/test decontamination: a deterministic 10%
+    md5-bucket of the vectors is the held-out side (broadcast); training
+    vectors with cosine ≥ 0.4 to any held-out vector are flagged with
+    their max similarity and hit count."""
+    e = read_table(spark, sf_dir, "embeddings")
+    bucket = curation.split_bucket("vec_id", "decon-v1")
+    test = e.filter(bucket < 1000)
+    train = e.filter(bucket >= 1000)
+    return curation.embedding_decontaminate(train, test, threshold=0.4)
+
+
+@q(
+    "dedup_levenshtein_pairs",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    blocked AS (
+      SELECT doc_id, substring(t, 1, 80) AS t, substring(t, 1, 12) AS blk
+      FROM norm
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.t, b.t) AS BIGINT) AS lev
+    FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.t, b.t) <= 8
+    """,
+)
+def levenshtein_pairs(spark, sf_dir):
+    """Edit-distance near-dup pairs with prefix blocking: Σ|block|² pairs
+    (never corpus²), bounded-prefix distance so per-pair cost is
+    independent of document length."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.levenshtein_block_pairs(
+        d, "doc_id", "text", block_chars=12, cmp_chars=80, max_dist=8
+    )
+
+
+@q(
+    "curation_source_mix",
+    """
+    WITH r AS (
+      SELECT doc_id, source,
+             CAST(CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) % 2 = 0
+                       THEN 0.5 ELSE 0.25 END AS DOUBLE) AS rate
+      FROM documents
+    )
+    SELECT doc_id, source, rate
+    FROM r
+    WHERE ('0x' || substr(md5('mix-v1::' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 10000 < CAST(rate * 10000 AS BIGINT)
+    """,
+)
+def source_mix(spark, sf_dir):
+    """Deterministic weighted source mixing: even-numbered sources sample
+    at 50%, odd at 25%, via the md5-bucket primitive — the training-recipe
+    mixer, reproducible under any cluster layout."""
+    d = read_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(
+            F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int") % 2 == 0,
+            F.lit(0.5),
+        )
+        .otherwise(F.lit(0.25))
+        .cast("double")
+    )
+    return curation.weighted_sample(d, "doc_id", rate).select(
+        "doc_id", "source", "rate"
+    )

@@ -1,0 +1,186 @@
+"""Unit tests for the behavioral analytics operators (funnel, retention,
+transitions, rolling z-score) and the semantic-dedup / fuzzy-match /
+mixing additions, on small hand-built fixtures with known answers."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from phenoxtract_spark.operators import behavior, clustering, curation, dedup
+
+
+def _ts(day, hour=0, minute=0):
+    return dt.datetime(2024, 1, day, hour, minute)
+
+
+@pytest.fixture(scope="module")
+def funnel_events(spark):
+    # u1 converts all three steps in order; u2 clicks BEFORE viewing (must
+    # not count past step 1); u3 views only.
+    rows = [
+        (1, _ts(1, 9), 1, "view"),
+        (2, _ts(1, 10), 1, "click"),
+        (3, _ts(1, 11), 1, "purchase"),
+        (4, _ts(1, 8), 2, "click"),
+        (5, _ts(1, 9), 2, "view"),
+        (6, _ts(2, 9), 3, "view"),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def test_funnel_strict_ordering(funnel_events):
+    out = {
+        r["step"]: r["users"]
+        for r in behavior.funnel(
+            funnel_events, ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert out == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_funnel_step_requires_strictly_later_event(spark):
+    # same-timestamp click does NOT satisfy "after view"
+    rows = [(1, _ts(1, 9), 1, "view"), (2, _ts(1, 9), 1, "click")]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        r["step"]: r["users"]
+        for r in behavior.funnel(ev, ["view", "click"]).collect()
+    }
+    assert out == {"view": 1, "click": 0}
+
+
+def test_retention_offsets(spark):
+    # u1 first active day 1, returns day 2 and day 8 (offsets 1 and 7);
+    # u2 first active day 1 only (no retention rows).
+    rows = [
+        (1, _ts(1), 1, "view"),
+        (2, _ts(2), 1, "view"),
+        (3, _ts(8), 1, "view"),
+        (4, _ts(1), 2, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = behavior.retention_cohorts(ev, offsets=[1, 7]).collect()
+    got = {(str(r["cohort_day"]), r["offset_days"]): r["users"] for r in out}
+    assert got == {("2024-01-01", 1): 1, ("2024-01-01", 7): 1}
+
+
+def test_transition_matrix_probs(spark):
+    # u1: a->b, b->a, a->b  => from a: {b:2}, from b: {a:1}
+    rows = [
+        (1, _ts(1, 9), 1, "a"),
+        (2, _ts(1, 10), 1, "b"),
+        (3, _ts(1, 11), 1, "a"),
+        (4, _ts(1, 12), 1, "b"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        (r["from_type"], r["to_type"]): (r["transitions"], r["prob"])
+        for r in behavior.transition_matrix(ev).collect()
+    }
+    assert out[("a", "b")] == (2, 1.0)
+    assert out[("b", "a")] == (1, 1.0)
+
+
+def test_transition_lag_tie_break_on_event_id(spark):
+    # two events at the SAME ts: event_id orders them deterministically
+    rows = [
+        (1, _ts(1, 9), 1, "a"),
+        (2, _ts(1, 9), 1, "b"),
+        (3, _ts(1, 10), 1, "c"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        (r["from_type"], r["to_type"]): r["transitions"]
+        for r in behavior.transition_matrix(ev).collect()
+    }
+    assert out == {("a", "b"): 1, ("b", "c"): 1}
+
+
+def test_rolling_zscore_flags_spike(spark):
+    # 30 hourly buckets of 10 events, then one bucket of 60: the spike's
+    # lookback window is constant-10, so z = (60-10)/0 would divide by
+    # zero — use 24 flat + slight alternation to keep variance > 0.
+    rows = []
+    eid = 0
+    for h in range(30):
+        n = 10 + (h % 2)  # 10/11 alternation: nonzero variance
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, _ts(1 + h // 24, h % 24), 1, "x"))
+    for _ in range(60):  # spike in hour 30
+        eid += 1
+        rows.append((eid, _ts(2, 6), 1, "x"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = behavior.rolling_zscore(ev, window_rows=24).collect()
+    spike = [r for r in out if r["n_events"] == 60]
+    assert len(spike) == 1 and spike[0]["zscore"] > 10
+    normal = [abs(r["zscore"]) for r in out if r["n_events"] in (10, 11)]
+    assert normal and max(normal) < 2
+
+
+def test_semantic_canonical_groups_near_identical(spark):
+    # 0/1 near-identical, 2 orthogonal; one centroid bucket (id 0)
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = e.filter(F.col("vec_id") == 0)
+    out = {
+        r["vec_id"]: (r["canonical_id"], r["is_duplicate"])
+        for r in clustering.semantic_canonical(e, cent, threshold=0.9).collect()
+    }
+    assert out[0] == (0, False)
+    assert out[1] == (0, True)
+    assert out[2] == (2, False)
+
+
+def test_levenshtein_block_pairs_finds_near_dup(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumped over the lazy dog"),
+        (3, "completely different text with no shared prefix"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.levenshtein_block_pairs(d, "doc_id", "text").collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+    assert out[0]["lev"] == 2  # "jumps" -> "jumped": insert 'e', sub 's'->'d'
+
+
+def test_embedding_decontaminate_flags_only_close(spark):
+    train = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    test = spark.createDataFrame(
+        [(99, [0.999, 0.01])], "vec_id long, embedding array<double>"
+    )
+    out = curation.embedding_decontaminate(train, test, threshold=0.9).collect()
+    assert [r["train_id"] for r in out] == [10]
+    assert out[0]["n_test_hits"] == 1 and out[0]["max_cos"] > 0.99
+
+
+def test_weighted_sample_rates_and_determinism(spark):
+    d = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    kept = curation.weighted_sample(d, "doc_id", F.lit(0.5))
+    n1, n2 = kept.count(), kept.count()
+    assert n1 == n2  # deterministic — no rand()
+    assert 0.45 * 4000 < n1 < 0.55 * 4000
+    none_kept = curation.weighted_sample(d, "doc_id", F.lit(0.0)).count()
+    all_kept = curation.weighted_sample(d, "doc_id", F.lit(1.0)).count()
+    assert none_kept == 0 and all_kept == 4000
