@@ -63,6 +63,9 @@ _PRIORITY = [
     # behavioral event-sequence analytics
     "events_funnel", "events_retention_cohort",
     "events_transition_matrix", "events_anomaly_zscore",
+    # mergeable sketches / semi-structured
+    "sketch_bloom_membership", "sketch_histogram_quantiles",
+    "events_json_props",
     # analytics spine
     "tpch_q1_pricing_summary", "window_running_total",
 ]

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _bucket(value: Column, d: Column | int, width: int, seed: str) -> Column:
@@ -79,3 +80,129 @@ def count_min_estimate(sketch: DataFrame, probes: DataFrame, col: str,
         .groupBy("value")
         .agg(F.min("cnt").alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (md5-seeded, engine-identical)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_bits(value: Column, num_hashes: int, num_bits: int,
+                seed: str) -> list[Column]:
+    return [_bucket(value, k, num_bits, seed) for k in range(num_hashes)]
+
+
+def bloom_build(df: DataFrame, col: str, num_hashes: int = 4,
+                num_bits: int = 4096, seed: str = "bloom-v1") -> DataFrame:
+    """Build a Bloom filter of ``df[col]`` as the DISTINCT set bit indices
+    (one row per set bit — at most ``num_bits`` rows however large the
+    input).
+
+    Scale: one map pass (each row → ``num_hashes`` indices) + one distinct
+    on a key space capped at ``num_bits`` — the shuffle is O(num_bits)
+    regardless of input size.  Filters are MERGEABLE by unioning bit rows
+    (set-OR), so per-shard filters roll up; the bit-row representation
+    broadcasts to probes.  md5-seeded like Count-Min: Spark and the SQL
+    oracle derive the IDENTICAL bit set, so probe results value-check
+    exactly."""
+    bits = df.select(
+        F.explode(F.array(*_bloom_bits(F.col(col), num_hashes, num_bits, seed))).alias(
+            "bit"
+        )
+    )
+    return bits.distinct()
+
+
+def bloom_probe(bloom: DataFrame, probes: DataFrame, col: str,
+                num_hashes: int = 4, num_bits: int = 4096,
+                seed: str = "bloom-v1") -> DataFrame:
+    """Probe membership: a value is ``maybe_present`` iff ALL its hash
+    bits are set (classic no-false-negative / bounded-false-positive
+    semantics).  The bit set (≤ num_bits rows) broadcasts; probe cost is
+    O(|probes| × num_hashes) with no scan of the original data.
+    Returns (value, maybe_present)."""
+    probe_rows = probes.select(
+        F.col(col).cast("string").alias("value"),
+        F.explode(
+            F.array(*_bloom_bits(F.col(col), num_hashes, num_bits, seed))
+        ).alias("bit"),
+    )
+    marked = probe_rows.join(
+        F.broadcast(bloom.withColumn("_set", F.lit(1))), "bit", "left"
+    )
+    return marked.groupBy("value").agg(
+        (F.count(F.col("_set")) == F.lit(num_hashes)).alias("maybe_present")
+    )
+
+
+# ---------------------------------------------------------------------------
+# equi-width histogram quantile estimation (mergeable)
+# ---------------------------------------------------------------------------
+
+
+def histogram_quantiles(df: DataFrame, col: str, quantiles: list[float],
+                        num_bins: int = 128, lo: float | None = None,
+                        hi: float | None = None,
+                        round_dp: int = 4) -> DataFrame:
+    """Quantile estimates from an equi-width histogram: bin the column,
+    accumulate counts, and linearly interpolate inside the bin containing
+    each target rank (the mergeable-histogram alternative to a full sort;
+    ``percentile_approx``'s sketch is engine-internal, this one is
+    engine-replayable).
+
+    ``lo``/``hi`` fix the range; when omitted a first bounded aggregate
+    derives min/max (two-pass, like the cast-stats kernel).  Estimation
+    error ≤ bin width; bins are mergeable counters so per-shard histograms
+    roll up for continuous ingest.  Returns (q, est).
+
+    Scale: one map pass + a groupBy on ≤ ``num_bins`` keys; the rank
+    interpolation runs over the tiny bin relation.  All double arithmetic
+    derives from exact integer counts and the two range constants through
+    a fixed expression tree — engine-reproducible.
+    """
+    if lo is None or hi is None:
+        r = df.agg(
+            F.min(F.col(col).cast("double")).alias("lo"),
+            F.max(F.col(col).cast("double")).alias("hi"),
+        ).collect()[0]
+        lo = r["lo"] if lo is None else lo
+        hi = r["hi"] if hi is None else hi
+    width = (hi - lo) / num_bins
+    x = F.col(col).cast("double")
+    bin_ = F.least(
+        F.lit(num_bins - 1),
+        F.floor((x - F.lit(lo)) / F.lit(width)).cast("int"),
+    ).cast("bigint")
+    hist = (
+        df.filter(x.isNotNull())
+        .groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    total_w = Window.partitionBy()
+    cum = hist.select(
+        "bin",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_before"),
+        F.sum("cnt").over(total_w).alias("total"),
+    )
+    out = None
+    for qv in quantiles:
+        rank = F.col("total").cast("double") * F.lit(qv)
+        in_bin = (rank > F.col("cum_before").cast("double")) & (
+            rank <= (F.col("cum_before") + F.col("cnt")).cast("double")
+        )
+        est = F.lit(lo) + (
+            F.col("bin").cast("double")
+            + (rank - F.col("cum_before").cast("double")) / F.col("cnt").cast("double")
+        ) * F.lit(width)
+        row = (
+            cum.filter(in_bin)
+            .select(
+                F.lit(qv).alias("q"),
+                F.round(est, round_dp).alias("est"),
+            )
+            .limit(1)
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -163,3 +163,32 @@ def grouping_sets_revenue(spark, sf_dir):
         F.grouping_id().cast("bigint").alias("gid"),
         F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("revenue"),
     )
+
+
+@q(
+    "events_json_props",
+    """
+    SELECT event_type, count(*) AS n, sum(k) AS sum_k,
+           round(avg(k), 6) AS avg_k, min(k) AS min_k, max(k) AS max_k
+    FROM (SELECT event_type, CAST(props::JSON->>'k' AS BIGINT) AS k FROM events)
+    GROUP BY event_type
+    """,
+)
+def events_json_props(spark, sf_dir):
+    """Semi-structured property extraction: parse the JSON ``props``
+    column executor-side (``get_json_object`` — JVM JSON path, no Python
+    UDF) and aggregate the extracted measure per event type.  The parse
+    is a pure projection; the aggregate is one coarse-keyed shuffle."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

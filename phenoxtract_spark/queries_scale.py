@@ -809,3 +809,111 @@ def sketch_countmin(spark, sf_dir):
     sk = sketches.count_min_build(e, "user_id", depth=4, width=256)
     probes = e.filter(F.col("user_id") < 20).select("user_id").distinct()
     return sketches.count_min_estimate(sk, probes, "user_id", depth=4, width=256)
+
+
+@q(
+    "sketch_bloom_membership",
+    """
+    WITH params AS (SELECT unnest(generate_series(0, 3)) AS k),
+    bits AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5('bloom-v1|' || CAST(k AS VARCHAR) || '|'
+                                 || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT
+             % 65536 AS bit
+      FROM orders, params
+    ),
+    probe_rows AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS value,
+             ('0x' || substr(md5('bloom-v1|' || CAST(k AS VARCHAR) || '|'
+                                 || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+             % 65536 AS bit
+      FROM customer, params
+    ),
+    probed AS (
+      SELECT p.value, count(b.bit) = 4 AS maybe_present
+      FROM probe_rows p LEFT JOIN bits b ON p.bit = b.bit
+      GROUP BY p.value
+    ),
+    truth AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS value FROM orders)
+    SELECT maybe_present, has_orders, count(*) AS n
+    FROM (
+      SELECT pr.value, pr.maybe_present, (t.value IS NOT NULL) AS has_orders
+      FROM probed pr LEFT JOIN truth t ON pr.value = t.value
+    )
+    GROUP BY maybe_present, has_orders
+    """,
+)
+def sketch_bloom(spark, sf_dir):
+    """Bloom-filter membership over order custkeys, probed with every
+    customer: md5-seeded 4x65536-bit filter whose bit set (≤ 64k rows,
+    input-size-independent) broadcasts to the probe side.  The output
+    confusion matrix exhibits the Bloom contract — the
+    (maybe_present=false, has_orders=true) cell can never appear — and is
+    exactly value-checkable because both engines derive identical bits."""
+    from .operators import sketches
+
+    o = read_table(spark, sf_dir, "orders").select("o_custkey")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    bloom = sketches.bloom_build(o, "o_custkey", num_hashes=4, num_bits=65536)
+    probed = sketches.bloom_probe(bloom, c, "c_custkey", num_hashes=4,
+                                  num_bits=65536)
+    truth = (
+        o.select(F.col("o_custkey").cast("string").alias("value"))
+        .distinct()
+        .withColumn("_has", F.lit(True))
+    )
+    return (
+        probed.join(truth, "value", "left")
+        .select(
+            "maybe_present",
+            F.coalesce(F.col("_has"), F.lit(False)).alias("has_orders"),
+        )
+        .groupBy("maybe_present", "has_orders")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "sketch_histogram_quantiles",
+    """
+    WITH rng AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+                 FROM lineitem),
+    binned AS (
+      SELECT least(127, CAST(floor((l_extendedprice - lo) / ((hi - lo) / 128))
+                         AS INTEGER)) AS bin
+      FROM lineitem, rng
+      WHERE l_extendedprice IS NOT NULL
+    ),
+    hist AS (SELECT CAST(bin AS BIGINT) AS bin, count(*) AS cnt
+             FROM binned GROUP BY bin),
+    cum AS (
+      SELECT bin, cnt,
+             coalesce(sum(cnt) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+             sum(cnt) OVER () AS total
+      FROM hist
+    ),
+    qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+    SELECT q,
+           round((SELECT lo FROM rng)
+                 + (CAST(bin AS DOUBLE)
+                    + (CAST(total AS DOUBLE) * q - CAST(cum_before AS DOUBLE))
+                      / CAST(cnt AS DOUBLE))
+                   * (((SELECT hi FROM rng) - (SELECT lo FROM rng)) / 128),
+                 4) AS est
+    FROM qs JOIN cum
+      ON CAST(total AS DOUBLE) * q > CAST(cum_before AS DOUBLE)
+     AND CAST(total AS DOUBLE) * q <= CAST(cum_before AS DOUBLE) + CAST(cnt AS DOUBLE)
+    """,
+)
+def sketch_histogram(spark, sf_dir):
+    """p50/p90/p99 of lineitem prices from a 128-bin equi-width histogram:
+    the mergeable, engine-replayable alternative to a full sort (and to
+    ``percentile_approx``'s engine-internal sketch).  One map pass + a
+    ≤128-key groupBy; the interpolation runs over the tiny bin relation."""
+    from .operators import sketches
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return sketches.histogram_quantiles(
+        li, "l_extendedprice", [0.5, 0.9, 0.99], num_bins=128
+    )

@@ -184,3 +184,45 @@ def test_weighted_sample_rates_and_determinism(spark):
     none_kept = curation.weighted_sample(d, "doc_id", F.lit(0.0)).count()
     all_kept = curation.weighted_sample(d, "doc_id", F.lit(1.0)).count()
     assert none_kept == 0 and all_kept == 4000
+
+
+def test_bloom_no_false_negatives(spark):
+    from phenoxtract_spark.operators import sketches
+
+    members = spark.range(0, 200).withColumnRenamed("id", "k")
+    bloom = sketches.bloom_build(members, "k", num_hashes=4, num_bits=8192)
+    probes = spark.range(0, 400).withColumnRenamed("id", "k")
+    out = {r["value"]: r["maybe_present"]
+           for r in sketches.bloom_probe(bloom, probes, "k", num_hashes=4,
+                                         num_bits=8192).collect()}
+    # every true member MUST probe positive
+    assert all(out[str(i)] for i in range(200))
+    # non-members mostly negative at this load factor (800/8192 bits)
+    fp = sum(1 for i in range(200, 400) if out[str(i)])
+    assert fp < 20
+
+
+def test_bloom_merge_is_bit_union(spark):
+    from phenoxtract_spark.operators import sketches
+
+    a = sketches.bloom_build(
+        spark.range(0, 50).withColumnRenamed("id", "k"), "k")
+    b = sketches.bloom_build(
+        spark.range(50, 100).withColumnRenamed("id", "k"), "k")
+    merged = a.unionByName(b).distinct()
+    whole = sketches.bloom_build(
+        spark.range(0, 100).withColumnRenamed("id", "k"), "k")
+    assert sorted(r["bit"] for r in merged.collect()) == sorted(
+        r["bit"] for r in whole.collect()
+    )
+
+
+def test_histogram_quantiles_close_to_exact(spark):
+    from phenoxtract_spark.operators import sketches
+
+    # uniform 0..9999: p50 ≈ 5000, p90 ≈ 9000 (bin width 10000/128 ≈ 78)
+    d = spark.range(0, 10000).select(F.col("id").cast("double").alias("x"))
+    out = {r["q"]: r["est"]
+           for r in sketches.histogram_quantiles(d, "x", [0.5, 0.9]).collect()}
+    assert abs(out[0.5] - 5000) < 100
+    assert abs(out[0.9] - 9000) < 100
