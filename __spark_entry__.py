@@ -65,7 +65,7 @@ _PRIORITY = [
     "events_transition_matrix", "events_anomaly_zscore",
     # mergeable sketches / semi-structured
     "sketch_bloom_membership", "sketch_histogram_quantiles",
-    "events_json_props",
+    "events_json_props", "events_pattern_followed_by",
     # analytics spine
     "tpch_q1_pricing_summary", "window_running_total",
 ]

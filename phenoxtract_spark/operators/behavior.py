@@ -160,3 +160,47 @@ def rolling_zscore(events: DataFrame, window_rows: int = 24,
         .filter(F.col("_n") >= window_rows)
         .drop("_n")
     )
+
+
+def followed_within(events: DataFrame, first_type: str, then_type: str,
+                    within: str = "10 minutes", user_col: str = "user_id",
+                    ts_col: str = "ts", type_col: str = "event_type",
+                    id_col: str = "event_id") -> DataFrame:
+    """CEP-style sequence pattern: for every ``first_type`` event, the
+    earliest ``then_type`` event by the same user STRICTLY after it and
+    within ``within`` (an interval literal like '10 minutes').
+
+    One event-time RANGE-frame window per user — no self-join, no range
+    explosion: the frame `(1 µs, within]` over ``unix_micros(ts)`` gives
+    the matching follower in a single pass with O(frame) state, the same
+    shape Structured Streaming executes incrementally.  Returns
+    (user_col, first_us, matched_us) with matched_us null when the
+    pattern did not complete.
+    """
+    import re
+
+    m = re.match(r"(\d+)\s*(second|minute|hour)s?", within)
+    if not m:
+        raise ValueError(f"unsupported interval: {within!r}")
+    mult = {"second": 1, "minute": 60, "hour": 3600}[m.group(2)]
+    within_us = int(m.group(1)) * mult * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    ev = events.select(
+        user_col,
+        F.col(type_col).alias("_type"),
+        us.alias("_us"),
+        F.col(id_col).alias("_id"),
+    )
+    w = Window.partitionBy(user_col).orderBy("_us").rangeBetween(1, within_us)
+    follower = F.min(
+        F.when(F.col("_type") == then_type, F.col("_us"))
+    ).over(w)
+    return (
+        ev.withColumn("_next", follower)
+        .filter(F.col("_type") == first_type)
+        .select(
+            user_col,
+            F.col("_us").alias("first_us"),
+            F.col("_next").alias("matched_us"),
+        )
+    )

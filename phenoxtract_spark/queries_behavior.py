@@ -192,3 +192,30 @@ def events_json_props(spark, sf_dir):
             F.max("k").alias("max_k"),
         )
     )
+
+
+@q(
+    "events_pattern_followed_by",
+    """
+    WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    scored AS (
+      SELECT user_id, event_type, us,
+             min(CASE WHEN event_type = 'error' THEN us END) OVER (
+               PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN 1 FOLLOWING AND 86400000000 FOLLOWING)
+               AS matched_us
+      FROM ev
+    )
+    SELECT user_id, us AS first_us, matched_us
+    FROM scored WHERE event_type = 'purchase'
+    """,
+)
+def events_pattern(spark, sf_dir):
+    """CEP-style sequence detection — purchase followed by error within
+    24 h — via ONE event-time RANGE-frame window per user: no self-join,
+    no |L|×|R| range explosion, O(frame) state; the same shape Structured
+    Streaming runs incrementally."""
+    ev = read_table(spark, sf_dir, "events")
+    return behavior.followed_within(
+        ev, "purchase", "error", within="24 hours"
+    )

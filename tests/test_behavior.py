@@ -226,3 +226,25 @@ def test_histogram_quantiles_close_to_exact(spark):
            for r in sketches.histogram_quantiles(d, "x", [0.5, 0.9]).collect()}
     assert abs(out[0.5] - 5000) < 100
     assert abs(out[0.9] - 9000) < 100
+
+
+def test_followed_within_matches_and_bounds(spark):
+    from phenoxtract_spark.operators import behavior as bh
+
+    rows = [
+        (1, _ts(1, 9, 0), 1, "purchase"),
+        (2, _ts(1, 9, 5), 1, "error"),     # within 10 min -> match
+        (3, _ts(1, 12, 0), 2, "purchase"),
+        (4, _ts(1, 13, 0), 2, "error"),    # 60 min later -> no match
+        (5, _ts(1, 9, 0), 3, "error"),     # error BEFORE purchase: no match
+        (6, _ts(1, 9, 1), 3, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r["user_id"]: r["matched_us"]
+           for r in bh.followed_within(ev, "purchase", "error",
+                                       within="10 minutes").collect()}
+    assert out[1] is not None
+    assert out[2] is None
+    assert out[3] is None
