@@ -194,3 +194,76 @@ def source_mix(spark, sf_dir):
     return curation.weighted_sample(d, "doc_id", rate).select(
         "doc_id", "source", "rate"
     )
+
+
+@q(
+    "curation_clean_pipeline",
+    """
+    WITH norm AS (
+      SELECT doc_id, source,
+             lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, source, t, CAST(length(t) AS BIGINT) AS n_chars,
+             round(CAST(length(regexp_replace(t, '[^a-z ]', '', 'g')) AS DOUBLE)
+                   / CAST(length(t) AS DOUBLE), 6) AS alpha_ratio
+      FROM norm WHERE length(t) > 0
+    ),
+    kept AS (
+      SELECT * FROM feat WHERE n_chars BETWEEN 50 AND 20000 AND alpha_ratio >= 0.6
+    ),
+    canon AS (
+      SELECT md5(t) AS digest, min(doc_id) AS keep_id FROM kept GROUP BY md5(t)
+    ),
+    deduped AS (
+      SELECT k.doc_id, k.source, k.n_chars, k.alpha_ratio
+      FROM kept k JOIN canon c ON md5(k.t) = c.digest AND k.doc_id = c.keep_id
+    )
+    SELECT doc_id, source, n_chars, alpha_ratio,
+           CASE WHEN ('0x' || substr(md5('split-v1::' || CAST(doc_id AS VARCHAR)),
+                                     1, 8))::BIGINT % 10000 < 8000 THEN 'train'
+                WHEN ('0x' || substr(md5('split-v1::' || CAST(doc_id AS VARCHAR)),
+                                     1, 8))::BIGINT % 10000 < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM deduped
+    """,
+)
+def curation_clean_pipeline(spark, sf_dir):
+    """End-to-end corpus cleaning as ONE composed query — the C4-style
+    recipe a training-data pipeline runs: normalize → quality-gate
+    (length + alphabetic ratio) → exact-dedup canonical (md5 digest, min
+    id) → deterministic train/val/test split.  Every stage is built-in
+    expressions; the only shuffles are the digest groupBy and its
+    keep-id join.  Demonstrates that the curation operators compose
+    without materialization barriers — Catalyst pipelines the whole
+    chain into three stages."""
+    from .operators.dedup import normalized_text
+
+    d = read_table(spark, sf_dir, "documents")
+    t = normalized_text(F.col("text"))
+    feat = d.select(
+        "doc_id",
+        "source",
+        t.alias("_t"),
+        F.length(t).cast("bigint").alias("n_chars"),
+        F.round(
+            F.length(F.regexp_replace(t, "[^a-z ]", "")).cast("double")
+            / F.length(t).cast("double"),
+            6,
+        ).alias("alpha_ratio"),
+    ).filter(F.length(F.col("_t")) > 0)
+    kept = feat.filter(
+        F.col("n_chars").between(50, 20000) & (F.col("alpha_ratio") >= 0.6)
+    )
+    canon = (
+        kept.groupBy(F.md5(F.col("_t")).alias("_digest"))
+        .agg(F.min("doc_id").alias("_keep_id"))
+    )
+    deduped = kept.join(
+        canon,
+        (F.md5(F.col("_t")) == F.col("_digest"))
+        & (F.col("doc_id") == F.col("_keep_id")),
+    )
+    out = curation.dataset_split(deduped, "doc_id")
+    return out.select("doc_id", "source", "n_chars", "alpha_ratio", "split")
