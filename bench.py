@@ -52,6 +52,10 @@ HEADLINE = [
     "similarity_bruteforce_topk",
     "text_quality",
     "text_fingerprint",
+    # round-3 additions: semantic dedup, composed cleaning, CEP pattern
+    "dedup_semantic_canonical",
+    "curation_clean_pipeline",
+    "events_pattern_followed_by",
 ]
 
 # Scale-sensitive subset re-run at sf1 (10x).  Linear operators should land
@@ -72,6 +76,10 @@ SF1_PROBE = [
     "text_quality",
     "text_fingerprint",
     "tpch_q1_pricing_summary",
+    # round-3 additions: bucket-bounded semantic dedup and the composed
+    # cleaning pipeline are the scale-sensitive new paths
+    "dedup_semantic_canonical",
+    "curation_clean_pipeline",
 ]
 
 

@@ -172,10 +172,11 @@ def followed_within(events: DataFrame, first_type: str, then_type: str,
 
     One event-time RANGE-frame window per user — no self-join, no range
     explosion: the frame `(1 µs, within]` over ``unix_micros(ts)`` gives
-    the matching follower in a single pass with O(frame) state, the same
-    shape Structured Streaming executes incrementally.  Returns
-    (user_col, first_us, matched_us) with matched_us null when the
-    pattern did not complete.
+    the matching follower in a single pass with O(frame) state.  (Batch
+    operator; the streaming equivalent is an ``applyInPandasWithState``
+    keyed by user with a ``within``-bounded event buffer, as in
+    ``streaming/stateful.py``.)  Returns (user_col, first_us, matched_us)
+    with matched_us null when the pattern did not complete.
     """
     import re
 

@@ -213,8 +213,8 @@ def events_json_props(spark, sf_dir):
 def events_pattern(spark, sf_dir):
     """CEP-style sequence detection — purchase followed by error within
     24 h — via ONE event-time RANGE-frame window per user: no self-join,
-    no |L|×|R| range explosion, O(frame) state; the same shape Structured
-    Streaming runs incrementally."""
+    no |L|×|R| range explosion, O(frame) state (streaming variant =
+    stateful keyed buffer, see operator docstring)."""
     ev = read_table(spark, sf_dir, "events")
     return behavior.followed_within(
         ev, "purchase", "error", within="24 hours"
