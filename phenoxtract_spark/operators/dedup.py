@@ -429,3 +429,68 @@ def levenshtein_block_pairs(df: DataFrame, id_col: str, text_col: str,
         .filter(F.col("lev") <= max_dist)
         .select("id_a", "id_b", "lev")
     )
+
+
+def ngram_containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                            k: int = 5, threshold: float = 0.5,
+                            candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram CONTAINMENT: |A∩B| / min(|A|, |B|) — the
+    quote/subset-duplication metric Jaccard misses (a short doc fully
+    embedded in a long one has high containment but low Jaccard, because
+    the union is dominated by the long doc).
+
+    Returns (id_a, id_b, containment) rounded to 6dp.  Same two plans as
+    :func:`ngram_jaccard_pairs`: candidate-fed (cost ∝ |candidates|,
+    arrays built only for candidate docs) or discovery-mode shingle
+    self-join for small/test corpora."""
+    if candidates is not None:
+        ids = (
+            candidates.select(F.col("id_a").alias("__jid"))
+            .unionByName(candidates.select(F.col("id_b").alias("__jid")))
+            .distinct()
+        )
+        arrs = df.join(ids, F.col(id_col) == F.col("__jid"), "leftsemi").select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(shingles(text_col, k)).alias("shs"),
+        )
+        return (
+            candidates.join(
+                arrs.select(F.col("id").alias("id_a"), F.col("shs").alias("sa")), "id_a"
+            )
+            .join(arrs.select(F.col("id").alias("id_b"), F.col("shs").alias("sb")), "id_b")
+            .withColumn("common", F.size(F.array_intersect("sa", "sb")))
+            .withColumn(
+                "containment",
+                F.round(
+                    F.col("common") / F.least(F.size("sa"), F.size("sb")), 6
+                ),
+            )
+            .filter(F.col("containment") >= threshold)
+            .select("id_a", "id_b", "containment")
+        )
+    sh = shingles_long(df, id_col, text_col, k).distinct()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"),
+            "id_b",
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("common") / F.least(F.col("na"), F.col("nb")), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

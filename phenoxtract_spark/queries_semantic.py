@@ -267,3 +267,59 @@ def curation_clean_pipeline(spark, sf_dir):
     )
     out = curation.dataset_split(deduped, "doc_id")
     return out.select("doc_id", "source", "n_chars", "alpha_ratio", "split")
+
+
+@q(
+    "dedup_ngram_containment",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS sh
+      FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+    ),
+    seeded AS (
+      SELECT doc_id, s.seed, md5(CAST(s.seed AS VARCHAR) || '|' || sh) AS h
+      FROM sh, (SELECT unnest(generate_series(0, 3)) AS seed) s
+    ),
+    sig AS (SELECT doc_id AS id, seed, min(h) AS minhash FROM seeded GROUP BY 1, 2),
+    bands AS (
+      SELECT id, seed // 2 AS band,
+             md5(array_to_string(list_sort(list(CAST(seed AS VARCHAR) || ':' || minhash)), '|')) AS band_key
+      FROM sig GROUP BY id, seed // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+    ),
+    dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+    common AS (
+      SELECT c.id_a, c.id_b, count(*) AS c
+      FROM cand c
+      JOIN dsh a ON a.doc_id = c.id_a
+      JOIN dsh b ON b.doc_id = c.id_b AND b.sh = a.sh
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(c AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(CAST(c AS DOUBLE) / least(sa.n, sb.n), 6) >= 0.2
+    """,
+)
+def ngram_containment(spark, sf_dir):
+    """Containment verify fed by the same LSH candidates as the Jaccard
+    path: catches subset-duplication (a doc quoted inside a longer one)
+    that the union-normalized Jaccard score dilutes.  Cost ∝ |candidates|."""
+    d = read_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(d, "doc_id", "text", num_hashes=4, k=3)
+    cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, rows_per_band=2))
+    return dedup.ngram_containment_pairs(
+        d, "doc_id", "text", k=3, threshold=0.2, candidates=cand
+    )

@@ -85,3 +85,89 @@ def test_age_to_iso_in_range(spark, ages):
     df = spark.createDataFrame([(str(a),) for a in ages], "a string")
     out = [r["x"] for r in df.select(durations.age_years_to_iso("a").alias("x")).collect()]
     assert out == [f"P{a}Y" for a in ages]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 50), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_funnel_counts_monotone_nonincreasing(spark, events):
+    """Users reaching step i+1 can never exceed users reaching step i —
+    for ANY event sequence (the structural funnel invariant)."""
+    from phenoxtract_spark.operators import behavior
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=m), u, t)
+        for i, (u, m, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = sorted(
+        behavior.funnel(df, ["a", "b", "c"]).collect(), key=lambda r: r["step_idx"]
+    )
+    counts = [r["users"] for r in out]
+    assert counts == sorted(counts, reverse=True)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(alphabet="ab ", min_size=6, max_size=40), min_size=2, max_size=12))
+def test_containment_dominates_jaccard(spark, texts):
+    """|A∩B|/min(|A|,|B|) ≥ |A∩B|/|A∪B| for every pair — containment can
+    only exceed Jaccard (min ≤ union), so subset-duplication is never
+    scored lower by the containment metric."""
+    from phenoxtract_spark.operators import dedup as dd
+
+    docs = [(i, t) for i, t in enumerate(texts) if t.strip()]
+    if len(docs) < 2:
+        return
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    jac = {
+        (r["id_a"], r["id_b"]): r["jacc"]
+        for r in dd.ngram_jaccard_pairs(df, "doc_id", "text", k=2, threshold=0.0).collect()
+    }
+    con = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dd.ngram_containment_pairs(df, "doc_id", "text", k=2, threshold=0.0).collect()
+    }
+    for pair, j in jac.items():
+        assert pair in con and con[pair] >= j - 1e-9
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.floats(0.05, 0.95), st.floats(0.05, 0.95))
+def test_weighted_sample_monotone_in_rate(spark, r1, r2):
+    """The kept set at a lower rate is a SUBSET of the kept set at a
+    higher rate (same seed) — rates can be tuned without reshuffling
+    which documents survive."""
+    from phenoxtract_spark.operators import curation
+
+    lo, hi = min(r1, r2), max(r1, r2)
+    d = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    kept_lo = {r["doc_id"] for r in curation.weighted_sample(d, "doc_id", F.lit(lo)).collect()}
+    kept_hi = {r["doc_id"] for r in curation.weighted_sample(d, "doc_id", F.lit(hi)).collect()}
+    assert kept_lo <= kept_hi
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.floats(0, 1000, allow_nan=False), min_size=30, max_size=300))
+def test_histogram_quantile_within_one_bin(spark, xs):
+    """The histogram estimate lands within one bin width of the true
+    value's neighborhood: bounded error is the contract that makes the
+    sketch usable as a sort replacement."""
+    from phenoxtract_spark.operators import sketches
+
+    lo, hi = min(xs), max(xs)
+    if hi - lo < 1e-9:
+        return
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    out = sketches.histogram_quantiles(df, "x", [0.5], num_bins=64)
+    est = out.collect()[0]["est"]
+    width = (hi - lo) / 64
+    xs_sorted = sorted(xs)
+    true_p50 = xs_sorted[max(0, int(0.5 * len(xs)) - 1) : min(len(xs), int(0.5 * len(xs)) + 2)]
+    assert min(true_p50) - width - 1e-6 <= est <= max(true_p50) + width + 1e-6
