@@ -165,3 +165,113 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes",
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# stateful CEP pattern matching (A followed by B within T)
+# ---------------------------------------------------------------------------
+
+PATTERN_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("first_us", T.LongType()),
+        T.StructField("matched_us", T.LongType()),
+    ]
+)
+_PATTERN_STATE_SCHEMA = T.StructType(
+    [T.StructField("pending", T.ArrayType(T.LongType()))]
+)
+
+
+def pattern_match_stream(events: DataFrame, first_type: str, then_type: str,
+                         within: str = "24 hours", ts: str = "ts") -> DataFrame:
+    """Streaming equivalent of ``behavior.followed_within``: per user,
+    every ``first_type`` event is an open anchor; the earliest
+    ``then_type`` event strictly after it and within ``within`` matches
+    it; anchors whose horizon passes unmatched emit ``matched_us = null``
+    once the event-time watermark confirms no matching follower can
+    arrive.
+
+    State per key = the array of still-open anchor timestamps — bounded
+    by anchors-per-horizon, expired by ``EventTimeTimeout`` at
+    ``max(pending) + within`` so idle keys hold no state forever.  Within
+    a micro-batch events process in event-time order; cross-batch
+    ordering is watermark-bounded (the standard streaming contract).
+    """
+    gap_n, gap_unit = within.split()
+    within_us = int(gap_n) * {
+        "second": 1, "seconds": 1,
+        "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600,
+    }[gap_unit] * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+
+        def emit(firsts, matches):
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(firsts),
+                    "first_us": firsts,
+                    "matched_us": matches,
+                }
+            )
+
+        if state.hasTimedOut:
+            pending = list(state.get[0]) if state.exists else []
+            state.remove()
+            if pending:
+                yield emit(pending, [None] * len(pending))
+            return
+        pending = list(state.get[0]) if state.exists else []
+        out_first: list = []
+        out_match: list = []
+        rows = []
+        for pdf in pdfs:
+            us = (
+                pd.to_datetime(pdf["ts"]).astype("datetime64[ns]").astype("int64")
+                // 1_000
+            )
+            rows.extend(zip(us.tolist(), pdf["event_type"].tolist()))
+        rows.sort()
+        for us, typ in rows:
+            still = []
+            for a in pending:
+                if us > a + within_us:  # horizon passed before this event
+                    out_first.append(a)
+                    out_match.append(None)
+                else:
+                    still.append(a)
+            pending = still
+            if typ == then_type:
+                for a in pending:
+                    if a < us:  # strictly-after match; earliest follower wins
+                        out_first.append(a)
+                        out_match.append(us)
+                pending = [a for a in pending if a >= us]
+            if typ == first_type:
+                pending.append(us)
+        if pending:
+            state.update((pending,))
+            # event-time timeout is in MILLISECONDS
+            state.setTimeoutTimestamp((max(pending) + within_us) // 1_000 + 1)
+        elif state.exists:
+            state.remove()
+        if out_first:
+            yield emit(out_first, out_match)
+
+    from pyspark.sql import functions as F
+
+    watermarked = (
+        events.select("user_id", F.col(ts).alias("ts"), "event_type")
+        .withWatermark("ts", within)
+    )
+    return watermarked.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=PATTERN_SCHEMA,
+        stateStructType=_PATTERN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -194,3 +194,84 @@ def test_merge_upsert_sink_idempotent(spark, tmp_path):
     run("ck2")
     got2 = {r["k"]: (r["v"], r["seq"]) for r in spark.read.parquet(target).collect()}
     assert got2 == got
+
+
+def test_stateful_pattern_match_stream(spark, tmp_path):
+    """Streaming CEP agrees with the batch followed_within semantics:
+    matched anchors emit on match; unmatched anchors emit null once the
+    watermark passes their horizon."""
+    import datetime as dt
+
+    from phenoxtract_spark.streaming import stateful
+
+    src = tmp_path / "pat_src"
+    src.mkdir()
+    # user 1: purchase at 00:00, error at 00:05 (match within 10 min)
+    # user 2: purchase at 00:00, error at 01:00 (outside horizon -> null)
+    b1 = [
+        (1, "2024-01-01 00:00:00", "purchase"),
+        (1, "2024-01-01 00:05:00", "error"),
+        (2, "2024-01-01 00:00:00", "purchase"),
+    ]
+    # batch 2: user 2's late error + flush event far ahead to advance the
+    # watermark past every horizon
+    b2 = [
+        (2, "2024-01-01 01:00:00", "error"),
+        (99, "2024-01-01 06:00:00", "view"),
+    ]
+    schema = "user_id bigint, ts_raw string, event_type string"
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(src / "b1")
+    )
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(src / "b2")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+        .select(
+            "user_id",
+            F.col("ts_raw").cast("timestamp").alias("ts"),
+            "event_type",
+        )
+    )
+    out = stateful.pattern_match_stream(
+        stream, "purchase", "error", within="10 minutes"
+    )
+    query = (
+        out.writeStream.format("memory")
+        .queryName("pattern_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "pat_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(180)
+    got = {
+        (r["user_id"], r["first_us"]): r["matched_us"]
+        for r in spark.sql("SELECT * FROM pattern_test").collect()
+    }
+    us = lambda s: int(
+        dt.datetime.fromisoformat(s).replace(tzinfo=dt.timezone.utc).timestamp() * 1e6
+    )
+    # user 1 matched at 00:05
+    assert got[(1, us("2024-01-01 00:00:00"))] == us("2024-01-01 00:05:00")
+    # user 2's error came after the 10-minute horizon: unmatched
+    assert got[(2, us("2024-01-01 00:00:00"))] is None
+    # batch operator agrees on the same data
+    from phenoxtract_spark.operators import behavior
+
+    all_rows = spark.createDataFrame(b1 + b2, schema).select(
+        F.monotonically_increasing_id().alias("event_id"),
+        "user_id",
+        F.col("ts_raw").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    batch = {
+        (r["user_id"], r["first_us"]): r["matched_us"]
+        for r in behavior.followed_within(
+            all_rows, "purchase", "error", within="10 minutes"
+        ).collect()
+    }
+    assert batch == {k: v for k, v in got.items() if k[0] in (1, 2)}
