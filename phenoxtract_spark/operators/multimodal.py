@@ -192,3 +192,60 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64,
     return out.withColumn("width", F.col("width").cast("int")).withColumn(
         "height", F.col("height").cast("int")
     )
+
+
+AUDIO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def audio_frame_energy(media: DataFrame, frame_samples: int = 256,
+                       fake: bool = True) -> DataFrame:
+    """Audio framing + per-frame RMS energy over Arrow batches via
+    ``mapInPandas`` — the audio member of the multimodal family
+    (image=resize, video=frame_sample, audio=this).
+
+    ``fake=True`` interprets the payload as raw little-endian PCM16 (the
+    fixture payloads are arbitrary bytes, which IS valid PCM) — the
+    framing and energy math is real vectorized numpy, not a stub;
+    ``fake=False`` marks where a compressed-container decode
+    (ffmpeg/torchaudio) would run and raises ``NotImplementedError``.
+
+    Partition-preserving like every operator here: payloads never cross a
+    partition boundary; only (media_id, frame_idx, n_samples, rms) rows
+    flow downstream — bounded width whatever the audio length.
+    Returns one row per frame; rms rounded to 4dp for reproducibility.
+    """
+    fs = int(frame_samples)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, idxs, ns, rms = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "compressed audio decode requires ffmpeg/torchaudio; "
+                        "not available in this environment"
+                    )
+                b = bytes(payload or b"")
+                if len(b) % 2:
+                    b = b[:-1]
+                x = np.frombuffer(b, dtype="<i2").astype(np.float64)
+                for i in range(0, x.size, fs):
+                    fr = x[i : i + fs]
+                    ids.append(mid)
+                    idxs.append(i // fs)
+                    ns.append(int(fr.size))
+                    rms.append(round(float(np.sqrt(np.mean(fr * fr))), 4))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "n_samples": ns, "rms": rms}
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_FRAMES_SCHEMA)

@@ -917,3 +917,27 @@ def sketch_histogram(spark, sf_dir):
     return sketches.histogram_quantiles(
         li, "l_extendedprice", [0.5, 0.9, 0.99], num_bins=128
     )
+
+
+@q(
+    "multimodal_audio_energy",
+    """
+    SELECT doc_id AS media_id,
+           (octet_length(encode(text)) // 2 + 255) // 256 AS n_frames,
+           octet_length(encode(text)) // 2 AS n_samples
+    FROM documents
+    WHERE octet_length(encode(text)) >= 2
+    """,
+)
+def mm_audio_energy(spark, sf_dir):
+    """Audio framing + RMS energy (payload-as-PCM16 over Arrow batches):
+    the oracle checks the framing contract (frame count, total samples);
+    the energy values are pinned by pytest (real numpy math, deterministic).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(d, "doc_id", "text")
+    frames = multimodal.audio_frame_energy(media, frame_samples=256)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("n_samples").alias("n_samples"),
+    )

@@ -343,3 +343,42 @@ def test_count_min_merge_equals_single_build(spark):
     merged_df = h1.unionByName(h2).groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
     merged = {(r["d"], r["bucket"]): r["cnt"] for r in merged_df.collect()}
     assert merged == whole
+
+
+def test_audio_frame_energy_values_and_framing(spark):
+    """PCM16 framing math: a known byte payload produces the exact numpy
+    RMS per frame, the last frame is the remainder, and the operator is
+    deterministic (same input → same rows)."""
+    import numpy as np
+
+    from phenoxtract_spark.operators import multimodal
+
+    # 600 samples of a known ramp -> frames of 256, 256, 88
+    samples = np.arange(-300, 300, dtype="<i2")
+    payload = samples.tobytes()
+    media = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    out = sorted(
+        multimodal.audio_frame_energy(media, frame_samples=256).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [(r["frame_idx"], r["n_samples"]) for r in out] == [
+        (0, 256), (1, 256), (2, 88)
+    ]
+    for r in out:
+        fr = samples[r["frame_idx"] * 256 : r["frame_idx"] * 256 + r["n_samples"]]
+        expected = round(float(np.sqrt(np.mean(fr.astype(np.float64) ** 2))), 4)
+        assert r["rms"] == expected
+
+
+def test_audio_frame_energy_strict_raises(spark):
+    from phenoxtract_spark.operators import multimodal
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"abcd"))], "media_id long, payload binary"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        multimodal.audio_frame_energy(media, fake=False).collect()
