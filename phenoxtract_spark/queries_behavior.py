@@ -219,3 +219,55 @@ def events_pattern(spark, sf_dir):
     return behavior.followed_within(
         ev, "purchase", "error", within="24 hours"
     )
+
+
+@q(
+    "analytics_rfm_segments",
+    """
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             max(CAST(o_orderdate AS DATE)) AS last_order,
+             count(*) AS frequency,
+             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT custkey, last_order, frequency, monetary,
+           CAST(ntile(4) OVER (ORDER BY last_order DESC, custkey) AS BIGINT) AS r_score,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, custkey) AS BIGINT) AS f_score,
+           CAST(ntile(4) OVER (ORDER BY monetary DESC, custkey) AS BIGINT) AS m_score
+    FROM base
+    """,
+)
+def analytics_rfm(spark, sf_dir):
+    """RFM customer segmentation: one aggregate over orders, then three
+    ntile windows with deterministic (metric, custkey) tie-breaks.  The
+    global-sort windows are the textbook shape; at 100 TB replace exact
+    ntile with histogram-quantile thresholds (sketch_histogram_quantiles)
+    and a broadcast threshold join — documented trade, same output
+    contract."""
+    from pyspark.sql.window import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("monetary"),
+    )
+    return base.select(
+        "custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("last_order").desc(), "custkey"))
+        .cast("bigint")
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), "custkey"))
+        .cast("bigint")
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), "custkey"))
+        .cast("bigint")
+        .alias("m_score"),
+    )
