@@ -78,6 +78,8 @@ def retention_cohorts(events: DataFrame, offsets: list[int],
     distinct-day frame is tiny relative to the stream, and the offset
     filter prunes before the final coarse-keyed count.
     """
+    if not offsets:
+        raise ValueError("offsets must be a non-empty list of day offsets")
     day = F.col(ts_col).cast("date")
     first = (
         events.groupBy(user_col)
@@ -153,10 +155,18 @@ def rolling_zscore(events: DataFrame, window_rows: int = 24,
     sxx = F.sum(F.col("n_events") * F.col("n_events")).over(w).cast("double")
     mean = sx / n
     var = (sxx - sx * sx / n) / (n - F.lit(1.0))
-    z = (F.col("n_events").cast("double") - mean) / F.sqrt(var)
+    x = F.col("n_events").cast("double")
+    # zero-variance lookback (perfectly flat baseline) would give z = x/0 →
+    # NULL, silently UN-flagging the most anomalous possible bucket; emit a
+    # ±1e9 sentinel ("infinite z") instead, and exact-mean → 0.
+    z = (
+        F.when(var > 0, F.round((x - mean) / F.sqrt(var), 6))
+        .when(x == mean, F.lit(0.0))
+        .otherwise(F.when(x > mean, F.lit(1e9)).otherwise(F.lit(-1e9)))
+    )
     return (
         counts.withColumn("_n", n)
-        .withColumn("zscore", F.round(z, 6))
+        .withColumn("zscore", z)
         .filter(F.col("_n") >= window_rows)
         .drop("_n")
     )

@@ -320,9 +320,12 @@ def weighted_sample(df: DataFrame, id_col: str, rate: Column,
     doubles in [0, 1] — typically a per-source expression, making this the
     data-mixing primitive for training recipes ("sample src A at 50%,
     src B at 25%").  Pure projection + filter: reproducible across
-    engines, runs, and partitionings; no shuffle."""
+    engines, runs, and partitionings; no shuffle.  The cutoff is
+    ``floor(rate·10000)`` EXPLICITLY — Spark's double→bigint cast
+    truncates while other engines round, so the floor is what makes the
+    boundary bucket engine-identical for arbitrary rates."""
     b = split_bucket(id_col, seed)
     return (
         df.withColumn("rate", rate)
-        .filter(b < (F.col("rate") * 10000).cast("bigint"))
+        .filter(b < F.floor(F.col("rate") * 10000).cast("bigint"))
     )

@@ -126,29 +126,27 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, k: int = 5,
-                        threshold: float = 0.5,
-                        candidates: DataFrame | None = None) -> DataFrame:
-    """Exact n-gram Jaccard similarity.  Returns (id_a, id_b, jacc) with
-    jacc rounded to 6dp for cross-engine equality.
+def _pair_overlaps(df: DataFrame, id_col: str, text_col: str, k: int,
+                   candidates: DataFrame | None) -> DataFrame:
+    """Shared pair-overlap builder for the set-similarity verifiers:
+    returns (id_a, id_b, common, na, nb) — distinct-shingle intersection
+    size and per-side set sizes for every evaluated pair.
 
     Two plans:
     - with ``candidates`` (the LSH path): join each candidate pair to the
       two docs' distinct-shingle ARRAYS and compute
       ``size(array_intersect)`` — cost ∝ |candidates|, never corpus².
       (Filtering after a shingle self-join would still pay the quadratic
-      popular-shingle blowup before discarding non-candidates.)
+      popular-shingle blowup before discarding non-candidates.)  The
+      semi-join prunes BEFORE building shingle arrays: only docs that
+      appear in a candidate pair ever have their arrays consumed
+      (measured 1.4× at sf0.1 where 24% of docs are candidates; far more
+      at low-dup-density corpus scale).  The candidate subplan appears
+      twice but its exchanges are reused.
     - without: discovery mode — shingle self-join over pairs sharing ≥1
-      shingle.  Exact but inherently quadratic per shared shingle; use the
-      LSH candidates at scale."""
+      shingle.  Exact but inherently quadratic per shared shingle; use
+      the LSH candidates at scale."""
     if candidates is not None:
-        # semi-join prune BEFORE building shingle arrays: only docs that
-        # appear in a candidate pair ever have their arrays consumed, and
-        # the higher-order shingle construction is the expensive part —
-        # pruning first means it runs on |candidate docs|, not |corpus|
-        # (measured 1.4× at sf0.1 where 24% of docs are candidates; at low
-        # dup-density corpus scale the ratio is far larger).  The candidate
-        # subplan appears twice but its exchanges are reused.
         ids = (
             candidates.select(F.col("id_a").alias("__jid"))
             .unionByName(candidates.select(F.col("id_b").alias("__jid")))
@@ -158,24 +156,19 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, k: int = 5,
             F.col(id_col).alias("id"),
             F.array_distinct(shingles(text_col, k)).alias("shs"),
         )
-        out = (
+        return (
             candidates.join(
                 arrs.select(F.col("id").alias("id_a"), F.col("shs").alias("sa")), "id_a"
             )
             .join(arrs.select(F.col("id").alias("id_b"), F.col("shs").alias("sb")), "id_b")
-            .withColumn("common", F.size(F.array_intersect("sa", "sb")))
-            .withColumn(
-                "jacc",
-                F.round(
-                    F.col("common")
-                    / (F.size("sa") + F.size("sb") - F.col("common")),
-                    6,
-                ),
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("sa", "sb")).alias("common"),
+                F.size("sa").alias("na"),
+                F.size("sb").alias("nb"),
             )
-            .filter(F.col("jacc") >= threshold)
-            .select("id_a", "id_b", "jacc")
         )
-        return out
     sh = shingles_long(df, id_col, text_col, k).distinct()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
@@ -186,14 +179,36 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, k: int = 5,
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    out = (
-        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
-        .withColumn("jacc", F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6))
+    return (
+        common.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"),
+            "id_a",
+        ).join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"),
+            "id_b",
+        )
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, k: int = 5,
+                        threshold: float = 0.5,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity — |A∩B| / |A∪B| over the shared
+    :func:`_pair_overlaps` plans (candidate-fed at scale, shingle
+    self-join discovery mode for small/test corpora).  Returns
+    (id_a, id_b, jacc) with jacc rounded to 6dp for cross-engine
+    equality."""
+    ov = _pair_overlaps(df, id_col, text_col, k, candidates)
+    return (
+        ov.withColumn(
+            "jacc",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6
+            ),
+        )
         .filter(F.col("jacc") >= threshold)
         .select("id_a", "id_b", "jacc")
     )
-    return out
 
 
 def banded_pairs(df: DataFrame, bits: int, band_width: int,
@@ -440,54 +455,13 @@ def ngram_containment_pairs(df: DataFrame, id_col: str, text_col: str,
     the union is dominated by the long doc).
 
     Returns (id_a, id_b, containment) rounded to 6dp.  Same two plans as
-    :func:`ngram_jaccard_pairs`: candidate-fed (cost ∝ |candidates|,
-    arrays built only for candidate docs) or discovery-mode shingle
-    self-join for small/test corpora."""
-    if candidates is not None:
-        ids = (
-            candidates.select(F.col("id_a").alias("__jid"))
-            .unionByName(candidates.select(F.col("id_b").alias("__jid")))
-            .distinct()
-        )
-        arrs = df.join(ids, F.col(id_col) == F.col("__jid"), "leftsemi").select(
-            F.col(id_col).alias("id"),
-            F.array_distinct(shingles(text_col, k)).alias("shs"),
-        )
-        return (
-            candidates.join(
-                arrs.select(F.col("id").alias("id_a"), F.col("shs").alias("sa")), "id_a"
-            )
-            .join(arrs.select(F.col("id").alias("id_b"), F.col("shs").alias("sb")), "id_b")
-            .withColumn("common", F.size(F.array_intersect("sa", "sb")))
-            .withColumn(
-                "containment",
-                F.round(
-                    F.col("common") / F.least(F.size("sa"), F.size("sb")), 6
-                ),
-            )
-            .filter(F.col("containment") >= threshold)
-            .select("id_a", "id_b", "containment")
-        )
-    sh = shingles_long(df, id_col, text_col, k).distinct()
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, "sh")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    :func:`ngram_jaccard_pairs` via the shared :func:`_pair_overlaps`
+    builder: candidate-fed (cost ∝ |candidates|, arrays built only for
+    candidate docs) or discovery-mode shingle self-join for small/test
+    corpora."""
+    ov = _pair_overlaps(df, id_col, text_col, k, candidates)
     return (
-        common.join(
-            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"),
-            "id_a",
-        )
-        .join(
-            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"),
-            "id_b",
-        )
-        .withColumn(
+        ov.withColumn(
             "containment",
             F.round(F.col("common") / F.least(F.col("na"), F.col("nb")), 6),
         )

@@ -120,11 +120,16 @@ def bloom_probe(bloom: DataFrame, probes: DataFrame, col: str,
     bits are set (classic no-false-negative / bounded-false-positive
     semantics).  The bit set (≤ num_bits rows) broadcasts; probe cost is
     O(|probes| × num_hashes) with no scan of the original data.
-    Returns (value, maybe_present)."""
+    Returns (value, maybe_present) — one row per DISTINCT probe value
+    (duplicates are collapsed first: the membership answer is a property
+    of the value, and duplicate probe rows would otherwise inflate the
+    matched-bit count past ``num_hashes`` and yield false negatives)."""
     probe_rows = probes.select(
-        F.col(col).cast("string").alias("value"),
+        F.col(col).cast("string").alias("value")
+    ).distinct().select(
+        "value",
         F.explode(
-            F.array(*_bloom_bits(F.col(col), num_hashes, num_bits, seed))
+            F.array(*_bloom_bits(F.col("value"), num_hashes, num_bits, seed))
         ).alias("bit"),
     )
     marked = probe_rows.join(
@@ -159,7 +164,14 @@ def histogram_quantiles(df: DataFrame, col: str, quantiles: list[float],
     interpolation runs over the tiny bin relation.  All double arithmetic
     derives from exact integer counts and the two range constants through
     a fixed expression tree — engine-reproducible.
+
+    Out-of-range values under a FIXED lo/hi clamp symmetrically into the
+    edge bins (the histogram contract: range errors shift estimates by at
+    most the clamped mass, never corrupt the bin relation).  Quantiles
+    must lie in (0, 1]; q=0 is the range minimum, not a rank query.
     """
+    if not quantiles or any(not (0.0 < q <= 1.0) for q in quantiles):
+        raise ValueError("quantiles must be a non-empty list within (0, 1]")
     if lo is None or hi is None:
         r = df.agg(
             F.min(F.col(col).cast("double")).alias("lo"),
@@ -169,9 +181,12 @@ def histogram_quantiles(df: DataFrame, col: str, quantiles: list[float],
         hi = r["hi"] if hi is None else hi
     width = (hi - lo) / num_bins
     x = F.col(col).cast("double")
-    bin_ = F.least(
-        F.lit(num_bins - 1),
-        F.floor((x - F.lit(lo)) / F.lit(width)).cast("int"),
+    bin_ = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(num_bins - 1),
+            F.floor((x - F.lit(lo)) / F.lit(width)).cast("int"),
+        ),
     ).cast("bigint")
     hist = (
         df.filter(x.isNotNull())

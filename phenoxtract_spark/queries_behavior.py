@@ -119,8 +119,12 @@ def events_transitions(spark, sf_dir):
                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
     )
     SELECT event_type, bucket_hour, n_events,
-           round((CAST(n_events AS DOUBLE) - sx / n)
-                 / sqrt((sxx - sx * sx / n) / (n - 1.0)), 6) AS zscore
+           CASE WHEN (sxx - sx * sx / n) / (n - 1.0) > 0
+                THEN round((CAST(n_events AS DOUBLE) - sx / n)
+                           / sqrt((sxx - sx * sx / n) / (n - 1.0)), 6)
+                WHEN CAST(n_events AS DOUBLE) = sx / n THEN 0.0
+                WHEN CAST(n_events AS DOUBLE) > sx / n THEN 1e9
+                ELSE -1e9 END AS zscore
     FROM scored WHERE n >= 24
     """,
 )

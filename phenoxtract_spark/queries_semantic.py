@@ -175,7 +175,7 @@ def levenshtein_pairs(spark, sf_dir):
     SELECT doc_id, source, rate
     FROM r
     WHERE ('0x' || substr(md5('mix-v1::' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-          % 10000 < CAST(rate * 10000 AS BIGINT)
+          % 10000 < CAST(floor(rate * 10000) AS BIGINT)
     """,
 )
 def source_mix(spark, sf_dir):

@@ -248,3 +248,65 @@ def test_followed_within_matches_and_bounds(spark):
     assert out[1] is not None
     assert out[2] is None
     assert out[3] is None
+
+
+def test_bloom_probe_handles_duplicate_probe_rows(spark):
+    from phenoxtract_spark.operators import sketches
+
+    members = spark.range(0, 50).withColumnRenamed("id", "k")
+    bloom = sketches.bloom_build(members, "k", num_hashes=4, num_bits=8192)
+    # probe value 7 five times: duplicates must not create false negatives
+    dup_probes = spark.createDataFrame([(7,)] * 5 + [(3,)], "k long")
+    out = {r["value"]: r["maybe_present"]
+           for r in sketches.bloom_probe(bloom, dup_probes, "k", num_hashes=4,
+                                         num_bits=8192).collect()}
+    assert out == {"7": True, "3": True}
+
+
+def test_rolling_zscore_flat_baseline_sentinel(spark):
+    """A spike after a perfectly flat baseline (zero variance) must be
+    FLAGGED (sentinel ±1e9), not silently NULLed; flat-and-expected gives 0."""
+    rows = []
+    eid = 0
+    for h in range(25):
+        for _ in range(10):  # perfectly flat 10/hour
+            eid += 1
+            rows.append((eid, _ts(1 + h // 24, h % 24), 1, "x"))
+    for _ in range(60):  # spike in hour 25
+        eid += 1
+        rows.append((eid, _ts(2, 1), 1, "x"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r["n_events"]: r["zscore"]
+           for r in behavior.rolling_zscore(ev, window_rows=24).collect()}
+    assert out[60] == 1e9
+    assert out[10] == 0.0
+
+
+def test_retention_empty_offsets_raises(spark):
+    ev = spark.createDataFrame(
+        [(1, _ts(1), 1, "view")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        behavior.retention_cohorts(ev, offsets=[])
+
+
+def test_histogram_quantiles_validates_and_clamps(spark):
+    from phenoxtract_spark.operators import sketches
+
+    d = spark.range(0, 100).select(F.col("id").cast("double").alias("x"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sketches.histogram_quantiles(d, "x", [])
+    with _pytest.raises(ValueError):
+        sketches.histogram_quantiles(d, "x", [0.0, 0.5])
+    # fixed lo above some data: below-range values clamp into bin 0 instead
+    # of corrupting the bin relation with negative bins
+    out = sketches.histogram_quantiles(d, "x", [0.9], num_bins=10, lo=50.0, hi=100.0)
+    est = out.collect()[0]["est"]
+    assert 50.0 <= est <= 100.0
