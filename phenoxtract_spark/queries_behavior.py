@@ -275,3 +275,66 @@ def analytics_rfm(spark, sf_dir):
         .cast("bigint")
         .alias("m_score"),
     )
+
+
+@q(
+    "analytics_market_basket",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    n_orders AS (SELECT count(DISTINCT ok) AS n FROM items),
+    isup AS (SELECT pk, count(*) AS cnt FROM items GROUP BY pk),
+    pairs AS (
+      SELECT a.pk AS pk_a, b.pk AS pk_b, count(*) AS cnt
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+    )
+    SELECT pk_a, pk_b, p.cnt AS n_together,
+           round(CAST(p.cnt AS DOUBLE) / (SELECT n FROM n_orders), 6) AS support,
+           round(CAST(p.cnt AS DOUBLE) / sa.cnt, 6) AS confidence,
+           round((CAST(p.cnt AS DOUBLE) * (SELECT n FROM n_orders))
+                 / (CAST(sa.cnt AS DOUBLE) * CAST(sb.cnt AS DOUBLE)), 6) AS lift
+    FROM pairs p
+    JOIN isup sa ON sa.pk = p.pk_a
+    JOIN isup sb ON sb.pk = p.pk_b
+    WHERE p.cnt >= 2
+    """,
+)
+def analytics_market_basket(spark, sf_dir):
+    """Market-basket association over order line items: pair counts via a
+    WITHIN-ORDER self-join (Σ per-basket |items|² — baskets are small, so
+    this is linear in orders, never |parts|²), then support / confidence /
+    lift from exact integer counts through identical expression trees.
+    The one-row order-count aggregate broadcasts."""
+    li = read_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n_orders = items.select("ok").distinct().count()
+    isup = items.groupBy("pk").agg(F.count(F.lit(1)).alias("cnt"))
+    a = items.select(F.col("ok"), F.col("pk").alias("pk_a"))
+    b = items.select(F.col("ok"), F.col("pk").alias("pk_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pk_a") < F.col("pk_b"))
+        .groupBy("pk_a", "pk_b")
+        .agg(F.count(F.lit(1)).alias("n_together"))
+        .filter(F.col("n_together") >= 2)
+    )
+    sa = isup.select(F.col("pk").alias("pk_a"), F.col("cnt").alias("_ca"))
+    sb = isup.select(F.col("pk").alias("pk_b"), F.col("cnt").alias("_cb"))
+    return (
+        pairs.join(sa, "pk_a")
+        .join(sb, "pk_b")
+        .select(
+            "pk_a",
+            "pk_b",
+            "n_together",
+            F.round(F.col("n_together") / F.lit(float(n_orders)), 6).alias("support"),
+            F.round(F.col("n_together") / F.col("_ca"), 6).alias("confidence"),
+            F.round(
+                (F.col("n_together").cast("double") * F.lit(float(n_orders)))
+                / (F.col("_ca").cast("double") * F.col("_cb").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
