@@ -30,40 +30,47 @@ def funnel(events: DataFrame, steps: list[str], user_col: str = "user_id",
     """Strict-order funnel: a user converts step *i* only with an event of
     ``steps[i]`` strictly after their step *i-1* conversion time.
 
-    Returns (step, step_idx, users) — users reaching each step.  Each stage
-    is ``filter → groupBy(user).min(ts)``; the stage frames shrink
-    monotonically and join on ``user_col``, so stage *i*'s input is the
-    event stream once plus a one-row-per-user frame — never event×event.
+    Returns (step, step_idx, users) — users reaching each step.
+
+    ONE user-keyed exchange for any number of steps: stage-`i`'s
+    conversion time is a per-user window min conditioned on stage
+    `i-1`'s column (consecutive ``Window.partitionBy(user)`` operators
+    share the exchange — Catalyst re-sorts but never re-shuffles), and
+    the step counts reduce in a single scalar aggregate.  (The
+    alternative — one filtered groupBy + join per stage — scans the
+    event stream k times and pays 2k-ish exchanges.)
     """
-    prev = (
-        events.filter(F.col(type_col) == steps[0])
-        .groupBy(user_col)
-        .agg(F.min(ts_col).alias("_t"))
+    w = Window.partitionBy(user_col)
+    df = events.select(user_col, ts_col, type_col)
+    prev_col = None
+    t_cols = []
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if prev_col is not None:
+            # strictly after the previous stage's conversion; a NULL
+            # previous stage nulls the comparison → condition false
+            cond = cond & (F.col(ts_col) > F.col(prev_col))
+        name = f"_t{i}"
+        df = df.withColumn(name, F.min(F.when(cond, F.col(ts_col))).over(w))
+        t_cols.append(name)
+        prev_col = name
+    counts = df.agg(
+        *[
+            F.count_distinct(
+                F.when(F.col(t).isNotNull(), F.col(user_col))
+            ).alias(f"_u{i}")
+            for i, t in enumerate(t_cols)
+        ]
     )
-    frames = [prev]
-    for step in steps[1:]:
-        nxt = (
-            events.filter(F.col(type_col) == step)
-            .join(prev.withColumnRenamed("_t", "_prev_t"), user_col)
-            .filter(F.col(ts_col) > F.col("_prev_t"))
-            .groupBy(user_col)
-            .agg(F.min(ts_col).alias("_t"))
+    stack_expr = ", ".join(
+        f"'{step}', CAST({i + 1} AS BIGINT), `_u{i}`"
+        for i, step in enumerate(steps)
+    )
+    return counts.select(
+        F.expr(
+            f"stack({len(steps)}, {stack_expr}) as (step, step_idx, users)"
         )
-        frames.append(nxt)
-        prev = nxt
-    rows = []
-    for i, (step, frame) in enumerate(zip(steps, frames)):
-        rows.append(
-            frame.agg(F.count(F.lit(1)).alias("users")).select(
-                F.lit(step).alias("step"),
-                F.lit(i + 1).cast("bigint").alias("step_idx"),
-                "users",
-            )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    )
 
 
 def retention_cohorts(events: DataFrame, offsets: list[int],
