@@ -205,3 +205,18 @@ def locf_resample(events: DataFrame, every: str = "1 hour", ts: str = "ts",
         "bucket",
         F.last("_obs", ignorenulls=True).over(w).alias("value"),
     )
+
+
+def stream_static_enrich(stream: DataFrame, dim: DataFrame,
+                         key: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: a streaming fact source joined to a
+    bounded dimension table on ``key``.
+
+    The static side is re-read per micro-batch by Structured Streaming (so
+    slowly-changing dims pick up updates between batches) and broadcast —
+    the canonical 100 TB enrichment shape: the unbounded stream never
+    shuffles for the lookup, no state store is involved, and the same code
+    runs in batch (where it degrades to a plain broadcast join)."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), key, "left")

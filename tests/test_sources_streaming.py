@@ -311,3 +311,47 @@ def test_locf_carries_last_value_across_gaps(spark):
     assert out[(1, "2024-01-01 03:00:00")] == 30.0
     assert (1, "2024-01-01 04:00:00") not in out  # span ends at last obs
     assert out[(2, "2024-01-01 05:00:00")] == 99.0
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    """Streaming facts enrich against a static broadcast dim; rows with no
+    dim match keep NULL attributes (left join), and the same operator runs
+    identically in batch."""
+    from phenoxtract_spark.streaming import events as ev
+
+    src = tmp_path / "enrich_src"
+    src.mkdir()
+    facts = [(1, 10.0), (2, 20.0), (99, 5.0)]
+    spark.createDataFrame(facts, "user_id bigint, value double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(src / "b1"))
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id bigint, tier string"
+    )
+    stream = (
+        spark.readStream.schema("user_id bigint, value double")
+        .parquet(str(src / "*"))
+    )
+    out = ev.stream_static_enrich(stream, dim)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "enrich_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: r["tier"]
+        for r in spark.sql("SELECT * FROM enrich_test").collect()
+    }
+    assert got == {1: "gold", 2: "silver", 99: None}
+    # batch degradation: identical operator, identical result
+    batch = {
+        r["user_id"]: r["tier"]
+        for r in ev.stream_static_enrich(
+            spark.createDataFrame(facts, "user_id bigint, value double"), dim
+        ).collect()
+    }
+    assert batch == got
