@@ -1,12 +1,18 @@
-"""Remaining TPC-H query shapes over the driver tables (q4, q8, q13, q15,
-q17, q19, q21, q22).
+"""Remaining TPC-H query shapes over the driver tables — completes 22/22.
 
 The driver parquet has no ``partsupp`` and trims several columns
 (``l_commitdate``/``l_receiptdate``, ``o_comment``, ``c_phone``,
-``p_container``), so q2/q9/q11/q16/q20 are out of scope and the remaining
-queries keep their SHAPE (exists/not-exists, correlated scalar subqueries,
-left-join distributions, view-max selection, disjunctive pushdown) with
-predicates adapted to the columns that exist:
+``p_container``), so the partsupp-dependent five (q2/q9/q11/q16/q20) are
+SHAPE adaptations: the part↔supplier relation derives from lineitem
+(distinct pairs / per-pair aggregates), supply cost becomes observed unit
+price (q2) or a fixed retail-price fraction (q9), and availability becomes
+shipped quantity (q20).  Every distinctive plan shape survives: per-group
+argmin joined back (q2), profit expression over a 6-table join (q9),
+HAVING against a global scalar subquery (q11), NOT-IN exclusion + distinct
+counting (q16), nested semi-joins with a fractional threshold (q20).
+The column-trimmed rest keeps its shape (exists/not-exists, correlated
+scalar subqueries, left-join distributions, view-max selection,
+disjunctive pushdown) with predicates adapted to the columns that exist:
 
 - "late shipment" := ``l_shipdate > o_orderdate + 75 days`` (stands in for
   the reference's receipt-after-commit lateness),
@@ -465,4 +471,307 @@ def tpch_q22(spark, sf_dir):
             F.count("*").alias("numcust"),
             F.round(_money(F.col("c_acctbal")), 2).cast("double").alias("totacctbal"),
         )
+    )
+
+# ---------------------------------------------------------------------------
+# q2 — minimum-cost supplier: the correlated min-subquery becomes a
+# per-part min aggregate joined back (argmin-per-group).  Supply cost is
+# the observed minimum unit price each supplier ever charged for the part.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH catalog AS (
+      SELECT l_partkey, l_suppkey, min(round(l_extendedprice / l_quantity, 6)) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), euro AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ), offer AS (
+      SELECT p_partkey, s_name, s_acctbal, n_name, unit_cost
+      FROM part JOIN catalog ON p_partkey = l_partkey
+                JOIN euro ON l_suppkey = s_suppkey
+      WHERE p_size = 15 AND p_type = 'STANDARD'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, unit_cost
+    FROM offer o
+    WHERE unit_cost = (SELECT min(unit_cost) FROM offer o2
+                       WHERE o2.p_partkey = o.p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark, sf_dir):
+    """Cheapest European supplier(s) per STANDARD size-15 part.  The
+    part↔supplier catalog is a (partkey, suppkey) aggregate over lineitem;
+    unit price rounds to 6 dp per row BEFORE the min so the argmin equality
+    is ulp-stable across engines.  The correlated min de-correlates into
+    one per-part aggregate of the (already part-filtered, region-filtered)
+    offer relation joined back — part and the European supplier dim both
+    broadcast, so the only data-sized shuffle is the catalog groupBy."""
+    li = read_table(spark, sf_dir, "lineitem")
+    catalog = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)).alias(
+            "unit_cost"
+        )
+    )
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    euro = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offer = (
+        catalog.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(euro), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "s_name", "s_acctbal", "n_name", "unit_cost")
+    )
+    best = offer.groupBy(F.col("p_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("_best")
+    )
+    return (
+        offer.join(
+            F.broadcast(best),
+            (F.col("p_partkey") == F.col("b_partkey"))
+            & (F.col("unit_cost") == F.col("_best")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "unit_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q9 — product-type profit: supply cost proxied as a fixed fraction of the
+# part's retail price (the driver schema has no ps_supplycost).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "tpch_q9_product_type_profit",
+    """
+    SELECT nation, o_year,
+           CAST(round(sum(CAST(amount AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, year(CAST(o_orderdate AS DATE)) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.6 * p_retailprice * l_quantity AS amount
+      FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%'
+    )
+    GROUP BY nation, o_year
+    """,
+)
+def tpch_q9(spark, sf_dir):
+    """Profit on widget parts by supplier nation and order year.  The
+    profit expression evaluates in one fixed double tree per row, then
+    accumulates in decimal so summation order can't move a rounded cent.
+    part (name-filtered), supplier, and nation broadcast; orders joins on
+    the lineitem shuffle key — one data-sized exchange."""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = read_table(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    joined = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate").cast("date")).cast("bigint").alias("o_year"),
+            amount.cast(_DEC).alias("amount"),
+        )
+    )
+    return joined.groupBy("nation", "o_year").agg(
+        F.round(F.sum("amount"), 2).cast("double").alias("sum_profit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11 — important parts: per-part value in one nation, kept only when it
+# exceeds a fraction of the nation's total (HAVING vs a global scalar).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "tpch_q11_important_parts",
+    """
+    WITH natline AS (
+      SELECT l_partkey, CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS val
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+    )
+    SELECT l_partkey AS ps_partkey, CAST(round(sum(val), 2) AS DOUBLE) AS value
+    FROM natline
+    GROUP BY l_partkey
+    HAVING CAST(sum(val) AS DOUBLE)
+           > (SELECT CAST(sum(val) AS DOUBLE) * 0.001 FROM natline)
+    """,
+)
+def tpch_q11(spark, sf_dir):
+    """Parts whose NATION_7 revenue exceeds 0.1% of the nation's total.
+    The scalar total is a one-row aggregate broadcast back; both sides of
+    the threshold comparison convert the exact decimal sum to double, so
+    the cut is bit-stable.  One shuffle (partkey groupBy) over the
+    nation-filtered lines — the supplier semi-join broadcasts."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    nat_supp = s.join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    ).select("s_suppkey")
+    natline = li.join(
+        F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    ).select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC).alias("val"),
+    )
+    per_part = natline.groupBy("l_partkey").agg(F.sum("val").alias("_sum"))
+    total = natline.agg((F.sum("val").cast("double") * 0.001).alias("_cut"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("_sum").cast("double") > F.col("_cut"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.round(F.col("_sum"), 2).cast("double").alias("value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — part/supplier relationship: distinct-supplier counts per part
+# attribute triple, excluding one brand, two types, and flagged suppliers
+# (NOT IN → broadcast anti-join).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "tpch_q16_parts_supplier_relationship",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#9'
+      AND p_type NOT IN ('PROMO', 'ECONOMY')
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16(spark, sf_dir):
+    """How many suppliers can deliver each (brand, type, size) — the
+    part↔supplier relation is the distinct (partkey, suppkey) projection of
+    lineitem.  The complaint-supplier NOT IN becomes a broadcast left-anti
+    join (none of the excluded keys are null, so anti-join semantics
+    match); part filters push into the broadcast dim.  Two shuffles: the
+    distinct-pair aggregate and the final distinct count."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & (~F.col("p_type").isin("PROMO", "ECONOMY"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    bad = (
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 — dominant suppliers: nested semi-joins with a fractional-share
+# threshold (shipped share stands in for availqty > 0.5 * sold).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "tpch_q20_dominant_suppliers",
+    """
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ), tot AS (
+      SELECT l_partkey AS t_partkey, sum(qty) AS total_qty
+      FROM shipped GROUP BY l_partkey
+    ), dominant AS (
+      SELECT l_partkey, l_suppkey FROM shipped JOIN tot ON l_partkey = t_partkey
+      WHERE qty > 0.3 * total_qty
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5'
+      AND s_suppkey IN (SELECT l_suppkey FROM dominant
+                        JOIN part ON p_partkey = l_partkey
+                        WHERE p_name LIKE 'small%')
+    ORDER BY s_name
+    """,
+)
+def tpch_q20(spark, sf_dir):
+    """NATION_5 suppliers who shipped >30% of some small part's 1996
+    volume.  The per-pair and per-part quantities are both exact (integral
+    doubles), so the share threshold can't flip on summation order.  The
+    totals join reuses the shipped aggregate's partitioning (same key
+    prefix); part and the dominant-supplier key set broadcast into the
+    supplier semi-join."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("qty"))
+    tot = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    p = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    dominant_keys = (
+        shipped.join(tot, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("qty") > 0.3 * F.col("total_qty"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(
+            F.broadcast(dominant_keys),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
     )
