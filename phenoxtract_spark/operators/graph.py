@@ -1,0 +1,88 @@
+"""Iterative graph algorithms over pair relations (Pregel-style rounds).
+
+Complements ``dedup.connected_components`` (min-label propagation) with
+weighted rank propagation: PageRank over the near-duplicate similarity
+graph scores how *central* a document is inside its duplication
+neighborhood — a useful curation signal (templates/boilerplate hubs rank
+high; singleton docs stay at the teleport floor).
+
+Scale notes (100 TB):
+- The edge relation (LSH candidate pairs) is materialized ONCE with its
+  degree attached (``localCheckpoint``) — the expensive candidate
+  generation never re-executes across rounds, and the join partitioning
+  on ``src`` is reused by every iteration.
+- Each round is one co-partitioned join (ranks ⋈ edges on src) plus one
+  shuffle (contribution sum keyed by dst).  No driver-side data ever
+  moves: iteration count is FIXED (the oracle replays the same rounds),
+  so there is no convergence collect at all.
+- Contributions accumulate in DECIMAL(28,12) — exact and associative —
+  so the per-vertex sum is independent of partition layout and engine
+  summation order; the damping update is a fixed double expression on
+  identical operands.  Ranks round to 9 dp each round, keeping every
+  engine bit-identical round-over-round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_CONTRIB_DEC = "decimal(28,12)"
+
+
+def pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    iterations: int = 3,
+    damping: float = 0.85,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected pair relation.
+
+    ``vertices``: one row per node (first/``id_col`` column is the id).
+    ``edges``: (id_a, id_b) pairs — symmetrized internally, so each
+    undirected pair contributes in both directions.
+
+    rank⁰(v) = 1.0;  rankⁿ(v) = (1-d) + d · Σ_{u→v} round(rankⁿ⁻¹(u)/deg(u), 9)
+
+    The teleport term is ``round(1-damping, 12)`` so the Python float
+    matches the SQL literal an oracle writes (1-0.85 in IEEE double is
+    0.15000000000000002 — NOT the literal 0.15).  Returns (id, rank).
+    """
+    teleport = round(1.0 - damping, 12)
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("d_src")).agg(F.count("*").alias("deg"))
+    # materialize edges+degree once: candidate generation is the expensive
+    # subtree and must not replay per round; the shuffle partitioning on
+    # src survives the checkpoint and co-locates every round's rank join
+    edges_deg = (
+        sym.join(deg, sym.src == deg.d_src)
+        .select("src", "dst", "deg")
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    ids = vertices.select(F.col(id_col).alias("id"))
+    ranks = ids.withColumn("rank", F.lit(1.0))
+    zero = F.lit(0).cast(_CONTRIB_DEC)
+    for _ in range(iterations):
+        contrib = edges_deg.join(ranks, edges_deg.src == ranks.id).select(
+            "dst",
+            F.round(F.col("rank") / F.col("deg"), 9).cast(_CONTRIB_DEC).alias("c"),
+        )
+        summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            ids.join(summed, ids.id == summed.dst, "left")
+            .select(
+                "id",
+                F.round(
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("s"), zero).cast("double"),
+                    round_dp,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

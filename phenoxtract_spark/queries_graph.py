@@ -1,0 +1,88 @@
+"""Graph-analytics queries over the document similarity graph.
+
+The near-dup candidate relation (minhash → LSH bands, same geometry as
+``dedup_lsh_candidates``) doubles as an undirected similarity graph;
+PageRank over it surfaces duplication *hubs* — template/boilerplate
+documents connected to many near-copies — a curation signal the
+pairwise dedup queries can't express (they score pairs, not centrality).
+
+Oracle: DuckDB replays the SAME fixed three rounds as unrolled CTEs.
+Iteration count is part of the operator contract (no convergence
+collect), so both engines run bit-identical arithmetic: contributions
+round to 9 dp and accumulate in DECIMAL(28,12) (exact, associative),
+the damping update is one fixed double expression, ranks round to 9 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators import dedup, graph
+from .queries_core import q, read_table
+from .queries_scale import _SHINGLES3
+
+_CAND = f"""
+    {_SHINGLES3},
+    seeded AS (
+      SELECT doc_id, s.seed, md5(CAST(s.seed AS VARCHAR) || '|' || sh) AS h
+      FROM sh, (SELECT unnest(generate_series(0, 3)) AS seed) s
+    ),
+    sig AS (SELECT doc_id AS id, seed, min(h) AS minhash FROM seeded GROUP BY 1, 2),
+    bands AS (
+      SELECT id, seed // 2 AS band,
+             md5(array_to_string(list_sort(list(CAST(seed AS VARCHAR) || ':' || minhash)), '|')) AS band_key
+      FROM sig GROUP BY id, seed // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+    )
+"""
+
+_ITER = """
+    {out} AS (
+      SELECT v.id,
+             round(CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
+                   CAST(coalesce(sum(CAST(round(r.rank / d.deg, 9) AS DECIMAL(28,12))),
+                                 CAST(0 AS DECIMAL(28,12))) AS DOUBLE), 9) AS rank
+      FROM {prev} v
+      LEFT JOIN sym e ON e.dst = v.id
+      LEFT JOIN {prev} r ON r.id = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY v.id
+    )
+"""
+
+
+@q(
+    "graph_pagerank_similarity",
+    f"""
+    WITH {_CAND},
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM cand
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+    r0 AS (SELECT doc_id AS id, CAST(1.0 AS DOUBLE) AS rank FROM documents),
+    {_ITER.format(out="it1", prev="r0")},
+    {_ITER.format(out="it2", prev="it1")},
+    {_ITER.format(out="it3", prev="it2")}
+    SELECT id AS doc_id, rank AS pagerank FROM it3
+    """,
+)
+def graph_pagerank_similarity(spark, sf_dir):
+    """Three PageRank rounds over the LSH near-dup graph: every document
+    gets a centrality score (isolated docs sit at the 0.15 teleport
+    floor).  The candidate subtree materializes once (localCheckpoint);
+    each round is one co-partitioned edge join + one contribution
+    shuffle — see operators/graph.py for the 100 TB argument."""
+    d = read_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(d, "doc_id", "text", num_hashes=4, k=3)
+    cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, rows_per_band=2))
+    ranks = graph.pagerank(
+        d.select("doc_id"), cand, id_col="doc_id", iterations=3
+    )
+    return ranks.select(
+        F.col("id").alias("doc_id"), F.col("rank").alias("pagerank")
+    )

@@ -382,3 +382,40 @@ def test_audio_frame_energy_strict_raises(spark):
 
     with _pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
         multimodal.audio_frame_energy(media, fake=False).collect()
+
+
+def test_pagerank_star_and_isolated(spark):
+    """Star graph 1-{2,3,4} plus isolated 5.  Hand-computed 2 rounds:
+    r1: center 1 gets 3·(1/1)·0.85+0.15 = 2.7; leaves get 1/3·0.85+0.15
+    ≈ 0.433333333; isolated stays at the 0.15 teleport floor.
+    r2: center = 0.15 + 0.85·(3·0.433333333) = 1.254999999 (the leaves'
+    rounded contributions sum to 1.299999999, NOT 1.3 — the 9-dp rounding
+    contract is part of the result);
+    leaves = 0.15 + 0.85·round(2.7/3, 9) = 0.915."""
+    verts = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id bigint")
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a bigint, id_b bigint"
+    )
+    from phenoxtract_spark.operators.graph import pagerank
+
+    out = {
+        r["id"]: r["rank"]
+        for r in pagerank(verts, edges, id_col="doc_id", iterations=2).collect()
+    }
+    assert out[5] == 0.15
+    assert out[1] == 1.254999999
+    assert out[2] == out[3] == out[4] == 0.915
+
+
+def test_pagerank_rank_mass_bounded(spark):
+    """Every rank is ≥ the teleport floor, and symmetric pairs converge
+    toward 1.0 (each member donates its whole rank to the other)."""
+    verts = spark.createDataFrame([(1,), (2,)], "doc_id bigint")
+    edges = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    from phenoxtract_spark.operators.graph import pagerank
+
+    out = {
+        r["id"]: r["rank"]
+        for r in pagerank(verts, edges, id_col="doc_id", iterations=3).collect()
+    }
+    assert out[1] == out[2] == 1.0
