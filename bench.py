@@ -56,6 +56,10 @@ HEADLINE = [
     "dedup_semantic_canonical",
     "curation_clean_pipeline",
     "events_pattern_followed_by",
+    # round-3 late additions: iterative graph + the join-heaviest of the
+    # five new TPC-H shape adaptations
+    "graph_pagerank_similarity",
+    "tpch_q9_product_type_profit",
 ]
 
 # Scale-sensitive subset re-run at sf1 (10x).  Linear operators should land
@@ -80,6 +84,9 @@ SF1_PROBE = [
     # cleaning pipeline are the scale-sensitive new paths
     "dedup_semantic_canonical",
     "curation_clean_pipeline",
+    # iterative rank propagation: per-round cost ∝ |edges|, so the ratio
+    # tracks candidate-pair growth, not vertex count
+    "graph_pagerank_similarity",
 ]
 
 

@@ -39,6 +39,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # CPU-dense text/array work (shingling, md5, array_intersect) is
+        # heavy per BYTE, so AQE's size-based coalescing starves it: the
+        # default 1m floor merges small-but-expensive shuffle outputs down
+        # to 2-4 tasks.  A 64k floor lets parallelismFirst keep them at
+        # cluster parallelism (its cap), without fragmenting big shuffles.
+        # Measured (2-rep A/B, fresh JVMs, sf1 probe data): dedup pipeline
+        # 20-32 s → 14-15 s, ngram_jaccard 17-19 s → 11 s, simhash_pairs
+        # 14 s → 8-10 s; sf0.1 headline neutral-to-better.
+        # (files.openCostInBytes was ALSO tried and rejected: the same A/B
+        # showed 2x sf1 regressions — byte-range splits of single-row-group
+        # parquet give illusory scan parallelism, one task still decodes
+        # every row group.)
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
