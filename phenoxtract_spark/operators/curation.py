@@ -329,3 +329,58 @@ def weighted_sample(df: DataFrame, id_col: str, rate: Column,
         df.withColumn("rate", rate)
         .filter(b < F.floor(F.col("rate") * 10000).cast("bigint"))
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide exact line dedup (RefinedWeb/C4-style)
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(df: DataFrame, id_col: str, lines: Column,
+               keep: str = "first", sep: str = "\n") -> DataFrame:
+    """Exact LINE-level dedup across the whole corpus: a line occurring in
+    more than one document is kept only in its owner document (``keep=
+    "first"`` → the minimum id) and removed everywhere else — the
+    boilerplate-stripping pass web-scale pipelines run between document
+    dedup and quality filtering (headers, nav bars, cookie banners
+    repeat across pages that are NOT document-level duplicates).
+
+    ``lines`` is any array<string> Column (``F.split(text, '\\n')`` for
+    real corpora; token chunks for unstructured text).
+
+    Returns (id, n_lines, n_dup_lines, n_removed, cleaned_text) with
+    ``cleaned_text`` re-assembled in original line order.
+
+    Scale: explode once; ONE corpus-wide shuffle keyed by the line hash
+    (md5 — count + min-owner in the same aggregate, map-side combined);
+    the ownership join comes back on the same hash key (co-partitioned
+    sort-merge — ownership is line-cardinality-sized, so broadcast is
+    impossible by construction); one final per-doc aggregate.  Re-assembly
+    sorts each document's surviving (pos, line) pairs INSIDE the per-doc
+    aggregate — no global sort.
+    """
+    if keep != "first":
+        raise ValueError("only keep='first' (min id) is implemented")
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(lines).alias("pos", "line"),
+    ).withColumn("h", F.md5("line"))
+    owners = ex.groupBy("h").agg(
+        F.min("id").alias("_owner"),
+        F.countDistinct("id").alias("_ndocs"),
+    )
+    tagged = ex.join(owners, "h").withColumn(
+        "_keep", (F.col("_ndocs") == 1) | (F.col("id") == F.col("_owner"))
+    )
+    kept_line = F.when(F.col("_keep"), F.struct("pos", "line"))
+    return tagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum((F.col("_ndocs") > 1).cast("bigint")).alias("n_dup_lines"),
+        F.sum((~F.col("_keep")).cast("bigint")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_line)), lambda s: s["line"]
+            ),
+            sep,
+        ).alias("cleaned_text"),
+    )

@@ -333,3 +333,53 @@ def curation_pack_sequences(spark, sf_dir):
     return curation.pack_sequences(
         d, "doc_id", textanalysis.token_count("text"), context_len=2048, shards=64
     )
+
+
+@q(
+    "curation_line_dedup",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    chunks AS (
+      SELECT doc_id, i, array_to_string(list_slice(t, i*8+1, i*8+8), ' ') AS line
+      FROM toks, unnest(generate_series(0, CAST(ceil(len(t)/8.0) AS BIGINT) - 1)) AS u(i)
+    ),
+    owners AS (
+      SELECT md5(line) AS h, min(doc_id) AS owner, count(DISTINCT doc_id) AS ndocs
+      FROM chunks GROUP BY 1
+    ),
+    tagged AS (
+      SELECT c.doc_id, c.i, c.line, o.ndocs,
+             (o.ndocs = 1 OR c.doc_id = o.owner) AS keep_
+      FROM chunks c JOIN owners o ON md5(c.line) = o.h
+    )
+    SELECT doc_id, count(*) AS n_lines,
+           CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+           CAST(sum(CASE WHEN keep_ THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+           coalesce(string_agg(CASE WHEN keep_ THEN line END, ' ' ORDER BY i), '')
+             AS cleaned_text
+    FROM tagged GROUP BY doc_id
+    """,
+)
+def curation_line_dedup(spark, sf_dir):
+    """Corpus-wide exact line dedup (RefinedWeb-style boilerplate strip):
+    repeated lines survive only in their first-occurrence document; text
+    re-assembles in original order.  The synthetic corpus has no newlines,
+    so "lines" are non-overlapping 8-token chunks — real corpora pass
+    ``F.split(text, '\\n')``.  See curation.line_dedup for the one-shuffle
+    ownership geometry."""
+    from .operators import curation
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+    )
+    return curation.line_dedup(d, "doc_id", chunks, sep=" ").select(
+        F.col("id").alias("doc_id"),
+        "n_lines",
+        "n_dup_lines",
+        "n_removed",
+        "cleaned_text",
+    )

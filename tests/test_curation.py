@@ -170,3 +170,30 @@ def test_pack_sequences_deterministic_across_partitionings(spark):
         for r in curation.pack_sequences(df.repartition(7), "doc_id", tok).collect()
     }
     assert a == b
+
+
+def test_line_dedup_first_owner_keeps_order(spark):
+    """Shared lines survive only in the min-id document; surviving lines
+    re-assemble in their original positions."""
+    from pyspark.sql import functions as F
+
+    from phenoxtract_spark.operators.curation import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "intro\nshared-banner\nbody one"),
+            (2, "shared-banner\nbody two\noutro"),
+            (3, "body three"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in line_dedup(docs, "doc_id", F.split("text", "\n")).collect()
+    }
+    assert out[1]["cleaned_text"] == "intro\nshared-banner\nbody one"
+    assert out[1]["n_dup_lines"] == 1 and out[1]["n_removed"] == 0
+    assert out[2]["cleaned_text"] == "body two\noutro"
+    assert out[2]["n_removed"] == 1
+    assert out[3]["cleaned_text"] == "body three"
+    assert out[3]["n_dup_lines"] == 0
