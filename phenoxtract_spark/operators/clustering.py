@@ -149,7 +149,12 @@ def semantic_canonical(vectors: DataFrame, centroids: DataFrame,
     """
     from .similarity import ivf_neardup_pairs
 
-    pairs = ivf_neardup_pairs(vectors, centroids, threshold, id_col, vec_col)
+    # consumed twice by the mates union below — materialize the
+    # (dup-density-sized) pair list so the bucket join + cosine verify
+    # run exactly once
+    pairs = ivf_neardup_pairs(vectors, centroids, threshold, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
     mates = pairs.select(
         F.col("id_a").alias("id"), F.col("id_b").alias("mate")
     ).unionByName(

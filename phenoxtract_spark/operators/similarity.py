@@ -103,6 +103,14 @@ def assign_ivf_centroid(vectors: DataFrame, centroids: DataFrame,
         F.col(vec_col).alias("v"),
         l2_norm(F.col(vec_col)).alias("_vn"),
     )
+    # the assignment is n·|centroids| dot products — CPU-dense per byte,
+    # so a small embeddings file packed into 1-2 scan splits serializes
+    # the whole n^1.5 term.  Fan out to cluster parallelism when the scan
+    # is narrower; at scale inputs arrive with >= parallelism splits and
+    # this is a no-op.  (Same guard as casting.castability_stats.)
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    if v.rdd.getNumPartitions() < par:
+        v = v.repartition(par)
     # rounded score → deterministic assignment across engines/runs; norms
     # precomputed per side (1 HOF aggregate per pair, not 3)
     scored = v.crossJoin(cen).select(
@@ -245,7 +253,13 @@ def ivf_neardup_pairs(vectors: DataFrame, centroids: DataFrame,
     vectors share a nearest centroid with high probability — the recall
     gate in tests measures this against brute force).
     Returns (id_a, id_b, cos)."""
-    assign = assign_ivf_centroid(vectors, centroids, id_col, vec_col)
+    # the assignment subtree is the n·√C dot-product pass — and it feeds
+    # BOTH sides of the bucket self-join.  Materialize its (id, centroid)
+    # output once (two narrow columns) so the expensive pass can never
+    # re-execute when AQE breaks exchange reuse.
+    assign = assign_ivf_centroid(vectors, centroids, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
     a = assign.select(F.col("id").alias("id_a"), "centroid_id")
     b = assign.select(F.col("id").alias("id_b"), "centroid_id")
     pairs = a.join(b, "centroid_id").filter(F.col("id_a") < F.col("id_b"))
