@@ -115,7 +115,13 @@ def lsh_bands(sig: DataFrame, rows_per_band: int = 4) -> DataFrame:
 
 def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     """Self-join bands on (band, band_key) → distinct candidate pairs a<b.
-    The join key includes the band index so buckets never cross bands."""
+    The join key includes the band index so buckets never cross bands.
+
+    The bands relation (n × n_bands narrow rows) feeds BOTH join sides;
+    it materializes once so the minhash subtree behind it (shingle
+    explode + per-seed min aggregates) can never re-execute when AQE
+    breaks exchange reuse."""
+    bands = bands.localCheckpoint(eager=True)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -269,6 +275,10 @@ def simhash_band_pairs(fingerprints: DataFrame, bits: int = 60,
     grows by 2^(lost bits) — at corpus scale prefer widening the fingerprint
     over loosening the threshold."""
     n_bands = max_hamming + 1
+    # (id, fp) is two narrow columns but its subtree is the wide packed
+    # simhash aggregate — consumed 4× below (both band sides + both
+    # hamming sides); materialize once
+    fingerprints = fingerprints.localCheckpoint(eager=True)
     cand = banded_pairs(fingerprints, bits=bits, band_width=bits // n_bands,
                         id_col=id_col, fp_col=fp_col)
     fa = fingerprints.select(F.col(id_col).alias("id_a"), F.col(fp_col).alias("_fa"))

@@ -237,7 +237,11 @@ def hyperplane_candidate_pairs(vectors: DataFrame, dim: int, num_planes: int = 1
     Returns distinct (id_a, id_b), id_a < id_b."""
     from .dedup import banded_pairs
 
-    sig = hyperplane_signature(vectors, dim, num_planes, id_col, vec_col, seed)
+    # (id, sig) is narrow but its subtree is the plane-projection pass;
+    # banded_pairs consumes it on both join sides — materialize once
+    sig = hyperplane_signature(vectors, dim, num_planes, id_col, vec_col, seed).localCheckpoint(
+        eager=True
+    )
     return banded_pairs(sig, bits=num_planes, band_width=rows_per_band,
                         id_col="id", fp_col="sig")
 
