@@ -50,6 +50,12 @@ def kmeans_assign(vectors: DataFrame, centroids: DataFrame,
         )
     )
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+    # n·C distance evaluations are CPU-dense per byte — fan a narrow scan
+    # out to cluster parallelism (no-op at scale; same guard as
+    # similarity.assign_ivf_centroid)
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    if v.rdd.getNumPartitions() < par:
+        v = v.repartition(par)
     scored = v.crossJoin(cen).select(
         "id", "_cid", F.round(_sq_l2(F.col("_v"), F.col("_cv")), round_dp).alias("_d2")
     )
@@ -88,9 +94,10 @@ def kmeans_iterate(vectors: DataFrame, init_centroids: DataFrame,
     """Run ``iterations`` Lloyd rounds from deterministic seed centroids and
     return the final assignment (id, cluster).  ``init_centroids`` must have
     (cid, cv) columns — typically a strided slice of the vectors themselves
-    (see the registered query).  Intermediate centroid frames are tiny
-    (C rows); no localCheckpoint needed for the bounded iteration counts
-    bucketing uses."""
+    (see the registered query).  Each round's recomputed centroid frame is
+    tiny (C rows) but its SUBTREE embeds the previous round's full
+    assignment pass — checkpointing it truncates the chain so round k
+    costs one assignment + one recompute, not k of each."""
     cen = init_centroids
     assign = None
     for _ in range(iterations):
@@ -99,7 +106,7 @@ def kmeans_iterate(vectors: DataFrame, init_centroids: DataFrame,
         )
         cen = kmeans_recompute(
             vectors, assign, id_col=id_col, vec_col=vec_col, round_dp=round_dp
-        )
+        ).localCheckpoint(eager=True)
     # final assignment against the last recomputed centroids, so the
     # returned clustering reflects every completed round
     return kmeans_assign(vectors, cen, id_col=id_col, vec_col=vec_col,
