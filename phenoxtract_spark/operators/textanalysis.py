@@ -115,7 +115,15 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def tokens_long(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Long-form tokens (id, tok) — the explode-once base for corpus-level
-    statistics (tf-idf, LM scoring).  Empty tokens dropped."""
+    statistics (tf-idf, LM scoring).  Empty tokens dropped.
+
+    The normalize+split+explode is CPU-dense per input byte, so a small
+    corpus packed into 1-2 scan splits serializes it — fan out to cluster
+    parallelism when the scan is narrower (no-op at scale; same guard as
+    casting.castability_stats)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     return df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(text_col)).alias("tok"),
@@ -137,7 +145,12 @@ def tfidf_topk(df: DataFrame, id_col: str, text_col: str, k: int = 3,
     one-row broadcast, so nothing here caps corpus size.
     Returns (id, tok, tf, score, rank)."""
     toks = tokens_long(df, id_col, text_col)
-    tf = toks.groupBy("id", "tok").agg(F.count("*").alias("tf"))
+    # tf feeds both the scoring join and the document-frequency dim —
+    # materialize once so the explode + (doc, term) shuffle can never
+    # re-execute per consumption
+    tf = toks.groupBy("id", "tok").agg(F.count("*").alias("tf")).localCheckpoint(
+        eager=True
+    )
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     n_docs = df.agg(F.count("*").alias("_n"))
     scored = (
@@ -176,8 +189,14 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
     corpus counts (vocabulary-sized dim, broadcast back), then one
     per-doc aggregation.  Returns (id, n_tokens, avg_logprob)."""
     toks = tokens_long(df, id_col, text_col)
-    counts = toks.groupBy("tok").agg(F.count("*").alias("_cnt"))
-    total = toks.agg(F.count("*").alias("_tot"))
+    # the vocabulary dim feeds two separate broadcasts (counts + total);
+    # materialize it once so the token pass behind it runs once
+    counts = toks.groupBy("tok").agg(F.count("*").alias("_cnt")).localCheckpoint(
+        eager=True
+    )
+    # corpus total = Σ over the vocabulary dim — one-row aggregate of the
+    # SMALL side, not a third full pass over the token stream
+    total = counts.agg(F.sum("_cnt").alias("_tot"))
     return (
         toks.join(F.broadcast(counts), "tok")
         .join(F.broadcast(total))
@@ -209,6 +228,11 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str,
     Docs with < 2 tokens have no bigrams and drop out (the caller
     left-joins if coverage matters).  Returns (id, n_bigrams, avg_logprob).
     """
+    # same narrow-scan fan-out as tokens_long: the zip+explode is
+    # CPU-dense per input byte
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.filter(F.split(normalized_text(text_col), " "), lambda t: t != "").alias("t"),
@@ -222,8 +246,15 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str,
             )
         ).alias("bg"),
     ).select("id", F.col("bg.prev").alias("prev"), F.col("bg.tok").alias("tok"))
-    bg_counts = pairs.groupBy("prev", "tok").agg(F.count("*").alias("_bg"))
-    ctx_counts = pairs.groupBy("prev").agg(F.count("*").alias("_ctx"))
+    # the bigram dim feeds two separate broadcasts (itself + the context
+    # rollup); materialize it once so the pair pass behind it runs once
+    bg_counts = pairs.groupBy("prev", "tok").agg(F.count("*").alias("_bg")).localCheckpoint(
+        eager=True
+    )
+    # context totals roll up from the bigram dim (Σ_tok count(prev,tok) ==
+    # count(prev)) — an aggregate over the SMALL side, not a third full
+    # pass over the pair stream
+    ctx_counts = bg_counts.groupBy("prev").agg(F.sum("_bg").alias("_ctx"))
     return (
         pairs.join(F.broadcast(bg_counts), ["prev", "tok"])
         .join(F.broadcast(ctx_counts), "prev")
