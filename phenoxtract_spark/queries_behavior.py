@@ -306,6 +306,11 @@ def analytics_market_basket(spark, sf_dir):
     lift from exact integer counts through identical expression trees.
     The one-row order-count aggregate broadcasts."""
     li = read_table(spark, sf_dir, "lineitem")
+    # NOTE: the distinct item relation feeds several consumers, but its
+    # identical-exchange self-join reuses cleanly here (measured: an
+    # explicit localCheckpoint made this query 3x SLOWER — the
+    # materialize-once rule pays only where consumers need DIFFERENT
+    # downstream exchanges and AQE reuse actually breaks)
     items = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).distinct()
