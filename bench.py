@@ -87,6 +87,8 @@ SF1_PROBE = [
     # iterative rank propagation: per-round cost ∝ |edges|, so the ratio
     # tracks candidate-pair growth, not vertex count
     "graph_pagerank_similarity",
+    # vocabulary-dim broadcast geometry (tf materialized once)
+    "text_tfidf_topk",
 ]
 
 
