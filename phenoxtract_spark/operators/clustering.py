@@ -53,9 +53,9 @@ def kmeans_assign(vectors: DataFrame, centroids: DataFrame,
     # n·C distance evaluations are CPU-dense per byte — fan a narrow scan
     # out to cluster parallelism (no-op at scale; same guard as
     # similarity.assign_ivf_centroid)
-    par = vectors.sparkSession.sparkContext.defaultParallelism
-    if v.rdd.getNumPartitions() < par:
-        v = v.repartition(par)
+    from ..session import fan_out
+
+    v = fan_out(v)
     scored = v.crossJoin(cen).select(
         "id", "_cid", F.round(_sq_l2(F.col("_v"), F.col("_cv")), round_dp).alias("_d2")
     )

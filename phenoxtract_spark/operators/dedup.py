@@ -62,7 +62,9 @@ def shingles_long(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> Data
     shorter than k tokens yields its full token string."""
     from pyspark.sql.window import Window
 
-    toks = df.select(
+    from ..session import fan_out
+
+    toks = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(normalized_text(text_col), " ")).alias("pos", "tok"),
     )
@@ -373,8 +375,10 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
     fingerprint forces.  ``bits ≤ 60`` required."""
     if bits > 60:
         raise ValueError("bits > 60 overflows the signed-bigint fingerprint")
+    from ..session import fan_out
+
     hex_chars = (bits + 3) // 4
-    toks = df.select(
+    toks = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalized_text(text_col), " ")).alias("tok"),
     ).filter(F.col("tok") != "")

@@ -108,9 +108,9 @@ def assign_ivf_centroid(vectors: DataFrame, centroids: DataFrame,
     # the whole n^1.5 term.  Fan out to cluster parallelism when the scan
     # is narrower; at scale inputs arrive with >= parallelism splits and
     # this is a no-op.  (Same guard as casting.castability_stats.)
-    par = vectors.sparkSession.sparkContext.defaultParallelism
-    if v.rdd.getNumPartitions() < par:
-        v = v.repartition(par)
+    from ..session import fan_out
+
+    v = fan_out(v)
     # rounded score → deterministic assignment across engines/runs; norms
     # precomputed per side (1 HOF aggregate per pair, not 3)
     scored = v.crossJoin(cen).select(

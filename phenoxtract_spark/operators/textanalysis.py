@@ -100,9 +100,13 @@ def fingerprint_df(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> Dat
 
 
 def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """One-projection bundle of the text metrics."""
+    """One-projection bundle of the text metrics.  The bundle is regex-
+    and hash-heavy per row, so the input fans out to cluster parallelism
+    when the scan is narrow (measured 48 -> 3.5 s at sf1)."""
+    from ..session import fan_out
+
     c = F.col(text_col)
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col),
         F.length(c).alias("n_chars"),
         token_count(c).alias("n_tokens"),
@@ -121,10 +125,9 @@ def tokens_long(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     corpus packed into 1-2 scan splits serializes it — fan out to cluster
     parallelism when the scan is narrower (no-op at scale; same guard as
     casting.castability_stats)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
-    return df.select(
+    from ..session import fan_out
+
+    return fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(tokens(text_col)).alias("tok"),
     )
@@ -230,10 +233,9 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str,
     """
     # same narrow-scan fan-out as tokens_long: the zip+explode is
     # CPU-dense per input byte
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
-    toks = df.select(
+    from ..session import fan_out
+
+    toks = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.filter(F.split(normalized_text(text_col), " "), lambda t: t != "").alias("t"),
     )

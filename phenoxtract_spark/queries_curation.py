@@ -92,8 +92,11 @@ _INJECT_SQL = (
 )
 def text_pii(spark, sf_dir):
     """Email/IPv4/phone redaction with per-class match counts — a pure
-    projection (regexp chains stay inside codegen)."""
-    d = read_table(spark, sf_dir, "documents")
+    projection (regexp chains stay inside codegen; regex-heavy per row,
+    so the narrow scan fans out)."""
+    from .session import fan_out
+
+    d = fan_out(read_table(spark, sf_dir, "documents"))
     injected = d.select(
         "doc_id",
         F.concat(

@@ -447,7 +447,9 @@ def sim_lsh_cand(spark, sf_dir):
     """,
 )
 def text_tokens(spark, sf_dir):
-    d = read_table(spark, sf_dir, "documents")
+    from .session import fan_out
+
+    d = fan_out(read_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.length("text").cast("bigint").alias("n_chars"),
@@ -489,7 +491,9 @@ def _votes_sql(lang: str) -> str:
     """,
 )
 def text_langid(spark, sf_dir):
-    d = read_table(spark, sf_dir, "documents")
+    from .session import fan_out
+
+    d = fan_out(read_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.col("lang").alias("lang_declared"),
@@ -521,7 +525,9 @@ def text_langid(spark, sf_dir):
     """,
 )
 def text_quality(spark, sf_dir):
-    d = read_table(spark, sf_dir, "documents")
+    from .session import fan_out
+
+    d = fan_out(read_table(spark, sf_dir, "documents"))
     return d.select("doc_id", textanalysis.quality_score("text").alias("quality"))
 
 
