@@ -384,3 +384,101 @@ def line_dedup(df: DataFrame, id_col: str, lines: Column,
             sep,
         ).alias("cleaned_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# feature hashing (hashing-trick featurization)
+# ---------------------------------------------------------------------------
+
+
+def hashed_features(df: DataFrame, id_col: str, text_col: str,
+                    buckets: int = 64, seed: str = "feat-v1") -> DataFrame:
+    """Hashing-trick bag-of-words: token → md5-bucket in [0, buckets),
+    counted per document, with an L2-normalized weight.
+
+    Long (doc, bucket, cnt) form — the sparse-vector encoding a 100 TB
+    featurization pass wants (dense vectors of width ``buckets`` reshape
+    from it with one pivot if needed).  One (doc, bucket) shuffle with
+    map-side combine, then a narrow per-doc window for the norm; the hash
+    is engine-portable (same md5-prefix scheme as ``split_bucket``).
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(normalized_text(text_col), " "), lambda t: t != "")
+        ).alias("tok"),
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("::", F.lit(seed), F.col("tok"))), 1, 8
+            ),
+            16, 10,
+        ).cast("bigint"),
+        F.lit(buckets),
+    )
+    counts = (
+        toks.select(F.col(id_col), bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(id_col)
+    return counts.select(
+        F.col(id_col),
+        F.col("bucket"),
+        F.col("cnt"),
+        F.round(
+            F.col("cnt") / F.sqrt(F.sum(F.col("cnt") * F.col("cnt")).over(w)), 6
+        ).alias("l2_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-source duplication overlap
+# ---------------------------------------------------------------------------
+
+
+def cross_source_overlap(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """Shared-content matrix between corpus sources: for every unordered
+    source pair, how many distinct normalized-text digests appear in both.
+
+    The health report a multi-source training mix needs before weighting
+    sources (double-counted content inflates a source's effective weight).
+    Distinct (source, digest) first — output of that pass ≤ corpus size —
+    then a digest-keyed self-join whose cost is Σ|digest group|² over
+    *cross-source* duplicate groups only.  The full pair matrix (including
+    zero-overlap pairs) comes from a broadcast cross of the tiny distinct
+    source list, so the result shape is deterministic.
+    """
+    digests = df.select(
+        F.col(group_col).alias("src"),
+        F.md5(normalized_text(text_col)).alias("dig"),
+    ).distinct()
+    overlap = (
+        digests.alias("a")
+        .join(
+            digests.alias("b"),
+            (F.col("a.dig") == F.col("b.dig"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(
+            F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sources = df.select(F.col(group_col).alias("s")).distinct()
+    pairs = (
+        F.broadcast(sources.alias("s1"))
+        .crossJoin(F.broadcast(sources.alias("s2")))
+        .where(F.col("s1.s") < F.col("s2.s"))
+        .select(
+            F.col("s1.s").alias("source_a"), F.col("s2.s").alias("source_b")
+        )
+    )
+    return pairs.join(overlap, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+    )

@@ -269,3 +269,33 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str,
             F.round(F.avg("_logp"), round_dp).alias("avg_logprob"),
         )
     )
+
+
+def ngram_diversity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document n-gram diversity (type-token ratio at n=1 and n=2).
+
+    Low diversity flags templated/boilerplate text a training corpus wants
+    down-weighted; the inverse signal of the repetition filters.  Pure
+    projection — zero shuffles, whole-stage-codegen-friendly; at 100 TB the
+    cost is one narrow scan of the text column.
+    """
+    d = df.select(F.col(id_col), tokens(text_col).alias("t"))
+    n = F.size("t")
+    bigrams = F.expr(
+        "zip_with(slice(t, 1, greatest(size(t) - 1, 0)),"
+        " slice(t, 2, greatest(size(t) - 1, 0)),"
+        " (a, b) -> concat(a, ' ', b))"
+    )
+    return d.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        F.when(
+            n > 0, F.round(F.size(F.array_distinct("t")) / n.cast("double"), 6)
+        ).alias("ttr"),
+        F.when(
+            n > 1,
+            F.round(
+                F.size(F.array_distinct(bigrams)) / (n - 1).cast("double"), 6
+            ),
+        ).alias("bigram_ttr"),
+    )

@@ -467,3 +467,51 @@ def g10_roundtrip(spark, sf_dir):
         F.size("p.orders").cast("bigint").alias("n_orders"),
         F.col("p.orders")[0]["status"].alias("first_status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# winsorized statistics (outlier-robust aggregation)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "analytics_winsorized_stats",
+    """
+    WITH th AS (
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
+             round(quantile_cont(l_extendedprice, 0.95), 6) AS hi
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag,
+           round(avg(least(greatest(l.l_extendedprice, th.lo), th.hi)), 4)
+             AS wins_mean,
+           round(avg(l.l_extendedprice), 4) AS raw_mean,
+           count(*) AS n_rows
+    FROM lineitem l JOIN th ON l.l_returnflag = th.l_returnflag
+    GROUP BY 1
+    """,
+)
+def analytics_winsorized(spark, sf_dir):
+    """Winsorized mean per return flag: exact p05/p95 thresholds (rounded to
+    6dp so both engines clamp identically), clamp, re-aggregate.  Two passes
+    over lineitem; the threshold dim is per-group tiny and broadcast back —
+    at 100 TB swap the exact percentile for the mergeable histogram-quantile
+    sketch (``sketch_histogram_quantiles``) and keep the same clamp pass."""
+    li = read_table(spark, sf_dir, "lineitem")
+    th = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.05)), 6).alias("lo"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("hi"),
+    )
+    return (
+        li.join(F.broadcast(th), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.avg(F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))),
+                4,
+            ).alias("wins_mean"),
+            F.round(F.avg("l_extendedprice"), 4).alias("raw_mean"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

@@ -386,3 +386,102 @@ def curation_line_dedup(spark, sf_dir):
         "n_removed",
         "cleaned_text",
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram diversity (type-token ratio)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "text_ngram_diversity",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM}, ' '), x -> x != '') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           CASE WHEN len(t) > 0
+                THEN round(len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 6)
+           END AS ttr,
+           CASE WHEN len(t) > 1
+                THEN round(len(list_distinct(
+                       list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i + 1])))
+                     / CAST(len(t) - 1 AS DOUBLE), 6)
+           END AS bigram_ttr
+    FROM toks
+    """,
+)
+def text_ngram_diversity(spark, sf_dir):
+    """Per-doc unigram/bigram type-token ratio — the diversity complement
+    of the repetition filters.  Pure projection: zero shuffles."""
+    from .operators import textanalysis
+
+    d = read_table(spark, sf_dir, "documents")
+    return textanalysis.ngram_diversity(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# feature hashing
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "curation_hashed_features",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split({_NORM}, ' '), x -> x != '')) AS tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('feat-v1::' || tok), 1, 8))::BIGINT % 64 AS bucket,
+             count(*) AS cnt
+      FROM toks GROUP BY 1, 2
+    )
+    SELECT doc_id, bucket, cnt,
+           round(cnt / sqrt(sum(cnt * cnt) OVER (PARTITION BY doc_id)), 6)
+             AS l2_weight
+    FROM c
+    """,
+)
+def curation_hashed_features(spark, sf_dir):
+    """Hashing-trick bag-of-words (64 buckets) with L2-normalized weights,
+    in sparse long form.  One (doc, bucket) shuffle + one narrow per-doc
+    window; hash is the engine-portable md5-prefix scheme."""
+    d = read_table(spark, sf_dir, "documents")
+    return curation.hashed_features(d, "doc_id", "text", buckets=64)
+
+
+# ---------------------------------------------------------------------------
+# cross-source duplication overlap
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "curation_cross_source_overlap",
+    f"""
+    WITH d AS (SELECT DISTINCT source, md5({_NORM}) AS dig FROM documents),
+    s AS (SELECT DISTINCT source FROM documents),
+    ov AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+      FROM d a JOIN d b ON a.dig = b.dig AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT s1.source AS source_a, s2.source AS source_b,
+           coalesce(ov.n_shared, 0) AS n_shared
+    FROM s s1
+    JOIN s s2 ON s1.source < s2.source
+    LEFT JOIN ov ON ov.source_a = s1.source AND ov.source_b = s2.source
+    """,
+)
+def curation_cross_source_overlap(spark, sf_dir):
+    """Shared-digest matrix across corpus sources (every unordered pair,
+    zeros included) — the double-counting report a weighted source mix
+    needs.  Digest self-join bounded by cross-source duplicate groups."""
+    d = read_table(spark, sf_dir, "documents")
+    return curation.cross_source_overlap(d, "source", "text")

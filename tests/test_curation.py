@@ -197,3 +197,62 @@ def test_line_dedup_first_owner_keeps_order(spark):
     assert out[2]["n_removed"] == 1
     assert out[3]["cleaned_text"] == "body three"
     assert out[3]["n_dup_lines"] == 0
+
+
+def test_ngram_diversity_ttr_values(spark):
+    from phenoxtract_spark.operators import textanalysis
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a b"),                  # 3 tokens, 2 distinct; bigrams: "a a","a b"
+            (2, "x"),                      # single token: no bigrams
+            (3, "spam spam spam spam"),    # minimal diversity
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in textanalysis.ngram_diversity(df, "doc_id", "text").collect()}
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["ttr"] == round(2 / 3, 6)
+    assert out[1]["bigram_ttr"] == 1.0
+    assert out[2]["n_tokens"] == 1 and out[2]["ttr"] == 1.0
+    assert out[2]["bigram_ttr"] is None
+    assert out[3]["ttr"] == 0.25
+    # bigrams of doc 3: "spam spam" ×3 → 1 distinct / 3
+    assert out[3]["bigram_ttr"] == round(1 / 3, 6)
+
+
+def test_hashed_features_l2_norm_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha gamma"), (2, "alpha beta alpha gamma")],
+        "doc_id bigint, text string",
+    )
+    rows = curation.hashed_features(df, "doc_id", "text", buckets=8).collect()
+    by_doc: dict[int, dict[int, tuple]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["bucket"]] = (r["cnt"], r["l2_weight"])
+    # identical docs hash identically (engine-portable md5 bucketing)
+    assert by_doc[1] == by_doc[2]
+    # counts survive bucketing: 4 tokens total, every bucket in range
+    assert sum(c for c, _ in by_doc[1].values()) == 4
+    assert all(0 <= b < 8 for b in by_doc[1])
+    # L2 weights normalize: sum of squares ≈ 1 per doc
+    ss = sum(w * w for _, w in by_doc[1].values())
+    assert abs(ss - 1.0) < 1e-4
+
+
+def test_cross_source_overlap_matrix_with_zeros(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Shared  Text", "a"),
+            (2, "shared text", "b"),      # same digest after normalization
+            (3, "only in a", "a"),
+            (4, "only in c", "c"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in curation.cross_source_overlap(df, "source", "text").collect()
+    }
+    # full unordered pair matrix, zeros materialized
+    assert out == {("a", "b"): 1, ("a", "c"): 0, ("b", "c"): 0}
