@@ -413,15 +413,25 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
         packed.append(F.sum(F.element_at(arr, idx.cast("int") + F.lit(1))).alias(f"_p{gi}"))
     agg = hashed.groupBy("id").agg(F.count(F.lit(1)).alias("_n"), *packed)
     mask = (1 << field_w) - 1
-    fp = None
-    for gi in range(0, bits, per_agg):
-        for j, b in enumerate(range(gi, min(gi + per_agg, bits))):
-            ones = F.shiftright(F.col(f"_p{gi}"), field_w * j).bitwiseAND(F.lit(mask))
-            # bit set iff the +1 votes outnumber the -1 votes: 2*ones > n
-            contrib = (ones * 2 > F.col("_n")).cast("bigint") * F.lit(1 << b).cast(
-                "bigint"
-            )
-            fp = contrib if fp is None else fp + contrib
+    n_groups = (bits + per_agg - 1) // per_agg
+    # Fingerprint reconstruction as a nested higher-order aggregate (a
+    # loop over groups × fields) instead of 60 inlined shift/mask/compare
+    # terms: same arithmetic bit for bit — disjoint powers of two summed —
+    # but the generated code is two tight loops, not a 60-term expression
+    # tree, which roughly halves the one-shot codegen+JIT cost the bench
+    # position pays (warm per-run time is unchanged; the reconstruction
+    # runs on |docs| rows, not |tokens|).
+    agg = agg.withColumn(
+        "_parr", F.array(*[F.col(f"_p{gi}") for gi in range(0, bits, per_agg)])
+    )
+    fp = F.expr(
+        f"aggregate(sequence(0, {n_groups - 1}), cast(0 as bigint), (acc, g) -> "
+        f"acc + aggregate(sequence(0, {per_agg - 1}), cast(0 as bigint), (a2, j) -> "
+        f"a2 + (case when g * {per_agg} + j < {bits} and "
+        f"(shiftright(element_at(_parr, g + 1), {field_w} * j) & {mask}) * 2 > _n "
+        f"then shiftleft(cast(1 as bigint), g * {per_agg} + j) "
+        f"else cast(0 as bigint) end)))"
+    )
     fp = F.when(F.col("_n") < F.lit(1 << field_w), fp)
     return agg.select("id", fp.alias("simhash"))
 
