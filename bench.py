@@ -89,6 +89,11 @@ SF1_PROBE = [
     "graph_pagerank_similarity",
     # vocabulary-dim broadcast geometry (tf materialized once)
     "text_tfidf_topk",
+    # round-3 late additions: the two new shuffle-bearing curation paths
+    # (feature hashing's (doc,bucket) agg; the digest self-join behind the
+    # cross-source matrix)
+    "curation_hashed_features",
+    "curation_cross_source_overlap",
 ]
 
 

@@ -452,10 +452,13 @@ def cross_source_overlap(df: DataFrame, group_col: str, text_col: str) -> DataFr
     zero-overlap pairs) comes from a broadcast cross of the tiny distinct
     source list, so the result shape is deterministic.
     """
+    # distinct (source, digest) is the expensive pass (full text scan +
+    # one shuffle); materialize it once — it feeds the self-join twice AND
+    # the source list, so without this the text column is scanned 3×
     digests = df.select(
         F.col(group_col).alias("src"),
         F.md5(normalized_text(text_col)).alias("dig"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     overlap = (
         digests.alias("a")
         .join(
@@ -468,7 +471,7 @@ def cross_source_overlap(df: DataFrame, group_col: str, text_col: str) -> DataFr
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    sources = df.select(F.col(group_col).alias("s")).distinct()
+    sources = digests.select(F.col("src").alias("s")).distinct()
     pairs = (
         F.broadcast(sources.alias("s1"))
         .crossJoin(F.broadcast(sources.alias("s2")))
