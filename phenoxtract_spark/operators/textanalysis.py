@@ -299,3 +299,71 @@ def ngram_diversity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ),
         ).alias("bigram_ttr"),
     )
+
+
+def bpe_merges(df: DataFrame, text_col: str, rounds: int = 3) -> DataFrame:
+    """Distributed BPE tokenizer training (merge discovery): the ``rounds``
+    most frequent adjacent symbol pairs, each merged corpus-wide before the
+    next round counts.  Returns (merge_round, sym_a, sym_b, pair_count).
+
+    Scale design: the corpus collapses to its DISTINCT-WORD vocabulary with
+    frequencies first (the standard BPE trick — all rounds then run on
+    |vocab| rows, not |tokens|), checkpointed once.  Each round is one
+    narrow (a, b) aggregation over the vocabulary plus a 1-row argmax
+    collect (bounded driver traffic, like the k-means round centroids);
+    the merge itself is a higher-order left-to-right fold — exact BPE
+    non-overlapping semantics — applied lazily and re-checkpointed so the
+    plan stays O(1) per round.  Ties break on (count desc, sym_a, sym_b)
+    for engine-portable determinism.
+    """
+    spark = df.sparkSession
+    wf = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    cur = wf.select("freq", chars.alias("s")).localCheckpoint(eager=True)
+    out: list[tuple[int, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        pairs = cur.select(
+            "freq",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(s, 1, greatest(size(s) - 1, 0))").alias("a"),
+                    F.expr("slice(s, 2, greatest(size(s) - 1, 0))").alias("b"),
+                )
+            ).alias("p"),
+        ).select("freq", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        out.append((r, a, b, cnt))
+        ab = a + b
+        # exact left-to-right non-overlapping merge: a fold whose
+        # accumulator is the rebuilt sequence ("aaa" + (a,a) -> [aa, a]).
+        # F.get (0-based, null out-of-bounds) keeps the empty-accumulator
+        # probe ANSI-safe.
+        merged = F.aggregate(
+            F.col("s"),
+            F.expr("cast(array() as array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.get(acc, F.size(acc) - 1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(ab))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        cur = cur.select("freq", merged.alias("s")).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        out, "merge_round int, sym_a string, sym_b string, pair_count bigint"
+    )

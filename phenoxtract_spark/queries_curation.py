@@ -485,3 +485,66 @@ def curation_cross_source_overlap(spark, sf_dir):
     needs.  Digest self-join bounded by cross-source duplicate groups."""
     d = read_table(spark, sf_dir, "documents")
     return curation.cross_source_overlap(d, "source", "text")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (merge discovery)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One BPE round: pair counts over s{r-1}, argmax merge m{r}, and the
+    merged vocabulary s{r} via an exact left-to-right recursive scan."""
+    return f"""
+    p{r} AS (
+      SELECT s[i] AS a, s[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM s{r - 1}, unnest(range(1, len(s))) AS u(i) GROUP BY 1, 2
+    ),
+    m{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+    r{r} AS (
+      SELECT w, freq, s AS rem, CAST([] AS VARCHAR[]) AS out FROM s{r - 1}
+      UNION ALL
+      SELECT r.w, r.freq,
+        CASE WHEN len(rem) >= 2 AND rem[1] = m{r}.a AND rem[2] = m{r}.b
+             THEN rem[3:] ELSE rem[2:] END,
+        CASE WHEN len(rem) >= 2 AND rem[1] = m{r}.a AND rem[2] = m{r}.b
+             THEN list_append(out, m{r}.a || m{r}.b)
+             ELSE list_append(out, rem[1]) END
+      FROM r{r} r, m{r} WHERE len(rem) > 0
+    ),
+    s{r} AS (SELECT w, freq, out AS s FROM r{r} WHERE len(rem) = 0)"""
+
+
+@q(
+    "text_bpe_merges",
+    f"""
+    WITH RECURSIVE
+    wf AS (
+      SELECT w, count(*) AS freq FROM (
+        SELECT unnest(list_filter(string_split({_NORM}, ' '), x -> x != '')) AS w
+        FROM documents
+      ) GROUP BY 1
+    ),
+    s0 AS (
+      SELECT w, freq, list_transform(range(1, len(w) + 1), i -> w[i]) AS s
+      FROM wf
+    ),
+    {_bpe_round_sql(1)},
+    {_bpe_round_sql(2)},
+    {_bpe_round_sql(3)}
+    SELECT 1 AS merge_round, a AS sym_a, b AS sym_b, cnt AS pair_count FROM m1
+    UNION ALL SELECT 2, a, b, cnt FROM m2
+    UNION ALL SELECT 3, a, b, cnt FROM m3
+    """,
+)
+def text_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training, 3 merge rounds: each round's most frequent
+    adjacent symbol pair (count desc, then lexicographic tie-break), merged
+    corpus-wide before the next count.  All rounds run on the distinct-word
+    vocabulary with frequencies — |vocab| rows, not |tokens| — with one
+    1-row argmax collect per round; the oracle replays the identical
+    trajectory with recursive-CTE merge scans."""
+    from .operators import textanalysis
+
+    d = read_table(spark, sf_dir, "documents")
+    return textanalysis.bpe_merges(d, "text", rounds=3)

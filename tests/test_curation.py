@@ -256,3 +256,23 @@ def test_cross_source_overlap_matrix_with_zeros(spark):
     }
     # full unordered pair matrix, zeros materialized
     assert out == {("a", "b"): 1, ("a", "c"): 0, ("b", "c"): 0}
+
+
+def test_bpe_merges_classic_example(spark):
+    from phenoxtract_spark.operators import textanalysis
+
+    # the classic BPE corpus: low ×3, lower ×2, newest ×1
+    df = spark.createDataFrame(
+        [(1, "low low low"), (2, "lower lower"), (3, "newest")],
+        "doc_id bigint, text string",
+    )
+    got = [
+        (r["merge_round"], r["sym_a"], r["sym_b"], r["pair_count"])
+        for r in textanalysis.bpe_merges(df, "text", rounds=3)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    # round 1: (l,o)=5 ties (o,w)=5 → lexicographic tie-break picks (l,o)
+    # round 2: (lo,w)=5 dominates
+    # round 3: (e,r)=2 ties (low,e)=2 → "e" < "low" picks (e,r)
+    assert got == [(1, "l", "o", 5), (2, "lo", "w", 5), (3, "e", "r", 2)]
