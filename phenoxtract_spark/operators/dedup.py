@@ -500,3 +500,69 @@ def ngram_containment_pairs(df: DataFrame, id_col: str, text_col: str,
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup (new batch vs existing corpus)
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup(df: DataFrame, id_col: str, text_col: str,
+                      is_new: Column, num_hashes: int = 4, k: int = 3,
+                      rows_per_band: int = 2) -> DataFrame:
+    """Dedup a NEW ingest batch against the EXISTING corpus — the
+    continuous-ingest shape: per new document, its exact-duplicate owner in
+    the existing corpus (if any) plus its LSH near-dup candidate count and
+    lowest-id candidate.  Returns
+    (id, exact_match_id, n_near_candidates, first_candidate_id).
+
+    Scale design: candidates only form across the batch boundary — new
+    bands join existing bands on (band, band_key), so cost is
+    Σ|bucket_new|×|bucket_old|, proportional to the BATCH, never corpus².
+    The exact path is one digest-keyed join against a min-id digest dim.
+    Here both sides' signatures compute in one shared scan for a
+    self-contained query; in production the existing corpus's digests and
+    band keys are a materialized index (bucketed by digest/band_key) that
+    ingest batches join against without rescanning the corpus.
+    """
+    flags = df.select(
+        F.col(id_col).alias("id"),
+        is_new.alias("_new"),
+        F.md5(normalized_text(text_col)).alias("digest"),
+    ).localCheckpoint(eager=True)
+    sig = minhash_signature(df, id_col, text_col, num_hashes=num_hashes, k=k)
+    bands = lsh_bands(sig, rows_per_band=rows_per_band).join(
+        flags.select("id", "_new"), "id"
+    )
+    old_dig = (
+        flags.filter(~F.col("_new"))
+        .groupBy("digest")
+        .agg(F.min("id").alias("exact_match_id"))
+    )
+    exact = (
+        flags.filter(F.col("_new"))
+        .join(old_dig, "digest", "left")
+        .select("id", "exact_match_id")
+    )
+    cand = (
+        bands.filter(F.col("_new")).alias("n")
+        .join(
+            bands.filter(~F.col("_new")).alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.band_key") == F.col("o.band_key")),
+        )
+        .select(F.col("n.id").alias("id"), F.col("o.id").alias("old_id"))
+        .distinct()
+    )
+    near = cand.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_near_candidates"),
+        F.min("old_id").alias("first_candidate_id"),
+    )
+    return exact.join(near, "id", "left").select(
+        "id",
+        "exact_match_id",
+        F.coalesce("n_near_candidates", F.lit(0)).cast("bigint").alias(
+            "n_near_candidates"
+        ),
+        "first_candidate_id",
+    )

@@ -992,3 +992,61 @@ def sketch_kmv(spark, sf_dir):
     return sk.join(exact, "event_type").select(
         "event_type", "est_distinct", "buckets_hit", "exact_distinct"
     )
+
+
+@q(
+    "dedup_incremental_batch",
+    f"""
+    WITH {_SHINGLES3},
+    seeded AS (
+      SELECT doc_id, s.seed, md5(CAST(s.seed AS VARCHAR) || '|' || sh) AS h
+      FROM sh, (SELECT unnest(generate_series(0, 3)) AS seed) s
+    ),
+    sig AS (SELECT doc_id AS id, seed, min(h) AS minhash FROM seeded GROUP BY 1, 2),
+    bands AS (
+      SELECT id, seed // 2 AS band,
+             md5(array_to_string(list_sort(list(CAST(seed AS VARCHAR) || ':' || minhash)), '|')) AS band_key
+      FROM sig GROUP BY id, seed // 2
+    ),
+    flags AS (
+      SELECT doc_id AS id,
+             (('0x' || substr(md5('inc-v1::' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000) >= 9000 AS is_new,
+             md5({_NORM}) AS digest
+      FROM documents
+    ),
+    old_dig AS (
+      SELECT digest, min(id) AS exact_match_id FROM flags WHERE NOT is_new GROUP BY 1
+    ),
+    cand AS (
+      SELECT DISTINCT n.id AS id, o.id AS old_id
+      FROM bands bn
+      JOIN flags n ON n.id = bn.id AND n.is_new
+      JOIN bands bo ON bo.band = bn.band AND bo.band_key = bn.band_key
+      JOIN flags o ON o.id = bo.id AND NOT o.is_new
+    ),
+    na AS (
+      SELECT id, count(*) AS n_near_candidates, min(old_id) AS first_candidate_id
+      FROM cand GROUP BY 1
+    )
+    SELECT f.id, od.exact_match_id,
+           coalesce(na.n_near_candidates, 0) AS n_near_candidates,
+           na.first_candidate_id
+    FROM flags f
+    LEFT JOIN old_dig od ON od.digest = f.digest
+    LEFT JOIN na ON na.id = f.id
+    WHERE f.is_new
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Continuous-ingest dedup: the deterministic 10% md5-bucket batch
+    checked against the other 90% — exact digest owner + LSH candidates
+    that only ever form across the batch boundary (cost ∝ batch, not
+    corpus²)."""
+    from .operators import curation
+
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.incremental_dedup(
+        d, "doc_id", "text",
+        is_new=curation.split_bucket("doc_id", "inc-v1") >= 9000,
+        num_hashes=4, k=3, rows_per_band=2,
+    )

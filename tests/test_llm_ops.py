@@ -215,3 +215,39 @@ def test_bigram_logprob_discriminates_word_salad(spark):
         for r in textanalysis.bigram_logprob(df, "doc_id", "text").collect()
     }
     assert out[99] < out[0], "scrambled doc must score below fluent docs"
+
+
+def test_incremental_dedup_cross_boundary_only(spark):
+    from pyspark.sql import functions as F
+
+    from phenoxtract_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, base),                       # existing
+            (2, "completely different text about spark engines"),  # existing
+            (3, base),                       # new: exact dup of 1
+            (4, base + " tail"),             # new: near dup of 1
+            (5, "unrelated new content with no match at all"),     # new: clean
+            (6, base),                       # new: exact dup — must match OLD 1, not new 3
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in dedup.incremental_dedup(
+            df, "doc_id", "text", is_new=F.col("doc_id") >= 3
+        ).collect()
+    }
+    assert set(out) == {3, 4, 5, 6}
+    # exact matches resolve to the existing-corpus owner only
+    assert out[3]["exact_match_id"] == 1
+    assert out[6]["exact_match_id"] == 1
+    assert out[5]["exact_match_id"] is None
+    # the near path finds the banded candidate for both dups and the tail variant
+    assert out[3]["n_near_candidates"] >= 1 and out[3]["first_candidate_id"] == 1
+    assert out[4]["n_near_candidates"] >= 1 and out[4]["first_candidate_id"] == 1
+    # candidates never pair new-with-new: doc 5 shares no band with 1/2
+    assert out[5]["n_near_candidates"] == 0
+    assert out[5]["first_candidate_id"] is None
