@@ -299,3 +299,31 @@ def bigram_logprob_q(spark, sf_dir):
     return textanalysis.bigram_logprob(d, "doc_id", "text").withColumnRenamed(
         "id", "doc_id"
     )
+
+
+@q(
+    "embedding_mean_pool",
+    """
+    WITH vx AS (
+      SELECT label, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) ix
+    ),
+    nv AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY 1)
+    SELECT v.label, v.i, round(avg(v.x), 6) AS mean_x, nv.n_vectors
+    FROM vx v JOIN nv ON nv.label = v.label
+    GROUP BY v.label, v.i, nv.n_vectors
+    """,
+)
+def embedding_mean_pool(spark, sf_dir):
+    """Per-label mean-pooled embedding (class centroid / prototype vector)
+    in long (label, dim) form — the shuffle-friendly layout for vector
+    aggregation at scale: the exchange carries (label, dim) partial sums,
+    whole vectors never shuffle, and map-side combine collapses each
+    partition to ≤ |labels|×dims rows before the wire."""
+    e = read_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("i", "x")
+    ).select("label", (F.col("i") + 1).alias("i"), F.col("x").cast("double").alias("x"))
+    agg = ex.groupBy("label", "i").agg(F.round(F.avg("x"), 6).alias("mean_x"))
+    nv = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return agg.join(F.broadcast(nv), "label").select("label", "i", "mean_x", "n_vectors")
