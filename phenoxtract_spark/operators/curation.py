@@ -485,3 +485,46 @@ def cross_source_overlap(df: DataFrame, group_col: str, text_col: str) -> DataFr
         "source_b",
         F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate stripping
+# ---------------------------------------------------------------------------
+
+
+def html_strip(col: Column | str) -> Column:
+    """Strip HTML to text: drop tags, decode the common entities, collapse
+    whitespace.  Pure regexp/replace projection — zero shuffles; the
+    C4/RefinedWeb-style first pass over crawled corpora.  Entity decode
+    order is fixed (``&amp;`` last, the standard order that never
+    double-decodes)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def strip_html_documents(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """Projection bundle: tag count, stripped text, and length ratio
+    (stripped/raw) — the boilerplate-density signal used to drop
+    chrome-heavy pages."""
+    c = F.col(html_col)
+    stripped = html_strip(c)
+    return df.select(
+        F.col(id_col),
+        F.size(F.expr(f"regexp_extract_all({html_col}, '<[^>]+>', 0)"))
+        .cast("bigint")
+        .alias("n_tags"),
+        stripped.alias("stripped"),
+        F.round(F.length(stripped) / F.length(c).cast("double"), 6).alias(
+            "keep_ratio"
+        ),
+    )

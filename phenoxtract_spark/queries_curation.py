@@ -548,3 +548,56 @@ def text_bpe_merges(spark, sf_dir):
 
     d = read_table(spark, sf_dir, "documents")
     return textanalysis.bpe_merges(d, "text", rounds=3)
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate stripping (deterministic synthetic markup injected
+# in-query — the corpus is plain text, so both engines wrap each doc in the
+# same doc_id-derived tags/entities before stripping, exercising the full
+# tag-removal + entity-decode + whitespace-collapse chain exactly)
+# ---------------------------------------------------------------------------
+
+_HTML_INJECT_SQL = (
+    "'<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p class=\"x\">'"
+    " || text || '</p><a href=\"http://ex.com/' || CAST(doc_id AS VARCHAR)"
+    " || '\">link</a>&amp;&nbsp;&lt;end&gt;</body></html>'"
+)
+
+
+@q(
+    "text_html_strip",
+    f"""
+    WITH h AS (SELECT doc_id, {_HTML_INJECT_SQL} AS html FROM documents),
+    s AS (
+      SELECT doc_id, html,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(html, '<[^>]+>', ' ', 'g'),
+                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                 '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+               '\\s+', ' ', 'g')) AS stripped
+      FROM h
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(html, '<[^>]+>')) AS n_tags,
+           stripped,
+           round(length(stripped) / CAST(length(html) AS DOUBLE), 6) AS keep_ratio
+    FROM s
+    """,
+)
+def text_html_strip(spark, sf_dir):
+    """C4/RefinedWeb-style HTML→text first pass: tag removal, entity
+    decode (fixed order, &amp; last), whitespace collapse, plus the
+    tag-count and keep-ratio boilerplate-density signals.  Pure regexp
+    projection — zero shuffles."""
+    d = read_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><body><h1>Doc "), sid,
+        F.lit('</h1><p class="x">'), F.col("text"),
+        F.lit('</p><a href="http://ex.com/'), sid,
+        F.lit('">link</a>&amp;&nbsp;&lt;end&gt;</body></html>'),
+    )
+    return curation.strip_html_documents(
+        d.select("doc_id", html.alias("html")), "doc_id", "html"
+    )

@@ -276,3 +276,19 @@ def test_bpe_merges_classic_example(spark):
     # round 2: (lo,w)=5 dominates
     # round 3: (e,r)=2 ties (low,e)=2 → "e" < "low" picks (e,r)
     assert got == [(1, "l", "o", 5), (2, "lo", "w", 5), (3, "e", "r", 2)]
+
+
+def test_html_strip_tags_entities_whitespace(spark):
+    df = spark.createDataFrame(
+        [
+            (1, '<div><p>Hello   <b>world</b></p>&amp;&nbsp;&lt;tag&gt;&quot;q&quot;</div>'),
+            (2, "no markup at all"),
+        ],
+        "doc_id bigint, html string",
+    )
+    out = {r["doc_id"]: r for r in curation.strip_html_documents(df, "doc_id", "html").collect()}
+    assert out[1]["stripped"] == 'Hello world & <tag>"q"'
+    assert out[1]["n_tags"] == 6
+    assert out[2]["stripped"] == "no markup at all"
+    assert out[2]["n_tags"] == 0
+    assert out[2]["keep_ratio"] == 1.0
