@@ -566,3 +566,55 @@ def incremental_dedup(df: DataFrame, id_col: str, text_col: str,
         ),
         "first_candidate_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity join via prefix filtering (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_prefix_pairs(df: DataFrame, id_col: str, text_col: str,
+                         k: int = 3, threshold: float = 0.8) -> DataFrame:
+    """EXACT Jaccard similarity join without LSH's false negatives: prefix
+    filtering.  Under a global shingle ordering (rarity-first: ascending
+    corpus frequency, shingle text as tie-break), two sets with
+    Jaccard ≥ τ must share at least one shingle within each set's first
+    ``n - ceil(τ·n) + 1`` shingles — so candidates form only on PREFIX
+    shingles, and the verify pass is candidate-fed.  Returns
+    (id_a, id_b, jacc ≥ threshold), identical to the brute-force join.
+
+    Scale: rarity-first ordering puts the LONG tail of near-unique shingles
+    in the prefixes, so prefix buckets are tiny (Σ|bucket|² collapses);
+    the stop-word-like head shingles that would explode a plain
+    shingle-self-join are excluded from every prefix at high τ.  One
+    frequency aggregate + one per-doc rank window + the bounded verify.
+    Complements LSH: exact recall when the threshold is high and misses
+    are unacceptable (e.g. legal/compliance dedup)."""
+    from pyspark.sql.window import Window
+
+    dsh = shingles_long(df, id_col, text_col, k).distinct()
+    dsh = dsh.localCheckpoint(eager=True)  # feeds freq + rank + both verify sides
+    freq = dsh.groupBy("sh").agg(F.count(F.lit(1)).alias("_f"))
+    w = Window.partitionBy("id").orderBy("_f", "sh")
+    wn = Window.partitionBy("id")
+    ranked = dsh.join(freq, "sh").select(
+        "id", "sh",
+        F.row_number().over(w).alias("_pos"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    prefix = ranked.filter(
+        F.col("_pos")
+        <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+    ).select("id", "sh")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return ngram_jaccard_pairs(
+        df, id_col, text_col, k=k, threshold=threshold, candidates=cand
+    )

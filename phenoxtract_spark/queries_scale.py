@@ -1050,3 +1050,44 @@ def dedup_incremental(spark, sf_dir):
         is_new=curation.split_bucket("doc_id", "inc-v1") >= 9000,
         num_hashes=4, k=3, rows_per_band=2,
     )
+
+
+@q(
+    "dedup_prefix_join",
+    f"""
+    WITH {_SHINGLES3},
+    dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+    freq AS (SELECT sh, count(*) AS f FROM dsh GROUP BY 1),
+    ranked AS (
+      SELECT d.doc_id, d.sh,
+             row_number() OVER (PARTITION BY d.doc_id ORDER BY f, d.sh) AS pos,
+             count(*) OVER (PARTITION BY d.doc_id) AS n
+      FROM dsh d JOIN freq USING (sh)
+    ),
+    prefix AS (SELECT doc_id, sh FROM ranked WHERE pos <= n - ceil(0.8 * n) + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+    common AS (
+      SELECT c.id_a, c.id_b, count(*) AS c
+      FROM cand c
+      JOIN dsh a ON a.doc_id = c.id_a
+      JOIN dsh b ON b.doc_id = c.id_b AND b.sh = a.sh
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jacc
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.8
+    """,
+)
+def dedup_prefix(spark, sf_dir):
+    """Exact (no-false-negative) Jaccard ≥ 0.8 similarity join via
+    rarity-first prefix filtering — the deterministic complement to the
+    probabilistic LSH path."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.jaccard_prefix_pairs(d, "doc_id", "text", k=3, threshold=0.8)

@@ -457,3 +457,35 @@ def test_kmv_distinct_accuracy_band(spark):
     row = kmv_distinct(df, ["g"], "v", m=64).collect()[0]
     assert row["buckets_hit"] == 64
     assert abs(row["est_distinct"] - 2000) / 2000 <= 0.5
+
+
+def test_prefix_join_exact_vs_bruteforce(spark):
+    from phenoxtract_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (1, base),
+        (2, base + " extra"),                       # high-jaccard near dup of 1
+        (3, base.replace("gamma", "lambda")),       # still high overlap with 1
+        (4, "totally different words in this one here now"),
+        (5, base),                                  # exact dup of 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jacc"]
+        for r in dedup.jaccard_prefix_pairs(
+            df, "doc_id", "text", k=3, threshold=0.6
+        ).collect()
+    }
+    # brute force: every pair, no candidate restriction
+    want = {
+        (r["id_a"], r["id_b"]): r["jacc"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", k=3, threshold=0.6
+        ).collect()
+    }
+    # prefix filtering is EXACT: identical pair set and values
+    assert got == want
+    assert (1, 5) in got and got[(1, 5)] == 1.0
+    assert (1, 2) in got
+    assert all(4 not in pair for pair in got)
