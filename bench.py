@@ -94,6 +94,15 @@ SF1_PROBE = [
     # cross-source matrix)
     "curation_hashed_features",
     "curation_cross_source_overlap",
+    # exact-recall similarity join: prefix-bucket geometry is the scale
+    # question (rarity-first ordering must keep Σ|bucket|² bounded as the
+    # near-dup density grows 10x)
+    "dedup_prefix_join",
+    # cross-boundary incremental dedup: cost must track the 10% batch
+    "dedup_incremental_batch",
+    # BPE rounds run on the distinct-word vocabulary — the ratio tracks
+    # vocab growth (sublinear), not corpus size
+    "text_bpe_merges",
 ]
 
 
