@@ -171,3 +171,89 @@ def test_histogram_quantile_within_one_bin(spark, xs):
     xs_sorted = sorted(xs)
     true_p50 = xs_sorted[max(0, int(0.5 * len(xs)) - 1) : min(len(xs), int(0.5 * len(xs)) + 2)]
     assert min(true_p50) - width - 1e-6 <= est <= max(true_p50) + width + 1e-6
+
+
+_TOKS = st.sampled_from(["a", "b", "c", "d"])
+_DOC = st.lists(_TOKS, min_size=1, max_size=8).map(" ".join)
+
+
+def _shingle_set(text: str, k: int = 3) -> set:
+    toks = text.split()
+    return {
+        " ".join(toks[i : i + k]) for i in range(max(len(toks) - k, 0) + 1)
+    }
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_DOC, min_size=2, max_size=6))
+def test_prefix_join_matches_python_bruteforce(spark, texts):
+    """Prefix filtering is EXACT: the Spark result must equal a pure-Python
+    all-pairs Jaccard on the same shingle semantics, for every random tiny
+    corpus (small alphabet → dense shingle collisions)."""
+    from phenoxtract_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jacc"]
+        for r in dedup.jaccard_prefix_pairs(
+            df, "doc_id", "text", k=3, threshold=0.5
+        ).collect()
+    }
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = _shingle_set(texts[i]), _shingle_set(texts[j])
+            jacc = round(len(a & b) / len(a | b), 6)
+            if jacc >= 0.5:
+                want[(i, j)] = jacc
+    assert got == want
+
+
+def _ref_bpe(texts, rounds):
+    from collections import Counter
+
+    vocab = Counter(tok for t in texts for tok in t.split())
+    seqs = {w: list(w) for w in vocab}
+    merges = []
+    for r in range(1, rounds + 1):
+        pc = Counter()
+        for w, f in vocab.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((r, a, b, cnt))
+        ab = a + b
+        for w, s in seqs.items():
+            out = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = ab
+                else:
+                    out.append(x)
+            seqs[w] = out
+    return merges
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_DOC, min_size=1, max_size=5))
+def test_bpe_merges_match_python_reference(spark, texts):
+    """The distributed BPE trajectory (argmax choice, tie-breaks, and the
+    left-to-right merge fold) must equal a sequential reference
+    implementation on every random corpus."""
+    from phenoxtract_spark.operators import textanalysis
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = [
+        (r["merge_round"], r["sym_a"], r["sym_b"], r["pair_count"])
+        for r in textanalysis.bpe_merges(df, "text", rounds=2)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert got == _ref_bpe(texts, 2)
