@@ -1091,3 +1091,50 @@ def dedup_prefix(spark, sf_dir):
     probabilistic LSH path."""
     d = read_table(spark, sf_dir, "documents")
     return dedup.jaccard_prefix_pairs(d, "doc_id", "text", k=3, threshold=0.8)
+
+
+@q(
+    "events_rollup_reuse",
+    """
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS VARCHAR) AS day,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_rollup_reuse(spark, sf_dir):
+    """Continuous-aggregate pattern (hypertable-style): the DAILY rollup is
+    computed FROM the hourly rollup's partials — count/sum/min/max are all
+    mergeable — while the oracle aggregates the raw events directly.  A
+    hash-match proves re-aggregation equals direct aggregation, which is
+    what lets a 100 TB timeseries keep only hourly partials hot and answer
+    any coarser grain without touching raw data.  Two narrow shuffles
+    ((hour, type) then (day, type)); the second input is |hours|×|types|
+    rows, orders of magnitude smaller than the fact stream."""
+    e = read_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    hourly = (
+        e.groupBy(
+            F.date_trunc("hour", ts).alias("hour"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sv"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("hour")).cast("date").cast("string").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("sv"), 2).alias("sum_value"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+    )
