@@ -31,24 +31,36 @@ def as_of_join(
     right_vals: list[str],
     right_order: str | None = None,
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the most recent right row with
-    ``right.ts <= left.ts`` on the same keys.
+    """For each left row, attach the matching right row on the same keys:
+    ``direction="backward"`` (default) the most recent right row with
+    ``right.ts <= left.ts``; ``"forward"`` the earliest with
+    ``right.ts >= left.ts``; ``"nearest"`` whichever of the two is closer
+    in time (ties → backward).
 
     Union both sides, sort within key by (ts, side[, right_order]) — right
-    rows at an equal timestamp sort first so they ARE visible to the left
-    row, and ``right_order`` breaks ties among right rows deterministically
-    (highest wins) — then carry the last non-null right values forward.
-    Wall-clock cost: one shuffle+sort on ``keys``; memory: O(1) per row
-    (running last), never |L|×|R|.
+    rows at an equal timestamp sort adjacent to the left row so they ARE
+    visible in both directions, and ``right_order`` breaks ties among
+    right rows deterministically (backward: highest wins; forward: lowest)
+    — then carry the right values with a running last (backward) and/or
+    first (forward).  Wall-clock cost: one shuffle on ``keys`` (nearest
+    re-sorts the same partitions once more, no extra exchange); memory:
+    O(1) per row (running carry), never |L|×|R|.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction {direction!r}")
     ord_type = dict(right.dtypes).get(right_order, "int") if right_order else "int"
     rtypes = dict(right.dtypes)
+    rts_type = rtypes[right_ts]
     # the right values travel as ONE struct so the window carry is atomic:
     # carrying columns independently with last(ignorenulls) could stitch
-    # together fields from different right rows when values are null
+    # together fields from different right rows when values are null.  The
+    # right timestamp rides along as `__rts` for the nearest-delta compare.
     rstruct_type = (
-        "struct<" + ",".join(f"`{v}`:{rtypes[v]}" for v in right_vals) + ">"
+        "struct<"
+        + ",".join(f"`{v}`:{rtypes[v]}" for v in right_vals)
+        + f",`__rts`:{rts_type}>"
     )
     l_tagged = left.select(
         *[F.col(k) for k in keys],
@@ -63,20 +75,48 @@ def as_of_join(
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         (F.col(right_order) if right_order else F.lit(0)).cast(ord_type).alias("_ord"),
-        F.struct(*[F.col(v) for v in right_vals]).alias("_rv"),
+        F.struct(
+            *[F.col(v) for v in right_vals], F.col(right_ts).alias("__rts")
+        ).alias("_rv"),
         F.lit(None).cast(l_tagged.schema["_lrow"].dataType.simpleString()).alias("_lrow"),
     )
     u = l_tagged.unionByName(r_tagged)
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy("_ts", "_side", F.col("_ord").asc_nulls_last())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = u.select(
-        "*", F.last("_rv", ignorenulls=True).over(w).alias("_rlast")
-    ).filter(F.col("_side") == 1)
+    picked = None
+    if direction in ("backward", "nearest"):
+        wb = (
+            Window.partitionBy(*keys)
+            .orderBy("_ts", "_side", F.col("_ord").asc_nulls_last())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        u = u.withColumn("_rb", F.last("_rv", ignorenulls=True).over(wb))
+        picked = F.col("_rb")
+    if direction in ("forward", "nearest"):
+        wf = (
+            Window.partitionBy(*keys)
+            .orderBy("_ts", F.col("_side").desc(), F.col("_ord").asc_nulls_last())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        u = u.withColumn("_rf", F.first("_rv", ignorenulls=True).over(wf))
+        picked = F.col("_rf")
+    if direction == "nearest":
+        def _us(c):
+            return (
+                F.unix_micros(c.cast("timestamp"))
+                if rts_type.startswith("timestamp")
+                else c.cast("double")
+            )
+
+        delta_b = _us(F.col("_ts")) - _us(F.col("_rb")["__rts"])
+        delta_f = _us(F.col("_rf")["__rts"]) - _us(F.col("_ts"))
+        picked = (
+            F.when(F.col("_rf").isNull(), F.col("_rb"))
+            .when(F.col("_rb").isNull(), F.col("_rf"))
+            .when(delta_b <= delta_f, F.col("_rb"))
+            .otherwise(F.col("_rf"))
+        )
+    carried = u.withColumn("_rpick", picked).filter(F.col("_side") == 1)
     out_cols = [F.col("_lrow")[c].alias(c) for c in left.columns] + [
-        F.col("_rlast")[v].alias(f"{prefix}{v}") for v in right_vals
+        F.col("_rpick")[v].alias(f"{prefix}{v}") for v in right_vals
     ]
     return carried.select(*out_cols)
 

@@ -170,3 +170,111 @@ def neardup_pairs(spark, sf_dir):
     stride = max(61, int(math.isqrt(e.count())))
     centroids = e.filter(F.col("vec_id") % stride == 0)
     return similarity.ivf_neardup_pairs(e, centroids, threshold=0.4)
+
+
+@q(
+    "asof_forward_event",
+    """
+    WITH l AS (
+      SELECT o_orderkey, o_custkey % 20 AS uid,
+             CAST(o_orderdate AS TIMESTAMP) + INTERVAL 29 YEAR AS ots
+      FROM orders
+    ), j AS (
+      SELECT l.o_orderkey, CAST(e.ts AS TIMESTAMP) AS ets, e.value,
+             row_number() OVER (PARTITION BY l.o_orderkey
+                                ORDER BY CAST(e.ts AS TIMESTAMP) ASC,
+                                         e.event_id ASC) AS rn
+      FROM l JOIN events e
+        ON e.user_id = l.uid AND CAST(e.ts AS TIMESTAMP) >= l.ots
+    )
+    SELECT l.o_orderkey, CAST(j.ets AS VARCHAR) AS asof_ts,
+           round(coalesce(j.value, -1), 2) AS asof_value
+    FROM l LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (o_orderkey)
+    """,
+)
+def asof_forward_event(spark, sf_dir):
+    """Forward as-of: for each order, the EARLIEST event at-or-after it
+    (lookahead enrichment, e.g. "next reading after the request").  Same
+    union+window shape as backward — one shuffle, O(1) running state."""
+    o = read_table(spark, sf_dir, "orders")
+    e = read_table(spark, sf_dir, "events")
+    left = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 20).alias("uid"),
+        (F.col("o_orderdate").cast("timestamp") + F.expr("INTERVAL 29 YEAR")).alias("ots"),
+    )
+    right = e.select(
+        F.col("user_id").alias("uid"), F.col("ts"), F.col("value"), F.col("event_id")
+    )
+    out = joins.as_of_join(
+        left, right, keys=["uid"], left_ts="ots", right_ts="ts",
+        right_vals=["ts", "value"], right_order="event_id", direction="forward",
+    )
+    return out.select(
+        "o_orderkey",
+        F.col("asof_ts").cast("string").alias("asof_ts"),
+        F.round(F.coalesce(F.col("asof_value"), F.lit(-1.0)), 2).alias("asof_value"),
+    )
+
+
+@q(
+    "asof_nearest_event",
+    """
+    WITH l AS (
+      SELECT o_orderkey, o_custkey % 20 AS uid,
+             CAST(o_orderdate AS TIMESTAMP) + INTERVAL 29 YEAR AS ots
+      FROM orders
+    ), jb AS (
+      SELECT l.o_orderkey, CAST(e.ts AS TIMESTAMP) AS ets, e.value,
+             row_number() OVER (PARTITION BY l.o_orderkey
+                                ORDER BY CAST(e.ts AS TIMESTAMP) DESC,
+                                         e.event_id DESC) AS rn
+      FROM l JOIN events e
+        ON e.user_id = l.uid AND CAST(e.ts AS TIMESTAMP) <= l.ots
+    ), bb AS (SELECT * FROM jb WHERE rn = 1),
+    jf AS (
+      SELECT l.o_orderkey, CAST(e.ts AS TIMESTAMP) AS ets, e.value,
+             row_number() OVER (PARTITION BY l.o_orderkey
+                                ORDER BY CAST(e.ts AS TIMESTAMP) ASC,
+                                         e.event_id ASC) AS rn
+      FROM l JOIN events e
+        ON e.user_id = l.uid AND CAST(e.ts AS TIMESTAMP) >= l.ots
+    ), ff AS (SELECT * FROM jf WHERE rn = 1),
+    pick AS (
+      SELECT l.o_orderkey,
+             (ff.ets IS NULL OR (bb.ets IS NOT NULL AND
+               epoch_us(l.ots) - epoch_us(bb.ets)
+                 <= epoch_us(ff.ets) - epoch_us(l.ots))) AS use_b,
+             bb.ets AS bts, bb.value AS bval, ff.ets AS fts, ff.value AS fval
+      FROM l LEFT JOIN bb USING (o_orderkey) LEFT JOIN ff USING (o_orderkey)
+    )
+    SELECT o_orderkey,
+           CAST(CASE WHEN use_b THEN bts ELSE fts END AS VARCHAR) AS asof_ts,
+           round(coalesce(CASE WHEN use_b THEN bval ELSE fval END, -1), 2)
+             AS asof_value
+    FROM pick
+    """,
+)
+def asof_nearest_event(spark, sf_dir):
+    """Nearest as-of: the time-closest event on either side of each order
+    (ties → backward).  One shuffle on the key; the nearest pick re-sorts
+    the same partitions for the forward carry, no second exchange."""
+    o = read_table(spark, sf_dir, "orders")
+    e = read_table(spark, sf_dir, "events")
+    left = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 20).alias("uid"),
+        (F.col("o_orderdate").cast("timestamp") + F.expr("INTERVAL 29 YEAR")).alias("ots"),
+    )
+    right = e.select(
+        F.col("user_id").alias("uid"), F.col("ts"), F.col("value"), F.col("event_id")
+    )
+    out = joins.as_of_join(
+        left, right, keys=["uid"], left_ts="ots", right_ts="ts",
+        right_vals=["ts", "value"], right_order="event_id", direction="nearest",
+    )
+    return out.select(
+        "o_orderkey",
+        F.col("asof_ts").cast("string").alias("asof_ts"),
+        F.round(F.coalesce(F.col("asof_value"), F.lit(-1.0)), 2).alias("asof_value"),
+    )

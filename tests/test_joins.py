@@ -95,3 +95,44 @@ def test_asof_join_does_not_mix_fields_across_rows(spark):
     ).collect()[0]
     # most recent right row is (a=null, b=7.0) — a must NOT be 5.0
     assert out["asof_a"] is None and out["asof_b"] == 7.0
+
+
+def test_asof_forward_and_nearest(spark):
+    from pyspark.sql import functions as F
+
+    from phenoxtract_spark.operators import joins
+
+    left = spark.createDataFrame(
+        [(1, "k", 100), (2, "k", 205), (3, "k", 500), (4, "x", 50)],
+        "lid bigint, key string, lts bigint",
+    )
+    right = spark.createDataFrame(
+        [("k", 90, 1.0, 10), ("k", 200, 2.0, 20), ("k", 210, 3.0, 30),
+         ("k", 400, 4.0, 40)],
+        "key string, rts bigint, v double, rid bigint",
+    )
+
+    def run(direction):
+        return {
+            r["lid"]: (r["asof_v"], r["asof_rts"])
+            for r in joins.as_of_join(
+                left, right, keys=["key"], left_ts="lts", right_ts="rts",
+                right_vals=["v", "rts"], right_order="rid",
+                direction=direction,
+            ).collect()
+        }
+
+    bwd, fwd, near = run("backward"), run("forward"), run("nearest")
+    # backward: most recent at-or-before
+    assert bwd[1] == (1.0, 90) and bwd[2] == (2.0, 200) and bwd[3] == (4.0, 400)
+    assert bwd[4] == (None, None)
+    # forward: earliest at-or-after
+    assert fwd[1] == (2.0, 200) and fwd[2] == (3.0, 210)
+    assert fwd[3] == (None, None) and fwd[4] == (None, None)
+    # nearest: lid=2 at 205 is equidistant (200 vs 210) → tie goes backward
+    assert near[2] == (2.0, 200)
+    # lid=1 at 100: backward 90 (d=10) vs forward 200 (d=100) → backward
+    assert near[1] == (1.0, 90)
+    # lid=3 at 500: only backward exists
+    assert near[3] == (4.0, 400)
+    assert near[4] == (None, None)
