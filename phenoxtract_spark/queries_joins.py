@@ -278,3 +278,91 @@ def asof_nearest_event(spark, sf_dir):
         F.col("asof_ts").cast("string").alias("asof_ts"),
         F.round(F.coalesce(F.col("asof_value"), F.lit(-1.0)), 2).alias("asof_value"),
     )
+
+
+@q(
+    "join_bloom_prefilter",
+    """
+    WITH params AS (SELECT unnest(generate_series(0, 3)) AS k),
+    keys AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+    bits AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5('joinbloom-v1|' || CAST(k AS VARCHAR) || '|'
+                                 || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+             % 65536 AS bit
+      FROM keys, params
+    ),
+    lik AS (SELECT DISTINCT l_orderkey FROM lineitem),
+    probe_rows AS (
+      SELECT CAST(l_orderkey AS VARCHAR) AS value,
+             ('0x' || substr(md5('joinbloom-v1|' || CAST(k AS VARCHAR) || '|'
+                                 || CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT
+             % 65536 AS bit
+      FROM lik, params
+    ),
+    probed AS (
+      SELECT value, count(b.bit) = 4 AS maybe
+      FROM probe_rows p LEFT JOIN bits b ON p.bit = b.bit
+      GROUP BY value
+    ),
+    agg AS (
+      SELECT count(*) AS n_rows_joined,
+             CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+      FROM lineitem l JOIN keys ON l.l_orderkey = keys.o_orderkey
+    )
+    SELECT (SELECT count(*) FROM keys) AS n_keys_exact,
+           (SELECT count(*) FROM probed WHERE maybe) AS n_keys_bloom_pass,
+           agg.n_rows_joined, agg.revenue
+    FROM agg
+    """,
+)
+def join_bloom_prefilter(spark, sf_dir):
+    """Bloom semi-join reduction (runtime-filter pattern): the urgent-order
+    key set compresses to a ≤65536-bit Bloom filter that BROADCASTS and
+    discards non-qualifying lineitem keys before any shuffle join — the
+    100 TB play when the build side is too big to broadcast exactly but
+    its Bloom digest is not.  No false negatives, so the post-filter join
+    equals the plain join (the oracle computes it directly); the result
+    also reports exact-vs-bloom key counts, pinning the false-positive
+    rate of the engine-portable md5 bit scheme."""
+    from .operators import sketches
+
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    keys = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    keys = keys.localCheckpoint(eager=True)  # feeds bloom + exact join + count
+    bloom = sketches.bloom_build(
+        keys, "o_orderkey", num_hashes=4, num_bits=65536, seed="joinbloom-v1"
+    )
+    lik = li.select("l_orderkey").distinct()
+    probed = sketches.bloom_probe(
+        bloom, lik, "l_orderkey", num_hashes=4, num_bits=65536, seed="joinbloom-v1"
+    )
+    pass_keys = probed.filter(F.col("maybe_present")).select(
+        F.col("value").cast("bigint").alias("l_orderkey")
+    )
+    li_f = li.join(pass_keys, "l_orderkey")
+    agg = (
+        li_f.join(keys, li_f.l_orderkey == keys.o_orderkey)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows_joined"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    n_exact = keys.agg(F.count(F.lit(1)).alias("n_keys_exact"))
+    n_pass = pass_keys.agg(F.count(F.lit(1)).alias("n_keys_bloom_pass"))
+    return (
+        n_exact.crossJoin(n_pass)
+        .crossJoin(agg)
+        .select("n_keys_exact", "n_keys_bloom_pass", "n_rows_joined", "revenue")
+    )
