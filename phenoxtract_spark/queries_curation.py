@@ -601,3 +601,57 @@ def text_html_strip(spark, sf_dir):
     return curation.strip_html_documents(
         d.select("doc_id", html.alias("html")), "doc_id", "html"
     )
+
+
+@q(
+    "curation_pack_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split({_NORM}, ' '), x -> x != '')) AS BIGINT)
+               AS n_tokens,
+             {_PACK_BUCKET_SQL} AS shard
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens, shard,
+             coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+      FROM t
+    )
+    SELECT shard,
+           count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           (sum(n_tokens) + 2047) // 2048 AS n_packs,
+           sum(CASE WHEN prefix % 2048 + n_tokens > 2048 THEN 1 ELSE 0 END)
+             AS n_straddlers
+    FROM c GROUP BY 1
+    """,
+)
+def curation_pack_stats(spark, sf_dir):
+    """Packing-quality report per shard: docs, tokens, context windows
+    consumed (ceil(total/2048) — concatenate-and-chunk wastes nothing but
+    the final partial window), and boundary-straddling docs (the ones a
+    trainer truncates or splits).  One aggregate over the packing
+    projection — same single shard shuffle as the packing itself."""
+    from .operators import textanalysis
+
+    d = read_table(spark, sf_dir, "documents")
+    p = curation.pack_sequences(
+        d, "doc_id", textanalysis.token_count("text"), context_len=2048, shards=64
+    )
+    return (
+        p.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(
+                ((F.col("pack_offset") + F.col("n_tokens")) > 2048).cast("bigint")
+            ).alias("n_straddlers"),
+        )
+        .select(
+            "shard", "n_docs", "total_tokens",
+            F.expr("(total_tokens + 2047) div 2048").alias("n_packs"),
+            "n_straddlers",
+        )
+    )
