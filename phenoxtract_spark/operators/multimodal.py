@@ -249,3 +249,78 @@ def audio_frame_energy(media: DataFrame, frame_samples: int = 256,
             )
 
     return media.mapInPandas(run, schema=AUDIO_FRAMES_SCHEMA)
+
+
+PATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("patch_row", T.LongType()),
+        T.StructField("patch_col", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("patch_md5", T.StringType()),
+    ]
+)
+
+
+def extract_patches(media: DataFrame, width: int = 32, height: int = 32,
+                    patch: int = 8, fake: bool = True) -> DataFrame:
+    """ViT-style patch grid over Arrow batches: decode to a width×height×3
+    bitmap (md5-keystream fake, same scheme as :func:`resize_images`;
+    ``fake=False`` raises where a real codec would run), slice into
+    ``patch``×``patch`` tiles row-major, one output row per tile with its
+    content digest.  (height//patch)×(width//patch) fixed-cost rows per
+    image — the tokenization step a multimodal training pipeline runs
+    between decode and embedding.  Partition-preserving ``mapInPandas``:
+    payloads never cross a partition boundary, and output size is
+    independent of input size."""
+    w, h, p = int(width), int(height), int(patch)
+    if w % p or h % p:
+        raise ValueError("patch must divide width and height")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        target = w * h * 3
+
+        def bitmap(payload):
+            if not fake:
+                raise NotImplementedError(
+                    "image decode requires PIL; not available in this environment"
+                )
+            out = bytearray()
+            counter = 0
+            seed = hashlib.md5(payload or b"").digest()
+            while len(out) < target:
+                out.extend(hashlib.md5(seed + counter.to_bytes(4, "big")).digest())
+                counter += 1
+            return bytes(out[:target])
+
+        for pdf in batches:
+            ids, prs, pcs, nbs, digs = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                bm = bitmap(payload)
+                for pr in range(h // p):
+                    for pc in range(w // p):
+                        tile = b"".join(
+                            bm[
+                                ((pr * p + r) * w + pc * p) * 3
+                                : ((pr * p + r) * w + pc * p + p) * 3
+                            ]
+                            for r in range(p)
+                        )
+                        ids.append(mid)
+                        prs.append(pr)
+                        pcs.append(pc)
+                        nbs.append(len(tile))
+                        digs.append(hashlib.md5(tile).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "patch_row": prs,
+                    "patch_col": pcs,
+                    "n_bytes": nbs,
+                    "patch_md5": digs,
+                }
+            )
+
+    return media.mapInPandas(run, schema=PATCH_SCHEMA)

@@ -1138,3 +1138,25 @@ def events_rollup_reuse(spark, sf_dir):
             F.max("mx").alias("max_value"),
         )
     )
+
+
+@q(
+    "multimodal_patch_plan",
+    """
+    SELECT doc_id AS media_id, a.pr AS patch_row, b.pc AS patch_col,
+           CAST(8 * 8 * 3 AS BIGINT) AS n_bytes
+    FROM documents,
+         unnest(range(0, 4)) AS a(pr),
+         unnest(range(0, 4)) AS b(pc)
+    """,
+)
+def mm_patches(spark, sf_dir):
+    """ViT-style patch grid (stubbed codec): 4×4 fixed-cost tiles per image
+    from a 32×32×3 decode, one row per tile.  The oracle checks the grid
+    contract (every image yields exactly the 16 (row, col) tiles at
+    8×8×3 bytes); tile-content determinism — patches reassemble to the
+    keystream bitmap — is pinned in pytest."""
+    d = read_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(d, "doc_id", "text")
+    out = multimodal.extract_patches(media, width=32, height=32, patch=8)
+    return out.select("media_id", "patch_row", "patch_col", "n_bytes")

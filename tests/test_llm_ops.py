@@ -251,3 +251,43 @@ def test_incremental_dedup_cross_boundary_only(spark):
     # candidates never pair new-with-new: doc 5 shares no band with 1/2
     assert out[5]["n_near_candidates"] == 0
     assert out[5]["first_candidate_id"] is None
+
+
+def test_extract_patches_reassemble_to_bitmap(spark):
+    import hashlib
+
+    from phenoxtract_spark.operators import multimodal
+
+    df = spark.createDataFrame([(1, "hello patches")], "doc_id bigint, text string")
+    media = multimodal.attach_binary_payload(df, "doc_id", "text")
+    payload = media.first()["payload"]
+    rows = multimodal.extract_patches(media, width=16, height=16, patch=8).collect()
+    assert len(rows) == 4
+    assert all(r["n_bytes"] == 8 * 8 * 3 for r in rows)
+    # rebuild the keystream bitmap independently and check each tile digest
+    target = 16 * 16 * 3
+    out = bytearray()
+    counter = 0
+    seed = hashlib.md5(bytes(payload)).digest()
+    while len(out) < target:
+        out.extend(hashlib.md5(seed + counter.to_bytes(4, "big")).digest())
+        counter += 1
+    bm = bytes(out[:target])
+    for r in rows:
+        pr, pc = r["patch_row"], r["patch_col"]
+        tile = b"".join(
+            bm[((pr * 8 + i) * 16 + pc * 8) * 3 : ((pr * 8 + i) * 16 + pc * 8 + 8) * 3]
+            for i in range(8)
+        )
+        assert r["patch_md5"] == hashlib.md5(tile).hexdigest()
+
+
+def test_extract_patches_strict_raises(spark):
+    import pytest as _pytest
+
+    from phenoxtract_spark.operators import multimodal
+
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    media = multimodal.attach_binary_payload(df, "doc_id", "text")
+    with _pytest.raises(Exception):
+        multimodal.extract_patches(media, fake=False).collect()
