@@ -327,3 +327,45 @@ def embedding_mean_pool(spark, sf_dir):
     agg = ex.groupBy("label", "i").agg(F.round(F.avg("x"), 6).alias("mean_x"))
     nv = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
     return agg.join(F.broadcast(nv), "label").select("label", "i", "mean_x", "n_vectors")
+
+
+@q(
+    "embedding_quantize_int8",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx,
+             CASE WHEN list_max(e) > list_min(e)
+                  THEN (list_max(e) - list_min(e)) / 255.0 END AS sc
+      FROM v
+    ),
+    qq AS (
+      SELECT vec_id, e, mn, mx, sc,
+             CASE WHEN sc IS NULL THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(e, x -> CAST(round((x - mn) / sc) AS BIGINT))
+             END AS q
+      FROM s
+    )
+    SELECT vec_id AS id,
+           round(mn, 6) AS q_min,
+           round(mx, 6) AS q_max,
+           CAST(list_sum(q) AS BIGINT) AS q_sum,
+           round(CASE WHEN sc IS NULL THEN 0.0
+                      ELSE list_sum(list_transform(range(1, len(e) + 1),
+                             i -> pow(e[i] - (mn + q[i] * sc), 2))) / len(e)
+                 END, 8) AS recon_mse
+    FROM qq
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Int8 scale quantization of the embedding corpus with per-vector
+    reconstruction MSE — the 4×-compression storage pass before an ANN
+    index build.  Zero shuffles; both engines derive identical codes, so
+    the code sum and MSE value-check exactly."""
+    from .operators import similarity
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return similarity.quantize_embeddings(e, "vec_id", "embedding")

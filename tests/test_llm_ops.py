@@ -291,3 +291,26 @@ def test_extract_patches_strict_raises(spark):
     media = multimodal.attach_binary_payload(df, "doc_id", "text")
     with _pytest.raises(Exception):
         multimodal.extract_patches(media, fake=False).collect()
+
+
+def test_quantize_embeddings_error_bound_and_constant_vector(spark):
+    from phenoxtract_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0, 0.5, 0.25]),
+            (2, [3.0, 3.0, 3.0, 3.0]),          # constant: scale undefined
+            (3, [-1.0, 1.0, 0.0, 0.999]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = {r["id"]: r for r in similarity.quantize_embeddings(df).collect()}
+    # reconstruction error per element is bounded by (scale/2)^2
+    for vid, lo, hi in ((1, 0.0, 1.0), (3, -1.0, 1.0)):
+        scale = (hi - lo) / 255.0
+        assert out[vid]["recon_mse"] <= (scale / 2) ** 2 + 1e-12
+        assert out[vid]["q_min"] == lo and out[vid]["q_max"] == hi
+    # constant vector: all codes 0, zero error
+    assert out[2]["q_sum"] == 0 and out[2]["recon_mse"] == 0.0
+    # endpoints map to code 0 and 255: vector 1 codes sum = 0+255+128+64
+    assert out[1]["q_sum"] == 0 + 255 + 128 + 64
