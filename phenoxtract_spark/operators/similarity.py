@@ -332,3 +332,59 @@ def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
         F.expr("aggregate(q, cast(0 as bigint), (a, x) -> a + x)").alias("q_sum"),
         F.round(mse, 8).alias("recon_mse"),
     )
+
+
+def ring_negatives(df: DataFrame, id_col: str = "vec_id",
+                   label_col: str = "label", k: int = 4,
+                   shards: int = 16, seed: str = "neg-v1") -> DataFrame:
+    """Deterministic negative sampling for contrastive training: order each
+    md5 shard's vectors on a hash ring and pair every anchor with its next
+    ``k`` ring neighbors.  Hash order is label-independent, so neighbors
+    are uniform pseudo-random negatives — reproducible across engines,
+    runs, and cluster layouts (unlike ``rand()`` sampling).  Same-label
+    collisions are flagged, not silently dropped, so the trainer decides.
+    Returns (anchor_id, neg_rank, neg_id, same_label).
+
+    Scale: rings are per-shard (pack_sequences-style), so the only window
+    sort is within a shard — no global ordering — and the neighbor lookup
+    is an equi-join on (shard, position).  Cost is one shuffle + k rows
+    per anchor."""
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string")))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("lbl"),
+        F.pmod(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(shards)
+        ).alias("shard"),
+        h.alias("_h"),
+    )
+    w = Window.partitionBy("shard").orderBy("_h", "id")
+    wn = Window.partitionBy("shard")
+    ranked = base.select(
+        "id", "lbl", "shard",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(wn).alias("cnt"),
+    ).localCheckpoint(eager=True)  # feeds both join sides
+    anchors = ranked.select(
+        F.col("id").alias("anchor_id"),
+        F.col("lbl").alias("alabel"),
+        "shard", "pos", "cnt",
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("neg_rank"),
+    ).withColumn("npos", (F.col("pos") - 1 + F.col("neg_rank")) % F.col("cnt") + 1)
+    negs = ranked.select(
+        F.col("shard").alias("nshard"), F.col("pos").alias("npos2"),
+        F.col("id").alias("neg_id"), F.col("lbl").alias("nlabel"),
+    )
+    return (
+        anchors.join(
+            negs,
+            (F.col("shard") == F.col("nshard")) & (F.col("npos") == F.col("npos2")),
+        )
+        .filter(F.col("neg_id") != F.col("anchor_id"))  # singleton-shard wrap
+        .select(
+            "anchor_id", "neg_rank", "neg_id",
+            F.col("alabel").eqNullSafe(F.col("nlabel")).alias("same_label"),
+        )
+    )

@@ -369,3 +369,41 @@ def embedding_quantize_int8(spark, sf_dir):
 
     e = read_table(spark, sf_dir, "embeddings")
     return similarity.quantize_embeddings(e, "vec_id", "embedding")
+
+
+@q(
+    "embedding_ring_negatives",
+    """
+    WITH base AS (
+      SELECT vec_id AS id, label AS lbl,
+             ('0x' || substr(md5('neg-v1|' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+               % 16 AS shard,
+             md5('neg-v1|' || CAST(vec_id AS VARCHAR)) AS h
+      FROM embeddings
+    ),
+    ranked AS (
+      SELECT id, lbl, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY h, id) AS pos,
+             count(*) OVER (PARTITION BY shard) AS cnt
+      FROM base
+    ),
+    anchors AS (
+      SELECT r.id AS anchor_id, r.lbl AS alabel, r.shard, t.r AS neg_rank,
+             (r.pos - 1 + t.r) % r.cnt + 1 AS npos
+      FROM ranked r, (SELECT unnest([1, 2, 3, 4]) AS r) t
+    )
+    SELECT a.anchor_id, a.neg_rank, b.id AS neg_id,
+           (a.alabel IS NOT DISTINCT FROM b.lbl) AS same_label
+    FROM anchors a JOIN ranked b ON b.shard = a.shard AND b.pos = a.npos
+    WHERE b.id != a.anchor_id
+    """,
+)
+def embedding_ring_negatives(spark, sf_dir):
+    """Contrastive negative sampling: 4 deterministic hash-ring neighbors
+    per anchor from per-shard rings — reproducible negatives with no
+    global sort and no RNG state; same-label collisions flagged for the
+    trainer."""
+    from .operators import similarity
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return similarity.ring_negatives(e, "vec_id", "label", k=4, shards=16)

@@ -314,3 +314,24 @@ def test_quantize_embeddings_error_bound_and_constant_vector(spark):
     assert out[2]["q_sum"] == 0 and out[2]["recon_mse"] == 0.0
     # endpoints map to code 0 and 255: vector 1 codes sum = 0+255+128+64
     assert out[1]["q_sum"] == 0 + 255 + 128 + 64
+
+
+def test_ring_negatives_deterministic_uniform(spark):
+    from phenoxtract_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(i, [float(i)], i % 3) for i in range(40)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    out = similarity.ring_negatives(df, "vec_id", "label", k=3, shards=4)
+    rows = out.collect()
+    # every anchor gets its k negatives (unless its shard is tiny)
+    per_anchor = {}
+    for r in rows:
+        per_anchor.setdefault(r["anchor_id"], set()).add(r["neg_rank"])
+    assert all(len(v) == 3 for v in per_anchor.values())
+    assert set(per_anchor) == set(range(40))
+    # no self-negatives; determinism across two runs
+    assert all(r["neg_id"] != r["anchor_id"] for r in rows)
+    again = {(r["anchor_id"], r["neg_rank"], r["neg_id"]) for r in out.collect()}
+    assert again == {(r["anchor_id"], r["neg_rank"], r["neg_id"]) for r in rows}
