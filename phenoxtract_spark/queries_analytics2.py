@@ -515,3 +515,101 @@ def analytics_winsorized(spark, sf_dir):
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot drift report (data-quality diff between ingest versions)
+# ---------------------------------------------------------------------------
+
+_DRIFT_BUCKET = (
+    "('0x' || substr(md5('drift-v1::' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT"
+    " % 10000"
+)
+
+
+@q(
+    "quality_drift_report",
+    f"""
+    WITH tagged AS (
+      SELECT *, {_DRIFT_BUCKET} < 5000 AS is_old FROM orders
+    ),
+    p AS (
+      SELECT is_old,
+             count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(o_totalprice * o_totalprice AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+             count(DISTINCT o_orderstatus) AS n_status
+      FROM tagged GROUP BY 1
+    ),
+    w AS (
+      SELECT o.n AS old_n, n.n AS new_n,
+             round(o.sx / o.n, 4) AS old_mean, round(n.sx / n.n, 4) AS new_mean,
+             round(sqrt((o.sxx - o.sx * o.sx / o.n) / (o.n - 1)), 4) AS old_sd,
+             round(sqrt((n.sxx - n.sx * n.sx / n.n) / (n.n - 1)), 4) AS new_sd,
+             o.n_status AS old_status, n.n_status AS new_status
+      FROM (SELECT * FROM p WHERE is_old) o, (SELECT * FROM p WHERE NOT is_old) n
+    )
+    SELECT m.metric, m.old_value, m.new_value,
+           round((m.new_value - m.old_value) / m.old_value, 6) AS rel_delta
+    FROM w, LATERAL (VALUES
+      ('n_rows', CAST(old_n AS DOUBLE), CAST(new_n AS DOUBLE)),
+      ('price_mean', old_mean, new_mean),
+      ('price_stddev', old_sd, new_sd),
+      ('status_distinct', CAST(old_status AS DOUBLE), CAST(new_status AS DOUBLE))
+    ) AS m(metric, old_value, new_value)
+    """,
+)
+def quality_drift_report(spark, sf_dir):
+    """Data-quality drift between two ingest snapshots (deterministic
+    md5-half split standing in for version N vs N+1): per-metric old/new
+    values and relative delta — the gate a continuous 100 TB ingest runs
+    before promoting a snapshot.  Decimal moment sums (the
+    `stats_numeric_profile` discipline) keep both engines bit-identical;
+    one aggregate pass per side, 1-row profiles, metric rows stacked."""
+    from .operators.curation import split_bucket
+
+    o = read_table(spark, sf_dir, "orders")
+    tagged = o.withColumn("is_old", split_bucket("o_orderkey", "drift-v1") < 5000)
+    d = lambda c: c.cast("decimal(38,8)")
+    x = F.col("o_totalprice")
+    p = tagged.groupBy("is_old").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d(x)).cast("double").alias("sx"),
+        F.sum(d(x * x)).cast("double").alias("sxx"),
+        F.countDistinct("o_orderstatus").alias("n_status"),
+    )
+    old = p.filter(F.col("is_old")).select(
+        F.col("n").alias("old_n"), F.col("sx").alias("osx"),
+        F.col("sxx").alias("osxx"), F.col("n_status").alias("old_status"),
+    )
+    new = p.filter(~F.col("is_old")).select(
+        F.col("n").alias("new_n"), F.col("sx").alias("nsx"),
+        F.col("sxx").alias("nsxx"), F.col("n_status").alias("new_status"),
+    )
+    w = old.crossJoin(new).select(
+        F.col("old_n"), F.col("new_n"),
+        F.round(F.col("osx") / F.col("old_n"), 4).alias("old_mean"),
+        F.round(F.col("nsx") / F.col("new_n"), 4).alias("new_mean"),
+        F.round(
+            F.sqrt((F.col("osxx") - F.col("osx") * F.col("osx") / F.col("old_n"))
+                   / (F.col("old_n") - 1)), 4).alias("old_sd"),
+        F.round(
+            F.sqrt((F.col("nsxx") - F.col("nsx") * F.col("nsx") / F.col("new_n"))
+                   / (F.col("new_n") - 1)), 4).alias("new_sd"),
+        "old_status", "new_status",
+    )
+    stacked = w.select(
+        F.stack(
+            F.lit(4),
+            F.lit("n_rows"), F.col("old_n").cast("double"), F.col("new_n").cast("double"),
+            F.lit("price_mean"), F.col("old_mean"), F.col("new_mean"),
+            F.lit("price_stddev"), F.col("old_sd"), F.col("new_sd"),
+            F.lit("status_distinct"), F.col("old_status").cast("double"),
+            F.col("new_status").cast("double"),
+        ).alias("metric", "old_value", "new_value")
+    )
+    return stacked.select(
+        "metric", "old_value", "new_value",
+        F.round((F.col("new_value") - F.col("old_value")) / F.col("old_value"), 6)
+        .alias("rel_delta"),
+    )
