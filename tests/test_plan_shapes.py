@@ -1,0 +1,61 @@
+"""Physical-plan regression tests: pin the efficiency claims (exchange
+counts, broadcast choices, zero-shuffle projections) for flagship queries
+so a refactor that silently degrades a plan — an extra shuffle, a broadcast
+that fell back to sort-merge — fails CI, not the 100 TB run.
+
+Counts mirror tools/dump_plans.py; plans are captured at sf0.001 BEFORE
+execution (AQE may improve them further at runtime, never worsen these
+static properties)."""
+
+import pytest
+
+
+def _shape(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        # RoundRobin repartitions are the deliberate narrow-scan fan-out
+        # guard (session.fan_out), not data-keyed shuffles — exclude them
+        "ex": plan.count("Exchange")
+        - plan.count("BroadcastExchange")
+        - plan.count("RoundRobinPartitioning"),
+        "bhj": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin"),
+    }
+
+
+@pytest.fixture(scope="module")
+def registry():
+    import __spark_entry__ as ent
+
+    return ent.queries()
+
+
+SF = "/root/testdata/sf0.001"
+
+# (query, max exchanges, min broadcast joins, max sort-merge joins)
+EXPECTATIONS = [
+    # pure projections must stay shuffle-free
+    ("text_quality", 0, 0, 0),
+    ("text_ngram_diversity", 0, 0, 0),
+    ("text_html_strip", 0, 0, 0),
+    ("text_pii_scrub", 0, 0, 0),
+    ("embedding_quantize_int8", 0, 0, 0),
+    ("curation_split", 0, 0, 0),
+    # single-exchange window/agg spines
+    ("asof_last_event", 1, 0, 0),
+    ("asof_forward_event", 1, 0, 0),
+    ("asof_nearest_event", 1, 0, 0),  # both carries reuse one partitioning
+    ("events_rollup_reuse", 2, 0, 0),
+    ("curation_hashed_features", 2, 0, 0),
+    # dimension joins must broadcast, not sort-merge
+    ("c14_date_diff_iso", 1, 1, 0),
+    ("text_tfidf_topk", 3, 1, 0),
+]
+
+
+@pytest.mark.parametrize("name,max_ex,min_bhj,max_smj", EXPECTATIONS)
+def test_plan_shape(spark, registry, name, max_ex, min_bhj, max_smj):
+    s = _shape(registry[name](spark, SF))
+    assert s["ex"] <= max_ex, f"{name}: {s['ex']} exchanges > {max_ex}"
+    assert s["bhj"] >= min_bhj, f"{name}: {s['bhj']} broadcast joins < {min_bhj}"
+    assert s["smj"] <= max_smj, f"{name}: {s['smj']} sort-merge joins > {max_smj}"
