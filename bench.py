@@ -125,6 +125,8 @@ def main():
         w = spark.read.parquet(os.path.join(warm_dir, "region.parquet"))
         w.groupBy(w.columns[0]).count().write.format("noop").mode("overwrite").save()
     errors: dict[str, str] = {}
+    warm: dict[str, float] = {}
+    do_warm = os.environ.get("SPARK_GRAFT_WARM", "1") != "0"
     total0 = time.time()
     for name in HEADLINE:
         if name not in qs:
@@ -137,7 +139,20 @@ def main():
         except Exception as exc:  # one broken query must never zero the artifact
             results[name] = "ERR"
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-    total = round(time.time() - total0, 3)
+            continue
+        if do_warm:
+            # immediate second run: steady-state with this query's codegen/
+            # JIT already paid (SCALING.md "one-shot vs steady-state") —
+            # measured back-to-back so session state is comparable.  The
+            # official metric stays the first-run total.
+            t0 = time.time()
+            try:
+                df = qs[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                warm[name] = round(time.time() - t0, 3)
+            except Exception:
+                warm[name] = "ERR"
+    total = round(sum(v for v in results.values() if isinstance(v, float)), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf = float(sf)
@@ -152,6 +167,13 @@ def main():
     }
     if errors:
         payload["errors"] = errors
+    if warm:
+        payload["warm"] = {
+            "queries": warm,
+            "total_sec": round(
+                sum(v for v in warm.values() if isinstance(v, float)), 3
+            ),
+        }
 
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf == 0.1:
         try:
