@@ -86,3 +86,36 @@ def graph_pagerank_similarity(spark, sf_dir):
     return ranks.select(
         F.col("id").alias("doc_id"), F.col("rank").alias("pagerank")
     )
+
+
+@q(
+    "graph_hierarchy_rollup",
+    """
+    WITH RECURSIVE nodes AS (
+      SELECT c_custkey AS id, c_custkey // 10 AS parent FROM customer
+    ),
+    walk AS (
+      SELECT id, id AS cur, 0 AS d FROM nodes
+      UNION ALL
+      SELECT w.id, n.parent, w.d + 1
+      FROM walk w JOIN nodes n ON n.id = w.cur
+      WHERE n.parent != 0
+    )
+    SELECT w.id, w.cur AS root_id, CAST(w.d + 1 AS BIGINT) AS depth
+    FROM walk w JOIN nodes n ON n.id = w.cur
+    WHERE n.parent = 0
+    """,
+)
+def graph_hierarchy_rollup(spark, sf_dir):
+    """Parent-pointer hierarchy resolution (org chart / BOM shape) over a
+    synthetic decimal-digit forest on customer ids: every node's root and
+    depth via pointer doubling — log(depth) self-joins of a narrow state,
+    where the oracle's recursive CTE walks one level per step."""
+    from .operators import graph
+
+    c = read_table(spark, sf_dir, "customer")
+    nodes = c.select(
+        F.col("c_custkey").alias("id"),
+        (F.col("c_custkey") / 10).cast("bigint").alias("parent"),
+    )
+    return graph.hierarchy_resolve(nodes, "id", "parent", rounds=5)

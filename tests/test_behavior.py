@@ -310,3 +310,21 @@ def test_histogram_quantiles_validates_and_clamps(spark):
     out = sketches.histogram_quantiles(d, "x", [0.9], num_bins=10, lo=50.0, hi=100.0)
     est = out.collect()[0]["est"]
     assert 50.0 <= est <= 100.0
+
+
+def test_hierarchy_resolve_doubling(spark):
+    from pyspark.sql import functions as F
+
+    from phenoxtract_spark.operators import graph
+
+    # two trees: 1←11←111←1111 (chain) and 2←21, plus root-only 3
+    nodes = spark.createDataFrame(
+        [(1, 0), (11, 1), (111, 11), (1111, 111), (2, 0), (21, 2), (3, 0)],
+        "id bigint, parent bigint",
+    )
+    out = {r["id"]: (r["root_id"], r["depth"])
+           for r in graph.hierarchy_resolve(nodes, "id", "parent", rounds=3).collect()}
+    assert out == {
+        1: (1, 1), 11: (1, 2), 111: (1, 3), 1111: (1, 4),
+        2: (2, 1), 21: (2, 2), 3: (3, 1),
+    }
