@@ -1160,3 +1160,57 @@ def mm_patches(spark, sf_dir):
     media = multimodal.attach_binary_payload(d, "doc_id", "text")
     out = multimodal.extract_patches(media, width=32, height=32, patch=8)
     return out.select("media_id", "patch_row", "patch_col", "n_bytes")
+
+
+@q(
+    "events_scd2_versions",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             lag(value) OVER (PARTITION BY user_id, event_type
+                              ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, value, us FROM o
+      WHERE prev IS NULL OR value IS DISTINCT FROM prev
+    )
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id, event_type ORDER BY us)
+             AS version_no,
+           round(value, 2) AS value,
+           us AS effective_from_us,
+           lead(us) OVER (PARTITION BY user_id, event_type ORDER BY us)
+             AS effective_to_us
+    FROM changes
+    """,
+)
+def events_scd2_versions(spark, sf_dir):
+    """Slowly-changing-dimension type 2 build: per (user, event type),
+    collapse consecutive unchanged values, then version the survivors with
+    [effective_from, effective_to) validity windows (open-ended current
+    row).  Two window passes over ONE (user, type) partitioning — a single
+    shuffle; the MERGE-free way to maintain dimension history at scale."""
+    from pyspark.sql.window import Window
+
+    e = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").cast("timestamp"), "event_id"
+    )
+    o = e.select(
+        "user_id", "event_type", "value", us.alias("us"),
+        F.lag("value").over(w).alias("prev"),
+    )
+    changes = o.filter(
+        F.col("prev").isNull() | ~F.col("value").eqNullSafe(F.col("prev"))
+    )
+    w2 = Window.partitionBy("user_id", "event_type").orderBy("us")
+    return changes.select(
+        "user_id", "event_type",
+        F.row_number().over(w2).cast("bigint").alias("version_no"),
+        F.round("value", 2).alias("value"),
+        F.col("us").alias("effective_from_us"),
+        F.lead("us").over(w2).alias("effective_to_us"),
+    )
