@@ -366,3 +366,93 @@ def join_bloom_prefilter(spark, sf_dir):
         .crossJoin(agg)
         .select("n_keys_exact", "n_keys_bloom_pass", "n_rows_joined", "revenue")
     )
+
+
+@q(
+    "features_trailing_windows",
+    """
+    WITH l AS (
+      SELECT o_orderkey, o_custkey % 20 AS uid,
+             epoch_us(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 29 YEAR) AS us
+      FROM orders
+    ),
+    u AS (
+      SELECT uid, us, 1 AS is_order, o_orderkey, CAST(NULL AS DOUBLE) AS value
+      FROM l
+      UNION ALL
+      SELECT user_id AS uid, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             0 AS is_order, CAST(NULL AS BIGINT) AS o_orderkey, value
+      FROM events
+    ),
+    w AS (
+      SELECT *,
+             sum(CASE WHEN is_order = 0 THEN 1 ELSE 0 END) OVER
+               (PARTITION BY uid ORDER BY us
+                RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+               AS n7,
+             round(sum(CASE WHEN is_order = 0 THEN value ELSE 0 END) OVER
+               (PARTITION BY uid ORDER BY us
+                RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW), 2)
+               AS v7,
+             sum(CASE WHEN is_order = 0 THEN 1 ELSE 0 END) OVER
+               (PARTITION BY uid ORDER BY us
+                RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
+               AS n30
+      FROM u
+    )
+    SELECT o_orderkey, uid, n7 AS n_events_7d, v7 AS sum_value_7d,
+           n30 AS n_events_30d
+    FROM w WHERE is_order = 1
+    """,
+)
+def features_trailing_windows(spark, sf_dir):
+    """Point-in-time feature backfill (the feature-store pattern that
+    prevents training-serving skew): for every order, the user's trailing
+    7-day and 30-day event counts and 7-day value sum AS OF the order
+    timestamp — no future leakage.  Union both streams, one RANGE-frame
+    window pass per horizon over a SINGLE (user) shuffle; never an
+    |orders|×|events| range join."""
+    from pyspark.sql.window import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    e = read_table(spark, sf_dir, "events")
+    l = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 20).alias("uid"),
+        F.unix_micros(
+            F.col("o_orderdate").cast("timestamp") + F.expr("INTERVAL 29 YEAR")
+        ).alias("us"),
+        F.lit(1).alias("is_order"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    r = e.select(
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.col("user_id").alias("uid"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.lit(0).alias("is_order"),
+        "value",
+    )
+    u = l.unionByName(r)
+    day_us = 86_400_000_000
+    w7 = (
+        Window.partitionBy("uid").orderBy("us")
+        .rangeBetween(-7 * day_us, 0)
+    )
+    w30 = (
+        Window.partitionBy("uid").orderBy("us")
+        .rangeBetween(-30 * day_us, 0)
+    )
+    ev = F.when(F.col("is_order") == 0, F.lit(1)).otherwise(F.lit(0))
+    evv = F.when(F.col("is_order") == 0, F.col("value")).otherwise(F.lit(0.0))
+    out = u.select(
+        "*",
+        F.sum(ev).over(w7).alias("n7"),
+        F.round(F.sum(evv).over(w7), 2).alias("v7"),
+        F.sum(ev).over(w30).alias("n30"),
+    ).filter(F.col("is_order") == 1)
+    return out.select(
+        "o_orderkey", "uid",
+        F.col("n7").alias("n_events_7d"),
+        F.col("v7").alias("sum_value_7d"),
+        F.col("n30").alias("n_events_30d"),
+    )
