@@ -655,3 +655,96 @@ def curation_pack_stats(spark, sf_dir):
             "n_straddlers",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# token co-occurrence / PMI (distributional association mining)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "text_cooccurrence_pmi",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM}, ' '), x -> x != '') AS t
+      FROM documents
+    ),
+    pairs AS (
+      SELECT CASE WHEN t[i] < t[i + 1] THEN t[i] ELSE t[i + 1] END AS w1,
+             CASE WHEN t[i] < t[i + 1] THEN t[i + 1] ELSE t[i] END AS w2
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+      WHERE t[i] != t[i + 1]
+    ),
+    pc AS (SELECT w1, w2, count(*) AS n_pair FROM pairs GROUP BY 1, 2),
+    uni AS (
+      SELECT tok, count(*) AS n_tok FROM (
+        SELECT unnest(t) AS tok FROM toks
+      ) GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_pair) AS DOUBLE) AS np FROM pc),
+    tott AS (SELECT CAST(sum(n_tok) AS DOUBLE) AS nt FROM uni)
+    SELECT p.w1, p.w2, p.n_pair,
+           round(ln((p.n_pair / tot.np)
+                    / ((u1.n_tok / tott.nt) * (u2.n_tok / tott.nt))), 6) AS pmi
+    FROM pc p
+    JOIN uni u1 ON u1.tok = p.w1
+    JOIN uni u2 ON u2.tok = p.w2
+    CROSS JOIN tot CROSS JOIN tott
+    WHERE p.n_pair >= 5
+    """,
+)
+def text_cooccurrence_pmi(spark, sf_dir):
+    """Adjacent-token co-occurrence with pointwise mutual information —
+    the distributional-association pass (collocations, phrase mining)
+    over the corpus.  Pairs are canonically ordered (w1 < w2) so both
+    directions merge; one (w1, w2) shuffle with map-side combine, the
+    unigram dim and the two scalar totals broadcast back.  n_pair ≥ 5
+    floor keeps the output the heavy-hitter set, not the n² tail."""
+    from .operators.textanalysis import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(tokens("text").alias("t"))
+    pairs = t.select(
+        F.explode(
+            F.expr(
+                "filter(zip_with(slice(t, 1, greatest(size(t) - 1, 0)),"
+                " slice(t, 2, greatest(size(t) - 1, 0)),"
+                " (a, b) -> struct(least(a, b) AS w1, greatest(a, b) AS w2,"
+                " a = b AS same)), p -> NOT p.same)"
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    # the unfloored pair counts feed both the heavy-hitter set AND the
+    # pre-floor total — materialize once
+    pc_all = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .localCheckpoint(eager=True)
+    )
+    pc = pc_all.filter(F.col("n_pair") >= 5)
+    uni = (
+        t.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    tot = pc_all.agg(F.sum("n_pair").cast("double").alias("np"))
+    tott = uni.agg(F.sum("n_tok").cast("double").alias("nt"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("n_tok").alias("n1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("n_tok").alias("n2"))
+    return (
+        pc.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tott))
+        .select(
+            "w1", "w2", "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("np"))
+                    / ((F.col("n1") / F.col("nt")) * (F.col("n2") / F.col("nt")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -119,3 +119,38 @@ def graph_hierarchy_rollup(spark, sf_dir):
         (F.col("c_custkey") / 10).cast("bigint").alias("parent"),
     )
     return graph.hierarchy_resolve(nodes, "id", "parent", rounds=5)
+
+
+@q(
+    "graph_triangle_count",
+    f"""
+    WITH {_CAND}
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+           (SELECT count(*) FROM cand) AS n_edges
+    FROM cand e1
+    JOIN cand e2 ON e2.id_a = e1.id_b
+    JOIN cand e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle count over the LSH similarity graph — the clustering-
+    coefficient numerator that separates tight duplicate CLIQUES (template
+    families) from chains of coincidental collisions.  Edges are already
+    ordered (id_a < id_b), so each triangle is counted exactly once by
+    the two-join wedge-closing pattern; cost is Σ degree² over the
+    candidate graph, which LSH banding keeps duplicate-density-bounded —
+    the corpus itself is never joined."""
+    d = read_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(d, "doc_id", "text", num_hashes=4, k=3)
+    cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, rows_per_band=2))
+    cand = cand.localCheckpoint(eager=True)  # three join sides + edge count
+    e1 = cand.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = cand.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    e3 = cand.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    edges = cand.agg(F.count(F.lit(1)).alias("n_edges"))
+    return tri.crossJoin(F.broadcast(edges)).select("n_triangles", "n_edges")
