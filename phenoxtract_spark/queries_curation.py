@@ -748,3 +748,63 @@ def text_cooccurrence_pmi(spark, sf_dir):
             ).alias("pmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# inverted index (search posting lists)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "text_inverted_index",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split({_NORM}, ' '), x -> x != '')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT tok, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2)
+    SELECT tok,
+           count(*) AS df,
+           CAST(sum(tf) AS BIGINT) AS cf,
+           string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                      ',' ORDER BY doc_id) AS postings
+    FROM tf GROUP BY tok
+    HAVING count(*) >= 3
+    """,
+)
+def text_inverted_index(spark, sf_dir):
+    """Search-index construction: per token its document frequency,
+    collection frequency, and the doc-ordered posting list (doc:tf pairs).
+    Two shuffles — (tok, doc) tf combine, then the (tok) posting
+    assembly — both with map-side partials; postings serialize doc-sorted
+    so the output is layout-independent.  The df ≥ 3 floor drops the
+    hapax tail (at 100 TB, posting lists shard by token range and the
+    same plan emits one sorted run per shard)."""
+    from .operators.textanalysis import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "tf"))
+                    ),
+                    lambda s: F.concat_ws(
+                        ":", s["doc_id"].cast("string"), s["tf"].cast("string")
+                    ),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= 3)
+    )
