@@ -298,3 +298,80 @@ def q6(spark, sf_dir):
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@q(
+    "curation_leakproof_split",
+    f"""
+    WITH {_SHINGLES3},
+    seeded AS (
+      SELECT doc_id, s.seed, md5(CAST(s.seed AS VARCHAR) || '|' || sh) AS h
+      FROM sh, (SELECT unnest(generate_series(0, 3)) AS seed) s
+    ),
+    sig AS (SELECT doc_id AS id, seed, min(h) AS minhash FROM seeded GROUP BY 1, 2),
+    bands AS (
+      SELECT id, seed // 2 AS band,
+             md5(array_to_string(list_sort(list(CAST(seed AS VARCHAR) || ':' || minhash)), '|')) AS band_key
+      FROM sig GROUP BY id, seed // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+    ),
+    dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT common.id_a, common.id_b
+      FROM common
+      JOIN cand ON cand.id_a = common.id_a AND cand.id_b = common.id_b
+      JOIN sizes sa ON sa.doc_id = common.id_a
+      JOIN sizes sb ON sb.doc_id = common.id_b
+      WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.3
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION ALL SELECT id_b, id_a FROM verified
+    ),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, s.dst FROM r JOIN sym s ON r.b = s.src
+      )
+      SELECT * FROM r
+    ),
+    canon AS (SELECT a AS id, min(b) AS canonical_id FROM reach GROUP BY a)
+    SELECT id AS doc_id, canonical_id,
+           CASE WHEN ('0x' || substr(md5('leak-v1::' || CAST(canonical_id AS VARCHAR)),
+                                     1, 8))::BIGINT % 10000 < 8000 THEN 'train'
+                WHEN ('0x' || substr(md5('leak-v1::' || CAST(canonical_id AS VARCHAR)),
+                                     1, 8))::BIGINT % 10000 < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM canon
+    """,
+)
+def curation_leakproof_split(spark, sf_dir):
+    """Leak-proof dataset split: near-dup CLUSTERS (transitive closure of
+    verified Jaccard ≥ 0.3 pairs) are the split unit, so no document can
+    land in train while its near-copy sits in test — the leakage the
+    plain per-doc hash split cannot prevent.  Split key = md5 of the
+    cluster's canonical id; every member inherits it by construction."""
+    from pyspark.sql import functions as F
+
+    from .operators import curation
+
+    d = read_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(d, "doc_id", "text", num_hashes=4, k=3)
+    cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, rows_per_band=2))
+    verified = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", k=3, threshold=0.3, candidates=cand
+    ).select("id_a", "id_b")
+    canon = dedup.connected_components(d.select("doc_id"), verified)
+    return curation.dataset_split(canon, "canonical_id", seed="leak-v1").select(
+        F.col("id").alias("doc_id"), "canonical_id", "split"
+    )

@@ -292,3 +292,26 @@ def test_html_strip_tags_entities_whitespace(spark):
     assert out[2]["stripped"] == "no markup at all"
     assert out[2]["n_tags"] == 0
     assert out[2]["keep_ratio"] == 1.0
+
+
+def test_leakproof_split_keeps_clusters_together(spark):
+    from phenoxtract_spark.operators import curation, dedup
+
+    base = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(i, base + f" tail{i % 3}") for i in range(12)]   # 3 near-dup clusters
+        + [(100, "completely different standalone text here")],
+        "doc_id bigint, text string",
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.5)
+    canon = dedup.connected_components(
+        df.select("doc_id"), pairs.select("id_a", "id_b")
+    )
+    out = curation.dataset_split(canon, "canonical_id", seed="leak-v1").collect()
+    # every member of a cluster inherits the cluster's split
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["canonical_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # the near-dup docs really did cluster (fewer clusters than docs)
+    assert len(by_cluster) < 13
