@@ -808,3 +808,71 @@ def text_inverted_index(spark, sf_dir):
         )
         .filter(F.col("df") >= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic data augmentation (word dropout)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "curation_word_dropout",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM}, ' '), x -> x != '') AS t
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, t,
+             list_filter(t, (x, i) ->
+               ('0x' || substr(md5('drop-v1::' || CAST(doc_id AS VARCHAR)
+                                   || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+               % 10 != 0) AS k
+      FROM toks
+    )
+    SELECT doc_id,
+           array_to_string(k, ' ') AS text_aug,
+           len(t) AS n_orig,
+           len(k) AS n_kept
+    FROM kept
+    """,
+)
+def curation_word_dropout(spark, sf_dir):
+    """Deterministic 10% word-dropout augmentation: token at 1-based
+    position i survives iff md5(doc, i) keeps it — reproducible noise (no
+    RNG state, layout-independent), so augmented corpora regenerate
+    identically.  Pure indexed-lambda projection: zero shuffles."""
+    from .operators.textanalysis import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    drop = (
+        lambda x, i: F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("drop-v1::"),
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            (i + 1).cast("string"),
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("bigint"),
+            F.lit(10),
+        )
+        != 0
+    )
+    out = d.select("doc_id", t.alias("t")).select(
+        "doc_id", "t", F.filter("t", drop).alias("k")
+    )
+    return out.select(
+        "doc_id",
+        F.array_join("k", " ").alias("text_aug"),
+        F.size("t").cast("bigint").alias("n_orig"),
+        F.size("k").cast("bigint").alias("n_kept"),
+    )

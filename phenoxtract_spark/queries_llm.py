@@ -407,3 +407,98 @@ def embedding_ring_negatives(spark, sf_dir):
 
     e = read_table(spark, sf_dir, "embeddings")
     return similarity.ring_negatives(e, "vec_id", "label", k=4, shards=16)
+
+
+@q(
+    "embedding_label_propagation",
+    """
+    WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+    vx AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, idx),
+    planes AS (
+      SELECT p.p, i.i,
+             CASE WHEN ('0x' || substr(md5('42|' || CAST(p.p AS VARCHAR) || '|'
+                                        || CAST(i.i - 1 AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS w
+      FROM (SELECT unnest(generate_series(0, 3)) AS p) p, idx i
+    ),
+    pd AS (
+      SELECT v.vec_id, pl.p, round(sum(v.x * pl.w), 6) AS d
+      FROM vx v JOIN planes pl ON pl.i = v.i
+      GROUP BY v.vec_id, pl.p
+    ),
+    sig AS (
+      SELECT vec_id AS id,
+             sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS sig
+      FROM pd GROUP BY vec_id
+    ),
+    mask AS (
+      SELECT vec_id,
+             ('0x' || substr(md5('mask-v1::' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+               % 5 = 0 AS unl
+      FROM embeddings
+    ),
+    lab AS (
+      SELECT s.id, s.sig, e.label, m.unl
+      FROM sig s JOIN embeddings e ON e.vec_id = s.id
+      JOIN mask m ON m.vec_id = s.id
+    ),
+    votes AS (
+      SELECT sig, label, count(*) AS cnt FROM lab
+      WHERE NOT unl AND label IS NOT NULL GROUP BY 1, 2
+    ),
+    maj AS (
+      SELECT sig, label, cnt,
+             row_number() OVER (PARTITION BY sig ORDER BY cnt DESC, label) AS rn
+      FROM votes
+    ),
+    tot AS (SELECT sig, CAST(sum(cnt) AS BIGINT) AS n_peers FROM votes GROUP BY 1)
+    SELECT l.id AS vec_id, l.sig AS bucket_sig, m2.label AS pred_label,
+           coalesce(tot.n_peers, 0) AS n_peers
+    FROM lab l
+    LEFT JOIN (SELECT sig, label FROM maj WHERE rn = 1) m2 ON m2.sig = l.sig
+    LEFT JOIN tot ON tot.sig = l.sig
+    WHERE l.unl
+    """,
+)
+def embedding_label_propagation(spark, sf_dir):
+    """Semi-supervised label propagation: a deterministic 20% of vectors
+    are masked unlabeled, then each inherits the majority label of its
+    4-plane hyperplane-LSH bucket's labeled peers (count desc, label asc
+    tie-break).  One bucket-keyed vote aggregate + broadcast majority dim
+    back to the masked side — the cheap label-bootstrapping pass before
+    training a classifier on a partially-labeled corpus."""
+    from pyspark.sql.window import Window
+
+    from .operators import similarity
+    from .operators.curation import split_bucket
+
+    e = read_table(spark, sf_dir, "embeddings")
+    sig = similarity.hyperplane_signature(e, dim=64, num_planes=4)
+    lab = (
+        sig.join(e.select("vec_id", "label"), sig["id"] == F.col("vec_id"))
+        .withColumn("unl", split_bucket("vec_id", "mask-v1", buckets=5) == 0)
+        .select("id", "sig", "label", "unl")
+    ).localCheckpoint(eager=True)  # feeds votes + masked side
+    votes = (
+        lab.filter(~F.col("unl") & F.col("label").isNotNull())
+        .groupBy("sig", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    ).localCheckpoint(eager=True)  # feeds majority + totals
+    w = Window.partitionBy("sig").orderBy(F.desc("cnt"), F.asc("label"))
+    maj = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("sig", F.col("label").alias("pred_label"))
+    )
+    tot = votes.groupBy("sig").agg(F.sum("cnt").alias("n_peers"))
+    return (
+        lab.filter(F.col("unl"))
+        .join(F.broadcast(maj), "sig", "left")
+        .join(F.broadcast(tot), "sig", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.col("sig").alias("bucket_sig"),
+            "pred_label",
+            F.coalesce("n_peers", F.lit(0)).cast("bigint").alias("n_peers"),
+        )
+    )
