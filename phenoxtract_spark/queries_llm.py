@@ -502,3 +502,103 @@ def embedding_label_propagation(spark, sf_dir):
             F.coalesce("n_peers", F.lit(0)).cast("bigint").alias("n_peers"),
         )
     )
+
+
+@q(
+    "embedding_hard_negatives",
+    """
+    WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+    vx AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, idx),
+    planes AS (
+      SELECT p.p, i.i,
+             CASE WHEN ('0x' || substr(md5('42|' || CAST(p.p AS VARCHAR) || '|'
+                                        || CAST(i.i - 1 AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS w
+      FROM (SELECT unnest(generate_series(0, 3)) AS p) p, idx i
+    ),
+    pd AS (
+      SELECT v.vec_id, pl.p, round(sum(v.x * pl.w), 6) AS d
+      FROM vx v JOIN planes pl ON pl.i = v.i GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT vec_id AS id,
+             sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS sig
+      FROM pd GROUP BY 1
+    ),
+    n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM vx GROUP BY 1),
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, la.label AS label_a, lb.label AS label_b
+      FROM sig a
+      JOIN sig b ON a.sig = b.sig AND a.id < b.id
+      JOIN lbl la ON la.vec_id = a.id
+      JOIN lbl lb ON lb.vec_id = b.id
+      WHERE la.label IS DISTINCT FROM lb.label
+    )
+    SELECT p.id_a, p.id_b, p.label_a, p.label_b,
+           round(sum(va.x * vb.x) / (any_value(na.nrm) * any_value(nb.nrm)), 6)
+             AS cos_sim
+    FROM pairs p
+    JOIN vx va ON va.vec_id = p.id_a
+    JOIN vx vb ON vb.vec_id = p.id_b AND vb.i = va.i
+    JOIN n na ON na.vec_id = p.id_a
+    JOIN n nb ON nb.vec_id = p.id_b
+    GROUP BY 1, 2, 3, 4
+    HAVING round(sum(va.x * vb.x) / (any_value(na.nrm) * any_value(nb.nrm)), 6)
+           >= 0.3
+    """,
+)
+def embedding_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: cross-LABEL pairs
+    that land in the same 4-plane LSH bucket (i.e. geometrically close)
+    with cosine ≥ 0.3 — the confusable pairs a contrastive loss learns
+    most from, vs the uniform `embedding_ring_negatives`.  Pairing is
+    bucket-bounded (Σ|bucket|², never all-pairs); norms compute once per
+    vector and the dot runs on the candidate pairs only."""
+    from .operators import similarity
+
+    e = read_table(spark, sf_dir, "embeddings")
+    sig = similarity.hyperplane_signature(e, dim=64, num_planes=4)
+    base = (
+        sig.join(e.select("vec_id", "label", "embedding"), sig["id"] == F.col("vec_id"))
+        .select(
+            "id", "sig", "label",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        )
+        .withColumn(
+            "nrm",
+            F.sqrt(
+                F.expr(
+                    "aggregate(v, cast(0 as double), (a, x) -> a + x * x)"
+                )
+            ),
+        )
+        .localCheckpoint(eager=True)  # feeds both pair sides
+    )
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
+        F.col("label").alias("label_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
+        F.col("label").alias("label_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("sig_a") == F.col("sig_b"))
+        & (F.col("id_a") < F.col("id_b"))
+        & ~F.col("label_a").eqNullSafe(F.col("label_b")),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double),"
+        " (a, x) -> a + x)"
+    )
+    return (
+        pairs.withColumn(
+            "cos_sim", F.round(dot / (F.col("na") * F.col("nb")), 6)
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+        .select("id_a", "id_b", "label_a", "label_b", "cos_sim")
+    )
