@@ -876,3 +876,88 @@ def curation_word_dropout(spark, sf_dir):
         F.size("t").cast("bigint").alias("n_orig"),
         F.size("k").cast("bigint").alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-source corpus scorecard
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "curation_source_scorecard",
+    f"""
+    WITH base AS (
+      SELECT source, lang,
+             md5({_NORM}) AS dig,
+             len(list_filter(string_split({_NORM}, ' '), x -> x != '')) AS nt,
+             CASE WHEN length({_NORM}) > 0
+                  THEN round(CAST(length(regexp_replace({_NORM}, '[^a-z ]', '', 'g'))
+                                  AS DOUBLE) / length({_NORM}), 6)
+             END AS alpha
+      FROM documents
+    ),
+    per AS (
+      SELECT source, count(*) AS n_docs, count(DISTINCT dig) AS n_distinct,
+             round(avg(nt), 2) AS avg_tokens, round(avg(alpha), 6) AS avg_alpha
+      FROM base GROUP BY 1
+    ),
+    langs AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+    toplang AS (
+      SELECT source, lang AS top_lang, c,
+             row_number() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn
+      FROM langs
+    )
+    SELECT p.source, p.n_docs, p.n_distinct,
+           round(1 - p.n_distinct / CAST(p.n_docs AS DOUBLE), 6) AS dup_ratio,
+           t.top_lang,
+           round(t.c / CAST(p.n_docs AS DOUBLE), 6) AS lang_purity,
+           p.avg_tokens, p.avg_alpha
+    FROM per p JOIN (SELECT * FROM toplang WHERE rn = 1) t ON t.source = p.source
+    """,
+)
+def curation_source_scorecard(spark, sf_dir):
+    """Per-source corpus health scorecard: volume, exact-dup ratio,
+    dominant language + purity, mean length and alphabetic ratio — the
+    one-page report that drives source weighting decisions before
+    training.  Two aggregates over the text scan (metrics + language
+    histogram), both on the low-cardinality source key."""
+    from pyspark.sql.window import Window
+
+    from .operators.dedup import normalized_text
+
+    d = read_table(spark, sf_dir, "documents")
+    t = normalized_text(F.col("text"))
+    base = d.select(
+        "source", "lang",
+        F.md5(t).alias("dig"),
+        F.size(F.filter(F.split(t, " "), lambda x: x != "")).alias("nt"),
+        F.when(
+            F.length(t) > 0,
+            F.round(
+                F.length(F.regexp_replace(t, "[^a-z ]", "")).cast("double")
+                / F.length(t),
+                6,
+            ),
+        ).alias("alpha"),
+    )
+    per = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("dig").alias("n_distinct"),
+        F.round(F.avg("nt"), 2).alias("avg_tokens"),
+        F.round(F.avg("alpha"), 6).alias("avg_alpha"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("lang"))
+    top = (
+        d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"), "c")
+    )
+    return per.join(F.broadcast(top), "source").select(
+        "source", "n_docs", "n_distinct",
+        F.round(1 - F.col("n_distinct") / F.col("n_docs").cast("double"), 6)
+        .alias("dup_ratio"),
+        "top_lang",
+        F.round(F.col("c") / F.col("n_docs").cast("double"), 6).alias("lang_purity"),
+        "avg_tokens", "avg_alpha",
+    )
