@@ -343,3 +343,43 @@ def analytics_market_basket(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+@q(
+    "events_user_entropy",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT user_id, CAST(sum(n) AS DOUBLE) AS tot, count(*) AS n_types
+          FROM c GROUP BY 1)
+    SELECT c.user_id,
+           CAST(any_value(t.tot) AS BIGINT) AS n_events,
+           any_value(t.n_types) AS n_types,
+           round(-sum((c.n / t.tot) * ln(c.n / t.tot)), 6) AS entropy
+    FROM c JOIN t ON t.user_id = c.user_id
+    GROUP BY c.user_id
+    """,
+)
+def events_user_entropy(spark, sf_dir):
+    """Behavioral diversity per user: Shannon entropy of the event-type
+    distribution (0 = single-behavior bots, ln(k) = uniform usage) — the
+    engagement-mix signal segmentation and anomaly models consume.  Two
+    (user[, type]) aggregates with map-side combine; entropy terms are
+    exact integer-count ratios so both engines agree at 6 dp."""
+    e = read_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("user_id").agg(
+        F.sum("n").cast("double").alias("tot"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    p = F.col("n") / F.col("tot")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.any_value(F.col("tot")).cast("bigint").alias("n_events"),
+            F.any_value("n_types").alias("n_types"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+    )
