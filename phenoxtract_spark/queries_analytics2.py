@@ -613,3 +613,56 @@ def quality_drift_report(spark, sf_dir):
         F.round((F.col("new_value") - F.col("old_value")) / F.col("old_value"), 6)
         .alias("rel_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration (inequality of order values)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "analytics_gini_concentration",
+    """
+    WITH r AS (
+      SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority, any_value(n) AS n_orders,
+           round(CAST(sum(CAST((2 * rn - n - 1) * o_totalprice
+                               AS DECIMAL(38,8))) AS DOUBLE)
+                 / (any_value(n)
+                    * CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)),
+                 6) AS gini
+    FROM r GROUP BY o_orderpriority
+    """,
+)
+def analytics_gini(spark, sf_dir):
+    """Gini coefficient of order-value concentration per priority class —
+    the revenue-inequality signal (0 = uniform spend, →1 = whale-
+    dominated).  One rank window + one aggregate on the same partitioning
+    (single shuffle); the rank-weighted sum accumulates in DECIMAL so the
+    division is one fixed double op, bit-identical across engines (tied
+    values are permutation-invariant under the formula)."""
+    from pyspark.sql.window import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    r = o.select(
+        "o_orderpriority", "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    num = F.sum(
+        ((2 * F.col("rn") - F.col("n") - 1) * F.col("o_totalprice")).cast(
+            "decimal(38,8)"
+        )
+    ).cast("double")
+    den = F.sum(F.col("o_totalprice").cast("decimal(38,8)")).cast("double")
+    return r.groupBy("o_orderpriority").agg(
+        F.any_value("n").alias("n_orders"),
+        F.round(num / (F.any_value("n") * den), 6).alias("gini"),
+    )
