@@ -666,3 +666,68 @@ def analytics_gini(spark, sf_dir):
         F.any_value("n").alias("n_orders"),
         F.round(num / (F.any_value("n") * den), 6).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# functional-dependency discovery (data profiling)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "profiling_functional_deps",
+    """
+    WITH checks AS (
+      SELECT 'o_orderkey->o_orderdate' AS fd, l AS x_vals, v AS n_violations
+      FROM (SELECT count(*) AS l,
+                   CAST(count(*) FILTER (d > 1) AS BIGINT) AS v
+            FROM (SELECT o_orderkey, count(DISTINCT o_orderdate) AS d
+                  FROM orders GROUP BY 1))
+      UNION ALL
+      SELECT 'o_custkey->o_orderpriority', l, v
+      FROM (SELECT count(*) AS l,
+                   CAST(count(*) FILTER (d > 1) AS BIGINT) AS v
+            FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS d
+                  FROM orders GROUP BY 1))
+      UNION ALL
+      SELECT 'p_brand->p_size', l, v
+      FROM (SELECT count(*) AS l,
+                   CAST(count(*) FILTER (d > 1) AS BIGINT) AS v
+            FROM (SELECT p_brand, count(DISTINCT p_size) AS d
+                  FROM part GROUP BY 1))
+      UNION ALL
+      SELECT 'p_type->p_brand', l, v
+      FROM (SELECT count(*) AS l,
+                   CAST(count(*) FILTER (d > 1) AS BIGINT) AS v
+            FROM (SELECT p_type, count(DISTINCT p_brand) AS d
+                  FROM part GROUP BY 1))
+    )
+    SELECT fd, x_vals, n_violations, n_violations = 0 AS holds
+    FROM checks
+    """,
+)
+def profiling_functional_deps(spark, sf_dir):
+    """Functional-dependency discovery (schema profiling): for each
+    candidate X→Y, the count of X values mapping to >1 distinct Y —
+    0 violations means the dependency holds and Y can live in an X-keyed
+    dimension.  Each candidate is one (X) aggregate with a distinct-Y
+    count, all unioned into a single report; at 100 TB candidates
+    short-circuit cheaply because the violating-X count needs no joins
+    and prunes to the two columns involved."""
+    o = read_table(spark, sf_dir, "orders")
+    p = read_table(spark, sf_dir, "part")
+
+    def fd(df, x, y, name):
+        per = df.groupBy(x).agg(F.countDistinct(y).alias("d"))
+        return per.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).alias("x_vals"),
+            F.sum((F.col("d") > 1).cast("bigint")).alias("n_violations"),
+        )
+
+    out = (
+        fd(o, "o_orderkey", "o_orderdate", "o_orderkey->o_orderdate")
+        .unionByName(fd(o, "o_custkey", "o_orderpriority", "o_custkey->o_orderpriority"))
+        .unionByName(fd(p, "p_brand", "p_size", "p_brand->p_size"))
+        .unionByName(fd(p, "p_type", "p_brand", "p_type->p_brand"))
+    )
+    return out.withColumn("holds", F.col("n_violations") == 0)
