@@ -961,3 +961,40 @@ def curation_source_scorecard(spark, sf_dir):
         F.round(F.col("c") / F.col("n_docs").cast("double"), 6).alias("lang_purity"),
         "avg_tokens", "avg_alpha",
     )
+
+
+# ---------------------------------------------------------------------------
+# curriculum phase assignment
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "curation_curriculum_phases",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split({_NORM}, ' '), x -> x != ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(ntile(3) OVER (PARTITION BY lang
+                               ORDER BY n_tokens, doc_id) AS BIGINT) AS phase
+    FROM t
+    """,
+)
+def curation_curriculum_phases(spark, sf_dir):
+    """Curriculum-learning phase assignment: per language, documents rank
+    into 3 equal difficulty tiers by token count (short/simple first),
+    deterministic (doc_id tie-break).  One window on the language
+    partitioning; at 100 TB swap the exact ntile for histogram-quantile
+    phase boundaries (broadcast thresholds, zero sort) — both layouts
+    feed the same phased-sampling reader."""
+    from pyspark.sql.window import Window
+
+    from .operators.textanalysis import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", F.size(tokens("text")).cast("bigint").alias("n_tokens"))
+    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    return t.withColumn("phase", F.ntile(3).over(w).cast("bigint"))
