@@ -731,3 +731,73 @@ def profiling_functional_deps(spark, sf_dir):
         .unionByName(fd(p, "p_type", "p_brand", "p_type->p_brand"))
     )
     return out.withColumn("holds", F.col("n_violations") == 0)
+
+
+@q(
+    "analytics_share_shift",
+    """
+    WITH tagged AS (
+      SELECT n.n_name,
+             CASE WHEN o.o_orderdate < DATE '1998-05-01' THEN 'early'
+                  ELSE 'late' END AS era,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS rev
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    per AS (SELECT n_name, era, sum(rev) AS rev FROM tagged GROUP BY 1, 2),
+    tot AS (SELECT era, sum(rev) AS tot FROM per GROUP BY 1),
+    shares AS (
+      SELECT p.n_name, p.era,
+             round(CAST(p.rev AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS share
+      FROM per p JOIN tot t ON t.era = p.era
+    )
+    SELECT e.n_name,
+           e.share AS share_early,
+           l.share AS share_late,
+           round(l.share - e.share, 6) AS share_delta
+    FROM (SELECT n_name, share FROM shares WHERE era = 'early') e
+    JOIN (SELECT n_name, share FROM shares WHERE era = 'late') l
+      ON l.n_name = e.n_name
+    """,
+)
+def analytics_share_shift(spark, sf_dir):
+    """Ratio-to-report share-shift: each nation's revenue share within the
+    early vs late order era and the share delta — the market-movement
+    OLAP report.  Revenue accumulates in DECIMAL (order-invariant); the
+    per-era totals are a tiny dim joined back; one fact-scan aggregate
+    feeds everything."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    era = F.when(
+        F.col("o_orderdate").cast("date") < F.lit("1998-05-01").cast("date"),
+        F.lit("early"),
+    ).otherwise(F.lit("late"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    per = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", era.alias("era"), rev.alias("rev"))
+        .groupBy("n_name", "era")
+        .agg(F.sum("rev").alias("rev"))
+    ).localCheckpoint(eager=True)  # feeds shares + era totals
+    tot = per.groupBy("era").agg(F.sum("rev").alias("tot"))
+    shares = per.join(F.broadcast(tot), "era").select(
+        "n_name", "era",
+        F.round(F.col("rev").cast("double") / F.col("tot").cast("double"), 6)
+        .alias("share"),
+    )
+    e = shares.filter(F.col("era") == "early").select(
+        "n_name", F.col("share").alias("share_early")
+    )
+    l = shares.filter(F.col("era") == "late").select(
+        "n_name", F.col("share").alias("share_late")
+    )
+    return e.join(l, "n_name").select(
+        "n_name", "share_early", "share_late",
+        F.round(F.col("share_late") - F.col("share_early"), 6).alias("share_delta"),
+    )

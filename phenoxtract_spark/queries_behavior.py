@@ -383,3 +383,54 @@ def events_user_entropy(spark, sf_dir):
             F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
         )
     )
+
+
+@q(
+    "events_audience_overlap",
+    """
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (SELECT event_type, count(*) AS n FROM du GROUP BY 1),
+    common AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS c
+      FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT c.type_a, c.type_b, c.c AS n_shared_users,
+           round(CAST(c.c AS DOUBLE) / (sa.n + sb.n - c.c), 6) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.event_type = c.type_a
+    JOIN sizes sb ON sb.event_type = c.type_b
+    """,
+)
+def events_audience_overlap(spark, sf_dir):
+    """Audience-overlap matrix: Jaccard similarity between event types'
+    user sets — which behaviors share an audience.  DISTINCT (type, user)
+    first (≤ |types|×|users| rows), then a user-keyed self-join whose
+    output is the type-pair matrix; the size dim broadcasts back.  At
+    100 TB swap exact distinct-user sets for the KMV sketch per type and
+    intersect via inclusion-exclusion on merged sketches."""
+    e = read_table(spark, sf_dir, "events")
+    du = e.select("event_type", "user_id").distinct().localCheckpoint(eager=True)
+    sizes = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = du.select(F.col("event_type").alias("type_a"), "user_id")
+    b = du.select(F.col("event_type").alias("type_b"), "user_id")
+    common = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_users"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        common.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a", "type_b", "n_shared_users",
+            F.round(
+                F.col("n_shared_users")
+                / (F.col("na") + F.col("nb") - F.col("n_shared_users")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
