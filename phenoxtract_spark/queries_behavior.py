@@ -434,3 +434,57 @@ def events_audience_overlap(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+@q(
+    "events_transition_entropy",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+      FROM events
+    ),
+    c AS (
+      SELECT from_type, event_type AS to_type, count(*) AS n
+      FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (SELECT from_type, CAST(sum(n) AS DOUBLE) AS tot, count(*) AS n_succ
+          FROM c GROUP BY 1)
+    SELECT c.from_type,
+           CAST(any_value(t.tot) AS BIGINT) AS n_transitions,
+           any_value(t.n_succ) AS n_successors,
+           round(-sum((c.n / t.tot) * ln(c.n / t.tot)), 6) AS entropy
+    FROM c JOIN t ON t.from_type = c.from_type
+    GROUP BY c.from_type
+    """,
+)
+def events_transition_entropy(spark, sf_dir):
+    """Per-state predictability of the behavioral Markov chain: Shannon
+    entropy of each event type's successor distribution (0 = always the
+    same next action, ln(k) = uniform) — the signal that separates
+    scripted/bot flows from organic usage.  One lag window + two
+    successor-keyed aggregates; exact integer-count ratios keep engines
+    at 6 dp parity."""
+    from pyspark.sql.window import Window
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("from_type")
+    ).filter(F.col("from_type").isNotNull())
+    c = seq.groupBy("from_type", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("from_type").agg(
+        F.sum("n").cast("double").alias("tot"),
+        F.count(F.lit(1)).alias("n_succ"),
+    )
+    p = F.col("n") / F.col("tot")
+    return (
+        c.join(t, "from_type")
+        .groupBy("from_type")
+        .agg(
+            F.any_value("tot").cast("bigint").alias("n_transitions"),
+            F.any_value("n_succ").alias("n_successors"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+    )
