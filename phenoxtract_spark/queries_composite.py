@@ -375,3 +375,76 @@ def curation_leakproof_split(spark, sf_dir):
     return curation.dataset_split(canon, "canonical_id", seed="leak-v1").select(
         F.col("id").alias("doc_id"), "canonical_id", "split"
     )
+
+
+@q(
+    "dedup_cluster_size_histogram",
+    f"""
+    WITH {_SHINGLES3},
+    seeded AS (
+      SELECT doc_id, s.seed, md5(CAST(s.seed AS VARCHAR) || '|' || sh) AS h
+      FROM sh, (SELECT unnest(generate_series(0, 3)) AS seed) s
+    ),
+    sig AS (SELECT doc_id AS id, seed, min(h) AS minhash FROM seeded GROUP BY 1, 2),
+    bands AS (
+      SELECT id, seed // 2 AS band,
+             md5(array_to_string(list_sort(list(CAST(seed AS VARCHAR) || ':' || minhash)), '|')) AS band_key
+      FROM sig GROUP BY id, seed // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+    ),
+    dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT common.id_a, common.id_b
+      FROM common
+      JOIN cand ON cand.id_a = common.id_a AND cand.id_b = common.id_b
+      JOIN sizes sa ON sa.doc_id = common.id_a
+      JOIN sizes sb ON sb.doc_id = common.id_b
+      WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.3
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION ALL SELECT id_b, id_a FROM verified
+    ),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, s.dst FROM r JOIN sym s ON r.b = s.src
+      )
+      SELECT * FROM r
+    ),
+    canon AS (SELECT a AS id, min(b) AS canonical_id FROM reach GROUP BY a),
+    csize AS (SELECT canonical_id, count(*) AS cluster_size FROM canon GROUP BY 1)
+    SELECT cluster_size, count(*) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM csize GROUP BY 1
+    """,
+)
+def dedup_cluster_size_histogram(spark, sf_dir):
+    """Duplicate-structure report: the distribution of near-dup cluster
+    sizes (1 = unique docs; the tail shows template families) — the
+    one-glance answer to "how duplicated is this corpus, and in what
+    shape?".  Two tiny aggregates on top of the shared connected-
+    components plan; the histogram key is cluster size, so output is
+    O(max cluster size) rows."""
+    d = read_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(d, "doc_id", "text", num_hashes=4, k=3)
+    cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, rows_per_band=2))
+    verified = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", k=3, threshold=0.3, candidates=cand
+    ).select("id_a", "id_b")
+    canon = dedup.connected_components(d.select("doc_id"), verified)
+    csize = canon.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return csize.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+    )
