@@ -488,3 +488,114 @@ def events_transition_entropy(spark, sf_dir):
             F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
         )
     )
+
+
+_KMV_EST = """CASE WHEN count(*) < 64
+       THEN CAST(round(64.0 * ln(64.0 / (64.0 - CAST(count(*) AS DOUBLE))))
+            AS BIGINT)
+       ELSE CAST(round(4096.0 / (CAST(sum({umin}) AS DOUBLE) / 4503599627370496.0))
+            AS BIGINT) END"""
+
+
+@q(
+    "events_audience_overlap_sketch",
+    f"""
+    WITH hashed AS (
+      SELECT event_type,
+             ('0x' || substr(md5('kmv-v1|' || CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS u52,
+             ('0x' || substr(md5('kmv-v1|' || CAST(user_id AS VARCHAR)), 14, 2))::BIGINT % 64 AS b
+      FROM events
+    ),
+    mins AS (SELECT event_type, b, min(u52) AS umin FROM hashed GROUP BY 1, 2),
+    est AS (
+      SELECT event_type, {_KMV_EST.format(umin='umin')} AS est
+      FROM mins GROUP BY event_type
+    ),
+    tps AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM est a JOIN est b ON a.event_type < b.event_type
+    ),
+    mem AS (
+      SELECT type_a, type_b, type_a AS member FROM tps
+      UNION ALL SELECT type_a, type_b, type_b FROM tps
+    ),
+    mmins AS (
+      SELECT m.type_a, m.type_b, s.b, min(s.umin) AS umin
+      FROM mem m JOIN mins s ON s.event_type = m.member
+      GROUP BY 1, 2, 3
+    ),
+    uest AS (
+      SELECT type_a, type_b, {_KMV_EST.format(umin='umin')} AS est_union
+      FROM mmins GROUP BY 1, 2
+    )
+    SELECT u.type_a, u.type_b, ea.est AS est_a, eb.est AS est_b, u.est_union,
+           greatest(ea.est + eb.est - u.est_union, 0) AS est_intersection,
+           round(greatest(ea.est + eb.est - u.est_union, 0)
+                 / CAST(u.est_union AS DOUBLE), 6) AS est_jaccard
+    FROM uest u
+    JOIN est ea ON ea.event_type = u.type_a
+    JOIN est eb ON eb.event_type = u.type_b
+    """,
+)
+def events_audience_overlap_sketch(spark, sf_dir):
+    """The SCALE path for audience overlap: per-type KMV sketches merge by
+    bucket-wise min, union size comes from the merged sketch, and the
+    intersection follows by inclusion-exclusion — no distinct-user
+    relation ever materializes, and per-day/per-shard sketches roll up
+    with the same aggregate.  Deterministic md5 arithmetic: both engines
+    replay the sketch exactly (the exact twin is
+    ``events_audience_overlap``)."""
+    e = read_table(spark, sf_dir, "events")
+    m = 64
+    h = F.md5(F.concat_ws("|", F.lit("kmv-v1"), F.col("user_id").cast("string")))
+    u52 = F.conv(F.substring(h, 1, 13), 16, 10).cast("bigint")
+    bucket = F.pmod(F.conv(F.substring(h, 14, 2), 16, 10).cast("bigint"), F.lit(m))
+    mins = (
+        e.select("event_type", u52.alias("_u"), bucket.alias("_b"))
+        .groupBy("event_type", "_b")
+        .agg(F.min("_u").alias("_umin"))
+    ).localCheckpoint(eager=True)  # feeds singles + merged pair sketches
+
+    def estimator():
+        two52 = float(1 << 52)
+        hit = F.count(F.lit(1))
+        raw = F.lit(float(m * m)) / (F.sum("_umin").cast("double") / F.lit(two52))
+        linear = F.lit(float(m)) * F.log(
+            F.lit(float(m)) / (F.lit(float(m)) - hit.cast("double"))
+        )
+        return (
+            F.when(hit < m, F.round(linear)).otherwise(F.round(raw)).cast("bigint")
+        )
+
+    singles = mins.groupBy("event_type").agg(estimator().alias("est"))
+    tps = (
+        singles.select(F.col("event_type").alias("type_a"))
+        .join(
+            singles.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    mem = tps.select("type_a", "type_b", F.col("type_a").alias("member")).unionByName(
+        tps.select("type_a", "type_b", F.col("type_b").alias("member"))
+    )
+    mmins = (
+        F.broadcast(mem)
+        .join(mins, mins["event_type"] == F.col("member"))
+        .groupBy("type_a", "type_b", "_b")
+        .agg(F.min("_umin").alias("_umin"))
+    )
+    uest = mmins.groupBy("type_a", "type_b").agg(estimator().alias("est_union"))
+    ea = singles.select(F.col("event_type").alias("type_a"), F.col("est").alias("est_a"))
+    eb = singles.select(F.col("event_type").alias("type_b"), F.col("est").alias("est_b"))
+    inter = F.greatest(
+        F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0)
+    )
+    return (
+        uest.join(F.broadcast(ea), "type_a")
+        .join(F.broadcast(eb), "type_b")
+        .select(
+            "type_a", "type_b", "est_a", "est_b", "est_union",
+            inter.alias("est_intersection"),
+            F.round(inter / F.col("est_union").cast("double"), 6).alias("est_jaccard"),
+        )
+    )
