@@ -801,3 +801,65 @@ def analytics_share_shift(spark, sf_dir):
         "n_name", "share_early", "share_late",
         F.round(F.col("share_late") - F.col("share_early"), 6).alias("share_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# partition-skew report (shuffle health)
+# ---------------------------------------------------------------------------
+
+
+def _skew_sql(table: str, key: str) -> str:
+    return f"""
+      SELECT '{table}.{key}' AS shuffle_key, l AS n_rows, mx AS max_bucket,
+             round(avg_b, 2) AS avg_bucket, round(mx / avg_b, 4) AS skew_ratio
+      FROM (
+        SELECT CAST(sum(c) AS BIGINT) AS l, CAST(max(c) AS BIGINT) AS mx,
+               sum(c) / CAST(count(*) AS DOUBLE) AS avg_b
+        FROM (
+          SELECT ('0x' || substr(md5('skew-v1::' || CAST({key} AS VARCHAR)), 1, 8))::BIGINT
+                   % 32 AS b,
+                 count(*) AS c
+          FROM {table} GROUP BY 1
+        )
+      )"""
+
+
+@q(
+    "profiling_skew_report",
+    _skew_sql("events", "user_id")
+    + " UNION ALL "
+    + _skew_sql("orders", "o_custkey")
+    + " UNION ALL "
+    + _skew_sql("lineitem", "l_orderkey"),
+)
+def profiling_skew_report(spark, sf_dir):
+    """Shuffle-health report: for each candidate shuffle key, row counts
+    across 32 engine-portable hash buckets and the max/avg skew ratio —
+    the diagnostic that decides whether a key needs salting or AQE skew
+    handling BEFORE the 100 TB job runs.  One two-column aggregate per
+    table; the md5 bucket stands in for the engine's partitioner so the
+    report is reproducible anywhere."""
+    from .operators.curation import split_bucket
+
+    def skew(table, key):
+        d = read_table(spark, sf_dir, table)
+        per = d.groupBy(
+            split_bucket(key, "skew-v1", buckets=32).alias("b")
+        ).agg(F.count(F.lit(1)).alias("c"))
+        return per.agg(
+            F.lit(f"{table}.{key}").alias("shuffle_key"),
+            F.sum("c").alias("n_rows"),
+            F.max("c").alias("max_bucket"),
+            F.round(F.sum("c") / F.count(F.lit(1)).cast("double"), 2).alias(
+                "avg_bucket"
+            ),
+            F.round(
+                F.max("c") / (F.sum("c") / F.count(F.lit(1)).cast("double")), 4
+            ).alias("skew_ratio"),
+        )
+
+    return (
+        skew("events", "user_id")
+        .unionByName(skew("orders", "o_custkey"))
+        .unionByName(skew("lineitem", "l_orderkey"))
+    )
