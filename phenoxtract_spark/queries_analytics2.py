@@ -863,3 +863,43 @@ def profiling_skew_report(spark, sf_dir):
         .unionByName(skew("orders", "o_custkey"))
         .unionByName(skew("lineitem", "l_orderkey"))
     )
+
+
+@q(
+    "analytics_fulfillment_lag",
+    """
+    WITH lag AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS lag_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           round(quantile_cont(lag_days, 0.5), 4) AS p50_days,
+           round(quantile_cont(lag_days, 0.9), 4) AS p90_days,
+           CAST(max(lag_days) AS BIGINT) AS max_days,
+           CAST(count(*) FILTER (lag_days < 0) AS BIGINT) AS n_negative
+    FROM lag GROUP BY 1
+    """,
+)
+def analytics_fulfillment_lag(spark, sf_dir):
+    """Order-to-ship fulfillment lag percentiles per priority class, plus
+    the impossible-negative-lag count (data-quality tripwire).  Integer
+    day differences make the exact percentiles engine-identical; one
+    fact join against the order dim and one aggregate."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    lag = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority", lag.alias("lag_days")
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.percentile("lag_days", F.lit(0.5)), 4).alias("p50_days"),
+        F.round(F.percentile("lag_days", F.lit(0.9)), 4).alias("p90_days"),
+        F.max("lag_days").cast("bigint").alias("max_days"),
+        F.sum((F.col("lag_days") < 0).cast("bigint")).alias("n_negative"),
+    )
