@@ -998,3 +998,47 @@ def curation_curriculum_phases(spark, sf_dir):
     t = d.select("doc_id", "lang", F.size(tokens("text")).cast("bigint").alias("n_tokens"))
     w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
     return t.withColumn("phase", F.ntile(3).over(w).cast("bigint"))
+
+
+@q(
+    "text_vocab_richness",
+    f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split({_NORM}, ' '), x -> x != '')) AS tok
+      FROM documents
+    ),
+    c AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1)
+    SELECT CAST(sum(n) AS BIGINT) AS n_tokens,
+           count(*) AS vocab_size,
+           CAST(count(*) FILTER (n = 1) AS BIGINT) AS n_hapax,
+           round(count(*) FILTER (n = 1) / CAST(count(*) AS DOUBLE), 6)
+             AS hapax_ratio,
+           round(count(*) / CAST(sum(n) AS DOUBLE), 6) AS type_token_ratio
+    FROM c
+    """,
+)
+def text_vocab_richness(spark, sf_dir):
+    """Corpus-level vocabulary richness: type-token ratio and hapax
+    legomena share — the lexical-diversity fingerprint that shifts under
+    templated/duplicated content and under aggressive dedup (compare
+    before/after cleaning).  One (token) aggregate with map-side combine
+    then a one-row rollup."""
+    from .operators.textanalysis import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    c = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return c.agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum((F.col("n") == 1).cast("bigint")).alias("n_hapax"),
+        F.round(
+            F.sum((F.col("n") == 1).cast("int")) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("hapax_ratio"),
+        F.round(F.count(F.lit(1)) / F.sum("n").cast("double"), 6).alias(
+            "type_token_ratio"
+        ),
+    )

@@ -1214,3 +1214,58 @@ def events_scd2_versions(spark, sf_dir):
         F.col("us").alias("effective_from_us"),
         F.lead("us").over(w2).alias("effective_to_us"),
     )
+
+
+@q(
+    "events_session_stats",
+    """
+    WITH o AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS tsx,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes' OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), s AS (
+      SELECT user_id, tsx,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY tsx
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM o
+    ), sess AS (
+      SELECT user_id, session_no,
+             epoch_us(max(tsx)) - epoch_us(min(tsx)) AS dur_us,
+             count(*) AS n_events
+      FROM s GROUP BY 1, 2
+    )
+    SELECT user_id,
+           count(*) AS n_sessions,
+           round(avg(dur_us) / 60000000.0, 4) AS avg_session_minutes,
+           round(avg(n_events), 4) AS avg_events_per_session,
+           CAST(max(n_events) AS BIGINT) AS max_session_events
+    FROM sess GROUP BY 1
+    """,
+)
+def events_session_stats(spark, sf_dir):
+    """Engagement rollup on top of sessionization: per user the session
+    count, mean active duration, and events-per-session — the DAU-quality
+    metrics a product dashboard reads.  Everything derives from exact
+    integer microsecond bounds per session, so averages round identically
+    in both engines; one (user) shuffle end to end."""
+    e = read_table(spark, sf_dir, "events")
+    out = ev.session_windows(e, "30 minutes")
+    sess = out.select(
+        "user_id",
+        (
+            F.unix_micros(F.col("session_end").cast("timestamp"))
+            - F.unix_micros(F.col("session_start").cast("timestamp"))
+            - 30 * 60 * 1_000_000  # session_window end includes the gap
+        ).alias("dur_us"),
+        "n_events",
+    )
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg("dur_us") / 60_000_000.0, 4).alias("avg_session_minutes"),
+        F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
+        F.max("n_events").cast("bigint").alias("max_session_events"),
+    )
