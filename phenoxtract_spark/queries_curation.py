@@ -1042,3 +1042,47 @@ def text_vocab_richness(spark, sf_dir):
             "type_token_ratio"
         ),
     )
+
+
+@q(
+    "curation_weighted_reservoir",
+    f"""
+    WITH k AS (
+      SELECT doc_id, n_chars,
+             pow(
+               (('0x' || substr(md5('wrs-v1::' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                + 1) / 4503599627370497.0,
+               1.0 / n_chars
+             ) AS priority
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, round(priority, 10) AS priority
+    FROM k ORDER BY round(priority, 10) DESC, doc_id LIMIT 50
+    """,
+)
+def curation_weighted_reservoir(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
+    key = u^(1/w) with u a deterministic md5 uniform in (0, 1] and w the
+    document weight (length here); the top-k keys ARE a weighted sample —
+    reproducible across engines, runs, and partitionings, and mergeable
+    (union partial top-ks, re-take top-k: the distributed reservoir).
+    One projection + a top-k — no RNG state, no sequential reservoir."""
+    d = read_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wrs-v1::"), F.col("doc_id").cast("string"))),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(float((1 << 52) + 1))
+    k = (
+        d.filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id", "n_chars",
+            F.round(F.pow(u, 1.0 / F.col("n_chars")), 10).alias("priority"),
+        )
+    )
+    return k.orderBy(F.desc("priority"), F.asc("doc_id")).limit(50)
