@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from .operators import dedup
 from .queries_core import q, read_table
-from .queries_scale import _SHINGLES3
+from .queries_scale import _NORM, _SHINGLES3
 
 
 @q(
@@ -447,4 +447,111 @@ def dedup_cluster_size_histogram(spark, sf_dir):
     return csize.groupBy("cluster_size").agg(
         F.count(F.lit(1)).alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+    )
+
+
+@q(
+    "dedup_pair_features",
+    f"""
+    WITH {_SHINGLES3},
+    seeded AS (
+      SELECT doc_id, s.seed, md5(CAST(s.seed AS VARCHAR) || '|' || sh) AS h
+      FROM sh, (SELECT unnest(generate_series(0, 3)) AS seed) s
+    ),
+    sig AS (SELECT doc_id AS id, seed, min(h) AS minhash FROM seeded GROUP BY 1, 2),
+    bands AS (
+      SELECT id, seed // 2 AS band,
+             md5(array_to_string(list_sort(list(CAST(seed AS VARCHAR) || ':' || minhash)), '|')) AS band_key
+      FROM sig GROUP BY id, seed // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+    ),
+    dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    stoks AS (
+      SELECT doc_id, t.tok FROM (
+        SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+      ) t WHERE t.tok != ''
+    ),
+    shashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1152921504606846976 AS h
+      FROM stoks
+    ),
+    sbits AS (
+      SELECT doc_id, h, b.bit
+      FROM shashed, (SELECT unnest(generate_series(0, 59)) AS bit) b
+    ),
+    svotes AS (
+      SELECT doc_id, bit,
+             sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM sbits GROUP BY 1, 2
+    ),
+    sfp AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS fp
+      FROM svotes GROUP BY 1
+    ),
+    lens AS (SELECT doc_id, n_chars FROM documents)
+    SELECT c.id_a, c.id_b,
+           round(coalesce(cm.c, 0) / CAST(sa.n + sb.n - coalesce(cm.c, 0) AS DOUBLE), 6)
+             AS jaccard,
+           round(coalesce(cm.c, 0) / CAST(least(sa.n, sb.n) AS DOUBLE), 6)
+             AS containment,
+           round(least(la.n_chars, lb.n_chars)
+                 / CAST(greatest(la.n_chars, lb.n_chars) AS DOUBLE), 6) AS len_ratio,
+           CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS simhash_hamming
+    FROM cand c
+    LEFT JOIN common cm ON cm.id_a = c.id_a AND cm.id_b = c.id_b
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    JOIN lens la ON la.doc_id = c.id_a
+    JOIN lens lb ON lb.doc_id = c.id_b
+    JOIN sfp fa ON fa.doc_id = c.id_a
+    JOIN sfp fb ON fb.doc_id = c.id_b
+    """,
+)
+def dedup_pair_features(spark, sf_dir):
+    """Rerank-training pair features: for every LSH candidate pair, the
+    full similarity-signal vector — Jaccard, containment, length ratio,
+    and simhash hamming — as ONE composed plan.  This is the feature
+    extraction a learned dedup/rerank model trains on; every signal's
+    expensive subtree (candidates, shingle arrays, fingerprints) is the
+    same operator the standalone queries use, checkpointed once and
+    joined candidate-bounded."""
+    from .queries_scale import _NORM as _  # noqa: F401  (oracle shares the fragment)
+
+    d = read_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(d, "doc_id", "text", num_hashes=4, k=3)
+    cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, rows_per_band=2))
+    ov = dedup._pair_overlaps(d, "doc_id", "text", k=3, candidates=cand)
+    fp = dedup.simhash(d, "doc_id", "text", bits=60).localCheckpoint(eager=True)
+    lens = d.select("doc_id", "n_chars")
+    fa = fp.select(F.col("id").alias("id_a"), F.col("simhash").alias("_fa"))
+    fb = fp.select(F.col("id").alias("id_b"), F.col("simhash").alias("_fb"))
+    la = lens.select(F.col("doc_id").alias("id_a"), F.col("n_chars").alias("_la"))
+    lb = lens.select(F.col("doc_id").alias("id_b"), F.col("n_chars").alias("_lb"))
+    return (
+        ov.join(fa, "id_a").join(fb, "id_b")
+        .join(F.broadcast(la), "id_a").join(F.broadcast(lb), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")).cast("double"), 6
+            ).alias("jaccard"),
+            F.round(
+                F.col("common") / F.least("na", "nb").cast("double"), 6
+            ).alias("containment"),
+            F.round(
+                F.least("_la", "_lb") / F.greatest("_la", "_lb").cast("double"), 6
+            ).alias("len_ratio"),
+            F.bit_count(F.expr("_fa ^ _fb")).cast("bigint").alias("simhash_hamming"),
+        )
     )
