@@ -599,3 +599,45 @@ def events_audience_overlap_sketch(spark, sf_dir):
             F.round(inter / F.col("est_union").cast("double"), 6).alias("est_jaccard"),
         )
     )
+
+
+@q(
+    "process_conformance_orders",
+    """
+    WITH seq AS (
+      SELECT o_custkey, o_orderstatus,
+             lag(o_orderstatus) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders
+    ),
+    trans AS (SELECT * FROM seq WHERE prev IS NOT NULL)
+    SELECT prev AS from_status, o_orderstatus AS to_status,
+           count(*) AS n_transitions,
+           prev = 'F' AND o_orderstatus = 'O' AS violates_model
+    FROM trans GROUP BY 1, 2
+    """,
+)
+def process_conformance_orders(spark, sf_dir):
+    """Process-mining conformance: the customer-level order-status
+    transition log, with transitions the declared process model forbids
+    (F→O: a finished history reopening) flagged.  One deterministic lag
+    window per customer + one transition aggregate — the audit an order
+    pipeline runs continuously; swap the flag expression for any declared
+    legality matrix."""
+    from pyspark.sql.window import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_orderstatus", F.lag("o_orderstatus").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    return seq.groupBy(
+        F.col("prev").alias("from_status"),
+        F.col("o_orderstatus").alias("to_status"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+    ).withColumn(
+        "violates_model",
+        (F.col("from_status") == "F") & (F.col("to_status") == "O"),
+    )
