@@ -641,3 +641,47 @@ def process_conformance_orders(spark, sf_dir):
         "violates_model",
         (F.col("from_status") == "F") & (F.col("to_status") == "O"),
     )
+
+
+@q(
+    "events_rolling_wau",
+    """
+    WITH du AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du),
+    contrib AS (
+      SELECT DISTINCT user_id, d + to_days(CAST(u.i AS INTEGER)) AS wd
+      FROM du, unnest(range(0, 7)) AS u(i)
+    ),
+    wau AS (SELECT wd, count(*) AS wau FROM contrib GROUP BY 1)
+    SELECT CAST(days.d AS VARCHAR) AS day, w.wau AS wau_7d
+    FROM days JOIN wau w ON w.wd = days.d
+    """,
+)
+def events_rolling_wau(spark, sf_dir):
+    """EXACT rolling 7-day active users per day — the non-additive
+    distinct count windows can't do directly: each (user, active-day) pair
+    contributes itself to the 7 window-end days it falls inside, and the
+    distinct contribution count per day IS the WAU.  Rows stay ≤
+    7×|user-days| (linear), vs the day×user re-scan a naive per-day
+    distinct would cost; the same shape yields MAU with range 30."""
+    e = read_table(spark, sf_dir, "events")
+    du = e.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date").alias("d"),
+    ).distinct()
+    days = du.select("d").distinct()
+    contrib = (
+        du.select(
+            "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"), "d"
+        )
+        .select("user_id", F.expr("date_add(d, i)").alias("wd"))
+        .distinct()
+    )
+    wau = contrib.groupBy("wd").agg(F.count(F.lit(1)).alias("wau_7d"))
+    return days.join(wau, days["d"] == wau["wd"]).select(
+        F.col("d").cast("string").alias("day"), "wau_7d"
+    )
