@@ -1086,3 +1086,56 @@ def curation_weighted_reservoir(spark, sf_dir):
         )
     )
     return k.orderBy(F.desc("priority"), F.asc("doc_id")).limit(50)
+
+
+# dense reshape of the hashed features: the documented one-pivot path from
+# sparse long form to a fixed-width matrix (16 buckets here so the oracle
+# stays readable; width is config)
+_DENSE_COLS_SQL = ",\n           ".join(
+    f"CAST(coalesce(sum(CASE WHEN bucket = {b} THEN cnt END), 0) AS BIGINT) AS f{b}"
+    for b in range(16)
+)
+
+
+@q(
+    "curation_feature_matrix",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split({_NORM}, ' '), x -> x != '')) AS tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('feat-v1::' || tok), 1, 8))::BIGINT % 16 AS bucket,
+             count(*) AS cnt
+      FROM toks GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           {_DENSE_COLS_SQL}
+    FROM c GROUP BY doc_id
+    """,
+)
+def curation_feature_matrix(spark, sf_dir):
+    """Dense fixed-width feature matrix from the hashing-trick long form:
+    one pivot with EXPLICIT bucket values (no distinct-key discovery job —
+    the width is config, so the plan is static) turns (doc, bucket, cnt)
+    into a 16-column matrix ready for a trainer.  Same single (doc,
+    bucket) shuffle as the sparse form; the pivot is a conditional
+    aggregation, not a reshuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    sparse = curation.hashed_features(d, "doc_id", "text", buckets=16).select(
+        "doc_id", "bucket", "cnt"
+    )
+    wide = (
+        sparse.groupBy("doc_id")
+        .pivot("bucket", list(range(16)))
+        .sum("cnt")
+    )
+    return wide.select(
+        "doc_id",
+        *[
+            F.coalesce(F.col(str(b)), F.lit(0)).cast("bigint").alias(f"f{b}")
+            for b in range(16)
+        ],
+    )
