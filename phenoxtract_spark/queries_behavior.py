@@ -685,3 +685,59 @@ def events_rolling_wau(spark, sf_dir):
     return days.join(wau, days["d"] == wau["wd"]).select(
         F.col("d").cast("string").alias("day"), "wau_7d"
     )
+
+
+@q(
+    "events_temporal_embargo_split",
+    """
+    WITH b AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tsx,
+             (SELECT min(CAST(ts AS TIMESTAMP)) FROM events) AS t0,
+             (SELECT max(CAST(ts AS TIMESTAMP)) FROM events) AS t1
+      FROM events
+    ),
+    tagged AS (
+      SELECT event_id, user_id,
+             CASE WHEN epoch_us(tsx) < epoch_us(t0)
+                       + CAST(0.8 * (epoch_us(t1) - epoch_us(t0)) AS BIGINT)
+                  THEN 'train'
+                  WHEN epoch_us(tsx) >= epoch_us(t0)
+                       + CAST(0.85 * (epoch_us(t1) - epoch_us(t0)) AS BIGINT)
+                  THEN 'test'
+                  ELSE 'embargo' END AS split
+      FROM b
+    )
+    SELECT split, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+    FROM tagged GROUP BY 1
+    """,
+)
+def events_temporal_embargo_split(spark, sf_dir):
+    """Time-series split with an EMBARGO gap: train on the first 80% of
+    the time range, test after 85%, and quarantine the 5% between — the
+    purge that stops rolling-feature leakage across the boundary (the
+    temporal sibling of `curation_leakproof_split`).  The range bounds
+    are one broadcast scalar aggregate; tagging is a pure projection."""
+    e = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = e.agg(
+        F.min(us).alias("t0"), F.max(us).alias("t1")
+    )
+    tagged = e.crossJoin(F.broadcast(bounds)).select(
+        "event_id", "user_id",
+        F.when(
+            us < F.col("t0")
+            + (0.8 * (F.col("t1") - F.col("t0"))).cast("bigint"),
+            F.lit("train"),
+        )
+        .when(
+            us >= F.col("t0")
+            + (0.85 * (F.col("t1") - F.col("t0"))).cast("bigint"),
+            F.lit("test"),
+        )
+        .otherwise(F.lit("embargo"))
+        .alias("split"),
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
