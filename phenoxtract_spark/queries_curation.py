@@ -1139,3 +1139,53 @@ def curation_feature_matrix(spark, sf_dir):
             for b in range(16)
         ],
     )
+
+
+@q(
+    "curation_contrastive_positives",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM}, ' '), x -> x != '') AS t
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             array_to_string(list_slice(t, i * 8 + 1, i * 8 + 8), ' ') AS chunk
+      FROM toks, unnest(range(0, (len(t) + 7) // 8)) AS u(i)
+    )
+    SELECT a.doc_id, a.chunk_idx AS idx_a, a.chunk AS anchor,
+           b.chunk AS positive
+    FROM chunks a JOIN chunks b
+      ON b.doc_id = a.doc_id AND b.chunk_idx = a.chunk_idx + 1
+    """,
+)
+def curation_contrastive_positives(spark, sf_dir):
+    """Self-supervised positive-pair construction: adjacent 8-token
+    chunks of the same document form (anchor, positive) training pairs —
+    the inverse-cloze / adjacent-span recipe contrastive text encoders
+    train on (negatives come from `embedding_ring_negatives` /
+    `embedding_hard_negatives`).  Chunking is a pure projection; the
+    adjacency join is per-doc keyed and one-hop."""
+    from .operators.textanalysis import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    tok_df = d.select("doc_id", tokens("text").alias("t"))
+    chunks = tok_df.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "case when size(t) = 0 then array()"
+                " else transform(sequence(0, (size(t) + 7) div 8 - 1),"
+                " i -> array_join(slice(t, i * 8 + 1, 8), ' ')) end"
+            )
+        ).alias("chunk_idx", "chunk"),
+    ).withColumn("chunk_idx", F.col("chunk_idx").cast("bigint"))
+    a = chunks.select(
+        "doc_id", F.col("chunk_idx").alias("idx_a"), F.col("chunk").alias("anchor")
+    )
+    b = chunks.select(
+        "doc_id", F.col("chunk_idx").alias("idx_b"), F.col("chunk").alias("positive")
+    )
+    out = a.join(b, (a["doc_id"] == b["doc_id"]) & (F.col("idx_b") == F.col("idx_a") + 1))
+    return out.select(a["doc_id"], "idx_a", "anchor", "positive")
