@@ -741,3 +741,103 @@ def events_temporal_embargo_split(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@q(
+    "events_churn_labels",
+    """
+    WITH b AS (
+      SELECT (SELECT min(CAST(ts AS TIMESTAMP)) FROM events) AS t0,
+             (SELECT max(CAST(ts AS TIMESTAMP)) FROM events) AS t1
+    ),
+    cut AS (
+      SELECT epoch_us(t0) + CAST(0.7 * (epoch_us(t1) - epoch_us(t0)) AS BIGINT)
+               AS cutoff_us
+      FROM b
+    ),
+    feat AS (
+      SELECT user_id,
+             count(*) FILTER (epoch_us(CAST(ts AS TIMESTAMP)) < cutoff_us)
+               AS n_events_before,
+             count(*) FILTER (epoch_us(CAST(ts AS TIMESTAMP)) >= cutoff_us)
+               AS n_events_after
+      FROM events, cut GROUP BY user_id, cutoff_us
+    )
+    SELECT user_id, n_events_before,
+           n_events_after = 0 AS churned
+    FROM feat WHERE n_events_before > 0
+    """,
+)
+def events_churn_labels(spark, sf_dir):
+    """Supervised churn-label assembly with temporal hygiene: features
+    come strictly BEFORE the 70% time cutoff, the label (no activity
+    after) strictly AFTER — one conditional aggregate per user against a
+    broadcast scalar cutoff, no leakage by construction.  Users born
+    after the cutoff are excluded (no feature window)."""
+    e = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = e.agg(F.min(us).alias("t0"), F.max(us).alias("t1"))
+    cut = bounds.select(
+        (F.col("t0") + (0.7 * (F.col("t1") - F.col("t0"))).cast("bigint")).alias(
+            "cutoff_us"
+        )
+    )
+    feat = (
+        e.crossJoin(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            F.sum((us < F.col("cutoff_us")).cast("bigint")).alias("n_events_before"),
+            F.sum((us >= F.col("cutoff_us")).cast("bigint")).alias("n_events_after"),
+        )
+    )
+    return feat.filter(F.col("n_events_before") > 0).select(
+        "user_id", "n_events_before",
+        (F.col("n_events_after") == 0).alias("churned"),
+    )
+
+
+@q(
+    "events_purchase_intervals",
+    """
+    WITH p AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS tsx, event_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+      SELECT user_id,
+             epoch_us(tsx) - epoch_us(lag(tsx) OVER (
+               PARTITION BY user_id ORDER BY tsx, event_id)) AS gap_us
+      FROM p
+    )
+    SELECT count(*) AS n_gaps,
+           round(quantile_cont(gap_us / 3600000000.0, 0.5), 4) AS p50_hours,
+           round(quantile_cont(gap_us / 3600000000.0, 0.9), 4) AS p90_hours,
+           round(max(gap_us) / 3600000000.0, 4) AS max_hours
+    FROM gaps WHERE gap_us IS NOT NULL
+    """,
+)
+def events_purchase_intervals(spark, sf_dir):
+    """Inter-purchase interval distribution: the repeat-behavior cadence
+    (median/p90 hours between consecutive purchases) that drives
+    replenishment and win-back timing.  One lag window on the (user)
+    partitioning over the filtered purchase stream; integer microsecond
+    gaps keep the percentiles engine-identical."""
+    from pyspark.sql.window import Window
+
+    e = read_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("timestamp").alias("tsx"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("tsx", "event_id")
+    gaps = p.select(
+        (
+            F.unix_micros("tsx") - F.unix_micros(F.lag("tsx").over(w))
+        ).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    h = F.col("gap_us") / 3_600_000_000.0
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.percentile(h, F.lit(0.5)), 4).alias("p50_hours"),
+        F.round(F.percentile(h, F.lit(0.9)), 4).alias("p90_hours"),
+        F.round(F.max("gap_us") / 3_600_000_000.0, 4).alias("max_hours"),
+    )
