@@ -22,52 +22,54 @@ sys.path.insert(0, _REPO_DIR)
 os.environ["PYTHONPATH"] = _REPO_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 
-# Stable registry ordering: a representative cross-section first — the
-# reference-core ETL spine, the events/streaming block, AND the
-# dedup/similarity/text/clustering scale block — so any prefix of the
-# registry (e.g. a sampled correctness snapshot) exercises every operator
-# family rather than just the modules that happen to import first.
+# Stable registry ordering: the first 50 entries form the driver's sampled
+# correctness snapshot.  Policy (rotates each round, r3 verdict #7): keep
+# ONE representative per operator family so every family stays sampled,
+# and cycle the remaining slots to queries that have never had a driver
+# row, so driver-green evidence accumulates across rounds.  Rotated-out
+# queries keep their green rows in CORRECTNESS_r{1,2,3}.json.
 _PRIORITY = [
-    # §2.3 casting / scalar functions
-    "c1_trim_empty_to_null", "c2_integral_promotion", "c3_ambivalent_cast",
-    "c5_bool_parse", "c7_multiformat_date", "c10_timestamp_parse",
-    "c13_age_to_iso", "c14_date_diff_iso", "c17_prefixed_id",
-    # §2.4 mapping
-    "m1_alias_map", "m2_synonym_mapping", "m3_ontology_normalize",
-    "m5_membership_split", "m6_multi_id_extraction",
-    # §2.1 sources / pivoting
+    # --- family representatives (driver-green in r1-r3) ---------------
+    # cleaning / casting / durations
+    "c1_trim_empty_to_null", "c3_ambivalent_cast", "c14_date_diff_iso",
+    # mapping / pivot expansion
+    "m2_synonym_mapping", "m6_multi_id_extraction",
+    # sources / pivoting
     "s3_transpose", "s4_unpivot",
-    # §2.5 grouping / assembly
-    "g1_collect_individual", "g2_group_collect", "g3_single_valued",
-    "g5_row_zip", "g6_upsert_last", "g7_header_collapse",
-    "g8_variant_classification", "g8_interpretation_assembly",
-    "g10_packet_flat", "g10_packet_json", "g11_resource_prefixes",
+    # grouping / packet assembly
+    "g2_group_collect", "g6_upsert_last", "g10_packet_json",
     "g13_medical_actions",
-    # §2.6 ontology + e2e
+    # ontology + e2e
     "x2_bidict_priority_lookup", "pipeline_e2e_packets",
     # event-time windows
-    "events_tumbling_hour", "events_sliding_window", "events_sessionize",
-    # LLM-pipeline: dedup family
+    "events_tumbling_hour", "events_sessionize",
+    # dedup family (simhash + pairs stay: r4 proves the oracle cast fix)
     "dedup_exact", "dedup_minhash_signature", "dedup_lsh_candidates",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
-    "dedup_pipeline_canonical", "dedup_connected_components",
-    # LLM-pipeline: similarity search
-    "similarity_neardup_pairs", "similarity_ivf_topk",
-    "similarity_lsh_candidate_pairs",
-    # LLM-pipeline: text analysis / clustering
-    "text_quality", "text_fingerprint", "text_tfidf_topk",
-    "clustering_kmeans_assign",
-    # semantic dedup / fuzzy match / mixing
-    "dedup_semantic_canonical", "dedup_levenshtein_pairs",
-    "curation_embedding_decontaminate", "curation_source_mix",
-    # behavioral event-sequence analytics
-    "events_funnel", "events_retention_cohort",
-    "events_transition_matrix", "events_anomaly_zscore",
-    # mergeable sketches / semi-structured
+    "dedup_simhash", "dedup_simhash_pairs", "dedup_pipeline_canonical",
+    "dedup_connected_components",
+    # similarity / text / semantic
+    "similarity_ivf_topk", "text_quality", "text_tfidf_topk",
+    "dedup_semantic_canonical",
+    # --- r4 first-time rotation (never driver-checked before) ---------
+    # cast-fixed sibling fingerprint oracles (r3 verdict #3 evidence)
+    "similarity_lsh_signature", "dedup_pair_features",
+    "embedding_label_propagation", "embedding_hard_negatives",
+    "embedding_ring_negatives",
+    # behavior analytics
+    "events_funnel", "events_retention_cohort", "events_transition_matrix",
+    # sketches / semi-structured / CEP
     "sketch_bloom_membership", "sketch_histogram_quantiles",
-    "events_json_props", "events_pattern_followed_by",
-    # analytics spine
-    "tpch_q1_pricing_summary", "window_running_total",
+    "sketch_kmv_distinct", "events_json_props", "events_pattern_followed_by",
+    # sessionization rollup (r3 ADVICE boundary alignment evidence)
+    "events_session_stats",
+    # dedup scale paths + curation pipelines
+    "dedup_prefix_join", "dedup_incremental_batch",
+    "curation_clean_pipeline", "curation_leakproof_split",
+    # text / multimodal
+    "text_bpe_merges", "text_langid", "multimodal_features",
+    # joins / windows / TPC-H spine
+    "asof_nearest_event", "window_ntile_distribution",
+    "tpch_q9_product_type_profit",
 ]
 
 

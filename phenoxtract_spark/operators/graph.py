@@ -92,8 +92,10 @@ def hierarchy_resolve(nodes: DataFrame, id_col: str, parent_col: str,
                       rounds: int = 5) -> DataFrame:
     """Resolve every node of a parent-pointer forest to its root and depth
     by POINTER DOUBLING: each round a node jumps to its current ancestor's
-    ancestor, so resolved depth doubles per round — ``rounds`` = 5 covers
-    depth 2³² forests, vs one-round-per-level naive walking.  Parent id 0
+    ancestor, so resolved depth doubles per round — depth ≤ 2^rounds, i.e.
+    the default ``rounds=5`` covers depth-32 forests and 32 rounds would be
+    needed for depth 2³² (size ``rounds`` as ⌈log₂(max depth)⌉; the runtime
+    warning fires on unresolved nodes).  Parent id 0
     (or null) marks a root's parent.  Returns (id, root_id, depth).
 
     Scale: each round is ONE self-join of the narrow (id, anc, d, root)

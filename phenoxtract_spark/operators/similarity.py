@@ -348,7 +348,15 @@ def ring_negatives(df: DataFrame, id_col: str = "vec_id",
     Scale: rings are per-shard (pack_sequences-style), so the only window
     sort is within a shard — no global ordering — and the neighbor lookup
     is an equi-join on (shard, position).  Cost is one shuffle + k rows
-    per anchor."""
+    per anchor.
+
+    Wrap behavior: on a shard with ``cnt <= k`` members the ring wraps, so
+    an anchor's k negatives can repeat the same neg_id at different
+    neg_rank, and a singleton shard yields ZERO negatives for its anchor
+    (the only ring neighbor is itself, which is excluded).  The DuckDB
+    oracle wraps identically, so parity holds — but consumers needing k
+    DISTINCT negatives per anchor must deduplicate on (anchor_id, neg_id)
+    or size ``shards`` so every shard comfortably exceeds k+1 members."""
     from pyspark.sql.window import Window
 
     h = F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string")))

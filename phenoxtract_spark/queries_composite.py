@@ -171,7 +171,7 @@ def dedup_cc(spark, sf_dir):
     ),
     sh AS (
       SELECT doc_id AS id,
-             sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+             CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
       FROM votes GROUP BY 1
     )
     SELECT a.id AS id_a, b.id AS id_b,
@@ -496,7 +496,7 @@ def dedup_cluster_size_histogram(spark, sf_dir):
     ),
     sfp AS (
       SELECT doc_id,
-             sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS fp
+             CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS fp
       FROM svotes GROUP BY 1
     ),
     lens AS (SELECT doc_id, n_chars FROM documents)

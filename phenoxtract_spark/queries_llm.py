@@ -428,7 +428,7 @@ def embedding_ring_negatives(spark, sf_dir):
     ),
     sig AS (
       SELECT vec_id AS id,
-             sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS sig
+             CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS sig
       FROM pd GROUP BY vec_id
     ),
     mask AS (
@@ -522,7 +522,7 @@ def embedding_label_propagation(spark, sf_dir):
     ),
     sig AS (
       SELECT vec_id AS id,
-             sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS sig
+             CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS sig
       FROM pd GROUP BY 1
     ),
     n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM vx GROUP BY 1),

@@ -75,10 +75,13 @@ def events_sliding(spark, sf_dir):
     "events_sessionize",
     """
     WITH o AS (
+      -- gap >= threshold opens a new session: Spark's session_window merges
+      -- only on STRICT overlap of [start, start+gap) windows, so an exactly-
+      -- 30-minute gap splits there and must split here too (r3 ADVICE).
       SELECT user_id, CAST(ts AS TIMESTAMP) AS tsx,
              CASE WHEN CAST(ts AS TIMESTAMP)
                        - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
-                       > INTERVAL '30 minutes' OR
+                       >= INTERVAL '30 minutes' OR
                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -262,7 +265,7 @@ def dedup_jaccard(spark, sf_dir):
       FROM bits GROUP BY 1, 2
     )
     SELECT doc_id AS id,
-           sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
     FROM votes GROUP BY 1
     """,
 )
@@ -389,7 +392,7 @@ _PLANES_SQL = """
     ),
     sig AS (
       SELECT vec_id AS id,
-             sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS sig
+             CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS sig
       FROM pd GROUP BY vec_id
     )
 """
@@ -1220,10 +1223,13 @@ def events_scd2_versions(spark, sf_dir):
     "events_session_stats",
     """
     WITH o AS (
+      -- gap >= threshold opens a new session: Spark's session_window merges
+      -- only on STRICT overlap of [start, start+gap) windows, so an exactly-
+      -- 30-minute gap splits there and must split here too (r3 ADVICE).
       SELECT user_id, CAST(ts AS TIMESTAMP) AS tsx,
              CASE WHEN CAST(ts AS TIMESTAMP)
                        - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
-                       > INTERVAL '30 minutes' OR
+                       >= INTERVAL '30 minutes' OR
                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events

@@ -1,0 +1,107 @@
+"""Self-test for the integer-exact correctness harness (round-4 hardening).
+
+Round 3 shipped a red driver row (``dedup_simhash``) because the DuckDB
+oracle's ``sum(1::BIGINT << bit)`` returned HUGEINT, which ``fetchdf()``
+renders as float64 — destroying the low bits of 60-bit fingerprints above
+2^53 — while the local gate coerced BOTH sides to float64 and so rounded
+identically, masking the corruption.  These tests pin the hardened
+behavior of ``tools/check_correctness.compare``:
+
+1. perturbing one low bit of a >2^53 integer MUST fail the compare;
+2. an int64 column paired with a float64 column that lost precision
+   upstream MUST fail (the exact shipped-bug shape);
+3. the uncast HUGEINT simhash-oracle idiom MUST fail against its own
+   CAST(... AS BIGINT) twin when run through DuckDB + the harness;
+4. legitimate equal integers (including >2^53) and float columns keep
+   passing.
+"""
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from check_correctness import compare  # noqa: E402
+
+BIG = (1 << 60) | 1  # 60-bit fingerprint with a low bit set: not float64-exact
+
+
+def test_low_bit_perturbation_above_2_53_fails():
+    a = pd.DataFrame({"id": [1, 2], "fp": pd.array([BIG, BIG], dtype="int64")})
+    b = pd.DataFrame({"id": [1, 2], "fp": pd.array([BIG, BIG ^ 1], dtype="int64")})
+    assert compare("perturb", a, b), "one-low-bit flip above 2^53 must FAIL"
+
+
+def test_int_vs_float64_precision_loss_fails():
+    # the r3 shape: Spark exact int64, oracle HUGEINT -> fetchdf float64
+    a = pd.DataFrame({"fp": pd.array([BIG], dtype="int64")})
+    b = pd.DataFrame({"fp": [float(BIG)]})  # float64(BIG) == 2^60, low bit gone
+    assert compare("floatloss", a, b), "float64-rounded >2^53 int must FAIL"
+
+
+def test_uncast_hugeint_oracle_idiom_fails_against_cast_twin():
+    con = duckdb.connect()
+    # 500 synthetic 60-bit fingerprints assembled bit-by-bit, like the
+    # simhash oracle: sum(1::BIGINT << bit) over 60 rows -> HUGEINT.
+    base = """
+        WITH docs AS (SELECT unnest(generate_series(1, 500)) AS id),
+        bits AS (
+          SELECT id, b.bit,
+                 ('0x' || substr(md5(id::VARCHAR || '-' || b.bit::VARCHAR), 1, 1))::BIGINT % 2 AS v
+          FROM docs, (SELECT unnest(generate_series(0, 59)) AS bit) b
+        )
+        SELECT id, {expr} AS fp FROM bits GROUP BY id
+    """
+    raw = "sum(CASE WHEN v = 1 THEN (1::BIGINT << bit) ELSE 0 END)"
+    uncast = con.execute(base.format(expr=raw)).fetchdf()
+    cast = con.execute(base.format(expr=f"CAST({raw} AS BIGINT)")).fetchdf()
+    assert str(uncast["fp"].dtype) == "float64", "fetchdf must render HUGEINT as float64"
+    assert pd.api.types.is_integer_dtype(cast["fp"]), "cast twin must stay integer"
+    assert (cast["fp"] > 2**53).any(), "fixture must exercise the >2^53 range"
+    assert compare("hugeint", cast, uncast), (
+        "the uncast HUGEINT idiom must FAIL the hardened compare"
+    )
+    # and the cast twin agrees with itself, integer-exact
+    assert not compare("hugeint_ok", cast, cast.copy())
+
+
+def test_equal_big_integers_pass():
+    a = pd.DataFrame({"fp": pd.array([BIG, 7, None], dtype="Int64")})
+    b = pd.DataFrame({"fp": pd.array([BIG, 7, None], dtype="Int64")})
+    assert not compare("equal", a, b)
+
+
+def test_int32_vs_int64_same_values_pass():
+    a = pd.DataFrame({"n": pd.array([1, 2], dtype="int32")})
+    b = pd.DataFrame({"n": pd.array([1, 2], dtype="int64")})
+    assert not compare("widths", a, b)
+
+
+def test_float_columns_still_compare_as_floats():
+    a = pd.DataFrame({"x": [0.5, 1.25]})
+    b = pd.DataFrame({"x": [0.5, 1.25]})
+    assert not compare("floats", a, b)
+    c = pd.DataFrame({"x": [0.5, 1.5]})
+    assert compare("floats_neq", a, c)
+
+
+def test_int_vs_nonintegral_float_fails():
+    a = pd.DataFrame({"n": pd.array([1], dtype="int64")})
+    b = pd.DataFrame({"n": [0.5]})
+    assert compare("nonintegral", a, b)
+
+
+def test_repo_has_no_uncast_fingerprint_sums():
+    """Verdict item 3: no oracle may build fingerprints with an uncast
+    ``sum(1::BIGINT << ...)`` — every site must wrap in CAST(... AS BIGINT)."""
+    pkg = Path(__file__).resolve().parent.parent / "phenoxtract_spark"
+    offenders = []
+    for py in sorted(pkg.rglob("*.py")):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if "1::BIGINT <<" in line and "CAST(sum" not in line:
+                offenders.append(f"{py.name}:{i}")
+    assert not offenders, f"uncast fingerprint sums: {offenders}"

@@ -65,6 +65,27 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         return problems
     for c in a.columns:
         av, bv = a[c], b[c]
+        # Integer-exact path (round-4 hardening): when either engine
+        # delivered an integer-typed column, NEVER compare through float64
+        # — values above 2^53 silently round identically on both sides and
+        # mask real mismatches (the r3 dedup_simhash HUGEINT bug).  If the
+        # other side arrived as float (e.g. DuckDB HUGEINT via fetchdf),
+        # the precision it already lost surfaces here as an exact FAIL.
+        if pd.api.types.is_integer_dtype(av) or pd.api.types.is_integer_dtype(bv):
+            try:
+                an, bn = av.astype("Int64"), bv.astype("Int64")
+            except (ValueError, TypeError):
+                an = bn = None  # non-integral floats: genuine value mismatch
+            if an is not None:
+                eq = (an == bn) | (an.isna() & bn.isna())
+                nbad = int((~eq).sum())
+                if nbad:
+                    idx = (~eq).idxmax()
+                    problems.append(
+                        f"col {c}: {nbad} integer-exact mismatches "
+                        f"e.g. {an[idx]!r} vs {bn[idx]!r}"
+                    )
+                continue
         try:
             an = pd.to_numeric(av, errors="raise").astype("float64")
             bn = pd.to_numeric(bv, errors="raise").astype("float64")
