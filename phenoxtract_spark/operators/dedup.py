@@ -115,15 +115,37 @@ def lsh_bands(sig: DataFrame, rows_per_band: int = 4) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(
+    bands: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
     """Self-join bands on (band, band_key) → distinct candidate pairs a<b.
     The join key includes the band index so buckets never cross bands.
 
     The bands relation (n × n_bands narrow rows) feeds BOTH join sides;
     it materializes once so the minhash subtree behind it (shingle
     explode + per-seed min aggregates) can never re-execute when AQE
-    breaks exchange reuse."""
+    breaks exchange reuse.
+
+    ``max_bucket`` is the 100 TB safety valve: a bucket of m docs emits
+    m·(m-1)/2 pairs, so one degenerate key (empty docs, boilerplate) can
+    go quadratic on its own.  With a cap, buckets larger than
+    ``max_bucket`` are EXCLUDED from pair formation — near-dup relations
+    inside them are better recovered by exact-digest dedup (degenerate
+    buckets are usually exact-dup families) or a re-banded second pass.
+    Dropped buckets are observable via :func:`lsh_bucket_overflow`; cap
+    OFF by default so small-scale results stay exact/oracle-checkable."""
     bands = bands.localCheckpoint(eager=True)
+    if max_bucket is not None:
+        # one extra narrow agg on the already-materialized bands relation;
+        # broadcast-friendly (overflowing keys are few by construction)
+        sizes = bands.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("_bucket_n")
+        )
+        bands = (
+            bands.join(sizes, ["band", "band_key"])
+            .filter(F.col("_bucket_n") <= max_bucket)
+            .drop("_bucket_n")
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -131,6 +153,22 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+
+
+def lsh_bucket_overflow(bands: DataFrame, max_bucket: int) -> DataFrame:
+    """Explicit overflow report for the ``max_bucket`` cap: every bucket
+    :func:`lsh_candidate_pairs` would drop, as (band, band_key,
+    bucket_size, example_ids) with up to 5 member ids for triage.  Run it
+    alongside a capped pair build so truncation is REPORTED, never silent
+    — a capped pipeline's output contract is pairs + this relation."""
+    return (
+        bands.groupBy("band", "band_key")
+        .agg(
+            F.count(F.lit(1)).alias("bucket_size"),
+            F.slice(F.array_sort(F.collect_list("id")), 1, 5).alias("example_ids"),
+        )
+        .filter(F.col("bucket_size") > max_bucket)
     )
 
 

@@ -37,6 +37,39 @@ def test_minhash_near_dup_scores_high(docs):
     assert (1, 4) not in pairs and (2, 4) not in pairs
 
 
+def test_lsh_max_bucket_cap_drops_degenerate_buckets(spark):
+    # 6 identical docs -> every band key collides -> one bucket of 6 per
+    # band -> 15 pairs uncapped.  With max_bucket=5 the degenerate bucket
+    # is excluded and the overflow report names it; the distinct pair
+    # (7, 8) in its own small bucket must survive the cap.
+    rows = [(i, "same same same text") for i in range(1, 7)]
+    rows += [(7, "another doc entirely here"), (8, "another doc entirely here")]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sig = dedup.minhash_signature(d, "doc_id", "text", num_hashes=4, k=2)
+    bands = dedup.lsh_bands(sig, rows_per_band=2)
+
+    uncapped = {(r["id_a"], r["id_b"]) for r in dedup.lsh_candidate_pairs(bands).collect()}
+    assert (1, 2) in uncapped and (7, 8) in uncapped
+
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(bands, max_bucket=5).collect()
+    }
+    assert (7, 8) in capped  # small buckets untouched
+    assert not any(a <= 6 and b <= 6 for a, b in capped)  # degenerate family dropped
+
+    overflow = dedup.lsh_bucket_overflow(bands, max_bucket=5).collect()
+    assert overflow and all(r["bucket_size"] == 6 for r in overflow)
+    assert all(set(r["example_ids"]) <= {1, 2, 3, 4, 5, 6} for r in overflow)
+    assert all(len(r["example_ids"]) == 5 for r in overflow)
+
+    # cap larger than every bucket == exact behavior
+    assert {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(bands, max_bucket=100).collect()
+    } == uncapped
+
+
 def test_jaccard_pairs(docs):
     out = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=2, threshold=0.5)
     rows = {(r["id_a"], r["id_b"]): r["jacc"] for r in out.collect()}
