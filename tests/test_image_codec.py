@@ -1,0 +1,100 @@
+"""Unit tests for the pure-stdlib BMP/PPM codec (round 4) — the unstubbed
+image path behind ``multimodal_image_roundtrip``."""
+
+import hashlib
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from phenoxtract_spark.operators import multimodal as mm
+
+
+@pytest.mark.parametrize("w,h", [(3, 2), (24, 16), (5, 7), (1, 1), (4, 1)])
+def test_bmp_roundtrip(w, h):
+    # (3,2) and (5,7) exercise row padding; (24,16) is the registered shape
+    rgb = mm.md5_keystream(f"seed-{w}x{h}", w * h * 3)
+    w2, h2, rgb2 = mm.decode_bmp(mm.encode_bmp(w, h, rgb))
+    assert (w2, h2, rgb2) == (w, h, rgb)
+
+
+def test_bmp_top_down_layout():
+    # negative height = top-down rows per the BMP spec
+    import struct
+
+    rgb = mm.md5_keystream("td", 4 * 2 * 3)
+    bmp = bytearray(mm.encode_bmp(4, 2, rgb))
+    # flip to top-down: negate height and swap the two stored rows
+    struct.pack_into("<i", bmp, 22, -2)
+    row = 4 * 3  # no padding at w=4
+    off = struct.unpack_from("<I", bmp, 10)[0]
+    bmp[off : off + row], bmp[off + row : off + 2 * row] = (
+        bmp[off + row : off + 2 * row],
+        bmp[off : off + row],
+    )
+    assert mm.decode_bmp(bytes(bmp)) == (4, 2, rgb)
+
+
+def test_bmp_rejects_non_bmp_and_unsupported():
+    with pytest.raises(ValueError):
+        mm.decode_bmp(b"nope")
+    bad = bytearray(mm.encode_bmp(2, 2, bytes(12)))
+    bad[28] = 8  # 8bpp
+    with pytest.raises(ValueError):
+        mm.decode_bmp(bytes(bad))
+
+
+def test_ppm_roundtrip_with_comments():
+    rgb = mm.md5_keystream("ppm", 3 * 2 * 3)
+    payload = b"P6\n# comment line\n 3  2 # trailing\n255\n" + rgb
+    assert mm.decode_ppm(payload) == (3, 2, rgb)
+    assert mm.decode_image(payload) == (3, 2, rgb)
+    with pytest.raises(ValueError):
+        mm.decode_ppm(b"P5\n1 1\n255\n\x00")
+
+
+def test_nn_resize_matches_floor_mapping():
+    w, h, ow, oh = 24, 16, 8, 8
+    rgb = mm.md5_keystream("abc", w * h * 3)
+    small = mm.nn_resize(w, h, rgb, ow, oh)
+    assert len(small) == ow * oh * 3
+    for r in (0, 3, 7):
+        for c in (0, 5):
+            for k in range(3):
+                src = ((r * h // oh) * w + (c * w // ow)) * 3 + k
+                assert small[(r * ow + c) * 3 + k] == rgb[src]
+    # identity resize is a no-op
+    assert mm.nn_resize(w, h, rgb, w, h) == rgb
+
+
+def test_keystream_duckdb_parity():
+    import duckdb
+
+    seed = hashlib.md5(b"hello world").hexdigest()
+    ks = mm.md5_keystream(seed, 48)
+    con = duckdb.connect()
+    for pos in (0, 15, 16, 37, 47):
+        v = con.execute(
+            f"SELECT ('0x' || substr(md5('{seed}-' || CAST({pos}//16 AS VARCHAR)),"
+            f" ({pos}%16)*2+1, 2))::BIGINT"
+        ).fetchone()[0]
+        assert v == ks[pos]
+
+
+def test_image_roundtrip_stats_spark(spark):
+    df = spark.createDataFrame(
+        [(1, "first doc"), (2, "second doc")], "doc_id bigint, text string"
+    )
+    media = mm.synthetic_bmp_media(df, "doc_id", "text", width=24, height=16)
+    rows = {r["media_id"]: r for r in mm.image_roundtrip_stats(media, 8, 8).collect()}
+    assert set(rows) == {1, 2}
+    for doc_id, text in [(1, "first doc"), (2, "second doc")]:
+        seed = hashlib.md5(text.encode()).hexdigest()
+        rgb = mm.md5_keystream(seed, 24 * 16 * 3)
+        small = mm.nn_resize(24, 16, rgb, 8, 8)
+        expect = [sum(small[k::3]) for k in range(3)]
+        r = rows[doc_id]
+        assert (r["src_w"], r["src_h"], r["out_w"], r["out_h"]) == (24, 16, 8, 8)
+        assert [r["sum_r"], r["sum_g"], r["sum_b"]] == expect
