@@ -193,6 +193,19 @@ def main():
             g0 = time.time()
             sf1_dir = generate(src_dir=sf_dir)
             gen_sec = round(time.time() - g0, 3)
+            # r4: probe in a FRESH session — after 54 headline executions the
+            # old JVM's accumulated state (codegen cache, GC pressure) was
+            # measured inflating late sf1 numbers up to ~2.5x vs fresh-JVM
+            # isolation; a clean session makes the ratios reproducible.
+            spark.stop()
+            spark = get_spark(app_name="phenoxtract-bench-sf1")
+            spark.sparkContext.setLogLevel("ERROR")
+            spark.range(1000).count()
+            if os.path.isdir(warm_dir):
+                w = spark.read.parquet(os.path.join(warm_dir, "region.parquet"))
+                w.groupBy(w.columns[0]).count().write.format("noop").mode(
+                    "overwrite"
+                ).save()
             sf1_results: dict[str, float] = {}
             for name in SF1_PROBE:
                 if name not in qs:
