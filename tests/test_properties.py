@@ -257,3 +257,29 @@ def test_bpe_merges_match_python_reference(spark, texts):
         .collect()
     ]
     assert got == _ref_bpe(texts, 2)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=13),
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=6),
+    st.text(min_size=0, max_size=12),
+)
+def test_bmp_codec_roundtrip_and_resize_reference(w, h, ow, oh, seed):
+    """Pure-Python properties of the stdlib image codec (no Spark job):
+    BMP encode→decode is the identity for every (w, h) — including every
+    row-padding residue — and nn_resize equals the brute-force floor-map
+    reference for every source/target shape."""
+    from phenoxtract_spark.operators import multimodal as mm
+
+    rgb = mm.md5_keystream(seed, w * h * 3)
+    assert mm.decode_bmp(mm.encode_bmp(w, h, rgb)) == (w, h, rgb)
+    small = mm.nn_resize(w, h, rgb, ow, oh)
+    assert len(small) == ow * oh * 3
+    for r in range(oh):
+        for c in range(ow):
+            for k in range(3):
+                src = ((r * h // oh) * w + (c * w // ow)) * 3 + k
+                assert small[(r * ow + c) * 3 + k] == rgb[src]
