@@ -6,7 +6,12 @@ comparison (order-insensitive; columns sorted by name, rows sorted by all
 columns).  Exact equality is the target — queries are written so both
 engines produce bit-identical values (doubles rounded in-query).
 
-Usage: python tools/check_correctness.py [query ...]
+Usage: python tools/check_correctness.py [--vanilla] [query ...]
+
+``--vanilla`` builds a PLAIN SparkSession exactly like the external driver
+does (no engine confs) instead of ``get_spark`` — any query that silently
+depends on a session conf (e.g. nanosAsLong for the NTZ events parquet)
+fails here before it fails in the driver.
 """
 
 from __future__ import annotations
@@ -114,8 +119,19 @@ def main():
     import __spark_entry__ as ent
     from phenoxtract_spark import get_spark
 
-    only = set(sys.argv[1:])
-    spark = get_spark(shuffle_partitions=16)
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    only = {a for a in args if a != "--vanilla"}
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[*]")
+            .appName("check-correctness-vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connect(SF_DIR)
     qs, oracles = ent.queries(), ent.oracle_sql()
