@@ -50,6 +50,11 @@ EXPECTATIONS = [
     # dimension joins must broadcast, not sort-merge
     ("c14_date_diff_iso", 1, 1, 0),
     ("text_tfidf_topk", 3, 1, 0),
+    # r4: unstubbed image pipeline is a pure mapInPandas chain — no shuffle
+    ("multimodal_image_roundtrip", 0, 0, 0),
+    # r4: exact similarity join post-checkpoint — pair join + verify only,
+    # never a cartesian (length filter lives inside the equi-join)
+    ("dedup_prefix_join", 4, 2, 2),
 ]
 
 
