@@ -161,12 +161,25 @@ def lsh_bucket_overflow(bands: DataFrame, max_bucket: int) -> DataFrame:
     :func:`lsh_candidate_pairs` would drop, as (band, band_key,
     bucket_size, example_ids) with up to 5 member ids for triage.  Run it
     alongside a capped pair build so truncation is REPORTED, never silent
-    — a capped pipeline's output contract is pairs + this relation."""
+    — a capped pipeline's output contract is pairs + this relation.
+
+    Scale: a degenerate bucket is by definition huge, so the example ids
+    are rank-bounded BEFORE any collect — ``collect_list`` only ever sees
+    ≤ 5 rows per bucket (never the full million-member bucket in one
+    aggregation buffer)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "band_key").orderBy("id")
+    ranked = bands.select(
+        "band", "band_key", "id", F.row_number().over(w).alias("_rk")
+    )
     return (
-        bands.groupBy("band", "band_key")
+        ranked.groupBy("band", "band_key")
         .agg(
             F.count(F.lit(1)).alias("bucket_size"),
-            F.slice(F.array_sort(F.collect_list("id")), 1, 5).alias("example_ids"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("_rk") <= 5, F.col("id")))
+            ).alias("example_ids"),
         )
         .filter(F.col("bucket_size") > max_bucket)
     )
