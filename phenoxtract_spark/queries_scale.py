@@ -197,6 +197,45 @@ def dedup_lsh(spark, sf_dir):
 
 
 @q(
+    "dedup_lsh_capped",
+    f"""
+    WITH {_SHINGLES3},
+    seeded AS (
+      SELECT doc_id, s.seed, md5(CAST(s.seed AS VARCHAR) || '|' || sh) AS h
+      FROM sh, (SELECT unnest(generate_series(0, 3)) AS seed) s
+    ),
+    sig AS (SELECT doc_id AS id, seed, min(h) AS minhash FROM seeded GROUP BY 1, 2),
+    bands AS (
+      SELECT id, seed // 2 AS band,
+             md5(array_to_string(list_sort(list(CAST(seed AS VARCHAR) || ':' || minhash)), '|')) AS band_key
+      FROM sig GROUP BY id, seed // 2
+    ),
+    bsize AS (SELECT band, band_key, count(*) AS n FROM bands GROUP BY 1, 2),
+    kept AS (
+      SELECT b.id, b.band, b.band_key
+      FROM bands b JOIN bsize s ON b.band = s.band AND b.band_key = s.band_key
+      WHERE s.n <= 2
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM kept a JOIN kept b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+    """,
+)
+def dedup_lsh_capped(spark, sf_dir):
+    """The per-bucket-cap scale valve (round 4), oracle-checked: identical
+    LSH geometry to ``dedup_lsh_candidates`` but buckets above
+    ``max_bucket=2`` members are excluded from pair formation — at sf0.01
+    this drops the two size-3 buckets, so the result verifiably differs
+    from the uncapped query (the cap BITES, it is not a no-op); dropped
+    buckets surface via ``dedup.lsh_bucket_overflow``.  At 100 TB the cap
+    bounds the worst bucket's m²/2 pair blowout (boilerplate/empty-doc
+    families), whose members exact-digest dedup recovers cheaper."""
+    d = read_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(d, "doc_id", "text", num_hashes=4, k=3)
+    bands = dedup.lsh_bands(sig, rows_per_band=2)
+    return dedup.lsh_candidate_pairs(bands, max_bucket=2)
+
+
+@q(
     "dedup_ngram_jaccard",
     f"""
     WITH {_SHINGLES3},
