@@ -206,7 +206,7 @@ def main():
                 w.groupBy(w.columns[0]).count().write.format("noop").mode(
                     "overwrite"
                 ).save()
-            sf1_results: dict[str, float] = {}
+            sf1_results: dict[str, float | str] = {}  # "ERR" on failure
             for name in SF1_PROBE:
                 if name not in qs:
                     continue
