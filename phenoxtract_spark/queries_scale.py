@@ -705,6 +705,84 @@ def mm_image_roundtrip(spark, sf_dir):
 
 
 @q(
+    "multimodal_wav_energy",
+    """
+    WITH docs AS (SELECT doc_id, md5(text) AS seed FROM documents),
+    idx AS (SELECT unnest(generate_series(0, 511)) AS i),
+    samp AS (
+      SELECT doc_id, i,
+             ('0x' || substr(md5(seed || '-' || CAST((2 * i) // 16 AS VARCHAR)),
+                             ((2 * i) % 16) * 2 + 1, 2))::BIGINT
+             + 256 * ('0x' || substr(md5(seed || '-' || CAST((2 * i + 1) // 16 AS VARCHAR)),
+                                     ((2 * i + 1) % 16) * 2 + 1, 2))::BIGINT AS u
+      FROM docs, idx
+    ),
+    x AS (SELECT doc_id, i,
+                 CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+          FROM samp)
+    SELECT doc_id AS media_id,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           CAST(i // 256 AS BIGINT) AS frame_idx,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(v * v) AS BIGINT) AS sumsq
+    FROM x GROUP BY doc_id, i // 256
+    """,
+)
+def mm_wav_energy(spark, sf_dir):
+    """UNSTUBBED audio path (round 4, the WAV twin of
+    ``multimodal_image_roundtrip``): documents seed 512 PCM16 samples that
+    are encoded as REAL RIFF/WAVE files; the registered pipeline runs the
+    actual stdlib parser (chunk walk, fmt/data extraction) and frames the
+    samples, returning exact per-frame integer energy Σx².  The oracle
+    recomputes the energies arithmetically from the keystream — a value
+    match proves the whole encode → parse → frame chain bit-exact.
+    Compressed audio (mp3/aac/opus) remains stubbed."""
+    d = read_table(spark, sf_dir, "documents")
+    media = multimodal.synthetic_wav_media(d, "doc_id", "text", n_samples=512)
+    return multimodal.wav_frame_energy(media, frame_samples=256)
+
+
+@q(
+    "multimodal_y4m_luma",
+    """
+    WITH docs AS (SELECT doc_id, md5(text) AS seed FROM documents),
+    fr AS (SELECT unnest([0, 2, 4]) AS f),
+    px AS (SELECT unnest(generate_series(0, 127)) AS j),
+    samples AS (
+      SELECT doc_id, seed, f, f * 384 + j AS pos
+      FROM docs, fr, px
+    ),
+    vals AS (
+      SELECT doc_id, f,
+             ('0x' || substr(md5(seed || '-' || CAST(pos // 16 AS VARCHAR)),
+                             (pos % 16) * 2 + 1, 2))::BIGINT AS v
+      FROM samples
+    )
+    SELECT doc_id AS media_id,
+           CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(sum(v) AS BIGINT) AS luma_sum
+    FROM vals GROUP BY doc_id, f
+    """,
+)
+def mm_y4m_luma(spark, sf_dir):
+    """UNSTUBBED video path (round 4, completing the modality set with
+    ``multimodal_image_roundtrip`` and ``multimodal_wav_energy``):
+    documents seed 6 C444 frames (16x8) encoded as REAL YUV4MPEG2
+    streams; the registered pipeline runs the actual stdlib parser
+    (tagged stream header, FRAME-marker walk) and samples every 2nd
+    frame, returning exact integer luma-plane sums.  The oracle
+    recomputes the sums arithmetically from the keystream: frame f's Y
+    plane occupies keystream positions [f*384, f*384+128).  Compressed
+    video (h264/vp9/av1) remains stubbed."""
+    d = read_table(spark, sf_dir, "documents")
+    media = multimodal.synthetic_y4m_media(
+        d, "doc_id", "text", width=16, height=8, n_frames=6
+    )
+    return multimodal.y4m_luma_stats(media, stride=2)
+
+
+@q(
     "similarity_ivf_nprobe_topk",
     """
     WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),

@@ -98,3 +98,93 @@ def test_image_roundtrip_stats_spark(spark):
         r = rows[doc_id]
         assert (r["src_w"], r["src_h"], r["out_w"], r["out_h"]) == (24, 16, 8, 8)
         assert [r["sum_r"], r["sum_g"], r["sum_b"]] == expect
+
+
+# --- WAV (RIFF/PCM16) ------------------------------------------------------
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    pcm = mm.md5_keystream("wav", 1024)
+    wav = mm.encode_wav(pcm, sample_rate=8000)
+    assert mm.decode_wav(wav) == (8000, 1, pcm)
+    # extra chunk before data must be skipped by the chunk walk
+    import struct
+
+    head, rest = wav[:12], wav[12:]
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    assert mm.decode_wav(head + extra + rest) == (8000, 1, pcm)
+    # odd-sized chunks are word-aligned
+    odd = b"junk" + struct.pack("<I", 3) + b"abc\x00"
+    assert mm.decode_wav(head + odd + rest) == (8000, 1, pcm)
+
+
+def test_wav_rejects_non_pcm16():
+    import struct
+
+    wav = bytearray(mm.encode_wav(mm.md5_keystream("x", 64)))
+    struct.pack_into("<H", wav, 12 + 8, 3)  # fmt code 3 = IEEE float
+    with pytest.raises(ValueError):
+        mm.decode_wav(bytes(wav))
+    with pytest.raises(ValueError):
+        mm.decode_wav(b"RIFFxxxxNOPE")
+
+
+def test_wav_frame_energy_spark(spark):
+    import numpy as np
+
+    df = spark.createDataFrame([(1, "audio doc")], "doc_id bigint, text string")
+    media = mm.synthetic_wav_media(df, "doc_id", "text", n_samples=512)
+    rows = sorted(
+        mm.wav_frame_energy(media, frame_samples=256).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 1]
+    assert all(r["n_samples"] == 256 and r["sample_rate"] == 16000 for r in rows)
+    import hashlib
+
+    seed = hashlib.md5(b"audio doc").hexdigest()
+    x = np.frombuffer(mm.md5_keystream(seed, 1024), dtype="<i2").astype(np.int64)
+    for r in rows:
+        fr = x[r["frame_idx"] * 256 : (r["frame_idx"] + 1) * 256]
+        assert r["sumsq"] == int((fr * fr).sum())
+
+
+# --- Y4M (YUV4MPEG2 C444) --------------------------------------------------
+
+
+def test_y4m_roundtrip_and_frame_params():
+    w, h, nf = 6, 4, 3
+    fb = 3 * w * h
+    ks = mm.md5_keystream("vid", nf * fb)
+    frames = [ks[i * fb : (i + 1) * fb] for i in range(nf)]
+    y4m = mm.encode_y4m(w, h, frames)
+    assert mm.decode_y4m(y4m) == (w, h, frames)
+    # frame-level params after FRAME are allowed and skipped
+    with_params = y4m.replace(b"FRAME\n", b"FRAME Ip\n", 1)
+    assert mm.decode_y4m(with_params) == (w, h, frames)
+
+
+def test_y4m_rejects_subsampled_and_corrupt():
+    ks = mm.md5_keystream("v", 3 * 4 * 2)
+    y4m = mm.encode_y4m(4, 2, [ks])
+    with pytest.raises(ValueError):
+        mm.decode_y4m(y4m.replace(b"C444", b"C420jpeg"))
+    with pytest.raises(ValueError):
+        mm.decode_y4m(y4m[:-5])  # truncated frame
+    with pytest.raises(ValueError):
+        mm.decode_y4m(b"MPEG4 nope\n")
+
+
+def test_y4m_luma_stats_spark(spark):
+    df = spark.createDataFrame([(7, "video doc")], "doc_id bigint, text string")
+    media = mm.synthetic_y4m_media(df, "doc_id", "text", width=16, height=8, n_frames=6)
+    rows = sorted(
+        mm.y4m_luma_stats(media, stride=2).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+    import hashlib
+
+    seed = hashlib.md5(b"video doc").hexdigest()
+    ks = mm.md5_keystream(seed, 6 * 384)
+    for r in rows:
+        assert r["luma_sum"] == sum(ks[r["frame_idx"] * 384 : r["frame_idx"] * 384 + 128])
