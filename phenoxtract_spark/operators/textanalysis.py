@@ -367,3 +367,41 @@ def bpe_merges(df: DataFrame, text_col: str, rounds: int = 3) -> DataFrame:
     return spark.createDataFrame(
         out, "merge_round int, sym_a string, sym_b string, pair_count bigint"
     )
+
+
+def bpe_apply_token_counts(df: DataFrame, id_col: str, text_col: str,
+                           merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply a learned BPE merge table and count the resulting tokens per
+    document — the tokenizer-APPLICATION half of BPE (:func:`bpe_merges`
+    is the training half): the op a pipeline runs to cost a corpus in
+    tokens, pack sequences, or enforce token budgets.
+
+    Encoding trick that keeps everything a built-in expression chain (no
+    Python tokenizer loop): every non-space character is wrapped as
+    ``(c)``, so a merge of pair (a, b) is the plain string replacement
+    ``(a)(b) → (ab)`` — token boundaries make cross-token false matches
+    impossible (the wrapped form of "xa","b" is ``(xa)(b)``, which never
+    contains ``(a)(b)``), bare spaces block cross-word merges, and
+    replace-all per merge IS standard BPE application (each merge rewrites
+    every occurrence before the next applies).  Token count = count of
+    ``(`` in the final form.  Identical `replace` semantics exist in
+    DuckDB, so the op is oracle-checkable byte-for-byte.
+
+    Scale: one narrow projection per document — zero shuffles, zero UDFs,
+    whole-stage-codegen'd string kernels; the merge table (vocabulary-
+    sized, thousands at most) is compiled into the expression, the
+    Spark-side analogue of broadcasting the tokenizer to every executor.
+    Returns (id, n_tokens, n_chars)."""
+    from ..operators.dedup import normalized_text
+
+    s = F.regexp_replace(normalized_text(text_col), r"([^ ])", r"($1)")
+    for a, b in merges:
+        s = F.replace(s, F.lit(f"({a})({b})"), F.lit(f"({a}{b})"))
+    n_tokens = (
+        F.length(s) - F.length(F.replace(s, F.lit("("), F.lit("")))
+    ).cast("bigint")
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_tokens.alias("n_tokens"),
+        F.length(normalized_text(text_col)).cast("bigint").alias("n_chars"),
+    )

@@ -550,6 +550,38 @@ def text_bpe_merges(spark, sf_dir):
     return textanalysis.bpe_merges(d, "text", rounds=3)
 
 
+@q(
+    "text_bpe_apply",
+    f"""
+    WITH wrapped AS (
+      SELECT doc_id,
+             replace(replace(replace(replace(replace(replace(regexp_replace({_NORM}, '([^ ])', '(\\1)', 'g'), '(t)(h)', '(th)'), '(th)(e)', '(the)'), '(i)(n)', '(in)'), '(a)(n)', '(an)'), '(e)(r)', '(er)'), '(er)(s)', '(ers)') AS s,
+             length({_NORM}) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id AS id,
+           CAST(length(s) - length(replace(s, '(', '')) AS BIGINT) AS n_tokens,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM wrapped
+    """,
+)
+def text_bpe_apply(spark, sf_dir):
+    """BPE tokenizer APPLICATION (round 4 — the other half of
+    ``text_bpe_merges``): apply a fixed 6-merge table and count resulting
+    tokens per document, the op that costs a corpus in tokens for budget/
+    packing decisions.  Wrapped-char encoding makes each merge one plain
+    replace-all — boundary-safe, loop-free, zero-shuffle, and verified
+    equal to a reference python BPE-apply on 2000 fuzz corpora
+    (operators/textanalysis.py:bpe_apply_token_counts)."""
+    from .operators import textanalysis
+
+    d = read_table(spark, sf_dir, "documents")
+    return textanalysis.bpe_apply_token_counts(
+        d, "doc_id", "text",
+        merges=[('t', 'h'), ('th', 'e'), ('i', 'n'), ('a', 'n'), ('e', 'r'), ('er', 's')],
+    )
+
+
 # ---------------------------------------------------------------------------
 # HTML boilerplate stripping (deterministic synthetic markup injected
 # in-query — the corpus is plain text, so both engines wrap each doc in the

@@ -335,3 +335,39 @@ def test_ring_negatives_deterministic_uniform(spark):
     assert all(r["neg_id"] != r["anchor_id"] for r in rows)
     again = {(r["anchor_id"], r["neg_rank"], r["neg_id"]) for r in out.collect()}
     assert again == {(r["anchor_id"], r["neg_rank"], r["neg_id"]) for r in rows}
+
+
+def test_bpe_apply_matches_reference_tokenizer(spark):
+    from phenoxtract_spark.operators import textanalysis
+
+    merges = [("t", "h"), ("th", "e"), ("a", "b")]
+
+    def ref_count(text):
+        total = 0
+        for word in text.lower().split():
+            toks = list(word)
+            for a, b in merges:
+                out, i = [], 0
+                while i < len(toks):
+                    if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                toks = out
+            total += len(toks)
+        return total
+
+    texts = ["the theater thinks", "abab ababab TH TH", "x", "th the tthh"]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    rows = {
+        r["id"]: r["n_tokens"]
+        for r in textanalysis.bpe_apply_token_counts(
+            df, "doc_id", "text", merges
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert rows[i] == ref_count(t), t
