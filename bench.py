@@ -60,6 +60,13 @@ HEADLINE = [
     # five new TPC-H shape adaptations
     "graph_pagerank_similarity",
     "tpch_q9_product_type_profit",
+    # round-4 additions (not in the r1/r3 overlap set): the unstubbed
+    # multimodal codecs (real BMP/WAV/Y4M encode→parse→compute over
+    # mapInPandas) and BPE tokenizer application
+    "multimodal_image_roundtrip",
+    "multimodal_wav_energy",
+    "multimodal_y4m_luma",
+    "text_bpe_apply",
 ]
 
 # Scale-sensitive subset re-run at sf1 (10x).  Linear operators should land
