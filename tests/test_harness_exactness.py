@@ -105,3 +105,21 @@ def test_repo_has_no_uncast_fingerprint_sums():
             if "1::BIGINT <<" in line and "CAST(sum" not in line:
                 offenders.append(f"{py.name}:{i}")
     assert not offenders, f"uncast fingerprint sums: {offenders}"
+
+
+def test_array_columns_compare_across_container_types():
+    """Vanilla Spark toPandas yields Python lists, Arrow/DuckDB yield numpy
+    arrays — equal values must PASS regardless of container, and a value
+    difference must still FAIL (the r4 multimodal_features vanilla gap)."""
+    import numpy as np
+
+    a = pd.DataFrame({"id": [1], "feature": [[0.0, 0.11765, 0.51373]]})
+    b = pd.DataFrame({"id": [1], "feature": [np.array([0.0, 0.11765, 0.51373])]})
+    assert not compare("arrays_eq", a, b)
+    c = pd.DataFrame({"id": [1], "feature": [np.array([0.0, 0.11766, 0.51373])]})
+    assert compare("arrays_neq", a, c)
+    # integer arrays and None elements too
+    d = pd.DataFrame({"x": [[1, None, 3]]})
+    e = pd.DataFrame({"x": [np.array([1.0, np.nan, 3.0], dtype=object)]})
+    # int 1 vs float 1.0 render differently by design (typed mismatch)
+    assert compare("arrays_typed", d, e)

@@ -42,6 +42,25 @@ def duck_connect(sf_dir: str):
     return con
 
 
+def _canon(v):
+    """Canonical string for an object cell: engine-independent.  Arrays
+    arrive as Python lists (vanilla Spark toPandas), numpy arrays (Arrow
+    Spark / DuckDB), or tuples — all must stringify identically, and
+    numpy scalars must render like Python scalars (np.float64 str differs
+    inside ndarray reprs)."""
+    import numpy as np
+
+    if v is None or (isinstance(v, float) and pd.isna(v)):
+        return None
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ", ".join(str(_canon(x)) for x in v) + "]"
+    if isinstance(v, np.floating):
+        return str(float(v))
+    if isinstance(v, np.integer):
+        return str(int(v))
+    return str(v)
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     out = {}
@@ -50,7 +69,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(s):
             s = s.astype("datetime64[us]").astype(str)
         elif s.dtype == object:
-            s = s.map(lambda v: None if (v is None or (isinstance(v, float) and pd.isna(v))) else str(v))
+            s = s.map(_canon)
         out[c] = s
     df = pd.DataFrame(out)
     df = df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
