@@ -114,6 +114,13 @@ SF1_PROBE = [
     # passes over events — ratios should track event count, ~10x)
     "events_funnel",
     "events_retention_cohort",
+    # round-4: the unstubbed codecs are Python-side mapInPandas — the probe
+    # proves encode/parse/compute stays linear in doc count (partition-
+    # parallel, no shuffle), and BPE apply's replace-chain scales with text
+    "multimodal_image_roundtrip",
+    "multimodal_wav_energy",
+    "multimodal_y4m_luma",
+    "text_bpe_apply",
 ]
 
 
