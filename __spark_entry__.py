@@ -50,26 +50,27 @@ _PRIORITY = [
     # similarity / text / semantic
     "similarity_ivf_topk", "text_quality", "text_tfidf_topk",
     "dedup_semantic_canonical",
-    # --- r4 first-time rotation (never driver-checked before) ---------
-    # cast-fixed sibling fingerprint oracles (r3 verdict #3 evidence)
-    "similarity_lsh_signature", "dedup_pair_features",
-    "embedding_label_propagation", "embedding_hard_negatives",
-    "embedding_ring_negatives",
-    # behavior analytics
-    "events_funnel", "events_retention_cohort", "events_transition_matrix",
-    # sketches / semi-structured / CEP
-    "sketch_bloom_membership", "sketch_histogram_quantiles",
-    "sketch_kmv_distinct", "events_json_props", "events_pattern_followed_by",
-    # sessionization rollup (r3 ADVICE boundary alignment evidence)
-    "events_session_stats",
-    # dedup scale paths + curation pipelines
-    "dedup_prefix_join", "dedup_incremental_batch",
-    "curation_clean_pipeline", "curation_leakproof_split",
-    # text / multimodal (image_roundtrip = the UNSTUBBED bmp codec path)
-    "text_bpe_merges", "text_langid", "multimodal_image_roundtrip",
-    # joins / windows / TPC-H spine
-    "asof_nearest_event", "window_ntile_distribution",
-    "tpch_q9_product_type_profit",
+    # --- r5 first-time rotation (never driver-checked before) ---------
+    # events_json_props stays one more round: r4's only red row, now
+    # oracle-cast — its green r5 row is the verdict-demanded evidence
+    "events_json_props",
+    # joins / features (features_trailing_windows was HUGEINT-red-in-
+    # waiting; its oracle is cast this round — rotate it in as evidence)
+    "asof_forward_event", "join_bloom_prefilter", "features_trailing_windows",
+    "semi_join_customers_with_orders", "anti_join_parts_never_bulk_ordered",
+    "having_big_customers", "distinct_agg_by_group",
+    # dedup / similarity scale valves
+    "dedup_lsh_capped", "similarity_bruteforce_topk",
+    "similarity_ivf_nprobe_topk",
+    # text / sketches
+    "text_token_counts", "sketch_countmin_userfreq",
+    # multimodal block (wav/y4m = the other two UNSTUBBED codecs)
+    "multimodal_bytes", "multimodal_frame_sample", "multimodal_features",
+    "multimodal_wav_energy", "multimodal_y4m_luma", "multimodal_resize_plan",
+    "multimodal_audio_energy",
+    # event-time windows / SCD
+    "events_gapfill_hourly", "events_locf_resample", "events_rollup_reuse",
+    "events_scd2_versions",
 ]
 
 

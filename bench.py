@@ -123,6 +123,20 @@ SF1_PROBE = [
     "text_bpe_apply",
 ]
 
+# r5 (verdict #7b/#4): the heaviest sf1 queries get TWO reps and report the
+# best — the VM's one-shot noise is ±50%, which forced every cross-round
+# perf judgment on these through rebuttal evidence.  The per-rep times land
+# under sf1.reps so the noise itself stays observable.  similarity_ivf_topk
+# is included per verdict #4 (its r4 2.5→4.7 s move needed a second rep).
+SF1_BEST_OF_2 = {
+    "dedup_prefix_join",
+    "dedup_pipeline_canonical",
+    "dedup_semantic_canonical",
+    "similarity_lsh_candidate_pairs",
+    "similarity_ivf_topk",
+    "multimodal_image_roundtrip",
+}
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -221,22 +235,32 @@ def main():
                     "overwrite"
                 ).save()
             sf1_results: dict[str, float | str] = {}  # "ERR" on failure
+            sf1_reps: dict[str, list[float]] = {}
             for name in SF1_PROBE:
                 if name not in qs:
                     continue
-                t0 = time.time()
-                try:
-                    df = qs[name](spark, sf1_dir)
-                    df.write.format("noop").mode("overwrite").save()
-                    sf1_results[name] = round(time.time() - t0, 3)
-                except Exception as exc:
-                    sf1_results[name] = "ERR"
-                    payload.setdefault("errors", {})[f"sf1:{name}"] = (
-                        f"{type(exc).__name__}: {exc}"[:300]
-                    )
+                n_reps = 2 if name in SF1_BEST_OF_2 else 1
+                times: list[float] = []
+                for _ in range(n_reps):
+                    t0 = time.time()
+                    try:
+                        df = qs[name](spark, sf1_dir)
+                        df.write.format("noop").mode("overwrite").save()
+                        times.append(round(time.time() - t0, 3))
+                    except Exception as exc:
+                        sf1_results[name] = "ERR"
+                        payload.setdefault("errors", {})[f"sf1:{name}"] = (
+                            f"{type(exc).__name__}: {exc}"[:300]
+                        )
+                        break
+                if times:
+                    sf1_results[name] = min(times)
+                    if len(times) > 1:
+                        sf1_reps[name] = times
             payload["sf1"] = {
                 "gen_sec": gen_sec,
                 "queries": sf1_results,
+                "reps": sf1_reps,
                 "total_sec": round(
                     sum(v for v in sf1_results.values() if isinstance(v, float)), 3
                 ),

@@ -586,6 +586,13 @@ def decode_wav(payload: bytes) -> tuple[int, int, bytes]:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if pos + 8 + size > len(payload):
+            # fail loudly like decode_bmp/decode_y4m: a clamped slice would
+            # silently return fewer PCM samples than the chunk declares
+            raise ValueError(
+                f"truncated chunk {cid!r}: declares {size} bytes, "
+                f"{len(payload) - pos - 8} remain"
+            )
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt_code, channels, rate = struct.unpack_from("<HHI", body, 0)

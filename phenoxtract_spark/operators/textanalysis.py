@@ -377,14 +377,18 @@ def bpe_apply_token_counts(df: DataFrame, id_col: str, text_col: str,
     tokens, pack sequences, or enforce token budgets.
 
     Encoding trick that keeps everything a built-in expression chain (no
-    Python tokenizer loop): every non-space character is wrapped as
-    ``(c)``, so a merge of pair (a, b) is the plain string replacement
-    ``(a)(b) → (ab)`` — token boundaries make cross-token false matches
-    impossible (the wrapped form of "xa","b" is ``(xa)(b)``, which never
-    contains ``(a)(b)``), bare spaces block cross-word merges, and
-    replace-all per merge IS standard BPE application (each merge rewrites
-    every occurrence before the next applies).  Token count = count of
-    ``(`` in the final form.  Identical `replace` semantics exist in
+    Python tokenizer loop): literal ``(``/``)`` in the text are first
+    remapped to sentinel chars \\x01/\\x02 (outside any text alphabet, so
+    the parens used below are unambiguous delimiters), then every
+    non-space character is wrapped as ``(c)``, so a merge of pair (a, b)
+    is the plain string replacement ``(a)(b) → (ab)`` — token boundaries
+    make cross-token false matches impossible (the wrapped form of
+    "xa","b" is ``(xa)(b)``, which never contains ``(a)(b)``), bare
+    spaces block cross-word merges, and replace-all per merge IS standard
+    BPE application (each merge rewrites every occurrence before the next
+    applies).  Merge symbols go through the same remap so a learned merge
+    containing a paren still matches.  Token count = count of ``(`` in
+    the final form.  Identical `replace`/`translate` semantics exist in
     DuckDB, so the op is oracle-checkable byte-for-byte.
 
     Scale: one narrow projection per document — zero shuffles, zero UDFs,
@@ -394,8 +398,11 @@ def bpe_apply_token_counts(df: DataFrame, id_col: str, text_col: str,
     Returns (id, n_tokens, n_chars)."""
     from ..operators.dedup import normalized_text
 
-    s = F.regexp_replace(normalized_text(text_col), r"([^ ])", r"($1)")
+    _remap = {0x28: "\x01", 0x29: "\x02"}  # '(' -> \x01, ')' -> \x02
+    s = F.translate(normalized_text(text_col), "()", "\x01\x02")
+    s = F.regexp_replace(s, r"([^ ])", r"($1)")
     for a, b in merges:
+        a, b = a.translate(_remap), b.translate(_remap)
         s = F.replace(s, F.lit(f"({a})({b})"), F.lit(f"({a}{b})"))
     n_tokens = (
         F.length(s) - F.length(F.replace(s, F.lit("("), F.lit("")))

@@ -172,7 +172,7 @@ def grouping_sets_revenue(spark, sf_dir):
 @q(
     "events_json_props",
     """
-    SELECT event_type, count(*) AS n, sum(k) AS sum_k,
+    SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
            round(avg(k), 6) AS avg_k, min(k) AS min_k, max(k) AS max_k
     FROM (SELECT event_type, CAST(props::JSON->>'k' AS BIGINT) AS k FROM events)
     GROUP BY event_type

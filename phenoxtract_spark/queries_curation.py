@@ -44,7 +44,7 @@ _GRAMS_SQL = f"""
              sum(cnt) FILTER (n = 3 AND cnt > 1) AS dup3
       FROM counts GROUP BY 1
     )
-    SELECT doc_id, n_tokens,
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
            round(top1 / CAST(n_tokens AS DOUBLE), 6) AS top_word_frac,
            round(coalesce(top2, 0) * 2 / CAST(n_tokens AS DOUBLE), 6) AS top_2gram_frac,
            round(least(coalesce(dup3, 0) * 3 / CAST(n_tokens AS DOUBLE), 1.0), 6)
@@ -321,7 +321,8 @@ _PACK_BUCKET_SQL = (
       FROM t
     )
     SELECT doc_id AS id, n_tokens, shard,
-           prefix // 2048 AS pack_id, prefix % 2048 AS pack_offset
+           CAST(prefix // 2048 AS BIGINT) AS pack_id,
+           CAST(prefix % 2048 AS BIGINT) AS pack_offset
     FROM c
     """,
 )
@@ -555,7 +556,7 @@ def text_bpe_merges(spark, sf_dir):
     f"""
     WITH wrapped AS (
       SELECT doc_id,
-             replace(replace(replace(replace(replace(replace(regexp_replace({_NORM}, '([^ ])', '(\\1)', 'g'), '(t)(h)', '(th)'), '(th)(e)', '(the)'), '(i)(n)', '(in)'), '(a)(n)', '(an)'), '(e)(r)', '(er)'), '(er)(s)', '(ers)') AS s,
+             replace(replace(replace(replace(replace(replace(regexp_replace(translate({_NORM}, '()', chr(1) || chr(2)), '([^ ])', '(\\1)', 'g'), '(t)(h)', '(th)'), '(th)(e)', '(the)'), '(i)(n)', '(in)'), '(a)(n)', '(an)'), '(e)(r)', '(er)'), '(er)(s)', '(ers)') AS s,
              length({_NORM}) AS n_chars
       FROM documents
     )
@@ -653,10 +654,10 @@ def text_html_strip(spark, sf_dir):
     )
     SELECT shard,
            count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens,
-           (sum(n_tokens) + 2047) // 2048 AS n_packs,
-           sum(CASE WHEN prefix % 2048 + n_tokens > 2048 THEN 1 ELSE 0 END)
-             AS n_straddlers
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST((sum(n_tokens) + 2047) // 2048 AS BIGINT) AS n_packs,
+           CAST(sum(CASE WHEN prefix % 2048 + n_tokens > 2048 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_straddlers
     FROM c GROUP BY 1
     """,
 )

@@ -400,8 +400,8 @@ def join_bloom_prefilter(spark, sf_dir):
                AS n30
       FROM u
     )
-    SELECT o_orderkey, uid, n7 AS n_events_7d, v7 AS sum_value_7d,
-           n30 AS n_events_30d
+    SELECT o_orderkey, uid, CAST(n7 AS BIGINT) AS n_events_7d,
+           v7 AS sum_value_7d, CAST(n30 AS BIGINT) AS n_events_30d
     FROM w WHERE is_order = 1
     """,
 )

@@ -242,7 +242,7 @@ def canonical_by_quality_q(spark, sf_dir):
                AS n_tokens
       FROM documents
     )
-    SELECT shard, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+    SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
     FROM sized GROUP BY shard
     """,
 )

@@ -143,8 +143,6 @@ def read_excel(spark: SparkSession, path: str, cfg: ExtractionConfig,
     like the reference's loading vectors."""
     import datetime as _dt
 
-    import pandas as pd
-
     from .xlsx import parse_xlsx
 
     grid = parse_xlsx(path, sheet)
@@ -164,8 +162,6 @@ def vectors_to_df(spark: SparkSession, vectors: list[list], has_headers: bool) -
     vectors keep their type, mixed vectors stringify wholesale."""
     import datetime as _dt
 
-    import pandas as pd
-
     names: list[str]
     if has_headers:
         names, datas = [], []
@@ -180,7 +176,8 @@ def vectors_to_df(spark: SparkSession, vectors: list[list], has_headers: bool) -
     else:
         names = default_column_names(len(vectors))
         datas = vectors
-    cols = {}
+    cols: dict[str, list] = {}
+    kinds: dict[str, str] = {}
     for name, data in zip(names, datas):
         types = {type(v) for v in data if v is not None}
         # bool is not an int subtype issue here: cells decode to exactly
@@ -191,35 +188,34 @@ def vectors_to_df(spark: SparkSession, vectors: list[list], has_headers: bool) -
         if types == {_dt.timedelta}:
             data = [None if v is None else _iso_duration_str(v) for v in data]
             types = {str}
-        if not types:  # all-null column → string
-            cols[name] = pd.Series(data, dtype="object")
-        elif types == {float}:
-            cols[name] = pd.Series(data, dtype="float64")
+        cols[name] = list(data)
+        if types == {float}:
+            kinds[name] = "float"
         elif types == {bool}:
-            cols[name] = pd.Series(data, dtype="object")
+            kinds[name] = "bool"
         elif types == {_dt.datetime}:
-            cols[name] = pd.Series(data, dtype="datetime64[us]")
-        else:
-            cols[name] = pd.Series(data, dtype="object")
-    pdf = pd.DataFrame(cols, columns=names)
+            kinds[name] = "ts"
+        else:  # strings, or all-null column → string
+            kinds[name] = "str"
     from pyspark.sql import types as T
 
-    spark_fields = []
-    for name in names:
-        s = cols[name]
-        if s.dtype == "float64":
-            t = T.DoubleType()
-        elif str(s.dtype).startswith("datetime64"):
-            t = T.TimestampType()
-        elif all(isinstance(v, bool) or v is None for v in s) and any(
-            isinstance(v, bool) for v in s
-        ):
-            t = T.BooleanType()
-        else:
-            t = T.StringType()
-        spark_fields.append(T.StructField(name, t, True))
-    df = spark.createDataFrame(pdf, schema=T.StructType(spark_fields))
-    return df
+    _SPARK_T = {
+        "float": T.DoubleType(),
+        "bool": T.BooleanType(),
+        "ts": T.TimestampType(),
+        "str": T.StringType(),
+    }
+    spark_fields = [T.StructField(n, _SPARK_T[kinds[n]], True) for n in names]
+    # Build rows directly (NOT through a pandas float64 Series): a float64
+    # Series renders missing cells as NaN, which Spark keeps as a double
+    # VALUE — empty numeric cells would never be null and fill_missing /
+    # C1 empty→null could never fire on them.
+    n_rows = max((len(d) for d in cols.values()), default=0)
+    rows = [
+        tuple(cols[n][i] if i < len(cols[n]) else None for n in names)
+        for i in range(n_rows)
+    ]
+    return spark.createDataFrame(rows, schema=T.StructType(spark_fields))
 
 
 def load_config(path: str) -> dict:

@@ -107,6 +107,58 @@ def test_repo_has_no_uncast_fingerprint_sums():
     assert not offenders, f"uncast fingerprint sums: {offenders}"
 
 
+def test_integral_int_vs_float_dtype_divergence_fails():
+    """R4 verdict item 2 (the events_json_props ship): integer-identical
+    values delivered as int64 by one engine and float64 by the other MUST
+    fail — the driver hashes rendered values ("99111" vs "99111.0")."""
+    a = pd.DataFrame({"sum_k": pd.array([99111, 42], dtype="int64")})
+    b = pd.DataFrame({"sum_k": [99111.0, 42.0]})
+    probs = compare("divergence", a, b)
+    assert probs, "int-vs-float dtype divergence must FAIL even with equal values"
+    assert any("dtype divergence" in p for p in probs)
+    # both sides float with the same values still passes
+    af = pd.DataFrame({"sum_k": [99111.0, 42.0]})
+    assert not compare("both_float", af, b)
+
+
+def test_null_vs_value_in_nullable_int_fails():
+    """ADVICE r4 (high): with nullable Int64, null-vs-value comparisons
+    yield pd.NA which nullable-boolean sum() skips — the compare must
+    fill NA to False so the mismatch is counted."""
+    a = pd.DataFrame({"n": pd.array([5, None], dtype="Int64")})
+    b = pd.DataFrame({"n": pd.array([5, 7], dtype="Int64")})
+    assert compare("null_vs_value", a, b), "null-vs-value must FAIL"
+    assert compare("value_vs_null", b, a), "value-vs-null must FAIL"
+    # equal nulls still pass
+    assert not compare("null_eq", a, a.copy())
+
+
+def test_no_oracle_emits_hugeint_columns():
+    """R4 verdict item 1, type-level: bind every ``oracle_sql()`` statement
+    (no execution) and assert no output column is HUGEINT/UHUGEINT —
+    ``fetchdf`` renders those as float64, which the driver hashes
+    differently from Spark's bigint.  This makes the whole class
+    unshippable, unlike the idiom grep above."""
+    import __spark_entry__ as ent
+
+    sf_dir = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    offenders = []
+    for name, sql in ent.oracle_sql().items():
+        rel = con.sql(sql)
+        for col, typ in zip(rel.columns, rel.types):
+            if "HUGEINT" in str(typ).upper():
+                offenders.append(f"{name}.{col}: {typ}")
+    assert not offenders, f"HUGEINT-typed oracle columns: {offenders}"
+
+
 def test_array_columns_compare_across_container_types():
     """Vanilla Spark toPandas yields Python lists, Arrow/DuckDB yield numpy
     arrays — equal values must PASS regardless of container, and a value

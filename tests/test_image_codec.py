@@ -118,6 +118,17 @@ def test_wav_roundtrip_and_chunk_walk():
     assert mm.decode_wav(head + odd + rest) == (8000, 1, pcm)
 
 
+def test_wav_rejects_truncated_data_chunk():
+    """ADVICE r4: a data chunk whose declared size exceeds the remaining
+    bytes must raise (like decode_bmp/decode_y4m), not silently clamp."""
+    pcm = mm.md5_keystream("trunc", 256)
+    wav = mm.encode_wav(pcm, sample_rate=8000)
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_wav(wav[:-10])  # cut mid-data
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_wav(wav[: len(wav) - len(pcm) + 4])  # header + partial data
+
+
 def test_wav_rejects_non_pcm16():
     import struct
 

@@ -359,7 +359,12 @@ def test_bpe_apply_matches_reference_tokenizer(spark):
             total += len(toks)
         return total
 
-    texts = ["the theater thinks", "abab ababab TH TH", "x", "th the tthh"]
+    # includes literal parens (ADVICE r4: '(' used to wrap to '(()' and
+    # double-count; the sentinel remap keeps them single ordinary symbols)
+    texts = [
+        "the theater thinks", "abab ababab TH TH", "x", "th the tthh",
+        "(th) a(b) ((", ") th(e) ab()ab",
+    ]
     df = spark.createDataFrame(
         list(enumerate(texts)), "doc_id bigint, text string"
     )

@@ -270,6 +270,68 @@ def test_file_per_subject_sink(spark, tmp_path):
     assert packet["id"] == "P1"
 
 
+def test_golden_transposed_xlsx_with_fill_missing(spark, hpo_dim, tmp_path):
+    """Verdict r4 #7a: the one §2 combination not previously exercised in a
+    single end-to-end run — a TRANSPOSED xlsx source (S2 typed decode +
+    S3 patients-are-columns flip) feeding a ``fill_missing`` declaration
+    (§1.1, applied as coalesce) plus alias-map + ontology normalisation,
+    all the way to packet JSON."""
+    from test_xlsx_reader import build_xlsx, n, s
+
+    from phenoxtract_spark.sources.readers import ExtractionConfig, read_excel
+
+    path = str(tmp_path / "cohort_t.xlsx")
+    shared = [
+        "patient_id", "P001", "P002",        # 0-2
+        "phenotype", "fever", "no_info",     # 3-5
+        "survival",                          # 6
+    ]
+    # patients are COLUMNS: col B = P001, col C = P002
+    rows = [
+        [s(0), s(1), s(2)],
+        [s(3), s(4), s(5)],
+        [s(6), None, n(12)],                 # P001 survival missing → fill
+    ]
+    build_xlsx(path, rows, shared)
+    cfg = ExtractionConfig("cohort_t", has_headers=True, patients_are_rows=False)
+    df = read_excel(spark, path, cfg)
+    assert df.columns == ["patient_id", "phenotype", "survival"]
+    assert {r["patient_id"] for r in df.collect()} == {"P001", "P002"}
+
+    ctx = TableContext(
+        name="cohort_t",
+        series_contexts=[
+            sc("patient_id", ContextKind.SUBJECT_ID),
+            SeriesContext(
+                identifier=Identifier.of("phenotype"),
+                data_context=Context(ContextKind.HPO),
+                alias_map={"no_info": None},
+            ),
+            SeriesContext(
+                identifier=Identifier.of("survival"),
+                data_context=Context(ContextKind.SURVIVAL_TIME_DAYS),
+                fill_missing="0",
+            ),
+        ],
+    )
+    pipe = Pipeline(cohort="GOLD")
+    pipe.add_strategy(AliasMapStrategy())
+    pipe.add_strategy(OntologyNormaliserStrategy(ontology_dim=hpo_dim))
+    out = packets_by_id(pipe.run([ContextualizedDataFrame(df=df, context=ctx)]))
+
+    p1, p2 = out["P001"], out["P002"]
+    assert p1["id"] == "GOLD-P001"
+    # transposed phenotype cell mapped through the ontology dim
+    assert [f["type_id"] for f in p1["phenotypic_features"]] == ["HP:0001945"]
+    # alias-map sentinel nulled the P002 phenotype
+    assert p2.get("phenotypic_features", []) == []
+    # fill_missing coalesced the EMPTY transposed cell to 0 (the cell used
+    # to surface as NaN — the r5 vectors_to_df fix keeps it null); the real
+    # xlsx numeric 12 survives C2 integral promotion as bigint 12
+    assert p1["subject"]["survival_time_days"] == "0"
+    assert p2["subject"]["survival_time_days"] == "12"
+
+
 def test_fill_missing_and_output_type(spark):
     """SURVEY §1.1: fill_missing (declared no-op in the reference) IS
     applied here as coalesce; output_type casts strictly (C4)."""

@@ -95,13 +95,32 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         # mask real mismatches (the r3 dedup_simhash HUGEINT bug).  If the
         # other side arrived as float (e.g. DuckDB HUGEINT via fetchdf),
         # the precision it already lost surfaces here as an exact FAIL.
-        if pd.api.types.is_integer_dtype(av) or pd.api.types.is_integer_dtype(bv):
+        a_int = pd.api.types.is_integer_dtype(av)
+        b_int = pd.api.types.is_integer_dtype(bv)
+        # Representation-faithful path (round-5 hardening): the driver
+        # hashes values AS RENDERED, so an int64 `99111` vs a float64
+        # `99111.0` is a driver FAIL even when the values are integer-
+        # identical (the r4 events_json_props red row: DuckDB HUGEINT →
+        # fetchdf float64).  Coercing through Int64 here forgave exactly
+        # that divergence — flag it instead.
+        if (a_int and pd.api.types.is_float_dtype(bv)) or (
+            b_int and pd.api.types.is_float_dtype(av)
+        ):
+            problems.append(
+                f"col {c}: dtype divergence {av.dtype} vs {bv.dtype} — the "
+                f"driver hashes rendered values (int repr vs float repr) and "
+                f"would FAIL; cast the oracle (or query) so both sides agree"
+            )
+            continue
+        if a_int or b_int:
             try:
                 an, bn = av.astype("Int64"), bv.astype("Int64")
             except (ValueError, TypeError):
-                an = bn = None  # non-integral floats: genuine value mismatch
+                an = bn = None  # non-integral strings: genuine value mismatch
             if an is not None:
-                eq = (an == bn) | (an.isna() & bn.isna())
+                # fillna(False): with nullable Int64, null-vs-value yields
+                # pd.NA which nullable-bool sum() would silently skip.
+                eq = ((an == bn) | (an.isna() & bn.isna())).fillna(False)
                 nbad = int((~eq).sum())
                 if nbad:
                     idx = (~eq).idxmax()
