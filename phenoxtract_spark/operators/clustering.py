@@ -44,27 +44,59 @@ def kmeans_assign(vectors: DataFrame, centroids: DataFrame,
     small side (broadcast); ties on the rounded distance break toward the
     smallest centroid id, so the assignment is deterministic across
     engines.  Returns (id, cluster)."""
-    cen = F.broadcast(
-        centroids.select(
-            F.col(cen_id_col).alias("_cid"), F.col(cen_vec_col).alias("_cv")
-        )
-    )
+    # r5: same Arrow-vectorized treatment as similarity.assign_ivf_centroid
+    # — the n·C interpreted-HOF crossJoin was the hotspot.  The C-row
+    # centroid matrix collects driver-side (bounded by construction) and
+    # each batch scores against all centroids in one numpy pass, with the
+    # (x−c)² fold accumulated SEQUENTIALLY over the dimension index —
+    # bitwise-equal to the old ``_sq_l2`` fold (JVM pow(x,2) and numpy x*x
+    # round the exact square identically).
+    import numpy as np
+    import pandas as pd
+
+    cen_rows = centroids.select(
+        F.col(cen_id_col).alias("_cid"), F.col(cen_vec_col).alias("_cv")
+    ).collect()
+    cen_rows.sort(key=lambda r: r["_cid"])
+    cid_type = centroids.schema[cen_id_col].dataType.simpleString()
+    id_type = vectors.schema[id_col].dataType.simpleString()
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+    if not cen_rows:
+        return vectors.sparkSession.createDataFrame(
+            [], f"id {id_type}, cluster {cid_type}"
+        )
+    C = np.array([np.asarray(r["_cv"], dtype=np.float64) for r in cen_rows])
+    cids = np.array([r["_cid"] for r in cen_rows])
+    dim, m = C.shape[1], len(cids)
+    scale = 10.0 ** round_dp
     # n·C distance evaluations are CPU-dense per byte — fan a narrow scan
     # out to cluster parallelism (no-op at scale; same guard as
     # similarity.assign_ivf_centroid)
     from ..session import fan_out
 
     v = fan_out(v)
-    scored = v.crossJoin(cen).select(
-        "id", "_cid", F.round(_sq_l2(F.col("_v"), F.col("_cv")), round_dp).alias("_d2")
-    )
-    w = Window.partitionBy("id").orderBy(F.col("_d2").asc(), F.col("_cid").asc())
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("id", F.col("_cid").alias("cluster"))
-    )
+    row_chunk = max(1, int(4_000_000 // m))
+
+    def run(batches):
+        for pdf in batches:
+            for lo in range(0, len(pdf), row_chunk):
+                part = pdf.iloc[lo : lo + row_chunk]
+                if not len(part):
+                    continue
+                V = np.array(
+                    [np.asarray(x, dtype=np.float64) for x in part["_v"]]
+                )
+                acc = np.zeros((len(part), m))
+                for d in range(dim):  # sequential fold — see note above
+                    diff = V[:, d : d + 1] - C[None, :, d]
+                    acc += diff * diff
+                d2 = np.floor(acc * scale + 0.5) / scale  # F.round, d2 >= 0
+                # argmin returns the FIRST min; cids sorted asc → ties
+                # break to the smallest centroid id, like the old window
+                sel = cids[np.argmin(d2, axis=1)]
+                yield pd.DataFrame({"id": part["id"].values, "cluster": sel})
+
+    return v.mapInPandas(run, schema=f"id {id_type}, cluster {cid_type}")
 
 
 def kmeans_recompute(vectors: DataFrame, assign: DataFrame,

@@ -366,9 +366,14 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     justification for ``max_iter`` rather than an assumed diameter bound.
     The counts are scalars from the already-checkpointed round result, so
     the metric adds no extra shuffle."""
+    # materialize the symmetrized edge list ONCE: it is joined in EVERY
+    # round, and without this the whole upstream edge-building subtree
+    # (minhash → LSH → verify when fed from the dedup pipeline) would
+    # replay per round — measured 64 s → 23 s cold at sf1 for
+    # dedup_cluster_size_histogram (diameter rounds × a ~10 s subtree)
     sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
         edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
     labels = vertices.select(F.col(vertices.columns[0]).alias("id")).withColumn(
         "label", F.col("id")
     )

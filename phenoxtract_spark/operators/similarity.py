@@ -254,35 +254,38 @@ def hyperplane_signature(vectors: DataFrame, dim: int, num_planes: int = 16,
     :func:`plane_components`).  Returns (id, sig bigint).
 
     Scale notes: ``dim`` is a parameter (it's schema knowledge — no
-    ``.first()`` driver probe), and the P×dim plane matrix rides in ONE
-    broadcast single-row relation instead of P×dim plan literals, so the
-    plan stays O(1) regardless of dimension.  The dot is rounded before the
-    sign test so the bit is stable under summation-order ulp differences
-    across engines (same discipline as every cosine in this module)."""
-    spark = vectors.sparkSession
-    planes = plane_components(seed, num_planes, dim)
-    planes_df = F.broadcast(
-        spark.createDataFrame([(planes,)], "planes array<array<double>>")
-    )
+    ``.first()`` driver probe).  The dot is rounded before the sign test
+    so the bit is stable under summation-order ulp differences across
+    engines (same discipline as every cosine in this module).
+
+    Implementation (r5): the n×P plane projection is the same BLAS-shaped
+    interpreted-HOF hotspot as :func:`assign_ivf_centroid` — the P×dim
+    plane matrix (derived from the seed, a few KB) ships to every
+    partition and one Arrow ``mapInPandas`` pass projects each batch onto
+    all planes, with the dot fold accumulated SEQUENTIALLY over the
+    dimension index — bitwise-equal to the old per-plane ``F.aggregate``
+    fold and the oracle's unnest-ordered sum.  Bit packing stays exact
+    int64 arithmetic."""
+    planes = np.array(plane_components(seed, num_planes, dim))  # (P, dim)
+    pows = 2 ** np.arange(num_planes, dtype=np.int64)
+    id_type = vectors.schema[id_col].dataType.simpleString()
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    from ..session import fan_out
 
-    def _plane_dot(pl: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(F.col("v"), pl, lambda x, w: x.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, z: acc + z,
-        )
+    v = fan_out(v)
 
-    # two-arg transform lambda receives (element, index): index = plane p
-    contribs = F.transform(
-        F.col("planes"),
-        lambda pl, p: F.when(
-            F.round(_plane_dot(pl), round_dp) > 0,
-            F.pow(F.lit(2.0), p).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint")),
-    )
-    sig = F.aggregate(contribs, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
-    return v.crossJoin(planes_df).select("id", sig.alias("sig"))
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            acc = np.zeros((len(pdf), num_planes))
+            for d in range(dim):  # sequential fold — see docstring
+                acc += V[:, d : d + 1] * planes[None, :, d]
+            sig = ((_round_half_up(acc, round_dp) > 0) * pows[None, :]).sum(axis=1)
+            yield pd.DataFrame({"id": pdf["id"].values, "sig": sig})
+
+    return v.mapInPandas(run, schema=f"id {id_type}, sig bigint")
 
 
 def hyperplane_candidate_pairs(vectors: DataFrame, dim: int, num_planes: int = 16,
