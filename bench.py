@@ -121,6 +121,11 @@ SF1_PROBE = [
     "multimodal_wav_energy",
     "multimodal_y4m_luma",
     "text_bpe_apply",
+    # round-5: the new PQ-ADC path (one Arrow encode+score pass; the ratio
+    # tracks corpus size × |queries|) and the now-Arrow-vectorized
+    # cluster-histogram composite (edge subtree materialized once)
+    "similarity_pq_adc_topk",
+    "dedup_cluster_size_histogram",
 ]
 
 # r5 (verdict #7b/#4): the heaviest sf1 queries get TWO reps and report the

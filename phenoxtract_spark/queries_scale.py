@@ -1433,3 +1433,61 @@ def events_session_stats(spark, sf_dir):
         F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
         F.max("n_events").cast("bigint").alias("max_session_events"),
     )
+
+
+@q(
+    "similarity_pq_adc_topk",
+    """
+    WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+    vx AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, idx),
+    samp AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+      FROM embeddings
+      WHERE vec_id % (SELECT greatest(61, CAST(floor(sqrt(count(*))) AS BIGINT))
+                      FROM embeddings) = 0
+      ORDER BY vec_id LIMIT 16
+    ),
+    cb AS (SELECT s.c, v.i, v.x FROM samp s JOIN vx v ON v.vec_id = s.vec_id),
+    bd AS (
+      SELECT v.vec_id, (v.i - 1) // 8 AS m, cb.c,
+             round(sum((v.x - cb.x) * (v.x - cb.x)), 6) AS d2
+      FROM vx v JOIN cb ON cb.i = v.i
+      GROUP BY 1, 2, 3
+    ),
+    enc AS (
+      SELECT vec_id, m, c AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d2 ASC, c ASC) AS rn
+        FROM bd) WHERE rn = 1
+    ),
+    approx AS (
+      SELECT qd.vec_id AS query_id, e.vec_id AS neighbor_id,
+             round(sum(qd.d2), 6) AS approx_d2
+      FROM enc e JOIN bd qd ON qd.m = e.m AND qd.c = e.code
+      WHERE qd.vec_id < 5 AND e.vec_id != qd.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, approx_d2, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY approx_d2 ASC, neighbor_id ASC) AS rank
+      FROM approx) WHERE rank <= 5
+    """,
+)
+def sim_pq_adc(spark, sf_dir):
+    """Product-quantization ANN with ADC (round 5 — the fourth ANN path
+    after brute-force / IVF / LSH, and the memory-compression one: 8
+    codes per vector ≈ 32× smaller than the float embedding).  Codebooks
+    are training-free: sub-blocks of the first 16 strided sample vectors
+    (same √n-stride convention as the IVF centroids).  The oracle replays
+    encode (per-subspace rounded-L2 argmin, ties → lowest code) and ADC
+    (query block-distance table summed at the stored codes) relationally;
+    the Spark side is one Arrow encode+score pass + one top-k window
+    (operators/similarity.py:pq_topk)."""
+    import math
+
+    e = read_table(spark, sf_dir, "embeddings")
+    stride = max(61, int(math.isqrt(e.count())))
+    samples = e.filter(F.col("vec_id") % stride == 0)
+    queries = e.filter(F.col("vec_id") < 5)
+    return similarity.pq_topk(e, queries, samples, num_subspaces=8,
+                              num_codes=16, k=5)

@@ -102,6 +102,36 @@ def test_similarity_bruteforce_and_ivf_recall(spark, sf_dir):
     assert all(-1.0 <= r["cos"] <= 1.0 for r in approx.collect())
 
 
+def test_pq_adc_topk_deterministic_and_sane(spark, sf_dir):
+    """PQ-ADC (r5): full k per query, no self-matches, nonnegative approx
+    distances, deterministic across runs, and an exact-match vector's
+    codes put it at distance-rank 1 (identical sub-blocks → d2 = 0 at the
+    same codes → approx 0, the minimum)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    samples = emb.filter(F.col("vec_id") % 31 == 0)
+    out = similarity.pq_topk(emb, queries, samples, num_subspaces=8,
+                             num_codes=16, k=5)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        assert r["approx_d2"] >= 0.0
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+    again = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in out.collect()}
+    assert again == {(r["query_id"], r["rank"], r["neighbor_id"]) for r in rows}
+    # duplicate of query 0 under a new id must land at rank 1, approx 0
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(999_999).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    emb2 = emb.unionByName(q0)
+    out2 = similarity.pq_topk(
+        emb2, emb2.filter(F.col("vec_id") == 0), samples, k=1
+    ).collect()
+    assert out2[0]["neighbor_id"] == 999_999 and out2[0]["approx_d2"] == 0.0
+
+
 def test_hyperplane_signature_deterministic(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(20)
     s1 = {r["id"]: r["sig"] for r in similarity.hyperplane_signature(emb, 64, 8).collect()}
