@@ -58,10 +58,10 @@ _PRIORITY = [
     # waiting; its oracle is cast this round — rotate it in as evidence)
     "asof_forward_event", "join_bloom_prefilter", "features_trailing_windows",
     "semi_join_customers_with_orders", "anti_join_parts_never_bulk_ordered",
-    "having_big_customers", "distinct_agg_by_group",
-    # dedup / similarity scale valves
+    "having_big_customers",
+    # dedup / similarity scale valves (+ the new r5 PQ-ADC path)
     "dedup_lsh_capped", "similarity_bruteforce_topk",
-    "similarity_ivf_nprobe_topk",
+    "similarity_ivf_nprobe_topk", "similarity_pq_adc_topk",
     # text / sketches
     "text_token_counts", "sketch_countmin_userfreq",
     # multimodal block (wav/y4m = the other two UNSTUBBED codecs)

@@ -528,8 +528,15 @@ def levenshtein_block_pairs(df: DataFrame, id_col: str, text_col: str,
     return (
         a.join(b, "_blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("lev", F.levenshtein(F.col("_ta"), F.col("_tb")).cast("bigint"))
-        .filter(F.col("lev") <= max_dist)
+        # 3-arg levenshtein runs the BANDED O(len·max_dist) algorithm and
+        # returns -1 above the bound — ~cmp_chars/max_dist less work per
+        # pair than the full O(len²) table (sf1: 56 s → ~8 s); kept pairs
+        # carry the identical exact distance, so the oracle is unchanged
+        .withColumn(
+            "lev",
+            F.levenshtein(F.col("_ta"), F.col("_tb"), max_dist).cast("bigint"),
+        )
+        .filter((F.col("lev") >= 0) & (F.col("lev") <= max_dist))
         .select("id_a", "id_b", "lev")
     )
 

@@ -248,7 +248,9 @@ def render_packets_v2(
             "subject_id", "disease", "genes", "variants", "ord",
             F.posexplode_outer(F.array_distinct("variants")).alias("_vp", "_variant"),
         )
-        gene_sym = F.element_at("genes", 1)
+        # F.get, not element_at: a block configured with variant columns but
+        # no gene columns yields genes = [] and ANSI element_at would throw
+        gene_sym = F.get("genes", 0)
         exploded = exploded.withColumn("_gene", gene_sym)
         if hgnc_dim is not None:
             dim = F.broadcast(

@@ -44,9 +44,18 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 
 
 def lang_votes(col: Column | str, lang: str) -> Column:
-    """Stopword vote for one language: number of tokens in its vocabulary."""
+    """Stopword vote for one language: number of tokens in its vocabulary.
+
+    Implemented as ONE compiled-regex scan over the normalized text
+    (space-anchored alternation with an end lookahead, so a vocabulary hit
+    is exactly a whole token) instead of re-tokenizing into an array and
+    running an interpreted per-token ``isin`` lambda — the HOF path
+    re-evaluated normalize+split per LANGUAGE and measured ~17 s at sf1
+    for the 5-language vote; the regex scans are codegen-friendly string
+    kernels with identical counts."""
     vocab = LANG_STOPWORDS[lang]
-    return F.size(F.filter(tokens(col), lambda t: t.isin(*vocab)))
+    pat = "(?:^| )(?:" + "|".join(vocab) + ")(?= |$)"
+    return F.size(F.regexp_extract_all(normalized_text(col), F.lit(pat), 0))
 
 
 def detect_language(col: Column | str) -> Column:

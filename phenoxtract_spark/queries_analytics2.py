@@ -465,7 +465,10 @@ def g10_roundtrip(spark, sf_dir):
         "subject_id",
         F.col("p.subject.name").alias("name"),
         F.size("p.orders").cast("bigint").alias("n_orders"),
-        F.col("p.orders")[0]["status"].alias("first_status"),
+        # F.get, not [0]: ANSI indexing throws on a zero-order customer's
+        # empty array (first seen at sf1); the oracle's json_extract of
+        # $.orders[0] yields NULL there, and F.get matches that
+        F.get("p.orders", 0)["status"].alias("first_status"),
     )
 
 
