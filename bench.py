@@ -125,6 +125,7 @@ SF1_PROBE = [
     # tracks corpus size × |queries|) and the now-Arrow-vectorized
     # cluster-histogram composite (edge subtree materialized once)
     "similarity_pq_adc_topk",
+    "similarity_ivfpq_topk",
     "dedup_cluster_size_histogram",
 ]
 

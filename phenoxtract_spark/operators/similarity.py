@@ -239,6 +239,148 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
     )
 
 
+def _pq_codebook(samples: DataFrame, num_codes: int, id_col: str,
+                 vec_col: str):
+    """(num_codes, dim) codebook matrix from the first ``num_codes``
+    sample rows ordered by id — code c = sorted position c."""
+    rows = samples.select(
+        F.col(id_col).alias("sid"), F.col(vec_col).alias("sv")
+    ).collect()
+    rows.sort(key=lambda r: r["sid"])
+    rows = rows[:num_codes]
+    return np.array([np.asarray(r["sv"], dtype=np.float64) for r in rows])
+
+
+def _pq_block_d2(X, CB, M: int, scale: float):
+    """(len(X), M, S) rounded squared-L2 per sub-block.  The fold over the
+    D in-block dims is SEQUENTIAL (vectorized across rows/codes) — the
+    engine-parity discipline shared by every r5 Arrow kernel."""
+    S, dim = CB.shape
+    D = dim // M
+    acc = np.zeros((len(X), M, S))
+    for d in range(D):
+        cols = [m * D + d for m in range(M)]
+        xv = X[:, cols]  # (n, M)
+        cv = CB[:, cols]  # (S, M)
+        diff = xv[:, :, None] - cv.T[None, :, :]  # (n, M, S)
+        acc += diff * diff
+    return np.floor(acc * scale + 0.5) / scale  # F.round, d2 >= 0
+
+
+def pq_encode_long(vectors: DataFrame, CB, num_subspaces: int,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   round_dp: int = 6) -> DataFrame:
+    """PQ-encode the corpus to LONG form (id, m, code) — the relational
+    shape a bucket-restricted ADC join consumes (ivfpq_topk).  One Arrow
+    pass; ties on the rounded block distance break to the lowest code
+    (CB rows are in sorted-sample order)."""
+    M = int(num_subspaces)
+    scale = 10.0 ** round_dp
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    from ..session import fan_out
+
+    v = fan_out(v)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            codes = np.argmin(_pq_block_d2(X, CB, M, scale), axis=2)  # (n, M)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["id"].values, M),
+                    "m": np.tile(np.arange(M, dtype=np.int64), n),
+                    "code": codes.ravel().astype(np.int64),
+                }
+            )
+
+    return v.mapInPandas(run, schema=f"id {id_type}, m bigint, code bigint")
+
+
+def ivfpq_topk(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
+               samples: DataFrame, num_subspaces: int = 8, num_codes: int = 16,
+               k: int = 10, nprobe: int = 1, id_col: str = "vec_id",
+               vec_col: str = "embedding", round_dp: int = 6) -> DataFrame:
+    """IVF-PQ with ADC — the standard production ANN architecture (the
+    FAISS default): a coarse quantizer (IVF centroids) restricts each
+    query to its ``nprobe`` nearest buckets, and within a bucket the
+    ranking runs on PQ codes via the query's ADC table — the corpus is
+    never decoded and the scored relation is nprobe·|bucket| per query.
+
+    Composition of two verified pieces: :func:`assign_ivf_centroid`
+    (Arrow kernel, materialized once — it feeds both the neighbor and
+    query sides) and the PQ encode/ADC machinery of :func:`pq_topk`,
+    here in RELATIONAL form: codes live in a long (id, m, code) relation
+    and the per-query ADC tables in a broadcast (query_id, m, code, d2)
+    dim, so the scoring join + per-pair sum + top-k window are all JVM
+    built-ins.  Returns (query_id, neighbor_id, approx_d2, rank)."""
+    CB = _pq_codebook(samples, num_codes, id_col, vec_col)
+    M = int(num_subspaces)
+    if CB.shape[1] % M:
+        raise ValueError(
+            f"dim {CB.shape[1]} not divisible by num_subspaces {M}"
+        )
+    scale = 10.0 ** round_dp
+    assign = assign_ivf_centroid(vectors, centroids, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    qassign = (
+        assign
+        if nprobe == 1
+        else assign_ivf_centroid(queries, centroids, id_col, vec_col, nprobe=nprobe)
+    )
+    enc = pq_encode_long(vectors, CB, M, id_col, vec_col, round_dp)
+    # per-query ADC tables: |q|·M·S rows, a broadcast dim
+    query_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    query_rows.sort(key=lambda r: r["qid"])
+    Q = np.array([np.asarray(r["qv"], dtype=np.float64) for r in query_rows])
+    dtab = _pq_block_d2(Q, CB, M, scale) if len(query_rows) else None
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    spark = vectors.sparkSession
+    qd_rows = [
+        (r["qid"], int(m), int(c), float(dtab[qi, m, c]))
+        for qi, r in enumerate(query_rows)
+        for m in range(M)
+        for c in range(CB.shape[0])
+    ]
+    qd = F.broadcast(
+        spark.createDataFrame(
+            qd_rows, f"query_id {id_type}, m bigint, code bigint, d2 double"
+        )
+    )
+    pairs = (
+        qassign.select(F.col("id").alias("query_id"), "centroid_id")
+        .join(
+            assign.select(F.col("id").alias("neighbor_id"), "centroid_id"),
+            "centroid_id",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    approx = (
+        pairs.join(enc.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+        .join(qd, ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d2"), round_dp).alias("approx_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        approx.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "approx_d2",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def pq_topk(vectors: DataFrame, queries: DataFrame, samples: DataFrame,
             num_subspaces: int = 8, num_codes: int = 16, k: int = 10,
             id_col: str = "vec_id", vec_col: str = "embedding",
@@ -266,13 +408,8 @@ def pq_topk(vectors: DataFrame, queries: DataFrame, samples: DataFrame,
     per-query top-k window.  All folds accumulate sequentially (subspace
     dims, then subspaces) — same engine-parity discipline as the other
     r5 Arrow kernels.  Returns (query_id, neighbor_id, approx_d2, rank)."""
-    sample_rows = samples.select(
-        F.col(id_col).alias("sid"), F.col(vec_col).alias("sv")
-    ).collect()
-    sample_rows.sort(key=lambda r: r["sid"])
-    sample_rows = sample_rows[:num_codes]
-    CB = np.array([np.asarray(r["sv"], dtype=np.float64) for r in sample_rows])
-    S = len(sample_rows)
+    CB = _pq_codebook(samples, num_codes, id_col, vec_col)
+    S = CB.shape[0]
     query_rows = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
     ).collect()
@@ -283,21 +420,10 @@ def pq_topk(vectors: DataFrame, queries: DataFrame, samples: DataFrame,
     M = int(num_subspaces)
     if dim % M:
         raise ValueError(f"dim {dim} not divisible by num_subspaces {M}")
-    D = dim // M
     scale = 10.0 ** round_dp
 
-    # per-(row, m, c) distances with a sequential fold over the D in-block
-    # dims; shared by encode (corpus side) and the ADC tables (query side)
     def _block_d2(X):
-        acc = np.zeros((len(X), M, S))
-        for d in range(D):
-            # column of in-block dim d for every subspace: indices m*D+d
-            cols = [m * D + d for m in range(M)]
-            xv = X[:, cols]  # (n, M)
-            cv = CB[:, cols]  # (S, M)
-            diff = xv[:, :, None] - cv.T[None, :, :]  # (n, M, S)
-            acc += diff * diff
-        return np.floor(acc * scale + 0.5) / scale  # F.round, d2 >= 0
+        return _pq_block_d2(X, CB, M, scale)
 
     dtab = _block_d2(Q)  # (|q|, M, S) — the ADC tables
     id_type = vectors.schema[id_col].dataType.simpleString()

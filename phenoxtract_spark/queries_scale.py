@@ -1491,3 +1491,87 @@ def sim_pq_adc(spark, sf_dir):
     queries = e.filter(F.col("vec_id") < 5)
     return similarity.pq_topk(e, queries, samples, num_subspaces=8,
                               num_codes=16, k=5)
+
+
+@q(
+    "similarity_ivfpq_topk",
+    """
+    WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+    vx AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, idx),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM vx GROUP BY vec_id),
+    cen AS (SELECT vec_id AS cid FROM embeddings
+            WHERE vec_id % (SELECT greatest(61, CAST(floor(sqrt(count(*))) AS BIGINT))
+                            FROM embeddings) = 0),
+    adots AS (
+      SELECT v.vec_id AS id, c.cid,
+             round(sum(v.x * cv.x) / (nv.nrm * nc.nrm), 6) AS cos
+      FROM vx v
+      JOIN cen c ON true
+      JOIN vx cv ON cv.vec_id = c.cid AND cv.i = v.i
+      JOIN norms nv ON nv.vec_id = v.vec_id
+      JOIN norms nc ON nc.vec_id = c.cid
+      GROUP BY v.vec_id, c.cid, nv.nrm, nc.nrm
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid) AS rn
+      FROM adots
+    ),
+    assign AS (SELECT id, cid FROM ranked WHERE rn = 1),
+    qprobe AS (SELECT id, cid FROM ranked WHERE rn <= 2 AND id < 5),
+    samp AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+      FROM embeddings
+      WHERE vec_id % (SELECT greatest(61, CAST(floor(sqrt(count(*))) AS BIGINT))
+                      FROM embeddings) = 0
+      ORDER BY vec_id LIMIT 16
+    ),
+    cb AS (SELECT s.c, v.i, v.x FROM samp s JOIN vx v ON v.vec_id = s.vec_id),
+    bd AS (
+      SELECT v.vec_id, (v.i - 1) // 8 AS m, cb.c,
+             round(sum((v.x - cb.x) * (v.x - cb.x)), 6) AS d2
+      FROM vx v JOIN cb ON cb.i = v.i
+      GROUP BY 1, 2, 3
+    ),
+    enc AS (
+      SELECT vec_id, m, c AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d2 ASC, c ASC) AS rn
+        FROM bd) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT q.id AS query_id, n.id AS neighbor_id
+      FROM qprobe q JOIN assign n ON n.cid = q.cid
+      WHERE n.id != q.id
+    ),
+    approx AS (
+      SELECT p.query_id, p.neighbor_id, round(sum(qd.d2), 6) AS approx_d2
+      FROM pairs p
+      JOIN enc e ON e.vec_id = p.neighbor_id
+      JOIN bd qd ON qd.vec_id = p.query_id AND qd.m = e.m AND qd.c = e.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, approx_d2, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY approx_d2 ASC, neighbor_id ASC) AS rank
+      FROM approx) WHERE rank <= 5
+    """,
+)
+def sim_ivfpq(spark, sf_dir):
+    """IVF-PQ with ADC (round 5) — the production ANN composite (the
+    FAISS default): √n-stride IVF centroids restrict each query to its
+    two nearest buckets (nprobe=2), and within a bucket the ranking runs
+    on 8-subspace PQ codes against the query's ADC table — the corpus is
+    never decoded in the scoring path.  The oracle replays coarse assign,
+    probe ranking, PQ encode, and the ADC join relationally
+    (operators/similarity.py:ivfpq_topk)."""
+    import math
+
+    e = read_table(spark, sf_dir, "embeddings")
+    stride = max(61, int(math.isqrt(e.count())))
+    centroids = e.filter(F.col("vec_id") % stride == 0)
+    samples = centroids
+    queries = e.filter(F.col("vec_id") < 5)
+    return similarity.ivfpq_topk(
+        e, queries, centroids, samples, num_subspaces=8, num_codes=16,
+        k=5, nprobe=2,
+    )

@@ -132,6 +132,42 @@ def test_pq_adc_topk_deterministic_and_sane(spark, sf_dir):
     assert out2[0]["neighbor_id"] == 999_999 and out2[0]["approx_d2"] == 0.0
 
 
+def test_ivfpq_topk_bucket_restriction_and_determinism(spark, sf_dir):
+    """IVF-PQ (r5): every returned neighbor shares one of the query's
+    nprobe probed buckets; ranks are dense from 1; approx distances are
+    the PQ-ADC values (nonnegative, rounded); deterministic reruns."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    centroids = emb.filter(F.col("vec_id") % 31 == 0)
+    out = similarity.ivfpq_topk(
+        emb, queries, centroids, centroids, num_subspaces=8, num_codes=16,
+        k=5, nprobe=2,
+    )
+    rows = out.collect()
+    assert rows, "IVF-PQ returned nothing"
+    probed = {
+        (r["id"], r["centroid_id"])
+        for r in similarity.assign_ivf_centroid(
+            queries, centroids, nprobe=2
+        ).collect()
+    }
+    nbuck = {
+        r["id"]: r["centroid_id"]
+        for r in similarity.assign_ivf_centroid(emb, centroids).collect()
+    }
+    per_q = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        assert r["approx_d2"] >= 0.0
+        assert (r["query_id"], nbuck[r["neighbor_id"]]) in probed, (
+            "neighbor outside the query's probed buckets"
+        )
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+    again = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in out.collect()}
+    assert again == {(r["query_id"], r["rank"], r["neighbor_id"]) for r in rows}
+
+
 def test_hyperplane_signature_deterministic(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(20)
     s1 = {r["id"]: r["sig"] for r in similarity.hyperplane_signature(emb, 64, 8).collect()}
