@@ -401,6 +401,15 @@ def pq_topk(vectors: DataFrame, queries: DataFrame, samples: DataFrame,
     codeword, the ADC table) is summed over subspaces at the stored
     codes, re-rounded, and ranked (approx asc, neighbor id asc).
 
+    Recall posture: ADC approximates the L2 ranking and quality is
+    governed by codebook fit — training-free strided codebooks keep the
+    whole path deterministic and oracle-replayable (genuinely close
+    vectors still rank first: an exact duplicate scores approx 0,
+    pinned in tests), but production recall on real corpora wants
+    k-means-trained per-subspace codebooks (operators/clustering
+    provides the trainer) and L2-normalized inputs when the target
+    metric is cosine.  Same note applies to :func:`ivfpq_topk`.
+
     Scale shape: codebooks and the query ADC table are KB-sized driver
     arrays shipped with the closure (the bounded pre-resolve→broadcast
     pattern); encode+score is ONE Arrow ``mapInPandas`` pass over the
