@@ -127,6 +127,9 @@ SF1_PROBE = [
     "similarity_pq_adc_topk",
     "similarity_ivfpq_topk",
     "dedup_cluster_size_histogram",
+    # round-5 late: Z-order layout is two scans + one coarse groupBy —
+    # the ratio should track row count (~10x)
+    "layout_zorder_files",
 ]
 
 # r5 (verdict #7b/#4): the heaviest sf1 queries get TWO reps and report the

@@ -1,0 +1,94 @@
+"""Data-layout optimization: Z-order (Morton) clustering keys.
+
+The 100 TB write-path lever the scan-side levers depend on: sorting a
+table by a SINGLE dimension makes min/max file statistics useless for
+every other filter column, while writing in Z-ORDER of the filter
+columns keeps every file's bounding box small in ALL of them — so
+min/max pruning (parquet row groups, Delta/Iceberg file skipping) works
+for multi-dimensional predicates.  ``repartitionByRange(zorder_key)``
+before the write is the whole integration.
+
+Everything here is exact, deterministic arithmetic (two-pass min/max
+scaling + bit interleave as a fixed JVM expression tree), so the key —
+and the file-level bounding-box statistics that justify it — replay
+bit-identically in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(scaled: list[Column], bits: int = 8) -> Column:
+    """Interleave the low ``bits`` bits of the already-scaled integer
+    columns (column i contributes bit b to output bit ``b*len + i``) —
+    the Morton code.  A fixed ``bits × len`` expression tree, whole-stage
+    codegen'd; no shuffle, no UDF."""
+    n = len(scaled)
+    key = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for i, c in enumerate(scaled):
+            key = key + F.shiftleft(
+                F.shiftright(c.cast("bigint"), b).bitwiseAND(F.lit(1)),
+                b * n + i,
+            )
+    return key
+
+
+def scale_to_grid(col: Column, lo: Column, hi: Column, bits: int = 8) -> Column:
+    """Min-max scale a numeric column onto the [0, 2^bits) integer grid:
+    ``floor((x - lo) / (hi - lo) * (2^bits - 1) + 0.5)`` (HALF_UP via
+    +0.5/floor — engine-identical), constant-range columns land on 0."""
+    m = float(2**bits - 1)
+    span = hi.cast("double") - lo.cast("double")
+    frac = F.when(span > 0, (col.cast("double") - lo.cast("double")) / span).otherwise(
+        F.lit(0.0)
+    )
+    return F.floor(frac * F.lit(m) + F.lit(0.5)).cast("bigint")
+
+
+def zorder_layout(df: DataFrame, dims: list[str], bits: int = 8,
+                  file_bits: int = 4) -> DataFrame:
+    """Assign every row its Z-order key and its target FILE under a
+    ``2^file_bits``-file layout (the top ``file_bits`` bits of the key —
+    what ``repartitionByRange`` produces with that many partitions), and
+    report per-file bounding-box statistics for every dimension: the
+    min/max pairs a reader's file-skipping consults.  Narrow boxes in all
+    dimensions = multi-dimensional pruning works; that property is what
+    the oracle value-checks.
+
+    Two-pass: one global min/max aggregate over the dims (broadcast as a
+    1-row dim — the cast-stats pattern), then one projection + one
+    coarse groupBy(file).  Returns
+    (file_id, n_rows, then per dim: <dim>_lo, <dim>_hi)."""
+    stats = df.agg(
+        *[F.min(d).alias(f"_lo_{d}") for d in dims],
+        *[F.max(d).alias(f"_hi_{d}") for d in dims],
+    )
+    joined = df.crossJoin(F.broadcast(stats))
+    scaled = [
+        scale_to_grid(
+            F.col(d), F.col(f"_lo_{d}"), F.col(f"_hi_{d}"), bits
+        ).alias(f"_g_{d}")
+        for d in dims
+    ]
+    proj = joined.select(*[F.col(d) for d in dims], *scaled)
+    key = zorder_key([F.col(f"_g_{d}") for d in dims], bits)
+    total_bits = bits * len(dims)
+    file_id = F.shiftright(key, total_bits - int(file_bits))
+    return (
+        proj.select(*[F.col(d) for d in dims], file_id.alias("file_id"))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                agg
+                for d in dims
+                for agg in (
+                    F.min(d).alias(f"{d}_lo"),
+                    F.max(d).alias(f"{d}_hi"),
+                )
+            ],
+        )
+    )

@@ -1575,3 +1575,52 @@ def sim_ivfpq(spark, sf_dir):
         e, queries, centroids, samples, num_subspaces=8, num_codes=16,
         k=5, nprobe=2,
     )
+
+
+@q(
+    "layout_zorder_files",
+    """
+    WITH d AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS price,
+             CAST(l_quantity AS DOUBLE) AS qty
+      FROM lineitem
+    ),
+    s AS (SELECT min(price) AS plo, max(price) AS phi,
+                 min(qty) AS qlo, max(qty) AS qhi FROM d),
+    g AS (
+      SELECT price, qty,
+             CAST(floor((CASE WHEN phi - plo > 0
+                              THEN (price - plo) / (phi - plo) ELSE 0 END)
+                        * 255 + 0.5) AS BIGINT) AS g0,
+             CAST(floor((CASE WHEN qhi - qlo > 0
+                              THEN (qty - qlo) / (qhi - qlo) ELSE 0 END)
+                        * 255 + 0.5) AS BIGINT) AS g1
+      FROM d, s
+    ),
+    k AS (
+      SELECT price, qty,
+             (((g0 >> 0) & 1) << 0) + (((g1 >> 0) & 1) << 1) + (((g0 >> 1) & 1) << 2) + (((g1 >> 1) & 1) << 3) + (((g0 >> 2) & 1) << 4) + (((g1 >> 2) & 1) << 5) + (((g0 >> 3) & 1) << 6) + (((g1 >> 3) & 1) << 7) + (((g0 >> 4) & 1) << 8) + (((g1 >> 4) & 1) << 9) + (((g0 >> 5) & 1) << 10) + (((g1 >> 5) & 1) << 11) + (((g0 >> 6) & 1) << 12) + (((g1 >> 6) & 1) << 13) + (((g0 >> 7) & 1) << 14) + (((g1 >> 7) & 1) << 15) AS zkey
+      FROM g
+    )
+    SELECT zkey // 4096 AS file_id, count(*) AS n_rows,
+           min(price) AS price_lo, max(price) AS price_hi,
+           min(qty) AS qty_lo, max(qty) AS qty_hi
+    FROM k GROUP BY 1
+    """,
+)
+def layout_zorder(spark, sf_dir):
+    """Z-order (Morton) write layout (round 5): scale the filter dims onto
+    a 2^8 grid (two-pass min/max, broadcast 1-row stats dim), interleave
+    bits into the Morton key, and report per-FILE bounding boxes under a
+    16-file ``repartitionByRange(zkey)`` layout — the min/max statistics
+    multi-dimensional file skipping consults.  Exact arithmetic end to
+    end, so the oracle value-checks the boxes, not just the plumbing
+    (operators/layout.py)."""
+    from .operators import layout
+
+    li = read_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_quantity").cast("double").alias("qty"),
+    )
+    return layout.zorder_layout(d, ["price", "qty"], bits=8, file_bits=4)

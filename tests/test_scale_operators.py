@@ -588,3 +588,46 @@ def test_prefix_join_exact_vs_bruteforce(spark):
     assert (1, 5) in got and got[(1, 5)] == 1.0
     assert (1, 2) in got
     assert all(4 not in pair for pair in got)
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from phenoxtract_spark.operators import layout
+
+    df = spark.createDataFrame([(3, 5)], "a bigint, b bigint")
+    key = df.select(
+        layout.zorder_key([F.col("a"), F.col("b")], bits=3).alias("k")
+    ).collect()[0]["k"]
+    # a=0b011 -> bits 0,2 ; b=0b101 -> bits 1,5 ; key = 1+2+4+32 = 39
+    assert key == 39
+
+
+def test_zorder_layout_boxes_beat_single_dim_sort(spark):
+    """The property the operator exists for: under a Z-order file layout,
+    per-file bounding boxes are narrow in BOTH dimensions, while a
+    single-dimension sort leaves the other dimension's boxes spanning the
+    whole domain (file skipping on it is useless)."""
+    from pyspark.sql.window import Window
+
+    from phenoxtract_spark.operators import layout
+
+    rows = [(float(i % 64), float((i * 37) % 64)) for i in range(4096)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    z = layout.zorder_layout(df, ["x", "y"], bits=8, file_bits=4).collect()
+    assert sum(r["n_rows"] for r in z) == 4096
+    z_span_y = sum((r["y_hi"] - r["y_lo"]) * r["n_rows"] for r in z) / 4096
+    # single-dim layout: 16 equal files by x order
+    w = Window.orderBy("x", "y")
+    s = (
+        df.withColumn("file_id", F.ntile(16).over(w))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("y").alias("y_lo"),
+            F.max("y").alias("y_hi"),
+        )
+        .collect()
+    )
+    s_span_y = sum((r["y_hi"] - r["y_lo"]) * r["n_rows"] for r in s) / 4096
+    # x-sorted files span essentially the full y domain; z-order files
+    # must be at least 2x narrower in y on this uniform grid
+    assert z_span_y < s_span_y / 2, (z_span_y, s_span_y)
