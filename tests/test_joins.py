@@ -136,3 +136,36 @@ def test_asof_forward_and_nearest(spark):
     # lid=3 at 500: only backward exists
     assert near[3] == (4.0, 400)
     assert near[4] == (None, None)
+
+
+def test_bucketed_join_plan_has_no_exchange(spark):
+    """The point of write_bucketed (r5 plan-level proof): an equi-join of
+    two tables bucketed identically on the join key plans WITHOUT any
+    Exchange — the co-location bought at write time replaces the shuffle
+    — while the same join on plain tables shuffles both sides."""
+    import contextlib
+    import io
+
+    a = spark.createDataFrame([(i, i * 2) for i in range(100)], "k bigint, va bigint")
+    b = spark.createDataFrame([(i, i * 3) for i in range(100)], "k bigint, vb bigint")
+    joins.write_bucketed(a, "bkt_a", ["k"], num_buckets=4, sort_cols=["k"])
+    joins.write_bucketed(b, "bkt_b", ["k"], num_buckets=4, sort_cols=["k"])
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        assert j.count() == 100
+        # negative control: the plain-table join shuffles
+        pj = a.join(b, "k")
+        buf2 = io.StringIO()
+        with contextlib.redirect_stdout(buf2):
+            pj.explain("formatted")
+        assert "Exchange" in buf2.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
