@@ -566,3 +566,38 @@ def strip_html_documents(df: DataFrame, id_col: str, html_col: str) -> DataFrame
             "keep_ratio"
         ),
     )
+
+
+def token_budget_select(df: DataFrame, id_col: str, quality: Column,
+                        n_tokens: Column, budget_per_shard: int,
+                        shards: int = 8, seed: str = "budget-v1") -> DataFrame:
+    """Token-budget-constrained data selection: keep the highest-quality
+    documents whose RUNNING token total stays within a per-shard budget —
+    the "best N tokens" step between scoring and tokenization when the
+    training run's size is fixed in tokens, not documents.
+
+    Greedy by (quality desc, id asc) is the canonical baseline; the
+    deterministic md5 shard (``split_bucket`` scheme) makes the global
+    budget a sum of per-shard budgets, so the window sort is per-shard —
+    never a global sort — and the selection is reproducible across
+    engines/layouts/cluster sizes.  One shuffle (shard), one window pass.
+    Returns (id, shard, n_tokens, quality, cum_tokens), selected rows only.
+    """
+    from pyspark.sql.window import Window
+
+    shard = split_bucket(id_col, seed, buckets=shards)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shard.alias("shard"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        quality.alias("quality"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("quality").desc(), F.col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_per_shard)
+    )

@@ -1624,3 +1624,60 @@ def layout_zorder(spark, sf_dir):
         F.col("l_quantity").cast("double").alias("qty"),
     )
     return layout.zorder_layout(d, ["price", "qty"], bits=8, file_bits=4)
+
+
+@q(
+    "curation_token_budget_select",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+             CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE) AS n_punct,
+             CAST(len(list_filter(string_split({_NORM}, ' '), t -> t != '')) AS DOUBLE) AS n_tok,
+             CAST({_votes_sql('en')} AS DOUBLE) AS en_stop
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id AS id,
+             ('0x' || substr(md5('budget-v1::' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+               AS shard,
+             CAST(n_tok AS BIGINT) AS n_tokens,
+             round(0.3 * least(n_chars / 500.0, 1.0)
+                 + 0.3 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+                 + 0.2 * (CASE WHEN n_tok > 0
+                               THEN least(en_stop / (n_tok * 0.1 + 1e-9), 1.0) ELSE 0.0 END)
+                 + 0.2 * (CASE WHEN n_chars > 0
+                               THEN 1.0 - least(n_punct / n_chars * 5, 1.0) ELSE 0.0 END), 6)
+               AS quality
+      FROM m
+    ),
+    cum AS (
+      SELECT id, shard, n_tokens, quality,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard
+                                      ORDER BY quality DESC, id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      FROM scored
+    )
+    SELECT id, shard, n_tokens, quality, cum_tokens
+    FROM cum WHERE cum_tokens <= 5000
+    """,
+)
+def token_budget_select_q(spark, sf_dir):
+    """Token-budget-constrained selection (round 5): keep the
+    highest-quality documents whose running token total stays within a
+    5000-token budget per md5 shard — the "best N tokens" step between
+    quality scoring and tokenization when the training run's size is
+    fixed in tokens.  Greedy (quality desc, id) per shard: one shuffle,
+    one window pass, no global sort
+    (operators/curation.py:token_budget_select)."""
+    from .operators import curation
+
+    d = read_table(spark, sf_dir, "documents")
+    return curation.token_budget_select(
+        d, "doc_id",
+        quality=textanalysis.quality_score("text"),
+        n_tokens=textanalysis.token_count("text"),
+        budget_per_shard=5000, shards=8,
+    )

@@ -315,3 +315,43 @@ def test_leakproof_split_keeps_clusters_together(spark):
     assert all(len(s) == 1 for s in by_cluster.values())
     # the near-dup docs really did cluster (fewer clusters than docs)
     assert len(by_cluster) < 13
+
+
+def test_token_budget_select_greedy_prefix_and_maximal(spark):
+    from phenoxtract_spark.operators import curation, textanalysis
+
+    rows = [(i, "word " * (10 + (i * 13) % 40) + ("great text" * (i % 5))) for i in range(60)]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    budget, shards = 300, 4
+    out = curation.token_budget_select(
+        d, "doc_id",
+        quality=textanalysis.quality_score("text"),
+        n_tokens=textanalysis.token_count("text"),
+        budget_per_shard=budget, shards=shards,
+    )
+    got = out.collect()
+    assert got, "selection must be non-empty"
+    # full scored relation for the reference greedy
+    scored = d.select(
+        F.col("doc_id").alias("id"),
+        curation.split_bucket("doc_id", "budget-v1", buckets=shards).alias("shard"),
+        textanalysis.token_count("text").cast("bigint").alias("n_tokens"),
+        textanalysis.quality_score("text").alias("quality"),
+    ).collect()
+    by_shard = {}
+    for r in scored:
+        by_shard.setdefault(r["shard"], []).append(r)
+    expect = set()
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: (-r["quality"], r["id"]))
+        cum = 0
+        for r in rs:
+            cum += r["n_tokens"]
+            if cum <= budget:
+                expect.add((r["id"], shard, r["n_tokens"], r["quality"], cum))
+            else:
+                break  # greedy running-total semantics: stop at first overflow
+    assert {(r["id"], r["shard"], r["n_tokens"], r["quality"], r["cum_tokens"])
+            for r in got} == expect
+    # budget respected everywhere
+    assert all(r["cum_tokens"] <= budget for r in got)
