@@ -159,6 +159,18 @@ def test_no_oracle_emits_hugeint_columns():
     assert not offenders, f"HUGEINT-typed oracle columns: {offenders}"
 
 
+def test_null_dates_normalize_identically_across_containers():
+    """sf0.1 regression (g10_packet_flat): a null timestamp is NaT in a
+    datetime64 column but None in an object column — both are nulls and
+    must compare equal; a null-vs-real-date mismatch must still FAIL."""
+    ts = pd.Timestamp("1995-03-15")
+    a = pd.DataFrame({"d": pd.to_datetime([ts, None])})          # datetime64, NaT
+    b = pd.DataFrame({"d": [ts.to_pydatetime(), None]})          # object, None
+    assert not compare("null_dates_eq", a, b)
+    c = pd.DataFrame({"d": pd.to_datetime([ts, ts])})
+    assert compare("null_vs_real_date", c, b)
+
+
 def test_array_columns_compare_across_container_types():
     """Vanilla Spark toPandas yields Python lists, Arrow/DuckDB yield numpy
     arrays — equal values must PASS regardless of container, and a value

@@ -50,7 +50,7 @@ def _canon(v):
     inside ndarray reprs)."""
     import numpy as np
 
-    if v is None or (isinstance(v, float) and pd.isna(v)):
+    if v is None or v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
         return None
     if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ", ".join(str(_canon(x)) for x in v) + "]"
@@ -67,7 +67,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
+            # null dates must normalize like nulls everywhere else: a
+            # datetime64 column renders them 'NaT' while an object column
+            # (Spark toPandas with any null) holds None — same value,
+            # different container (first seen on g10_packet_flat at sf0.1,
+            # where the first zero-order customer appears)
             s = s.astype("datetime64[us]").astype(str)
+            s = s.where(s != "NaT", None)
         elif s.dtype == object:
             s = s.map(_canon)
         out[c] = s
