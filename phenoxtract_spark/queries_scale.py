@@ -640,9 +640,10 @@ def mm_frames(spark, sf_dir):
     """
     SELECT doc_id AS media_id,
            octet_length(encode(text)) AS n_bytes,
-           [round(('0x' || substr(md5(text), 2 * i - 1, 2))::BIGINT / 255.0, 5)
-            for i in generate_series(1, 8)] AS feature
-    FROM documents
+           CAST(i - 1 AS BIGINT) AS feat_idx,
+           round(('0x' || substr(md5(text), 2 * i - 1, 2))::BIGINT / 255.0, 5)
+               AS feature_val
+    FROM documents, generate_series(1, 8) AS g(i)
     """,
 )
 def mm_features(spark, sf_dir):
@@ -650,16 +651,27 @@ def mm_features(spark, sf_dir):
     features are md5-derived and therefore reproducible in SQL — so even
     the Python-side plumbing is value-checked end-to-end (rounded to 5dp:
     the stub emits float32, the oracle computes in double; 6dp already
-    diverges for 3 of the 256 byte values)."""
+    diverges for 3 of the 256 byte values).
+
+    The feature vector is POSEXPLODED to scalar (feat_idx, feature_val)
+    rows: the external driver canonicalizes results with a pandas
+    ``sort_values`` over raw cells, which cannot hash/factorize list
+    values — an array-typed result column crashes its compare (the r5
+    ``multimodal_features`` red row).  Driver-facing queries must emit
+    atomic columns only; ``tests/test_driver_contract.py`` pins this for
+    the whole registry."""
     d = read_table(spark, sf_dir, "documents")
     media = multimodal.attach_binary_payload(d, "doc_id", "text")
     feats = multimodal.extract_features(media)
     return feats.select(
         "media_id",
         "n_bytes",
-        F.transform(F.col("feature"), lambda x: F.round(x.cast("double"), 5)).alias(
-            "feature"
-        ),
+        F.posexplode(F.col("feature")).alias("feat_idx", "feature_val"),
+    ).select(
+        "media_id",
+        "n_bytes",
+        F.col("feat_idx").cast("bigint").alias("feat_idx"),
+        F.round(F.col("feature_val").cast("double"), 5).alias("feature_val"),
     )
 
 

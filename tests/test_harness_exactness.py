@@ -171,19 +171,20 @@ def test_null_dates_normalize_identically_across_containers():
     assert compare("null_vs_real_date", c, b)
 
 
-def test_array_columns_compare_across_container_types():
-    """Vanilla Spark toPandas yields Python lists, Arrow/DuckDB yield numpy
-    arrays — equal values must PASS regardless of container, and a value
-    difference must still FAIL (the r4 multimodal_features vanilla gap)."""
+def test_list_valued_result_columns_fail_as_driver_fatal():
+    """The external driver canonicalizes with a raw pandas sort_values —
+    list-valued cells cannot be factorized and CRASH its compare (the r5
+    multimodal_features red row).  The local gate must therefore FAIL any
+    query whose result holds list/array cells on either side, even when
+    the values are identical — green-locally/red-in-driver is exactly the
+    gap this pins shut."""
     import numpy as np
 
     a = pd.DataFrame({"id": [1], "feature": [[0.0, 0.11765, 0.51373]]})
     b = pd.DataFrame({"id": [1], "feature": [np.array([0.0, 0.11765, 0.51373])]})
-    assert not compare("arrays_eq", a, b)
-    c = pd.DataFrame({"id": [1], "feature": [np.array([0.0, 0.11766, 0.51373])]})
-    assert compare("arrays_neq", a, c)
-    # integer arrays and None elements too
-    d = pd.DataFrame({"x": [[1, None, 3]]})
-    e = pd.DataFrame({"x": [np.array([1.0, np.nan, 3.0], dtype=object)]})
-    # int 1 vs float 1.0 render differently by design (typed mismatch)
-    assert compare("arrays_typed", d, e)
+    problems = compare("arrays_driver_fatal", a, b)
+    assert problems and any("CRASHES" in p for p in problems)
+    # scalar-only results with equal values still pass
+    c = pd.DataFrame({"id": [1], "v": [0.5]})
+    d = pd.DataFrame({"id": [1], "v": [0.5]})
+    assert not compare("scalars_eq", c, d)

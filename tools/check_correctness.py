@@ -90,6 +90,32 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if sc != dc:
         problems.append(f"columns {sc} vs {dc}")
         return problems
+    # Driver-fatal shape (round-6 hardening): the external driver
+    # canonicalizes with a raw pandas ``sort_values`` over cell values —
+    # a list/array/dict-valued column cannot be factorized and CRASHES its
+    # compare outright (the r5 ``multimodal_features`` red row:
+    # "TypeError: unhashable type: 'list'").  Our ``_canon`` stringifies
+    # lists, which is exactly how that query shipped green locally and red
+    # in the driver — so flag the shape itself, on either side.
+    import numpy as np
+
+    for side, pdf in (("spark", spark_pdf), ("oracle", duck_pdf)):
+        for c in pdf.columns:
+            s = pdf[c]
+            if s.dtype != object:
+                continue
+            sample = s.dropna().head(100)
+            if any(
+                isinstance(v, (list, tuple, dict, np.ndarray)) for v in sample
+            ):
+                problems.append(
+                    f"col {c}: {side} result holds list/array values — the "
+                    f"driver's sort_values canon cannot hash lists and "
+                    f"CRASHES (r5 multimodal_features); posexplode or "
+                    f"stringify the column"
+                )
+    if problems:
+        return problems
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     if len(a) != len(b):
         return problems
