@@ -257,10 +257,16 @@ def main():
                         df.write.format("noop").mode("overwrite").save()
                         times.append(round(time.time() - t0, 3))
                     except Exception as exc:
+                        # record the failure only when NO rep succeeded: a
+                        # clean rep-1 time plus an errors entry for a flaky
+                        # rep 2 would be contradictory (r5 ADVICE) — a
+                        # genuinely flaky query should read as ERR, not as
+                        # a clean best-of time.
                         sf1_results[name] = "ERR"
                         payload.setdefault("errors", {})[f"sf1:{name}"] = (
                             f"{type(exc).__name__}: {exc}"[:300]
                         )
+                        times = []
                         break
                 if times:
                     sf1_results[name] = min(times)

@@ -48,9 +48,12 @@ def kmeans_assign(vectors: DataFrame, centroids: DataFrame,
     # — the n·C interpreted-HOF crossJoin was the hotspot.  The C-row
     # centroid matrix collects driver-side (bounded by construction) and
     # each batch scores against all centroids in one numpy pass, with the
-    # (x−c)² fold accumulated SEQUENTIALLY over the dimension index —
-    # bitwise-equal to the old ``_sq_l2`` fold (JVM pow(x,2) and numpy x*x
-    # round the exact square identically).
+    # (x−c)² fold accumulated SEQUENTIALLY over the dimension index,
+    # matching the old ``_sq_l2`` fold's order.  Caveat (r5 ADVICE): the
+    # JVM does not guarantee Math.pow(x, 2) == x*x to the last ulp, so
+    # "identical" here rests on the rounded-before-compare discipline
+    # (round_dp) absorbing any sub-ulp pow-vs-multiply drift, not on a
+    # bitwise guarantee.
     import numpy as np
     import pandas as pd
 

@@ -15,9 +15,14 @@ centroid assignment, plane projection, pair verification — are
 BLAS-shaped and run as Arrow ``mapInPandas``/``pandas_udf`` batch passes
 (per-element ``F.aggregate`` lambdas evaluate interpreted, measured
 ~600k pairs/s on 32 cores; the batch passes are 10-100× that).  Every
-numpy fold accumulates SEQUENTIALLY over the dimension index, so floats
-stay bitwise-identical to the expression folds and to the DuckDB
-oracles' unnest-ordered sums.  Per-vector, output-bounded expressions
+numpy fold accumulates SEQUENTIALLY over the dimension index, so the
+ACCUMULATED floats stay bitwise-identical to the expression folds and to
+the DuckDB oracles' unnest-ordered sums; the final decimal round
+(``_round_half_up``) matches ``F.round`` except on doubles whose
+shortest repr lands exactly on a rounding-boundary '.5' — a
+~probability-0 event for generic cosine scores, the same argument that
+underpins Spark-vs-DuckDB round parity (so end-to-end parity is
+near-certain, not guaranteed).  Per-vector, output-bounded expressions
 (brute-force baseline, quantization, mean-pool) stay JVM-side.
 """
 
@@ -122,12 +127,14 @@ def assign_ivf_centroid(vectors: DataFrame, centroids: DataFrame,
     pass scores each batch against all centroids at once.  No crossJoin,
     no shuffle, output is exactly the (id, centroid_id) relation.
 
-    Numeric parity is preserved BITWISE, not just approximately: the dot
-    and norm accumulate SEQUENTIALLY over the dimension index (a
-    vectorized loop over d, not ``np.dot``'s pairwise summation), which
-    is the exact fold order of the old ``F.aggregate`` path and of the
-    DuckDB oracle's unnest-ordered ``sum`` — then the 6-dp round and the
-    (cos desc, centroid_id asc) tie-break replay the old window rank."""
+    Numeric parity: the dot and norm accumulate SEQUENTIALLY over the
+    dimension index (a vectorized loop over d, not ``np.dot``'s pairwise
+    summation), which is the exact fold order of the old ``F.aggregate``
+    path and of the DuckDB oracle's unnest-ordered ``sum`` — bitwise for
+    the accumulation; the final 6-dp ``_round_half_up`` matches
+    ``F.round`` except on ~probability-0 '.5'-boundary doubles (see the
+    module docstring), and the (cos desc, centroid_id asc) tie-break
+    replays the old window rank."""
     import numpy as np
     import pandas as pd
 
@@ -136,9 +143,13 @@ def assign_ivf_centroid(vectors: DataFrame, centroids: DataFrame,
     ).collect()
     cen_rows.sort(key=lambda r: r["cid"])
     id_type = vectors.schema[id_col].dataType.simpleString()
+    # centroid ids come from the CENTROIDS frame — type the output column
+    # from its schema, not the vectors' (r5 ADVICE; kmeans_assign already
+    # does this with cid_type)
+    cid_type = centroids.schema[id_col].dataType.simpleString()
     if not cen_rows:
         return vectors.sparkSession.createDataFrame(
-            [], f"id {id_type}, centroid_id {id_type}"
+            [], f"id {id_type}, centroid_id {cid_type}"
         )
     C = np.array([np.asarray(r["cv"], dtype=np.float64) for r in cen_rows])
     dim = C.shape[1]
@@ -175,6 +186,12 @@ def assign_ivf_centroid(vectors: DataFrame, centroids: DataFrame,
                     acc += V[:, d : d + 1] * C[None, :, d]
                     vn += V[:, d] * V[:, d]
                 cos = _round_half_up(acc / (np.sqrt(vn)[:, None] * cn[None, :]))
+                # Degenerate zero-norm vectors score NaN: the Spark window
+                # this kernel replaced ordered cos DESC with NaN as the
+                # GREATEST double (DuckDB ORDER BY agrees), while numpy's
+                # argsort(-cos) would sort NaN last — map NaN to +inf so
+                # both probe branches keep the engine ordering (r5 ADVICE).
+                cos = np.where(np.isnan(cos), np.inf, cos)
                 if np_ == 1:
                     # argmax returns the FIRST max; cids sorted asc → ties
                     # break to the lowest centroid_id, like the old window
@@ -186,7 +203,7 @@ def assign_ivf_centroid(vectors: DataFrame, centroids: DataFrame,
                     ids = np.repeat(part["id"].values, np_)
                 yield pd.DataFrame({"id": ids, "centroid_id": sel})
 
-    return v.mapInPandas(run, schema=f"id {id_type}, centroid_id {id_type}")
+    return v.mapInPandas(run, schema=f"id {id_type}, centroid_id {cid_type}")
 
 
 def ivf_topk(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
@@ -211,9 +228,13 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
         F.col(vec_col).alias("cv"),
         l2_norm(F.col(vec_col)).alias("_cn"),
     ).join(assign.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+    # Reuse the corpus assignment for the query side ONLY in the common
+    # queries-are-the-corpus case; a distinct queries frame needs its own
+    # assignment pass or absent query ids silently produce zero rows
+    # (r5 ADVICE).
     qassign = (
         assign
-        if nprobe == 1
+        if nprobe == 1 and queries is vectors
         else assign_ivf_centroid(queries, centroids, id_col, vec_col, nprobe=nprobe)
     )
     q = queries.select(
@@ -327,9 +348,11 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
     assign = assign_ivf_centroid(vectors, centroids, id_col, vec_col).localCheckpoint(
         eager=True
     )
+    # same queries-are-the-corpus guard as ivf_topk (r5 ADVICE): a
+    # distinct queries frame always gets its own assignment pass
     qassign = (
         assign
-        if nprobe == 1
+        if nprobe == 1 and queries is vectors
         else assign_ivf_centroid(queries, centroids, id_col, vec_col, nprobe=nprobe)
     )
     enc = pq_encode_long(vectors, CB, M, id_col, vec_col, round_dp)
@@ -570,9 +593,10 @@ def pair_cos_rounded(round_dp: int = 6):
     relation — the per-PAIR twin of the r5 ``assign_ivf_centroid`` path.
     ``F.aggregate`` lambdas evaluate interpreted per pair; this scores a
     whole Arrow batch per numpy pass, with the dot/norm folds accumulated
-    SEQUENTIALLY over the dimension index so every float is bitwise-equal
-    to the old ``dot``/``l2_norm`` expressions and the DuckDB oracle's
-    unnest-ordered sums."""
+    SEQUENTIALLY over the dimension index so the accumulated floats are
+    bitwise-equal to the old ``dot``/``l2_norm`` expressions and the
+    DuckDB oracle's unnest-ordered sums (final-round caveat: see the
+    module docstring on ``_round_half_up``)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")

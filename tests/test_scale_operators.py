@@ -102,6 +102,28 @@ def test_similarity_bruteforce_and_ivf_recall(spark, sf_dir):
     assert all(-1.0 <= r["cos"] <= 1.0 for r in approx.collect())
 
 
+def test_ivf_topk_queries_disjoint_from_corpus(spark, sf_dir):
+    """r5 ADVICE regression: with nprobe=1 the query-side assignment used
+    to REUSE the corpus assignment, so query ids absent from the corpus
+    silently yielded zero rows.  A disjoint queries frame must now get its
+    own assignment pass and return full top-k lists (both IVF and
+    IVF-PQ)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") % 31 == 0)
+    # re-id two corpus vectors far outside the corpus id range
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    out = similarity.ivf_topk(emb, queries, centroids, k=5)
+    got = {r["query_id"]: r for r in out.collect()}
+    assert set(got) == {1_000_000, 1_000_001}
+    assert out.groupBy("query_id").count().collect()[0]["count"] == 5
+    out2 = similarity.ivfpq_topk(
+        emb, queries, centroids, centroids, num_subspaces=8, num_codes=16, k=5
+    )
+    assert {r["query_id"] for r in out2.collect()} == {1_000_000, 1_000_001}
+
+
 def test_pq_adc_topk_deterministic_and_sane(spark, sf_dir):
     """PQ-ADC (r5): full k per query, no self-matches, nonnegative approx
     distances, deterministic across runs, and an exact-match vector's
