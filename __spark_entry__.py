@@ -29,48 +29,49 @@ os.environ["PYTHONPATH"] = _REPO_DIR + os.pathsep + os.environ.get("PYTHONPATH",
 # row, so driver-green evidence accumulates across rounds.  Rotated-out
 # queries keep their green rows in CORRECTNESS_r{1,2,3}.json.
 _PRIORITY = [
-    # --- family representatives (driver-green in r1-r3) ---------------
-    # cleaning / casting / durations
-    "c1_trim_empty_to_null", "c3_ambivalent_cast", "c14_date_diff_iso",
-    # mapping / pivot expansion
-    "m2_synonym_mapping", "m6_multi_id_extraction",
-    # sources / pivoting
-    "s3_transpose", "s4_unpivot",
-    # grouping / packet assembly
+    # --- family representatives (driver-green in earlier rounds) ------
+    # cleaning / casting
+    "c1_trim_empty_to_null", "c3_ambivalent_cast",
+    # mapping / sources
+    "m2_synonym_mapping", "s3_transpose",
+    # grouping / packet assembly spine (always sampled — r4 verdict #6)
     "g2_group_collect", "g6_upsert_last", "g10_packet_json",
-    "g13_medical_actions",
-    # ontology + e2e
-    "x2_bidict_priority_lookup", "pipeline_e2e_packets",
-    # event-time windows
-    "events_tumbling_hour", "events_sessionize",
-    # dedup family (simhash + pairs stay: r4 proves the oracle cast fix)
-    "dedup_exact", "dedup_minhash_signature", "dedup_lsh_candidates",
-    "dedup_simhash", "dedup_simhash_pairs", "dedup_pipeline_canonical",
-    "dedup_connected_components",
-    # similarity / text / semantic
-    "similarity_ivf_topk", "text_quality", "text_tfidf_topk",
-    "dedup_semantic_canonical",
-    # --- r5 first-time rotation (never driver-checked before) ---------
-    # events_json_props stays one more round: r4's only red row, now
-    # oracle-cast — its green r5 row is the verdict-demanded evidence
-    "events_json_props",
-    # joins / features (features_trailing_windows was HUGEINT-red-in-
-    # waiting; its oracle is cast this round — rotate it in as evidence)
-    "asof_forward_event", "join_bloom_prefilter", "features_trailing_windows",
-    "semi_join_customers_with_orders", "anti_join_parts_never_bulk_ordered",
-    "having_big_customers",
-    # dedup / similarity scale valves (+ the new r5 PQ-ADC path)
-    "dedup_lsh_capped", "similarity_bruteforce_topk",
-    "similarity_ivf_nprobe_topk", "similarity_pq_adc_topk",
-    # text / sketches
-    "text_token_counts", "sketch_countmin_userfreq",
-    # multimodal block (wav/y4m = the other two UNSTUBBED codecs)
-    "multimodal_bytes", "multimodal_frame_sample", "multimodal_features",
-    "multimodal_wav_energy", "multimodal_y4m_luma", "multimodal_resize_plan",
-    "multimodal_audio_energy",
-    # event-time windows / SCD
-    "events_gapfill_hourly", "events_locf_resample", "events_rollup_reuse",
-    "events_scd2_versions",
+    "g13_medical_actions", "pipeline_e2e_packets",
+    # ontology / events / dedup / similarity
+    "x2_bidict_priority_lookup", "events_tumbling_hour",
+    "dedup_exact", "dedup_lsh_candidates", "similarity_ivf_topk",
+    # multimodal_features stays: r5's ONLY red row (array-typed result
+    # crashed the driver's sort_values canon) — now posexploded to
+    # atomic columns; its green r6 row is the fix evidence
+    "multimodal_features",
+    # --- r6 first-time rotation (never driver-checked before) ---------
+    # TPC-H block
+    "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping", "tpch_q10_returned_items",
+    "tpch_q12_priority_shipping", "tpch_q14_promo_share",
+    "tpch_q18_large_volume_customers",
+    # scalar subqueries / analytics
+    "distinct_agg_by_group", "scalar_subquery_above_avg",
+    "grouping_sets_revenue", "analytics_winsorized_stats",
+    "analytics_gini_concentration", "analytics_rfm_segments",
+    # profiling / quality
+    "stats_numeric_profile", "profiling_skew_report", "quality_drift_report",
+    # r5-new operators (first driver rows): IVF-PQ, Z-order layout,
+    # token-budget selection, and the sf1-crash-fixed packet roundtrip
+    "similarity_ivfpq_topk", "layout_zorder_files",
+    "curation_token_budget_select", "g10_packet_roundtrip",
+    # curation / text (text_repetition + the three curation_pack/shard
+    # queries are the r5 HUGEINT-cast sites — their green rows close
+    # that class with driver evidence)
+    "text_repetition", "curation_pack_sequences", "curation_pack_stats",
+    "curation_shard_assign", "text_bpe_apply", "text_pii_scrub",
+    "curation_split", "curation_stratified_sample",
+    # events / behavior
+    "events_window_dedup", "events_rolling_wau", "events_churn_labels",
+    "events_anomaly_zscore",
+    # graph + multimodal
+    "graph_pagerank_similarity", "graph_triangle_count",
+    "multimodal_patch_plan",
 ]
 
 
