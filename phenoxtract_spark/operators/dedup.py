@@ -693,3 +693,186 @@ def jaccard_prefix_pairs(df: DataFrame, id_col: str, text_col: str,
     return ngram_jaccard_pairs(
         df, id_col, text_col, k=k, threshold=threshold, candidates=cand
     )
+
+
+def substring_anchors(df: DataFrame, id_col: str, text_col: str,
+                      gram: int = 40, hex_chars: int = 15) -> DataFrame:
+    """Every ``gram``-char window of every document as a narrow
+    (id, pos, h) anchor relation — the building block of exact
+    duplicated-substring detection (the distributed re-expression of the
+    suffix-array dedup of Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better").
+
+    ``h`` is the first ``hex_chars`` hex digits of the window's md5 as a
+    bigint (60 bits at the default) so the downstream shuffle key is 8
+    bytes, not a 32-char digest string; at 13M anchors/sf1 the collision
+    expectation is ~1e-5 windows and a collision can only create a
+    false anchor pair, which the diagonal-islands merge then reports as a
+    (gram-length) span — the same practical-exactness tradeoff the other
+    md5-keyed paths in this module take.  Documents shorter than ``gram``
+    emit nothing (``sequence`` would otherwise count DOWNWARD for a
+    negative span — ANSI-mode footgun).
+
+    Scale: one scan, one explode, no shuffle; the per-row ``sequence``
+    array is bounded by document length and consumed lazily by the
+    generator, so anchors stream out at O(total_chars) narrow rows."""
+    t = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("t")
+    ).filter(F.length("t") >= gram)
+    # the explode+md5 pass is CPU-dense per input byte and the caller
+    # localCheckpoints its output (which PINS partitioning): a small
+    # documents file arriving in 1-2 scan splits would serialize the
+    # whole pass — fan out to cluster parallelism first (no-op at scale,
+    # where inputs arrive with >= parallelism splits)
+    from ..session import fan_out
+
+    t = fan_out(t)
+    return t.select(
+        "id",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), (F.length("t") - gram).cast("bigint"))
+        ).alias("pos"),
+        F.col("t"),
+    ).select(
+        "id",
+        "pos",
+        F.conv(
+            F.substring(
+                F.md5(F.col("t").substr(F.col("pos").cast("int") + F.lit(1), F.lit(gram))),
+                1,
+                hex_chars,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+
+
+def duplicate_span_pairs(df: DataFrame, id_col: str, text_col: str,
+                         gram: int = 40, max_bucket: int | None = None) -> DataFrame:
+    """Maximal exactly-duplicated cross-document substrings of length >=
+    ``gram``: the exact-substring dedup of Lee et al. 2022, re-expressed
+    as three relational passes instead of a monolithic suffix array —
+
+    1. anchor every ``gram``-char window by content hash
+       (:func:`substring_anchors`);
+    2. bucket-join anchors on the hash (id_a < id_b) — matching windows
+       at positions (pa, pb) witness a shared ``gram``-length substring;
+    3. merge runs of adjacent witnesses into MAXIMAL spans: windows
+       (pa, pb) and (pa+1, pb+1) extend the same duplicated region, so
+       within one (id_a, id_b, diag = pb - pa) alignment diagonal the
+       witnesses form gaps-and-islands over pa — one window pass
+       (island = pa - row_number) and one groupBy emit each island as a
+       span of length count + gram - 1.
+
+    Returns (id_a, id_b, start_a, start_b, span_len), 0-based starts,
+    one row per maximal span per alignment diagonal.
+
+    Scale shape: pass 2 is the standard Σ|bucket|² exposure — random
+    text keeps buckets tiny, boilerplate makes them quadratic, so
+    ``max_bucket`` excludes anchors whose hash bucket exceeds the cap
+    (same explicit valve + observability contract as
+    :func:`lsh_candidate_pairs`; capped buckets are exact-dup/boilerplate
+    families better handled by exact dedup).  Pass 3 shuffles once on
+    the (id_a, id_b, diag) diagonal key, which is |matches|-bounded.
+    The anchor relation feeds both join sides and materializes once."""
+    from pyspark.sql.window import Window
+
+    anchors = substring_anchors(df, id_col, text_col, gram).localCheckpoint(eager=True)
+    if max_bucket is not None:
+        sizes = anchors.groupBy("h").agg(F.count(F.lit(1)).alias("_n"))
+        anchors = (
+            anchors.join(sizes, "h").filter(F.col("_n") <= max_bucket).drop("_n")
+        )
+    a = anchors.select(F.col("id").alias("id_a"), F.col("pos").alias("pa"), "h")
+    b = anchors.select(F.col("id").alias("id_b"), F.col("pos").alias("pb"), "h")
+    m = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", "pb", (F.col("pb") - F.col("pa")).alias("diag"))
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    islands = m.withColumn(
+        "grp", F.col("pa") - F.row_number().over(w).cast("bigint")
+    )
+    return (
+        islands.groupBy("id_a", "id_b", "diag", "grp")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(gram - 1)).cast("bigint").alias("span_len"),
+        )
+        .select("id_a", "id_b", "start_a", "start_b", "span_len")
+    )
+
+
+def duplicated_char_coverage(df: DataFrame, id_col: str, text_col: str,
+                             gram: int = 40, max_bucket: int | None = None,
+                             round_dp: int = 6) -> DataFrame:
+    """Per-document duplicated-character coverage: the fraction of each
+    document covered by some exact cross-document duplicated span of
+    length >= ``gram`` — the per-doc deliverable of suffix-array dedup
+    (Lee et al. 2022 cut such spans; a curation pipeline filters or
+    trims on this fraction).
+
+    Span intervals from :func:`duplicate_span_pairs` (both endpoints of
+    every pair) are UNION-MERGED per document with the classic
+    sweep-line islands pass — sort by (start, end), a new island starts
+    where start exceeds the running max end over preceding rows — so
+    overlapping spans from different partners never double-count.
+    Returns (id, dup_chars, n_chars, dup_frac) for EVERY document
+    (0 coverage included).
+
+    Scale: interval rows are |spans|·2-bounded; the merge is one window
+    + one groupBy partitioned by doc id, and the final join against the
+    doc-length projection is by id."""
+    from pyspark.sql.window import Window
+
+    spans = duplicate_span_pairs(df, id_col, text_col, gram, max_bucket)
+    iv = (
+        spans.select(
+            F.col("id_a").alias("id"),
+            F.col("start_a").alias("s"),
+            (F.col("start_a") + F.col("span_len")).alias("e"),
+        )
+        .unionByName(
+            spans.select(
+                F.col("id_b").alias("id"),
+                F.col("start_b").alias("s"),
+                (F.col("start_b") + F.col("span_len")).alias("e"),
+            )
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-1)), 1).otherwise(0),
+    )
+    cov = (
+        flagged.withColumn(
+            "island", F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("id", "island")
+        .agg((F.max("e") - F.min("s")).alias("covered"))
+        .groupBy("id")
+        .agg(F.sum("covered").alias("dup_chars"))
+    )
+    docs = df.select(
+        F.col(id_col).alias("id"), F.length(text_col).cast("bigint").alias("n_chars")
+    )
+    return docs.join(cov, "id", "left").select(
+        "id",
+        F.coalesce("dup_chars", F.lit(0)).cast("bigint").alias("dup_chars"),
+        "n_chars",
+        F.round(
+            F.when(
+                F.col("n_chars") > 0,
+                F.coalesce("dup_chars", F.lit(0)) / F.col("n_chars"),
+            ).otherwise(F.lit(0.0)),
+            round_dp,
+        ).alias("dup_frac"),
+    )

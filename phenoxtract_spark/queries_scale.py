@@ -156,6 +156,91 @@ def dedup_exact(spark, sf_dir):
 
 
 @q(
+    "dedup_substring_spans",
+    """
+    WITH d AS (SELECT doc_id, text AS t FROM documents WHERE length(text) >= 40),
+    a AS (SELECT doc_id AS id, unnest(range(0, length(t) - 39)) AS pos, t FROM d),
+    hh AS (SELECT id, pos,
+                  ('0x' || substr(md5(substr(t, CAST(pos AS INTEGER) + 1, 40)), 1, 15))::BIGINT AS h
+           FROM a),
+    m AS (SELECT x.id AS id_a, y.id AS id_b, x.pos AS pa, y.pos AS pb,
+                 y.pos - x.pos AS diag
+          FROM hh x JOIN hh y ON x.h = y.h AND x.id < y.id),
+    g AS (SELECT id_a, id_b, pa, pb, diag,
+                 pa - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) AS grp
+          FROM m)
+    SELECT id_a, id_b, min(pa) AS start_a, min(pb) AS start_b,
+           CAST(count(*) + 39 AS BIGINT) AS span_len
+    FROM g GROUP BY id_a, id_b, diag, grp
+    """,
+)
+def dedup_substring_spans(spark, sf_dir):
+    """Exact duplicated-substring spans (Lee et al. 2022 suffix-array
+    dedup, relational re-expression): 40-char anchor windows -> 60-bit
+    content-hash bucket join -> diagonal gaps-and-islands merge into
+    maximal cross-doc spans.  The oracle replays every pass in SQL."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.duplicate_span_pairs(d, "doc_id", "text", gram=40)
+
+
+@q(
+    "dedup_substring_coverage",
+    """
+    WITH d AS (SELECT doc_id, text AS t FROM documents WHERE length(text) >= 40),
+    a AS (SELECT doc_id AS id, unnest(range(0, length(t) - 39)) AS pos, t FROM d),
+    hh AS (SELECT id, pos,
+                  ('0x' || substr(md5(substr(t, CAST(pos AS INTEGER) + 1, 40)), 1, 15))::BIGINT AS h
+           FROM a),
+    m AS (SELECT x.id AS id_a, y.id AS id_b, x.pos AS pa, y.pos AS pb,
+                 y.pos - x.pos AS diag
+          FROM hh x JOIN hh y ON x.h = y.h AND x.id < y.id),
+    g AS (SELECT id_a, id_b, pa, pb, diag,
+                 pa - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) AS grp
+          FROM m),
+    sp AS (SELECT id_a, id_b, min(pa) AS start_a, min(pb) AS start_b,
+                  CAST(count(*) + 39 AS BIGINT) AS span_len
+           FROM g GROUP BY id_a, id_b, diag, grp),
+    iv AS (
+      SELECT id_a AS id, start_a AS s, start_a + span_len AS e FROM sp
+      UNION
+      SELECT id_b AS id, start_b AS s, start_b + span_len AS e FROM sp
+    ),
+    fl AS (
+      SELECT id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    isl AS (
+      SELECT id, s, e,
+             sum(new_island) OVER (PARTITION BY id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM fl
+    ),
+    cov AS (
+      SELECT id, CAST(sum(covered) AS BIGINT) AS dup_chars FROM (
+        SELECT id, island, max(e) - min(s) AS covered FROM isl GROUP BY id, island
+      ) GROUP BY id
+    )
+    SELECT doc.doc_id AS id,
+           coalesce(c.dup_chars, 0) AS dup_chars,
+           CAST(length(doc.text) AS BIGINT) AS n_chars,
+           round(CASE WHEN length(doc.text) > 0
+                      THEN coalesce(c.dup_chars, 0) / CAST(length(doc.text) AS DOUBLE)
+                      ELSE 0.0 END, 6) AS dup_frac
+    FROM documents doc LEFT JOIN cov c ON c.id = doc.doc_id
+    """,
+)
+def dedup_substring_coverage(spark, sf_dir):
+    """Per-doc duplicated-char coverage: spans union-merged per document
+    (sweep-line islands) so overlaps never double-count; every document
+    reported, zero coverage included."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.duplicated_char_coverage(d, "doc_id", "text", gram=40)
+
+
+@q(
     "dedup_minhash_signature",
     f"""
     WITH {_SHINGLES3},

@@ -653,3 +653,67 @@ def test_zorder_layout_boxes_beat_single_dim_sort(spark):
     # x-sorted files span essentially the full y domain; z-order files
     # must be at least 2x narrower in y on this uniform grid
     assert z_span_y < s_span_y / 2, (z_span_y, s_span_y)
+
+
+def test_substring_spans_maximal_and_exact(spark):
+    """Hand-built corpus with a known 20-char shared region: the span
+    must come out MAXIMAL (one row, not one per anchor window) with the
+    exact start offsets and length on both sides."""
+    shared = "ABCDEFGHIJKLMNOPQRST"  # 20 chars
+    a = "xxxx" + shared + "yyyyyyyy"          # shared at pos 4
+    b = "zzzzzzzzzz" + shared + "wwww"        # shared at pos 10
+    c = "no overlap with anything else here.."
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id bigint, text string"
+    )
+    spans = dedup.duplicate_span_pairs(df, "doc_id", "text", gram=10).collect()
+    assert len(spans) == 1
+    r = spans[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert (r["start_a"], r["start_b"], r["span_len"]) == (4, 10, 20)
+
+
+def test_substring_spans_bucket_cap_bites(spark):
+    """A gram shared by every doc forms one big bucket; with the cap
+    below the bucket size, no pairs form (same valve contract as
+    lsh_candidate_pairs)."""
+    boiler = "COMMONBOILERPLATE-"
+    df = spark.createDataFrame(
+        [(i, boiler + f"unique tail {i:04d} padding!") for i in range(4)],
+        "doc_id bigint, text string",
+    )
+    uncapped = dedup.duplicate_span_pairs(df, "doc_id", "text", gram=10)
+    capped = dedup.duplicate_span_pairs(df, "doc_id", "text", gram=10, max_bucket=2)
+    assert uncapped.count() > 0
+    assert capped.count() == 0
+
+
+def test_substring_coverage_merges_overlapping_intervals(spark):
+    """Doc 1 shares one region with doc 2 and an OVERLAPPING region with
+    doc 3 — coverage must count the union once, and untouched docs
+    report zero with the full row present."""
+    s1 = "0123456789ABCDEFGHIJ"   # 20 chars, doc1 pos 0-19
+    s2 = "ABCDEFGHIJKLMNOPQRST"   # overlaps s1 on ABCDEFGHIJ, doc1 pos 10-29
+    d1 = s1 + s2[10:] + "tail one"            # s1 at 0..19, s2 at 10..29
+    d2 = "pad-" + s1 + "-other"
+    d3 = "lead" + s2 + "-zzz"
+    d4 = "totally unrelated content 1234567890"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, d4)], "doc_id bigint, text string"
+    )
+    cov = {r["id"]: r for r in
+           dedup.duplicated_char_coverage(df, "doc_id", "text", gram=10).collect()}
+    assert cov[1]["dup_chars"] == 30  # union of [0,20) and [10,30), not 40
+    assert cov[4]["dup_chars"] == 0 and cov[4]["dup_frac"] == 0.0
+    assert abs(cov[1]["dup_frac"] - round(30 / len(d1), 6)) < 1e-12
+    assert cov[2]["dup_chars"] == 20 and cov[3]["dup_chars"] == 20
+
+
+def test_substring_anchors_skip_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "short"), (2, "long enough to emit anchor windows")],
+        "doc_id bigint, text string",
+    )
+    out = dedup.substring_anchors(df, "doc_id", "text", gram=10)
+    assert out.filter(F.col("id") == 1).count() == 0
+    assert out.filter(F.col("id") == 2).count() == 34 - 10 + 1
