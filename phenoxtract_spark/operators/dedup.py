@@ -788,10 +788,19 @@ def duplicate_span_pairs(df: DataFrame, id_col: str, text_col: str,
         )
     a = anchors.select(F.col("id").alias("id_a"), F.col("pos").alias("pa"), "h")
     b = anchors.select(F.col("id").alias("id_b"), F.col("pos").alias("pb"), "h")
-    m = (
-        a.join(b, "h")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "pa", "pb", (F.col("pb") - F.col("pa")).alias("diag"))
+    m = a.join(b, "h").filter(F.col("id_a") < F.col("id_b"))
+    return _diagonal_spans(m, gram)
+
+
+def _diagonal_spans(matches: DataFrame, gram: int) -> DataFrame:
+    """Shared islands merge for the substring-dedup family: collapse
+    anchor witnesses (id_a, id_b, pa, pb) into maximal spans along each
+    (id_a, id_b, pb - pa) alignment diagonal.  One |matches|-bounded
+    shuffle on the diagonal key."""
+    from pyspark.sql.window import Window
+
+    m = matches.select(
+        "id_a", "id_b", "pa", "pb", (F.col("pb") - F.col("pa")).alias("diag")
     )
     w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
     islands = m.withColumn(
@@ -806,6 +815,42 @@ def duplicate_span_pairs(df: DataFrame, id_col: str, text_col: str,
         )
         .select("id_a", "id_b", "start_a", "start_b", "span_len")
     )
+
+
+def cross_duplicate_spans(corpus: DataFrame, benchmark: DataFrame,
+                          id_col: str, text_col: str, gram: int = 40,
+                          max_bucket: int | None = None,
+                          broadcast_benchmark: bool = True) -> DataFrame:
+    """Maximal exactly-duplicated substrings BETWEEN two corpora — the
+    benchmark-decontamination use of suffix-array dedup (Lee et al. 2022
+    cut every >=50-token span a training document shared with an eval
+    set).  Same anchor/bucket-join/diagonal-islands machinery as
+    :func:`duplicate_span_pairs`, but the two sides come from different
+    frames, so no id ordering filter applies and the id namespaces may
+    overlap freely.
+
+    Returns (id_a = corpus doc, id_b = benchmark doc, start_a, start_b,
+    span_len).
+
+    Scale shape: held-out benchmarks are small by construction, so the
+    benchmark anchor relation broadcasts (``broadcast_benchmark``) and
+    the corpus side streams map-side — the only shuffle is the
+    |matches|-bounded diagonal merge.  ``max_bucket`` caps CORPUS-side
+    bucket sizes (boilerplate grams), same valve contract as
+    :func:`duplicate_span_pairs`."""
+    a = substring_anchors(corpus, id_col, text_col, gram)
+    if max_bucket is not None:
+        a = a.localCheckpoint(eager=True)
+        sizes = a.groupBy("h").agg(F.count(F.lit(1)).alias("_n"))
+        a = a.join(sizes, "h").filter(F.col("_n") <= max_bucket).drop("_n")
+    b = substring_anchors(benchmark, id_col, text_col, gram)
+    if broadcast_benchmark:
+        b = F.broadcast(b)
+    m = (
+        a.select(F.col("id").alias("id_a"), F.col("pos").alias("pa"), "h")
+        .join(b.select(F.col("id").alias("id_b"), F.col("pos").alias("pb"), "h"), "h")
+    )
+    return _diagonal_spans(m, gram)
 
 
 def duplicated_char_coverage(df: DataFrame, id_col: str, text_col: str,

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .operators import curation
+from .operators import dedup
 from .queries_core import q, read_table
 from .queries_scale import _NORM
 
@@ -186,6 +187,63 @@ def curation_decontam(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # data-quality constraint suite (single aggregation pass)
 # ---------------------------------------------------------------------------
+
+
+@q(
+    "curation_substring_decontaminate",
+    f"""
+    WITH split AS (
+      SELECT doc_id, text,
+             CASE WHEN {_BUCKET_SQL} < 8000 THEN 'train'
+                  WHEN {_BUCKET_SQL} < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    tr AS (SELECT doc_id, text AS t FROM split WHERE split = 'train' AND length(text) >= 40),
+    te AS (SELECT doc_id, text AS t FROM split WHERE split = 'test' AND length(text) >= 40),
+    atr AS (SELECT doc_id AS id, unnest(range(0, length(t) - 39)) AS pos, t FROM tr),
+    ate AS (SELECT doc_id AS id, unnest(range(0, length(t) - 39)) AS pos, t FROM te),
+    htr AS (SELECT id, pos,
+                   ('0x' || substr(md5(substr(t, CAST(pos AS INTEGER) + 1, 40)), 1, 15))::BIGINT AS h
+            FROM atr),
+    hte AS (SELECT id, pos,
+                   ('0x' || substr(md5(substr(t, CAST(pos AS INTEGER) + 1, 40)), 1, 15))::BIGINT AS h
+            FROM ate),
+    m AS (SELECT x.id AS id_a, y.id AS id_b, x.pos AS pa, y.pos AS pb,
+                 y.pos - x.pos AS diag
+          FROM htr x JOIN hte y ON x.h = y.h),
+    g AS (SELECT id_a, id_b, pa, diag,
+                 pa - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) AS grp
+          FROM m),
+    sp AS (SELECT id_a, id_b, CAST(count(*) + 39 AS BIGINT) AS span_len
+           FROM g GROUP BY id_a, id_b, diag, grp)
+    SELECT id_a AS train_id,
+           max(span_len) AS max_span_len,
+           count(DISTINCT id_b) AS n_test_docs_hit,
+           CAST(count(*) AS BIGINT) AS n_spans
+    FROM sp GROUP BY 1
+    """,
+)
+def curation_substring_decontam(spark, sf_dir):
+    """EXACT-substring decontamination (the Lee et al. 2022 benchmark
+    use): every >=40-char span a train document shares verbatim with a
+    test document, reported per train doc (max span, test docs hit,
+    span count).  Catches verbatim leakage the 8-gram shingle overlap of
+    ``curation_decontaminate`` only approximates.  The test-side anchor
+    relation broadcasts (held-out sets are small by construction); the
+    only shuffle is the diagonal-islands merge."""
+    d = read_table(spark, sf_dir, "documents")
+    s = curation.dataset_split(d, "doc_id")
+    spans = dedup.cross_duplicate_spans(
+        s.filter(F.col("split") == "train"),
+        s.filter(F.col("split") == "test"),
+        "doc_id", "text", gram=40,
+    )
+    return spans.groupBy(F.col("id_a").alias("train_id")).agg(
+        F.max("span_len").alias("max_span_len"),
+        F.countDistinct("id_b").alias("n_test_docs_hit"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+    )
 
 
 @q(

@@ -717,3 +717,29 @@ def test_substring_anchors_skip_short_docs(spark):
     out = dedup.substring_anchors(df, "doc_id", "text", gram=10)
     assert out.filter(F.col("id") == 1).count() == 0
     assert out.filter(F.col("id") == 2).count() == 34 - 10 + 1
+
+
+def test_cross_duplicate_spans_between_frames(spark):
+    """Decontamination shape: corpus/benchmark are different frames (no
+    id-ordering filter, overlapping id namespaces allowed) and only
+    cross-frame spans come back."""
+    shared = "BENCHMARK-QUESTION-TEXT-9876543210"
+    corpus = spark.createDataFrame(
+        [(1, "intro " + shared + " outro padding here"),
+         (2, "clean document with nothing shared at all")],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "prompt: " + shared)],  # same id as a corpus doc — must not matter
+        "doc_id bigint, text string",
+    )
+    spans = dedup.cross_duplicate_spans(corpus, bench, "doc_id", "text", gram=10)
+    rows = spans.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 1)
+    # the space before the shared string matches on both sides too, so
+    # the MAXIMAL span is one char longer than the planted string —
+    # exactly the maximality the operator promises
+    assert r["span_len"] == len(shared) + 1
+    assert (r["start_a"], r["start_b"]) == (5, 7)
