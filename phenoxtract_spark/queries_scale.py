@@ -802,6 +802,46 @@ def mm_image_roundtrip(spark, sf_dir):
 
 
 @q(
+    "warc_ingest_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(doc_id // 16 AS BIGINT) AS segment_id,
+           CAST(row_number() OVER (PARTITION BY doc_id // 16 ORDER BY doc_id) - 1
+                AS BIGINT) AS rec_index,
+           'response' AS warc_type,
+           'http://corpus.local/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+           CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS content_length,
+           md5(coalesce(text, '')) AS body_md5
+    FROM documents
+    """,
+)
+def warc_ingest_roundtrip(spark, sf_dir):
+    """WARC 1.0 container roundtrip (sources/warc.py): documents pack
+    into multi-record segments through the REAL encoder (applyInPandas,
+    16 records/segment, deterministic bytes), then the strict reader
+    walks record boundaries (version line -> header block ->
+    Content-Length body read -> terminator) and re-emits per-record
+    rows.  The oracle recomputes every parsed field (segment, index,
+    uri, byte length, body md5) from the source table — a value match
+    proves the whole encode -> parse chain, same honesty contract as
+    the image/wav/y4m codecs."""
+    from .sources import warc
+
+    d = read_table(spark, sf_dir, "documents")
+    segs = warc.synthetic_warc_segments(d, "doc_id", "text", docs_per_segment=16)
+    parsed = warc.parse_warc_segments(segs)
+    return parsed.select(
+        F.regexp_extract("target_uri", r"doc/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        "segment_id",
+        "rec_index",
+        "warc_type",
+        "target_uri",
+        "content_length",
+        "body_md5",
+    )
+
+
+@q(
     "multimodal_wav_energy",
     """
     WITH docs AS (SELECT doc_id, md5(text) AS seed FROM documents),

@@ -1,0 +1,83 @@
+"""WARC 1.0 codec + Spark plumbing (sources/warc.py) — same strictness
+contract as the image/wav/y4m codecs: exact roundtrip, loud errors on
+malformation, never a silent clamp."""
+
+import pytest
+
+from phenoxtract_spark.sources import warc
+
+
+def test_record_roundtrip_exact():
+    body = b"hello warc \x00\xff binary ok"
+    rec = warc.encode_warc_record("http://x.test/1", body)
+    out = warc.decode_warc(rec)
+    assert len(out) == 1
+    r = out[0]
+    assert r["target_uri"] == "http://x.test/1"
+    assert r["type"] == "response"
+    assert r["content_length"] == len(body)
+    assert r["body"] == body
+    assert r["date"] == warc.FIXED_WARC_DATE
+    assert r["record_id"].startswith("<urn:md5:")
+
+
+def test_segment_walk_multi_record():
+    recs = [(f"http://x.test/{i}", f"body number {i}".encode()) for i in range(5)]
+    seg = warc.encode_warc_segment(recs)
+    out = warc.decode_warc(seg)
+    assert [(r["target_uri"], r["body"]) for r in out] == [
+        (u, b) for u, b in recs
+    ]
+
+
+def test_encoding_is_deterministic():
+    recs = [("http://x.test/a", b"payload")]
+    assert warc.encode_warc_segment(recs) == warc.encode_warc_segment(recs)
+
+
+def test_truncated_body_raises():
+    rec = warc.encode_warc_record("http://x.test/1", b"0123456789")
+    with pytest.raises(ValueError, match="truncated record"):
+        warc.decode_warc(rec[:-6])  # cut into the body/terminator
+
+
+def test_bad_version_line_raises():
+    rec = warc.encode_warc_record("http://x.test/1", b"abc")
+    with pytest.raises(ValueError, match="bad WARC version"):
+        warc.decode_warc(b"HTTP/1.1 200 OK\r\n" + rec)
+
+
+def test_missing_terminator_raises():
+    rec = warc.encode_warc_record("http://x.test/1", b"abc")
+    broken = rec[:-4] + b"XXXX"
+    with pytest.raises(ValueError, match="missing record terminator"):
+        warc.decode_warc(broken)
+
+
+def test_missing_content_length_raises():
+    raw = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://x.test/1\r\n\r\nabc\r\n\r\n"
+    )
+    with pytest.raises(ValueError, match="missing Content-Length"):
+        warc.decode_warc(raw)
+
+
+def test_spark_segments_and_parse(spark):
+    df = spark.createDataFrame(
+        [(i, f"document text {i}") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    segs = warc.synthetic_warc_segments(df, "doc_id", "text", docs_per_segment=16)
+    seg_rows = {r["segment_id"]: r for r in segs.collect()}
+    assert set(seg_rows) == {0, 1, 2}
+    assert seg_rows[0]["n_records"] == 16 and seg_rows[2]["n_records"] == 8
+    parsed = warc.parse_warc_segments(segs).collect()
+    assert len(parsed) == 40
+    by_uri = {r["target_uri"]: r for r in parsed}
+    r7 = by_uri["http://corpus.local/doc/7"]
+    assert r7["segment_id"] == 0 and r7["rec_index"] == 7
+    assert r7["content_length"] == len("document text 7")
+    import hashlib
+
+    assert r7["body_md5"] == hashlib.md5(b"document text 7").hexdigest()
