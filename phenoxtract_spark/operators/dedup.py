@@ -853,6 +853,30 @@ def cross_duplicate_spans(corpus: DataFrame, benchmark: DataFrame,
     return _diagonal_spans(m, gram)
 
 
+def _merge_intervals(iv: DataFrame) -> DataFrame:
+    """Sweep-line union of per-doc half-open intervals (id, s, e) →
+    disjoint merged intervals (id, s, e).  A new island starts where s
+    exceeds the running max e over preceding rows; one window + one
+    groupBy, both partitioned by doc id."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-1)), 1).otherwise(0),
+    )
+    return (
+        flagged.withColumn(
+            "island",
+            F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("id", "island")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .select("id", "s", "e")
+    )
+
+
 def duplicated_char_coverage(df: DataFrame, id_col: str, text_col: str,
                              gram: int = 40, max_bucket: int | None = None,
                              round_dp: int = 6) -> DataFrame:
@@ -891,18 +915,9 @@ def duplicated_char_coverage(df: DataFrame, id_col: str, text_col: str,
         )
         .distinct()
     )
-    w = Window.partitionBy("id").orderBy("s", "e")
-    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    flagged = iv.withColumn(
-        "new_island",
-        F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-1)), 1).otherwise(0),
-    )
     cov = (
-        flagged.withColumn(
-            "island", F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0))
-        )
-        .groupBy("id", "island")
-        .agg((F.max("e") - F.min("s")).alias("covered"))
+        _merge_intervals(iv)
+        .select("id", (F.col("e") - F.col("s")).alias("covered"))
         .groupBy("id")
         .agg(F.sum("covered").alias("dup_chars"))
     )
@@ -920,4 +935,109 @@ def duplicated_char_coverage(df: DataFrame, id_col: str, text_col: str,
             ).otherwise(F.lit(0.0)),
             round_dp,
         ).alias("dup_frac"),
+    )
+
+
+def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
+                           gram: int = 40,
+                           max_bucket: int | None = None) -> DataFrame:
+    """ACT on exact-substring duplication (the actual Lee et al. 2022
+    treatment): cut every duplicated span from the HIGHER-id document of
+    each pair, so exactly one occurrence survives corpus-wide while the
+    lower-id doc keeps its text — a deterministic keep-first policy, the
+    same canonicalization convention as the rest of the dedup family.
+
+    Cleaned text is rebuilt RELATIONALLY (both engines can replay it):
+    the cut intervals merge per doc (:func:`_merge_intervals`), their
+    complement segments come from one lag window (each merged interval
+    closes the gap that precedes it; one extra tail segment runs from
+    the last cut to end-of-doc), and the kept text is the ordered
+    concatenation of complement substrings.  Returns (id, orig_len,
+    clean_len, clean_md5) for EVERY document — untouched docs pass
+    through with their full text fingerprint.
+
+    Scale: |spans|-bounded interval rows, two windows + one groupBy all
+    partitioned by doc id, one join back to the docs by id.  The md5
+    fingerprint keeps the output narrow (no cleaned blobs shuffle; a
+    production write would project the kept-segment concat instead)."""
+    from pyspark.sql.window import Window
+
+    spans = duplicate_span_pairs(df, id_col, text_col, gram, max_bucket)
+    # cuts feeds THREE consumers (gaps, tails, the has-cut flag): without
+    # materialization the whole witness-join/islands subtree above it
+    # executes three times (measured 40-56 s -> ~20 s at sf1).  The
+    # merged-interval relation is tiny (<= a few rows per cut doc), so
+    # this is the same cheap-narrow-checkpoint discipline as lsh/ivf.
+    cuts = _merge_intervals(
+        spans.select(
+            F.col("id_b").alias("id"),
+            F.col("start_b").alias("s"),
+            (F.col("start_b") + F.col("span_len")).alias("e"),
+        ).distinct()
+    ).localCheckpoint(eager=True)
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("t"),
+        F.length(text_col).cast("bigint").alias("orig_len"),
+    )
+    w = Window.partitionBy("id").orderBy("s")
+    gaps = cuts.select(
+        "id",
+        F.coalesce(F.lag("e").over(w), F.lit(0).cast("bigint")).alias("gs"),
+        F.col("s").alias("ge"),
+    )
+    tails = (
+        cuts.groupBy("id")
+        .agg(F.max("e").alias("gs"))
+        .join(docs.select("id", "orig_len"), "id")
+        .select("id", "gs", F.col("orig_len").alias("ge"))
+    )
+    segs = (
+        gaps.unionByName(tails)
+        .filter(F.col("ge") > F.col("gs"))
+        .join(docs.select("id", "t"), "id")
+        .select(
+            "id",
+            "gs",
+            F.col("t").substr(
+                (F.col("gs") + 1).cast("int"), (F.col("ge") - F.col("gs")).cast("int")
+            ).alias("seg"),
+        )
+    )
+    kept = (
+        segs.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("gs", "seg"))),
+                    lambda x: x["seg"],
+                ),
+                "",
+            ).alias("clean_text")
+        )
+    )
+    # a FULLY-covered doc (an exact duplicate) has cut intervals but zero
+    # kept segments — it must clean to the EMPTY string, not fall back to
+    # its full text, so the fallback keys off "has any cut interval"
+    # rather than "has a kept row"
+    cut_ids = cuts.select("id").distinct().withColumn("_has_cut", F.lit(1))
+    return (
+        docs.join(kept, "id", "left")
+        .join(cut_ids, "id", "left")
+        .select(
+            "id",
+            "orig_len",
+            F.when(
+                F.col("_has_cut").isNotNull(),
+                F.coalesce("clean_text", F.lit("")),
+            )
+            .otherwise(F.col("t"))
+            .alias("_ct"),
+        )
+        .select(
+            "id",
+            "orig_len",
+            F.length("_ct").cast("bigint").alias("clean_len"),
+            F.md5("_ct").alias("clean_md5"),
+        )
     )

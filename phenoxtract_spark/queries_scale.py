@@ -241,6 +241,71 @@ def dedup_substring_coverage(spark, sf_dir):
 
 
 @q(
+    "dedup_substring_clean",
+    """
+    WITH d AS (SELECT doc_id, text AS t FROM documents WHERE length(text) >= 40),
+    a AS (SELECT doc_id AS id, unnest(range(0, length(t) - 39)) AS pos, t FROM d),
+    hh AS (SELECT id, pos,
+                  ('0x' || substr(md5(substr(t, CAST(pos AS INTEGER) + 1, 40)), 1, 15))::BIGINT AS h
+           FROM a),
+    m AS (SELECT x.id AS id_a, y.id AS id_b, x.pos AS pa, y.pos AS pb,
+                 y.pos - x.pos AS diag
+          FROM hh x JOIN hh y ON x.h = y.h AND x.id < y.id),
+    g AS (SELECT id_a, id_b, pa, pb, diag,
+                 pa - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) AS grp
+          FROM m),
+    sp AS (SELECT id_a, id_b, min(pa) AS start_a, min(pb) AS start_b,
+                  CAST(count(*) + 39 AS BIGINT) AS span_len
+           FROM g GROUP BY id_a, id_b, diag, grp),
+    civ AS (SELECT DISTINCT id_b AS id, start_b AS s, start_b + span_len AS e FROM sp),
+    fl AS (SELECT id, s, e,
+                  CASE WHEN s > coalesce(max(e) OVER (PARTITION BY id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                       THEN 1 ELSE 0 END AS ni
+           FROM civ),
+    isl AS (SELECT id, s, e,
+                   sum(ni) OVER (PARTITION BY id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+            FROM fl),
+    mg AS (SELECT id, min(s) AS s, max(e) AS e FROM isl GROUP BY id, island),
+    gaps AS (SELECT id, coalesce(lag(e) OVER (PARTITION BY id ORDER BY s), 0) AS gs,
+                    s AS ge
+             FROM mg),
+    tails AS (SELECT mg.id, max(mg.e) AS gs, CAST(length(doc.text) AS BIGINT) AS ge
+              FROM mg JOIN documents doc ON doc.doc_id = mg.id
+              GROUP BY mg.id, length(doc.text)),
+    segs AS (
+      SELECT u.id, u.gs,
+             substr(doc.text, CAST(u.gs AS INTEGER) + 1, CAST(u.ge - u.gs AS INTEGER)) AS seg
+      FROM (SELECT * FROM gaps UNION ALL SELECT * FROM tails) u
+      JOIN documents doc ON doc.doc_id = u.id
+      WHERE u.ge > u.gs
+    ),
+    kept AS (SELECT id, string_agg(seg, '' ORDER BY gs) AS clean_text
+             FROM segs GROUP BY id),
+    hascut AS (SELECT DISTINCT id FROM civ)
+    SELECT doc.doc_id AS id,
+           CAST(length(doc.text) AS BIGINT) AS orig_len,
+           CAST(length(CASE WHEN h.id IS NOT NULL THEN coalesce(k.clean_text, '')
+                            ELSE doc.text END) AS BIGINT) AS clean_len,
+           md5(CASE WHEN h.id IS NOT NULL THEN coalesce(k.clean_text, '')
+                    ELSE doc.text END) AS clean_md5
+    FROM documents doc
+    LEFT JOIN kept k ON k.id = doc.doc_id
+    LEFT JOIN hascut h ON h.id = doc.doc_id
+    """,
+)
+def dedup_substring_clean(spark, sf_dir):
+    """The ACTION of exact-substring dedup: cut every duplicated span
+    from the higher-id doc (keep-first canonical occurrence), rebuild
+    the cleaned text relationally, fingerprint it.  The oracle replays
+    interval merge, complement segments, and the ordered concat in SQL,
+    so the md5 match proves the whole treatment byte-for-byte."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.remove_duplicate_spans(d, "doc_id", "text", gram=40)
+
+
+@q(
     "dedup_minhash_signature",
     f"""
     WITH {_SHINGLES3},

