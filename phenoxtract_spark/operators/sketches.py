@@ -281,3 +281,86 @@ def kmv_distinct(df: DataFrame, group_cols: list[str], value_col: str,
         .alias("est_distinct"),
         hit.alias("buckets_hit"),
     )
+
+
+def hll_registers(df: DataFrame, group_cols: list[str], value_col: str,
+                  p: int = 8, seed: str = "hll-v1",
+                  max_rho: int = 40) -> DataFrame:
+    """HyperLogLog register relation: one row per (group, register) with
+    the max leading-zero rank — the production-standard distinct-count
+    sketch (next to :func:`kmv_distinct`'s MinCount geometry), kept
+    engine-replayable: the hash is md5 arithmetic, the register index is
+    the low ``p`` bits, and the rank is derived from ``length(bin(w))``
+    (integer ops only — no float log2 at bit boundaries).
+
+    Sketches MERGE by register-wise max: per-shard/per-day register
+    relations roll up with the same ``max`` aggregate (pinned in tests).
+    ``max_rho`` caps the rank (P[rho > 40] ≈ 2⁻⁴⁰) so the estimator's
+    register sum stays EXACTLY representable as a bigint — summation
+    order can never matter."""
+    m = 1 << p
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(seed), F.col(value_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    nbits = 60 - p
+    # integer division ONLY: h spans 60 bits, a double `/` would shave the
+    # low bits above 2^53 and corrupt both the register index and the rank
+    hashed = df.select(*group_cols, h.alias("_h"))
+    w = F.expr(f"_h div {m}")
+    rho = F.when(
+        w > 0, F.lit(nbits) - F.length(F.bin(w)) + 1
+    ).otherwise(F.lit(nbits) + 1)
+    rho = F.least(rho, F.lit(max_rho)).cast("bigint")
+    return (
+        hashed.select(
+            *group_cols, (F.col("_h") % m).alias("reg"), rho.alias("rho")
+        )
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_distinct(df: DataFrame, group_cols: list[str], value_col: str,
+                 p: int = 8, seed: str = "hll-v1",
+                 round_dp: int = 4) -> DataFrame:
+    """HyperLogLog distinct-count estimate per group from
+    :func:`hll_registers`: E = α_m·m²/Σ 2^(−rho) over all m registers
+    (absent registers contribute 2⁰), with the standard small-range
+    linear-counting correction (E ≤ 2.5m and empty registers V > 0 →
+    m·ln(m/V)).
+
+    Cross-engine value discipline (the kmv lesson): the register sum is
+    computed as Σ 2^(max_rho − rho) in BIGINT — exact and associative —
+    plus (m − hit)·2^max_rho for absent registers; the single double
+    division and the α constant evaluate once per group on identical
+    operands, so both engines produce the identical double before the
+    final round.  Returns (*group_cols, est_distinct, registers_hit)."""
+    m = 1 << p
+    max_rho = 40
+    scale = 1 << max_rho
+    regs = hll_registers(df, group_cols, value_col, p, seed, max_rho)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    per = regs.groupBy(*group_cols).agg(
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(40 - rho AS INT))")
+        ).cast("bigint").alias("_s_hit"),
+        F.count(F.lit(1)).cast("bigint").alias("registers_hit"),
+    )
+    s_total = F.col("_s_hit") + (F.lit(m) - F.col("registers_hit")) * F.lit(scale)
+    raw = F.lit(alpha) * F.lit(float(m * m)) * F.lit(float(scale)) / s_total
+    v_zero = F.lit(m) - F.col("registers_hit")
+    est = F.when(
+        (raw <= 2.5 * m) & (v_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero),
+    ).otherwise(raw)
+    return per.select(
+        *group_cols,
+        F.round(est, round_dp).alias("est_distinct"),
+        "registers_hit",
+    )

@@ -421,3 +421,68 @@ def bpe_apply_token_counts(df: DataFrame, id_col: str, text_col: str,
         n_tokens.alias("n_tokens"),
         F.length(normalized_text(text_col)).cast("bigint").alias("n_chars"),
     )
+
+
+def bm25_topk(df: DataFrame, id_col: str, text_col: str,
+              query_terms: list[str], k: int = 10, k1: float = 1.2,
+              b: float = 0.75, round_dp: int = 6) -> DataFrame:
+    """Okapi BM25 retrieval against a fixed query-term set — the sparse
+    baseline a curation pipeline uses to pull task-relevant pretraining
+    documents (and the classic IR ranking function).
+
+    score(doc) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Plan shape: one explode feeding the (doc, term) counts; doc length
+    and the corpus stats (N, avgdl) derive from those counts; the query
+    restriction, per-term document frequencies, and the one-row stats all
+    BROADCAST back onto the per-doc counts, so the only non-broadcast
+    shuffles are the two count aggregations and the final per-corpus
+    top-k window.  Ties rank by doc id; the score is rounded in-query so
+    the top-k boundary is deterministic across engines (the ~0-probability
+    sum-order caveat shared with the LM scoring queries).
+    Returns (id, bm25, n_terms_hit, rank)."""
+    toks = tokens_long(df, id_col, text_col)
+    # (doc, term) counts feed the query restriction AND doc lengths —
+    # materialize once (same discipline as tfidf_topk)
+    tf = toks.groupBy("id", "tok").agg(F.count("*").alias("tf")).localCheckpoint(
+        eager=True
+    )
+    dl = tf.groupBy("id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    terms = df.sparkSession.createDataFrame(
+        [(t,) for t in query_terms], "tok string"
+    )
+    tfq = tf.join(F.broadcast(terms), "tok")
+    dfreq = tfq.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    per_term = idf * (
+        F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tfq.join(dl, "id")
+        .join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("id")
+        .agg(
+            F.round(F.sum(per_term), round_dp).alias("bm25"),
+            F.count("*").cast("bigint").alias("n_terms_hit"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition top-k,
+    # merged on the driver side of the exchange) — a global row_number
+    # window here would instead drag every matched doc through ONE task.
+    # The rank window then runs over only the k survivors.
+    top = scored.orderBy(F.col("bm25").desc(), F.col("id").asc()).limit(k)
+    w = Window.orderBy(F.col("bm25").desc(), F.col("id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        "id", "bm25", "n_terms_hit", "rank"
+    )

@@ -127,6 +127,49 @@ def tfidf_topk_q(spark, sf_dir):
 
 
 @q(
+    "text_bm25_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, t.tok FROM (
+        SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+      ) t WHERE t.tok != ''
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+    qt AS (SELECT unnest(['spark', 'merge', 'vector', 'query']) AS tok),
+    tfq AS (SELECT tf.doc_id, tf.tok, tf.tf FROM tf JOIN qt USING (tok)),
+    dfreq AS (SELECT tok, count(*) AS df FROM tfq GROUP BY tok),
+    scored AS (
+      SELECT tfq.doc_id AS id,
+             round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))), 6)
+                 AS bm25,
+             CAST(count(*) AS BIGINT) AS n_terms_hit
+      FROM tfq
+      JOIN dl ON dl.doc_id = tfq.doc_id
+      JOIN dfreq ON dfreq.tok = tfq.tok, stats
+      GROUP BY tfq.doc_id
+    )
+    SELECT id, bm25, n_terms_hit,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, id ASC) AS BIGINT) AS rank
+    FROM scored
+    ORDER BY bm25 DESC, id ASC LIMIT 10
+    """,
+)
+def text_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-10 against a fixed 4-term query (k1=1.2, b=0.75):
+    the sparse-retrieval baseline for pulling task-relevant pretraining
+    docs.  Query restriction, per-term document frequencies, and the
+    one-row corpus stats broadcast; the final top-k plans as
+    TakeOrderedAndProject, never a single-task global window."""
+    d = read_table(spark, sf_dir, "documents")
+    return textanalysis.bm25_topk(
+        d, "doc_id", "text", ["spark", "merge", "vector", "query"], k=10
+    )
+
+
+@q(
     "text_unigram_logprob",
     f"""
     WITH toks AS (

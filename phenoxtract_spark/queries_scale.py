@@ -1143,6 +1143,61 @@ def events_locf(spark, sf_dir):
 
 
 @q(
+    "sketch_hll_users",
+    """
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5('hll-v1' || '|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, h % 256 AS reg,
+             least(CASE WHEN h // 256 > 0
+                        THEN 52 - length(bin(h // 256)) + 1
+                        ELSE 53 END, 40) AS rho
+      FROM h
+    ),
+    regs AS (SELECT event_type, reg, max(rho) AS rho FROM r GROUP BY 1, 2),
+    per AS (
+      SELECT event_type,
+             CAST(sum(1::BIGINT << CAST(40 - rho AS INTEGER)) AS BIGINT) AS s_hit,
+             CAST(count(*) AS BIGINT) AS registers_hit
+      FROM regs GROUP BY 1
+    ),
+    ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+           FROM events GROUP BY 1)
+    SELECT per.event_type,
+           round(CASE WHEN 0.7213 / (1 + 1.079 / 256.0) * 65536.0 * 1099511627776.0
+                           / (s_hit + (256 - registers_hit) * 1099511627776) <= 640.0
+                       AND (256 - registers_hit) > 0
+                      THEN 256.0 * ln(256.0 / (256 - registers_hit))
+                      ELSE 0.7213 / (1 + 1.079 / 256.0) * 65536.0 * 1099511627776.0
+                           / (s_hit + (256 - registers_hit) * 1099511627776)
+                 END, 4) AS est_distinct,
+           registers_hit,
+           ex.exact_distinct
+    FROM per JOIN ex USING (event_type)
+    """,
+)
+def sketch_hll_users(spark, sf_dir):
+    """HyperLogLog per-event-type distinct users (p=8, m=256) next to the
+    exact count for observable accuracy — md5-deterministic registers,
+    integer-exact register sums (summation order can never matter), the
+    standard small-range linear-counting correction, and register-wise
+    max mergeability (pinned in tests).  Complements kmv_distinct with
+    the production-standard geometry."""
+    from .operators import sketches
+    from .session import normalize_events
+
+    e = normalize_events(read_table(spark, sf_dir, "events"))
+    est = sketches.hll_distinct(e, ["event_type"], "user_id", p=8)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
+
+
+@q(
     "sketch_countmin_userfreq",
     """
     WITH params AS (SELECT unnest(generate_series(0, 3)) AS d),
