@@ -1,0 +1,87 @@
+"""Change-data-capture application — the incremental-ingest primitive a
+100 TB pipeline uses to keep a materialized table current from an
+ordered change stream (Debezium-style I/U/D events), and the batch MERGE
+(upsert) special case.
+
+Spark-first shapes: last-writer-wins collapses the change stream with
+one per-key window (no iterative driver logic), and the apply is a full
+outer join on the key — broadcastable when the change batch is small,
+shuffle-on-key otherwise, exactly the join Catalyst already optimizes.
+Everything is deterministic (explicit sequence column, explicit
+tie-breaks), so the whole path is oracle-replayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def latest_changes(changes: DataFrame, key_cols: list[str],
+                   seq_col: str = "seq", op_col: str = "op") -> DataFrame:
+    """Collapse an I/U/D change stream to the LAST change per key
+    (last-writer-wins by ``seq_col``; ties break toward the delete so a
+    same-sequence insert+delete converges deterministically, then by
+    ``op_col`` descending for stability).  One per-key window pass —
+    the map-side-combine-friendly shape that survives any stream
+    length."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).asc()
+    )
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def cdc_apply(base: DataFrame, changes: DataFrame, key_cols: list[str],
+              payload_cols: list[str], seq_col: str = "seq",
+              op_col: str = "op") -> DataFrame:
+    """Apply an ordered change stream to a base table:
+
+    - key absent from changes            -> base row survives unchanged
+    - last change is I or U              -> change payload wins (insert
+      if the key was absent from base — MERGE's WHEN NOT MATCHED arm)
+    - last change is D                   -> row deleted
+
+    Returns the post-apply table (``key_cols`` + ``payload_cols``).
+    Plan: :func:`latest_changes` (one window) + ONE full outer join on
+    the key.  With a small change batch Catalyst broadcasts it; at CDC
+    scale both sides shuffle on the key once — there is no per-row
+    driver loop anywhere."""
+    last = latest_changes(changes, key_cols, seq_col, op_col)
+    b = base.select(
+        *key_cols, *[F.col(c).alias(f"_b_{c}") for c in payload_cols]
+    )
+    c = last.select(
+        *key_cols,
+        F.col(op_col).alias("_op"),
+        *[F.col(c).alias(f"_c_{c}") for c in payload_cols],
+    )
+    joined = b.join(c, key_cols, "full_outer")
+    kept = joined.filter(F.col("_op").isNull() | (F.col("_op") != F.lit("D")))
+    return kept.select(
+        *key_cols,
+        *[
+            F.when(F.col("_op").isNotNull(), F.col(f"_c_{c}"))
+            .otherwise(F.col(f"_b_{c}"))
+            .alias(c)
+            for c in payload_cols
+        ],
+    )
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, key_cols: list[str],
+                 payload_cols: list[str]) -> DataFrame:
+    """Batch MERGE (Delta-style WHEN MATCHED UPDATE / WHEN NOT MATCHED
+    INSERT): every source row upserts — the degenerate change stream
+    where every change is a U with equal sequence.  Same single
+    full-outer-join plan as :func:`cdc_apply`."""
+    src = source.select(
+        *key_cols, F.lit("U").alias("op"), F.lit(0).cast("bigint").alias("seq"),
+        *payload_cols,
+    )
+    return cdc_apply(target, src, key_cols, payload_cols)

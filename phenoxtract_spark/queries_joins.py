@@ -456,3 +456,69 @@ def features_trailing_windows(spark, sf_dir):
         F.col("v7").alias("sum_value_7d"),
         F.col("n30").alias("n_events_30d"),
     )
+
+
+@q(
+    "cdc_apply_customers",
+    """
+    WITH ch AS (
+      SELECT CASE WHEN b % 7 = 0 THEN o_custkey + 1000000
+                  ELSE o_custkey END AS c_custkey,
+             o_orderkey AS seq,
+             CASE WHEN b < 1000 THEN 'D'
+                  WHEN b < 4000 THEN 'I'
+                  ELSE 'U' END AS op,
+             'cdc-' || CAST(o_orderkey AS VARCHAR) AS c_name,
+             round(o_totalprice, 2) AS c_acctbal
+      FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                   ('0x' || substr(md5('cdc-v1|' || CAST(o_orderkey AS VARCHAR)),
+                                   1, 8))::BIGINT % 10000 AS b
+            FROM orders)
+    ),
+    last AS (
+      SELECT * FROM (
+        SELECT ch.*, row_number() OVER (PARTITION BY c_custkey
+                                        ORDER BY seq DESC, op ASC) AS rn
+        FROM ch
+      ) WHERE rn = 1
+    )
+    SELECT coalesce(l.c_custkey, c.c_custkey) AS c_custkey,
+           CASE WHEN l.c_custkey IS NOT NULL THEN l.c_name
+                ELSE c.c_name END AS c_name,
+           CASE WHEN l.c_custkey IS NOT NULL THEN l.c_acctbal
+                ELSE c.c_acctbal END AS c_acctbal
+    FROM customer c FULL OUTER JOIN last l ON l.c_custkey = c.c_custkey
+    WHERE l.op IS NULL OR l.op != 'D'
+    """,
+)
+def cdc_apply_customers(spark, sf_dir):
+    """CDC application (operators/cdc.py): a deterministic I/U/D change
+    stream synthesized from orders (md5-bucketed op mix, ~14% of changes
+    re-keyed past the base id range so MERGE's not-matched INSERT arm
+    demonstrably fires) collapses last-writer-wins per key and applies
+    to customer with ONE full outer join — no per-row driver logic.
+    Oracle replays the window + join arm-for-arm."""
+    from .operators import cdc
+
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    b = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", F.lit("cdc-v1"),
+                                             F.col("o_orderkey").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") % 10000
+    )
+    changes = o.select(
+        F.when(b % 7 == 0, F.col("o_custkey") + 1000000)
+        .otherwise(F.col("o_custkey"))
+        .alias("c_custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(b < 1000, F.lit("D"))
+        .when(b < 4000, F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.concat(F.lit("cdc-"), F.col("o_orderkey").cast("string")).alias("c_name"),
+        F.round("o_totalprice", 2).alias("c_acctbal"),
+    )
+    return cdc.cdc_apply(
+        c, changes, ["c_custkey"], ["c_name", "c_acctbal"], "seq", "op"
+    )

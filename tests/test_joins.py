@@ -169,3 +169,52 @@ def test_bucketed_join_plan_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_cdc_apply_all_arms(spark):
+    """Every MERGE arm: untouched base row survives; U updates; I on a
+    new key inserts; D deletes; last-writer-wins by seq; a same-seq
+    insert+delete tie converges to the delete."""
+    from phenoxtract_spark.operators import cdc
+
+    base = spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.0), (3, "carol", 30.0),
+         (4, "dave", 40.0)],
+        "k bigint, name string, bal double",
+    )
+    changes = spark.createDataFrame(
+        [
+            ("U", 1, 2, "bob-v1", 21.0),   # older update...
+            ("U", 5, 2, "bob-v2", 22.0),   # ...last writer wins
+            ("D", 3, 3, None, None),       # delete carol
+            ("I", 7, 9, "erin", 90.0),     # insert new key
+            ("I", 4, 8, "frank", 80.0),    # same-seq I+D tie -> delete
+            ("D", 4, 8, None, None),
+        ],
+        "op string, seq bigint, k bigint, name string, bal double",
+    )
+    out = {r["k"]: r for r in
+           cdc.cdc_apply(base, changes, ["k"], ["name", "bal"]).collect()}
+    assert out[1]["name"] == "alice" and out[1]["bal"] == 10.0   # untouched
+    assert out[2]["name"] == "bob-v2" and out[2]["bal"] == 22.0  # LWW
+    assert 3 not in out                                          # deleted
+    assert out[9]["name"] == "erin" and out[9]["bal"] == 90.0    # inserted
+    assert 8 not in out                                          # tie -> D
+    assert out[4]["name"] == "dave"
+    assert len(out) == 4
+
+
+def test_merge_upsert_matches_and_inserts(spark):
+    from phenoxtract_spark.operators import cdc
+
+    target = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k bigint, name string, bal double"
+    )
+    source = spark.createDataFrame(
+        [(2, "b2", 22.0), (3, "c", 3.0)], "k bigint, name string, bal double"
+    )
+    out = {r["k"]: r for r in
+           cdc.merge_upsert(target, source, ["k"], ["name", "bal"]).collect()}
+    assert out[1]["name"] == "a"
+    assert out[2]["name"] == "b2" and out[2]["bal"] == 22.0
+    assert out[3]["name"] == "c"
