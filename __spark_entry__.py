@@ -64,14 +64,18 @@ _PRIORITY = [
     # queries are the r5 HUGEINT-cast sites — their green rows close
     # that class with driver evidence)
     "text_repetition", "curation_pack_sequences", "curation_pack_stats",
-    "curation_shard_assign", "text_bpe_apply", "text_pii_scrub",
-    "curation_split", "curation_stratified_sample",
-    # events / behavior
+    "curation_shard_assign", "text_bpe_apply",
+    # events / behavior / graph
     "events_window_dedup", "events_rolling_wau", "events_churn_labels",
-    "events_anomaly_zscore",
-    # graph + multimodal
-    "graph_pagerank_similarity", "graph_triangle_count",
-    "multimodal_patch_plan",
+    "graph_pagerank_similarity",
+    # --- new in round 6 (first driver rows for the new operators) -----
+    # exact-substring dedup family (Lee et al. 2022): spans, the clean
+    # action, and benchmark decontamination
+    "dedup_substring_spans", "dedup_substring_clean",
+    "curation_substring_decontaminate",
+    # WARC ingest, HLL sketch, BM25 retrieval, CDC apply
+    "warc_ingest_roundtrip", "sketch_hll_users", "text_bm25_topk",
+    "cdc_apply_customers",
 ]
 
 
