@@ -963,18 +963,19 @@ def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     from pyspark.sql.window import Window
 
     spans = duplicate_span_pairs(df, id_col, text_col, gram, max_bucket)
-    # cuts feeds THREE consumers (gaps, tails, the has-cut flag): without
-    # materialization the whole witness-join/islands subtree above it
-    # executes three times (measured 40-56 s -> ~20 s at sf1).  The
-    # merged-interval relation is tiny (<= a few rows per cut doc), so
-    # this is the same cheap-narrow-checkpoint discipline as lsh/ivf.
+    # cuts feeds THREE consumers (gaps, tails, the has-cut flag) — but do
+    # NOT localCheckpoint it: the consumers share the subtree up to the
+    # islands groupBy's exchange, which Spark reuses (ReusedExchange), so
+    # the witness join never re-executes; an eager checkpoint only adds a
+    # serialization barrier (interleaved sf1 A/B: ckpt 50.2/23.0 s vs
+    # no-ckpt 35.0/17.3 s — the r5 "measure before adding" lesson again).
     cuts = _merge_intervals(
         spans.select(
             F.col("id_b").alias("id"),
             F.col("start_b").alias("s"),
             (F.col("start_b") + F.col("span_len")).alias("e"),
         ).distinct()
-    ).localCheckpoint(eager=True)
+    )
     docs = df.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("t"),
