@@ -55,6 +55,19 @@ EXPECTATIONS = [
     # r4: exact similarity join post-checkpoint — pair join + verify only,
     # never a cartesian (length filter lives inside the equi-join)
     ("dedup_prefix_join", 4, 2, 2),
+    # r6: WARC roundtrip is one applyInPandas groupBy + a shuffle-free
+    # mapInPandas parse — payloads never shuffle
+    ("warc_ingest_roundtrip", 1, 0, 0),
+    # r6: substring spans post-checkpoint = the diagonal window exchange
+    # (the bucket self-join broadcasts at this scale)
+    ("dedup_substring_spans", 1, 1, 0),
+    # r6: CDC apply = LWW window + ONE full outer join (sort-merge: full
+    # outer cannot broadcast), nothing else
+    ("cdc_apply_customers", 2, 0, 1),
+    # r6: every BM25 dim broadcasts; top-k must plan as
+    # TakeOrderedAndProject (asserted separately below), never a global
+    # window exchange
+    ("text_bm25_topk", 5, 4, 0),
 ]
 
 
@@ -64,3 +77,14 @@ def test_plan_shape(spark, registry, name, max_ex, min_bhj, max_smj):
     assert s["ex"] <= max_ex, f"{name}: {s['ex']} exchanges > {max_ex}"
     assert s["bhj"] >= min_bhj, f"{name}: {s['bhj']} broadcast joins < {min_bhj}"
     assert s["smj"] <= max_smj, f"{name}: {s['smj']} sort-merge joins > {max_smj}"
+
+
+def test_bm25_topk_plans_take_ordered(spark, registry):
+    """The corpus top-k must compile to TakeOrderedAndProject (distributed
+    per-partition top-k) — a global row_number window would drag every
+    matched doc through one task."""
+    plan = (
+        registry["text_bm25_topk"](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
