@@ -92,3 +92,35 @@ def zorder_layout(df: DataFrame, dims: list[str], bits: int = 8,
             ],
         )
     )
+
+
+def compaction_plan(files: DataFrame, part_cols: list[str], key_col: str,
+                    size_col: str, target_size: int) -> DataFrame:
+    """Small-file compaction planner — the other standing lakehouse
+    write-path chore next to :func:`zorder_layout`: assign input files to
+    output bins of ~``target_size`` so a rewrite job can coalesce
+    many small files into few right-sized ones.
+
+    Streaming first-fit by running total: within each TABLE PARTITION,
+    files are walked in ``key_col`` order and file f lands in bin
+    ``floor((cumsum_through_f − size_f) / target_size)`` — the
+    deterministic one-pass bin-pack (a file straddling a boundary starts
+    its bin; bins overfill by at most one file, never underfill below
+    target except the last).  Returns the input plus ``bin``.
+
+    Scale: compaction is ALWAYS per table partition (rewrites must not
+    cross partition boundaries), which is exactly what keeps this plan
+    distributed — one window partitioned by ``part_cols``, no global
+    cumsum, no single-task sort."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(size_col).over(w)
+    return files.withColumn(
+        "bin",
+        F.floor((cum - F.col(size_col)) / target_size).cast("bigint"),
+    )

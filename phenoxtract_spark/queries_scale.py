@@ -1835,6 +1835,39 @@ def sim_ivfpq(spark, sf_dir):
 
 
 @q(
+    "layout_compaction_plan",
+    """
+    WITH files AS (
+      SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+             CAST(month(l_shipdate) AS BIGINT) AS mon,
+             CAST(count(*) AS BIGINT) AS size
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT yr, mon, size,
+           CAST(floor((sum(size) OVER (PARTITION BY yr ORDER BY mon
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - size) / 1500.0) AS BIGINT) AS bin
+    FROM files
+    """,
+)
+def layout_compaction_plan(spark, sf_dir):
+    """Small-file compaction planner (operators/layout.py): per-month
+    lineitem row counts stand in for file sizes; within each YEAR
+    partition the streaming first-fit running total assigns ~1500-row
+    output bins.  Per-table-partition by construction — no global
+    cumsum, no single-task sort (the real-compaction constraint and the
+    distributed-plan requirement coincide)."""
+    from .operators import layout
+
+    li = read_table(spark, sf_dir, "lineitem")
+    files = li.groupBy(
+        F.year("l_shipdate").cast("bigint").alias("yr"),
+        F.month("l_shipdate").cast("bigint").alias("mon"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("size"))
+    return layout.compaction_plan(files, ["yr"], "mon", "size", 1500)
+
+
+@q(
     "layout_zorder_files",
     """
     WITH d AS (

@@ -815,3 +815,20 @@ def test_bm25_ranks_relevant_docs_first(spark):
     assert by_id[4]["n_terms_hit"] == 4 and by_id[1]["n_terms_hit"] == 4
     assert by_id[2]["n_terms_hit"] == 1
     assert by_id[4]["bm25"] > by_id[2]["bm25"]
+
+
+def test_compaction_plan_bins_respect_partitions_and_target(spark):
+    from phenoxtract_spark.operators import layout
+
+    files = spark.createDataFrame(
+        [("a", 1, 60), ("a", 2, 60), ("a", 3, 60), ("a", 4, 60),
+         ("b", 1, 250), ("b", 2, 10)],
+        "part string, k bigint, size bigint",
+    )
+    out = {(r["part"], r["k"]): r["bin"] for r in
+           layout.compaction_plan(files, ["part"], "k", "size", 100).collect()}
+    # partition a: cum 60/120/180/240 -> bins floor((cum-size)/100) = 0,0,1,1
+    assert [out[("a", k)] for k in (1, 2, 3, 4)] == [0, 0, 1, 1]
+    # partition b restarts at bin 0 regardless of a's totals; the huge
+    # file starts its own bin, the trailing small file lands after it
+    assert out[("b", 1)] == 0 and out[("b", 2)] == 2
