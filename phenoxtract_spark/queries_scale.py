@@ -907,6 +907,44 @@ def warc_ingest_roundtrip(spark, sf_dir):
 
 
 @q(
+    "web_domain_profile",
+    """
+    SELECT source || '.corpus.local' AS host,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(octet_length(encode(coalesce(text, '')))) AS BIGINT)
+               AS total_bytes
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def web_domain_profile(spark, sf_dir):
+    """Per-domain crawl profile THROUGH the WARC path (the C4/RefinedWeb
+    URL-curation step): documents pack into per-source-host WARC
+    segments, the strict reader parses them back, the host comes out of
+    the parsed Target-URI, and the rollup groups on it.  The oracle
+    recomputes the profile straight from the source table, so a match
+    proves encode -> parse -> URL-extract -> aggregate end to end."""
+    from .sources import warc
+
+    d = read_table(spark, sf_dir, "documents")
+    segs = warc.synthetic_warc_segments(
+        d, "doc_id", "text", docs_per_segment=16, host_col="source"
+    )
+    parsed = warc.parse_warc_segments(segs)
+    return (
+        parsed.select(
+            F.regexp_extract("target_uri", r"^http://([^/]+)/", 1).alias("host"),
+            "content_length",
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("content_length").cast("bigint").alias("total_bytes"),
+        )
+    )
+
+
+@q(
     "multimodal_wav_energy",
     """
     WITH docs AS (SELECT doc_id, md5(text) AS seed FROM documents),

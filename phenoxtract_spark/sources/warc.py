@@ -110,26 +110,39 @@ def decode_warc(payload: bytes) -> list[dict]:
 
 def synthetic_warc_segments(df: DataFrame, id_col: str, text_col: str,
                             docs_per_segment: int = 16,
-                            uri_prefix: str = "http://corpus.local/doc/") -> DataFrame:
+                            uri_prefix: str = "http://corpus.local/doc/",
+                            host_col: str | None = None) -> DataFrame:
     """Pack documents into multi-record WARC segments through the REAL
     encoder — ``segment_id = id // docs_per_segment`` keys one
     ``applyInPandas`` group per segment (records sorted by id inside, so
-    bytes are deterministic).  Returns (segment_id, n_records, payload)."""
+    bytes are deterministic).  With ``host_col``, each record's URI is
+    ``http://<host>.corpus.local/doc/<id>`` (per-domain corpora); else
+    ``uri_prefix<id>``.  Returns (segment_id, n_records, payload)."""
     import pandas as pd
 
-    src = df.select(
+    cols = [
         F.col(id_col).cast("bigint").alias("id"),
         F.col(text_col).alias("t"),
         (F.col(id_col).cast("bigint") / docs_per_segment)
         .cast("bigint")
         .alias("segment_id"),
-    )
+    ]
+    if host_col is not None:
+        cols.append(F.col(host_col).cast("string").alias("host"))
+    src = df.select(*cols)
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id")
+        if host_col is not None:
+            uris = [
+                f"http://{h}.corpus.local/doc/{int(i)}"
+                for i, h in zip(pdf["id"], pdf["host"])
+            ]
+        else:
+            uris = [f"{uri_prefix}{int(i)}" for i in pdf["id"]]
         recs = [
-            (f"{uri_prefix}{int(i)}", ("" if t is None else str(t)).encode())
-            for i, t in zip(pdf["id"], pdf["t"])
+            (u, ("" if t is None else str(t)).encode())
+            for u, t in zip(uris, pdf["t"])
         ]
         return pd.DataFrame(
             {

@@ -81,3 +81,18 @@ def test_spark_segments_and_parse(spark):
     import hashlib
 
     assert r7["body_md5"] == hashlib.md5(b"document text 7").hexdigest()
+
+
+def test_segments_with_host_col_emit_per_domain_uris(spark):
+    df = spark.createDataFrame(
+        [(0, "text zero", "src-a"), (1, "text one", "src-b")],
+        "doc_id bigint, text string, source string",
+    )
+    segs = warc.synthetic_warc_segments(
+        df, "doc_id", "text", docs_per_segment=16, host_col="source"
+    )
+    uris = {r["target_uri"] for r in warc.parse_warc_segments(segs).collect()}
+    assert uris == {
+        "http://src-a.corpus.local/doc/0",
+        "http://src-b.corpus.local/doc/1",
+    }
