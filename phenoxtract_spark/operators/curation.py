@@ -601,3 +601,85 @@ def token_budget_select(df: DataFrame, id_col: str, quality: Column,
         base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= budget_per_shard)
     )
+
+
+def train_quality_lr(df: DataFrame, id_col: str, text_col: str,
+                     buckets: int = 16, iterations: int = 2, lr: float = 1.0,
+                     threshold: float = 0.55, seed: str = "feat-v1",
+                     round_dp: int = 6) -> DataFrame:
+    """Train a fasttext-style linear quality classifier: full-batch
+    logistic-regression gradient descent over :func:`hashed_features`
+    (plus a bias feature, bucket −1), labels from the deterministic
+    ``quality_score`` threshold — the trainable counterpart of the
+    rule-based scorer, and the third iterative-training operator next to
+    k-means (clustering.py) and BPE (textanalysis.py).
+
+    Fixed iteration count, zero init, deterministic arithmetic end to
+    end: iteration 1's predictions are exactly σ(0) = 0.5, every later
+    weight is plain joins + sums, so a SQL oracle replays the whole
+    trajectory CTE by CTE (the remaining cross-engine slack is
+    summation-order ulps under the final 6-dp round — the same accepted
+    ~0-probability argument as the LM-scoring queries).
+
+    Scale shape: the (doc, bucket, x, y) design matrix materializes ONCE
+    (it is re-consumed every iteration across job boundaries, where
+    exchange reuse cannot help); each iteration is one margin groupBy
+    (by doc) + one gradient groupBy (by bucket) + a (buckets+1)-row
+    collect — the same bounded-driver-traffic loop as kmeans/pagerank.
+    Returns (bucket, weight) with bucket −1 = bias."""
+    from .textanalysis import quality_score
+
+    feats = hashed_features(df, id_col, text_col, buckets, seed).select(
+        F.col(id_col).alias("id"), "bucket", F.col("l2_weight").alias("x")
+    )
+    bias = df.select(
+        F.col(id_col).alias("id"),
+        F.lit(-1).cast("bigint").alias("bucket"),
+        F.lit(1.0).alias("x"),
+    )
+    labels = df.select(
+        F.col(id_col).alias("id"),
+        F.when(quality_score(text_col) >= threshold, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+    fl = (
+        feats.unionByName(bias)
+        .join(labels, "id")
+        .localCheckpoint(eager=True)
+    )
+    n = df.count()
+    spark = df.sparkSession
+    w: dict[int, float] = {}
+    for it in range(iterations):
+        if not w:
+            # zero weights: every margin is 0, p = 0.5 exactly
+            errs = labels.select("id", (F.lit(0.5) - F.col("y")).alias("err"))
+        else:
+            wdf = F.broadcast(
+                spark.createDataFrame(
+                    sorted(w.items()), "bucket bigint, w double"
+                )
+            )
+            margins = (
+                fl.join(wdf, "bucket")
+                .groupBy("id")
+                .agg(F.sum(F.col("w") * F.col("x")).alias("margin"),
+                     F.max("y").alias("y"))
+            )
+            errs = margins.select(
+                "id",
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))) - F.col("y"))
+                .alias("err"),
+            )
+        grad = (
+            fl.join(errs, "id")
+            .groupBy("bucket")
+            .agg((F.sum(F.col("x") * F.col("err")) / n).alias("g"))
+            .collect()
+        )
+        for r in grad:
+            w[r["bucket"]] = w.get(r["bucket"], 0.0) - lr * r["g"]
+    return spark.createDataFrame(
+        sorted(w.items()), "bucket bigint, weight double"
+    ).select("bucket", F.round("weight", round_dp).alias("weight"))

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from .operators import curation
 from .operators import dedup
 from .queries_core import q, read_table
-from .queries_scale import _NORM
+from .queries_scale import _NORM, _votes_sql
 
 # ---------------------------------------------------------------------------
 # repetition metrics
@@ -486,6 +486,76 @@ def text_ngram_diversity(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # feature hashing
 # ---------------------------------------------------------------------------
+
+
+@q(
+    "curation_quality_lr_train",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+             CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE) AS n_punct,
+             CAST(len(list_filter(string_split({_NORM}, ' '), t -> t != '')) AS DOUBLE) AS n_tok,
+             CAST({_votes_sql('en')} AS DOUBLE) AS en_stop
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+             round(0.3 * least(n_chars / 500.0, 1.0)
+                 + 0.3 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+                 + 0.2 * (CASE WHEN n_tok > 0
+                               THEN least(en_stop / (n_tok * 0.1 + 1e-9), 1.0) ELSE 0.0 END)
+                 + 0.2 * (CASE WHEN n_chars > 0
+                               THEN 1.0 - least(n_punct / n_chars * 5, 1.0) ELSE 0.0 END), 6)
+             AS quality
+      FROM m
+    ),
+    labels AS (SELECT doc_id AS id,
+                      CASE WHEN quality >= 0.55 THEN 1.0 ELSE 0.0 END AS y
+               FROM q),
+    toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split({_NORM}, ' '), x -> x != '')) AS tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('feat-v1::' || tok), 1, 8))::BIGINT % 16 AS bucket,
+             count(*) AS cnt
+      FROM toks GROUP BY 1, 2
+    ),
+    hf AS (SELECT doc_id AS id, bucket,
+                  round(cnt / sqrt(sum(cnt * cnt) OVER (PARTITION BY doc_id)), 6) AS x
+           FROM c),
+    fl AS (SELECT id, bucket, x FROM hf
+           UNION ALL
+           SELECT doc_id, -1, 1.0 FROM documents),
+    nn AS (SELECT count(*) AS n FROM documents),
+    e1 AS (SELECT id, 0.5 - y AS err FROM labels),
+    g1 AS (SELECT bucket, sum(x * err) / n AS g
+           FROM fl JOIN e1 USING (id), nn GROUP BY bucket, n),
+    w1 AS (SELECT bucket, 0.0 - 1.0 * g AS w FROM g1),
+    m2 AS (SELECT fl.id, sum(w1.w * fl.x) AS margin
+           FROM fl JOIN w1 USING (bucket) GROUP BY fl.id),
+    e2 AS (SELECT m2.id, 1.0 / (1.0 + exp(-margin)) - l.y AS err
+           FROM m2 JOIN labels l USING (id)),
+    g2 AS (SELECT bucket, sum(x * err) / n AS g
+           FROM fl JOIN e2 USING (id), nn GROUP BY bucket, n),
+    w2 AS (SELECT w1.bucket, w1.w - 1.0 * g2.g AS w FROM w1 JOIN g2 USING (bucket))
+    SELECT bucket, round(w, 6) AS weight FROM w2
+    """,
+)
+def curation_quality_lr_train(spark, sf_dir):
+    """Trainable quality classifier: 2 full-batch logistic-regression GD
+    iterations over 16 hashed features + bias, labels from the
+    deterministic quality threshold — the oracle replays the whole
+    training trajectory CTE by CTE (zero init makes iteration 1's
+    predictions exactly 0.5)."""
+    d = read_table(spark, sf_dir, "documents")
+    return curation.train_quality_lr(
+        d, "doc_id", "text", buckets=16, iterations=2, lr=1.0, threshold=0.55
+    )
 
 
 @q(

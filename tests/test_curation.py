@@ -355,3 +355,31 @@ def test_token_budget_select_greedy_prefix_and_maximal(spark):
             for r in got} == expect
     # budget respected everywhere
     assert all(r["cum_tokens"] <= budget for r in got)
+
+
+def test_quality_lr_training_learns_signal(spark):
+    """The trained classifier must separate the classes it was fit on:
+    scoring the training docs with the learned weights ranks high-quality
+    docs above junk, the bias moves toward the majority class, and
+    training is deterministic across runs."""
+    from phenoxtract_spark.operators import curation
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog and keeps on running")
+            for i in range(10)]
+    rows += [(100 + i, "@@@@ #### !!!! %%%% ^^^^ &&&& ****") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    w = {r["bucket"]: r["weight"] for r in
+         curation.train_quality_lr(df, "doc_id", "text", buckets=16,
+                                   iterations=3).collect()}
+    w2 = {r["bucket"]: r["weight"] for r in
+          curation.train_quality_lr(df, "doc_id", "text", buckets=16,
+                                    iterations=3).collect()}
+    assert w == w2  # deterministic
+    feats = curation.hashed_features(df, "doc_id", "text", buckets=16)
+    score = {}
+    for r in feats.collect():
+        score[r["doc_id"]] = score.get(r["doc_id"], w.get(-1, 0.0)) + \
+            w.get(r["bucket"], 0.0) * r["l2_weight"]
+    good = sum(score.get(i, w[-1]) for i in range(10)) / 10
+    junk = sum(score.get(100 + i, w[-1]) for i in range(10)) / 10
+    assert good > junk
