@@ -1236,6 +1236,66 @@ def sketch_hll_users(spark, sf_dir):
 
 
 @q(
+    "geo_grid_radius_join",
+    """
+    WITH cust AS (
+      SELECT c_custkey AS id,
+             ('0x' || substr(md5('geo-v1-lat' || '|' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
+                 % 1200000 / 10000.0 - 60.0 AS lat,
+             ('0x' || substr(md5('geo-v1-lon' || '|' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
+                 % 3600000 / 10000.0 - 180.0 AS lon
+      FROM customer
+    ),
+    supp AS (
+      SELECT s_suppkey AS id,
+             ('0x' || substr(md5('geo-v1-lat' || '|' || CAST(s_suppkey AS VARCHAR)), 1, 12))::BIGINT
+                 % 1200000 / 10000.0 - 60.0 AS lat,
+             ('0x' || substr(md5('geo-v1-lon' || '|' || CAST(s_suppkey AS VARCHAR)), 1, 12))::BIGINT
+                 % 3600000 / 10000.0 - 180.0 AS lon
+      FROM supplier
+    ),
+    p AS (SELECT id AS point_id, lat AS p_lat, lon AS p_lon,
+                 CAST(floor(lat / 4.0) AS BIGINT) AS cell_lat,
+                 CAST(floor(lon / 4.0) AS BIGINT) AS cell_lon
+          FROM supp),
+    q AS (SELECT id AS query_id, lat AS q_lat, lon AS q_lon,
+                 CAST(floor(lat / 4.0) AS BIGINT) + di.di AS cell_lat,
+                 CAST(floor(lon / 4.0) AS BIGINT) + dj.dj AS cell_lon
+          FROM cust,
+               (SELECT unnest([-1, 0, 1]) AS di) di,
+               (SELECT unnest([-1, 0, 1]) AS dj) dj),
+    cand AS (SELECT query_id, point_id, q_lat, q_lon, p_lat, p_lon
+             FROM q JOIN p USING (cell_lat, cell_lon))
+    SELECT query_id, point_id,
+           round(2 * 6371.0 * asin(sqrt(
+               sin(radians(p_lat - q_lat) / 2) * sin(radians(p_lat - q_lat) / 2)
+               + cos(radians(q_lat)) * cos(radians(p_lat))
+                 * sin(radians(p_lon - q_lon) / 2) * sin(radians(p_lon - q_lon) / 2)
+           )), 3) AS dist_km
+    FROM cand
+    WHERE round(2 * 6371.0 * asin(sqrt(
+               sin(radians(p_lat - q_lat) / 2) * sin(radians(p_lat - q_lat) / 2)
+               + cos(radians(q_lat)) * cos(radians(p_lat))
+                 * sin(radians(p_lon - q_lon) / 2) * sin(radians(p_lon - q_lon) / 2)
+           )), 3) <= 200.0
+    """,
+)
+def geo_grid_radius_join(spark, sf_dir):
+    """Spatial radius join via grid bucketing (operators/geo.py): every
+    (customer, supplier) pair within 200 km of md5-synthesized
+    coordinates (|lat| <= 60).  4-degree cells keep the 3x3 neighborhood
+    covering the radius on BOTH axes across the whole band (1 deg of
+    longitude >= 55.5 km at 60 deg), so recall is exact by construction
+    — the bucket-then-verify discipline of the LSH/IVF families applied
+    to space."""
+    from .operators import geo
+
+    c = geo.synthetic_coords(read_table(spark, sf_dir, "customer"), "c_custkey")
+    sup = geo.synthetic_coords(read_table(spark, sf_dir, "supplier"), "s_suppkey")
+    return geo.grid_radius_join(sup, c, radius_km=200.0, cell_deg=4.0)
+
+
+@q(
     "sketch_countmin_userfreq",
     """
     WITH params AS (SELECT unnest(generate_series(0, 3)) AS d),

@@ -832,3 +832,38 @@ def test_compaction_plan_bins_respect_partitions_and_target(spark):
     # partition b restarts at bin 0 regardless of a's totals; the huge
     # file starts its own bin, the trailing small file lands after it
     assert out[("b", 1)] == 0 and out[("b", 2)] == 2
+
+
+def test_grid_radius_join_matches_brute_force(spark):
+    """Grid-bucketed spatial join must return EXACTLY the brute-force
+    radius pairs inside the supported latitude band (the 3×3/cell-size
+    recall contract), including across the lon=±180 seam being absent
+    (no wraparound support claimed) and a known ~111 km pair."""
+    import math
+
+    from phenoxtract_spark.operators import geo
+
+    pts = [(1, 0.0, 0.0), (2, 1.0, 0.0), (3, 0.0, 1.5), (4, 59.0, 10.0),
+           (5, 59.0, 13.0), (6, -30.0, 100.0)]
+    points = spark.createDataFrame(pts, "id bigint, lat double, lon double")
+    queries = spark.createDataFrame(
+        [(101, 0.0, 0.05), (102, 59.0, 11.5), (103, 40.0, -170.0)],
+        "id bigint, lat double, lon double",
+    )
+    got = {(r["query_id"], r["point_id"])
+           for r in geo.grid_radius_join(points, queries, radius_km=200.0,
+                                         cell_deg=4.0).collect()}
+
+    def hav(a, b, c, d):
+        p1, p2 = math.radians(a), math.radians(c)
+        dphi, dlam = math.radians(c - a) / 2, math.radians(d - b) / 2
+        x = math.sin(dphi) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dlam) ** 2
+        return 2 * 6371.0 * math.asin(math.sqrt(x))
+
+    brute = {(q, p) for q, qla, qlo in
+             [(101, 0.0, 0.05), (102, 59.0, 11.5), (103, 40.0, -170.0)]
+             for p, pla, plo in pts if hav(qla, qlo, pla, plo) <= 200.0}
+    assert got == brute
+    assert (101, 1) in got and (101, 2) in got     # 5.6 km and ~111 km
+    assert (102, 4) in got and (102, 5) in got     # lon-compressed at 59°
+    assert all(q != 103 for q, _ in got)           # isolated query: no pairs
