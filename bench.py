@@ -130,6 +130,21 @@ SF1_PROBE = [
     # round-5 late: Z-order layout is two scans + one coarse groupBy —
     # the ratio should track row count (~10x)
     "layout_zorder_files",
+    # round-6: the exact-substring family is the new heavy exact path —
+    # witness volume tracks planted duplication (Σ span_len), so the
+    # ratio measures true-dup density, not corpus size; clean adds the
+    # complement-rebuild joins on top of the same subtree
+    "dedup_substring_spans",
+    "dedup_substring_clean",
+    "curation_substring_decontaminate",
+    # round-6: container/codec + sketch + retrieval + CDC + spatial —
+    # each one shuffle-light by construction (see PLANS.md pins)
+    "warc_ingest_roundtrip",
+    "sketch_hll_users",
+    "text_bm25_topk",
+    "cdc_apply_customers",
+    "geo_grid_radius_join",
+    "curation_quality_lr_train",
 ]
 
 # r5 (verdict #7b/#4): the heaviest sf1 queries get TWO reps and report the
@@ -138,6 +153,8 @@ SF1_PROBE = [
 # under sf1.reps so the noise itself stays observable.  similarity_ivf_topk
 # is included per verdict #4 (its r4 2.5→4.7 s move needed a second rep).
 SF1_BEST_OF_2 = {
+    "dedup_substring_spans",
+    "dedup_substring_clean",
     "dedup_prefix_join",
     "dedup_pipeline_canonical",
     "dedup_semantic_canonical",
