@@ -945,6 +945,45 @@ def web_domain_profile(spark, sf_dir):
 
 
 @q(
+    "jsonl_gz_ingest_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(doc_id // 16 AS BIGINT) AS shard_id,
+           CAST(row_number() OVER (PARTITION BY doc_id // 16 ORDER BY doc_id) - 1
+                AS BIGINT) AS rec_index,
+           lang, source,
+           md5(coalesce(text, '')) AS body_md5
+    FROM documents
+    """,
+)
+def jsonl_gz_ingest_roundtrip(spark, sf_dir):
+    """Compressed-JSONL shard roundtrip (sources/jsonl_gz.py): rows pack
+    into deterministic .jsonl.gz shards (sorted-key JSON, gzip mtime=0)
+    via applyInPandas, the strict decoder (magic check, stdlib CRC,
+    object-per-line) parses them back via mapInPandas, and the oracle
+    recomputes every field from the source table — gzip-encode →
+    gzip-decode → JSON-parse proved end to end, the wire format
+    training corpora actually ship in."""
+    from .sources import jsonl_gz
+
+    d = read_table(spark, sf_dir, "documents")
+    shards = jsonl_gz.synthetic_jsonl_gz_shards(
+        d, "doc_id", ["text", "lang", "source"], docs_per_shard=16
+    )
+    parsed = jsonl_gz.parse_jsonl_gz_shards(
+        shards, "doc_id", ["text", "lang", "source"]
+    )
+    return parsed.select(
+        "doc_id",
+        "shard_id",
+        "rec_index",
+        "lang",
+        "source",
+        F.md5(F.coalesce("text", F.lit(""))).alias("body_md5"),
+    )
+
+
+@q(
     "multimodal_wav_energy",
     """
     WITH docs AS (SELECT doc_id, md5(text) AS seed FROM documents),

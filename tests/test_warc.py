@@ -96,3 +96,53 @@ def test_segments_with_host_col_emit_per_domain_uris(spark):
         "http://src-a.corpus.local/doc/0",
         "http://src-b.corpus.local/doc/1",
     }
+
+
+# --- jsonl.gz shard codec (sources/jsonl_gz.py) ------------------------
+
+
+def test_jsonl_gz_roundtrip_and_determinism():
+    from phenoxtract_spark.sources import jsonl_gz
+
+    recs = [{"id": 1, "text": "hello"}, {"id": 2, "text": "wörld é"}]
+    b1 = jsonl_gz.encode_jsonl_gz(recs)
+    b2 = jsonl_gz.encode_jsonl_gz(recs)
+    assert b1 == b2  # mtime=0, sorted keys
+    assert jsonl_gz.decode_jsonl_gz(b1) == recs
+
+
+def test_jsonl_gz_strict_errors():
+    import pytest as _pytest
+
+    from phenoxtract_spark.sources import jsonl_gz
+
+    with _pytest.raises(ValueError, match="not a gzip payload"):
+        jsonl_gz.decode_jsonl_gz(b"plaintext")
+    import gzip as _gzip
+
+    with _pytest.raises(ValueError, match="not a JSON object"):
+        jsonl_gz.decode_jsonl_gz(_gzip.compress(b'[1,2]\n', mtime=0))
+    corrupt = bytearray(jsonl_gz.encode_jsonl_gz([{"a": 1}]))
+    corrupt[-3] ^= 0xFF  # flip a CRC byte
+    with _pytest.raises(Exception):
+        jsonl_gz.decode_jsonl_gz(bytes(corrupt))
+
+
+def test_jsonl_gz_spark_shards_and_parse(spark):
+    from phenoxtract_spark.sources import jsonl_gz
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}", "en") for i in range(20)],
+        "doc_id bigint, text string, lang string",
+    )
+    shards = jsonl_gz.synthetic_jsonl_gz_shards(
+        df, "doc_id", ["text", "lang"], docs_per_shard=8
+    )
+    assert {r["shard_id"]: r["n_records"] for r in shards.collect()} == {
+        0: 8, 1: 8, 2: 4
+    }
+    parsed = {r["doc_id"]: r for r in jsonl_gz.parse_jsonl_gz_shards(
+        shards, "doc_id", ["text", "lang"]).collect()}
+    assert len(parsed) == 20
+    assert parsed[9]["text"] == "text 9" and parsed[9]["shard_id"] == 1
+    assert parsed[9]["rec_index"] == 1 and parsed[9]["lang"] == "en"
