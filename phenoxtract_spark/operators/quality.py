@@ -80,3 +80,46 @@ def constraint_report(df: DataFrame, checks: list[Check]) -> DataFrame:
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     ).orderBy("column", "check")
+
+
+def table_diff(left: DataFrame, right: DataFrame, key_cols: list[str],
+               compare_cols: list[str]) -> DataFrame:
+    """Snapshot reconciliation: row-level diff of two table versions —
+    the data-regression check a pipeline runs after a backfill, a CDC
+    replay, or an engine migration.
+
+    Returns (*key_cols, status, n_changed_cols) where status is
+    ``removed`` (key only in ``left``), ``added`` (only in ``right``),
+    ``changed`` (present in both, >=1 compare col differs, null-safe),
+    or ``unchanged``.  One full outer join on the key — same plan shape
+    as :func:`~phenoxtract_spark.operators.cdc.cdc_apply`, and exactly
+    the comparison semantics of ``IS DISTINCT FROM`` so the oracle
+    replays it verbatim."""
+    l = left.select(
+        *key_cols, F.lit(1).alias("_in_l"),
+        *[F.col(c).alias(f"_l_{c}") for c in compare_cols],
+    )
+    r = right.select(
+        *key_cols, F.lit(1).alias("_in_r"),
+        *[F.col(c).alias(f"_r_{c}") for c in compare_cols],
+    )
+    j = l.join(r, key_cols, "full_outer")
+    diffs = [
+        (~F.col(f"_l_{c}").eqNullSafe(F.col(f"_r_{c}"))).cast("int")
+        for c in compare_cols
+    ]
+    n_changed = sum(diffs[1:], diffs[0]) if diffs else F.lit(0)
+    return j.select(
+        *key_cols,
+        F.when(F.col("_in_r").isNull(), F.lit("removed"))
+        .when(F.col("_in_l").isNull(), F.lit("added"))
+        .when(n_changed > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        F.when(
+            F.col("_in_l").isNull() | F.col("_in_r").isNull(), F.lit(0)
+        )
+        .otherwise(n_changed)
+        .cast("bigint")
+        .alias("n_changed_cols"),
+    )

@@ -247,6 +247,59 @@ def curation_substring_decontam(spark, sf_dir):
 
 
 @q(
+    "quality_table_diff",
+    """
+    WITH v2 AS (
+      SELECT c_custkey + CASE WHEN b % 37 = 0 THEN 1000000 ELSE 0 END AS c_custkey,
+             CASE WHEN b % 11 = 0 THEN 'renamed-' || CAST(c_custkey AS VARCHAR)
+                  ELSE c_name END AS c_name,
+             CASE WHEN b % 7 = 0 THEN round(c_acctbal + 100.0, 2)
+                  ELSE c_acctbal END AS c_acctbal
+      FROM (SELECT c_custkey, c_name, c_acctbal,
+                   ('0x' || substr(md5('diff-v1|' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+                       % 10000 AS b
+            FROM customer)
+    )
+    SELECT coalesce(l.c_custkey, r.c_custkey) AS c_custkey,
+           CASE WHEN r.c_custkey IS NULL THEN 'removed'
+                WHEN l.c_custkey IS NULL THEN 'added'
+                WHEN (l.c_name IS DISTINCT FROM r.c_name)
+                     OR (l.c_acctbal IS DISTINCT FROM r.c_acctbal) THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CASE WHEN l.c_custkey IS NULL OR r.c_custkey IS NULL THEN 0
+                ELSE CAST((l.c_name IS DISTINCT FROM r.c_name) AS INTEGER)
+                     + CAST((l.c_acctbal IS DISTINCT FROM r.c_acctbal) AS INTEGER)
+           END :: BIGINT AS n_changed_cols
+    FROM customer l FULL OUTER JOIN v2 r ON l.c_custkey = r.c_custkey
+    """,
+)
+def quality_table_diff(spark, sf_dir):
+    """Snapshot reconciliation (operators/quality.py:table_diff): diff
+    customer against a deterministically perturbed v2 (md5-bucketed
+    renames, balance bumps, and re-keyed rows so added/removed/changed/
+    unchanged all occur).  One full outer join; IS-DISTINCT-FROM
+    semantics replayed verbatim by the oracle."""
+    from .operators import quality
+
+    c = read_table(spark, sf_dir, "customer")
+    b = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", F.lit("diff-v1"),
+                                             F.col("c_custkey").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") % 10000
+    )
+    v2 = c.select(
+        (F.col("c_custkey")
+         + F.when(b % 37 == 0, F.lit(1000000)).otherwise(F.lit(0))).alias("c_custkey"),
+        F.when(b % 11 == 0,
+               F.concat(F.lit("renamed-"), F.col("c_custkey").cast("string")))
+        .otherwise(F.col("c_name")).alias("c_name"),
+        F.when(b % 7 == 0, F.round(F.col("c_acctbal") + 100.0, 2))
+        .otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+    )
+    return quality.table_diff(c, v2, ["c_custkey"], ["c_name", "c_acctbal"])
+
+
+@q(
     "quality_constraints",
     """
     WITH m AS (

@@ -383,3 +383,26 @@ def test_quality_lr_training_learns_signal(spark):
     good = sum(score.get(i, w[-1]) for i in range(10)) / 10
     junk = sum(score.get(100 + i, w[-1]) for i in range(10)) / 10
     assert good > junk
+
+
+def test_table_diff_all_statuses(spark):
+    from phenoxtract_spark.operators import quality
+
+    left = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", 4.0)],
+        "k bigint, name string, bal double",
+    )
+    right = spark.createDataFrame(
+        [(1, "a", 1.0),        # unchanged
+         (2, "b", 2.0),        # null -> value = changed (null-safe)
+         (3, "c2", 3.5),       # both cols changed
+         (5, "e", 5.0)],       # added; 4 removed
+        "k bigint, name string, bal double",
+    )
+    out = {r["k"]: r for r in
+           quality.table_diff(left, right, ["k"], ["name", "bal"]).collect()}
+    assert out[1]["status"] == "unchanged" and out[1]["n_changed_cols"] == 0
+    assert out[2]["status"] == "changed" and out[2]["n_changed_cols"] == 1
+    assert out[3]["status"] == "changed" and out[3]["n_changed_cols"] == 2
+    assert out[4]["status"] == "removed"
+    assert out[5]["status"] == "added"
