@@ -683,3 +683,89 @@ def train_quality_lr(df: DataFrame, id_col: str, text_col: str,
     return spark.createDataFrame(
         sorted(w.items()), "bucket bigint, weight double"
     ).select("bucket", F.round("weight", round_dp).alias("weight"))
+
+
+def span_corruption(df: DataFrame, id_col: str, text_col: str,
+                    mask_permille: int = 150, block: int = 3,
+                    seed: str = "t5-v1") -> DataFrame:
+    """T5-style span-corruption example generation: mask ~15% of tokens
+    in contiguous spans, emit the sentinel-marked input and the
+    sentinel-prefixed target — the denoising-objective data prep step
+    of a pretraining pipeline, as one deterministic relational plan.
+
+    Deterministic variant of T5's sampling: positions group into fixed
+    ``block``-token blocks and a block masks when
+    md5(seed|id|block) % 1000 < ``mask_permille``; adjacent masked
+    blocks merge into longer spans (so span lengths vary around
+    ``block`` like T5's mean-3 geometric spans, without RNG state).
+    Sentinels number left to right per document, ``<extra_id_k>``.
+
+    Returns (id, input_text, target_text, n_spans, n_masked_tokens).
+    Plan: one posexplode, two narrow per-doc windows (span-start lag +
+    running sentinel rank), one ordered-concat groupBy — all
+    partitioned by doc id, no driver logic, oracle-replayable
+    verbatim."""
+    from pyspark.sql.window import Window
+
+    from .dedup import normalized_text
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.filter(F.split(normalized_text(text_col), " "), lambda t: t != "")
+        ).alias("pos", "tok"),
+    )
+    blk = (F.col("pos") / block).cast("bigint")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(seed), F.col("id").cast("string"),
+                                  blk.cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint") % 1000
+    )
+    t = toks.withColumn("masked", (h < mask_permille))
+    w = Window.partitionBy("id").orderBy("pos")
+    t = t.withColumn(
+        "span_start",
+        F.col("masked") & ~F.coalesce(F.lag("masked").over(w), F.lit(False)),
+    )
+    t = t.withColumn(
+        "k",
+        F.sum(F.col("span_start").cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sentinel = F.concat(F.lit("<extra_id_"), F.col("k").cast("string"), F.lit(">"))
+    in_piece = (
+        F.when(~F.col("masked"), F.col("tok"))
+        .when(F.col("span_start"), sentinel)
+        .otherwise(F.lit(None))
+    )
+    tgt_piece = F.when(
+        F.col("masked"),
+        F.when(F.col("span_start"), F.concat(sentinel, F.lit(" "), F.col("tok")))
+        .otherwise(F.col("tok")),
+    )
+
+    def ordered_concat(piece):
+        return F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(piece.isNotNull(), F.struct(F.col("pos"), piece.alias("p")))
+                    )
+                ),
+                lambda x: x["p"],
+            ),
+            " ",
+        )
+
+    return t.groupBy("id").agg(
+        ordered_concat(in_piece).alias("input_text"),
+        ordered_concat(tgt_piece).alias("target_text"),
+        F.max("k").cast("bigint").alias("n_spans"),
+        F.sum(F.col("masked").cast("int")).cast("bigint").alias("n_masked_tokens"),
+    )

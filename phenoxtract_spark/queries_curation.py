@@ -612,6 +612,66 @@ def curation_quality_lr_train(spark, sf_dir):
 
 
 @q(
+    "curation_span_corruption",
+    f"""
+    WITH base AS (
+      SELECT doc_id AS id,
+             list_filter(string_split({_NORM}, ' '), x -> x != '') AS t
+      FROM documents
+    ),
+    toks AS (
+      SELECT id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS tok
+      FROM base, unnest(generate_series(1, len(t))) AS u(i)
+    ),
+    m AS (
+      SELECT id, pos, tok,
+             ('0x' || substr(md5('t5-v1|' || CAST(id AS VARCHAR) || '|'
+                                  || CAST(pos // 3 AS VARCHAR)), 1, 8))::BIGINT
+                 % 1000 < 150 AS masked
+      FROM toks
+    ),
+    st AS (
+      SELECT *, masked AND NOT coalesce(
+                 lag(masked) OVER (PARTITION BY id ORDER BY pos), false)
+             AS span_start
+      FROM m
+    ),
+    kk AS (
+      SELECT *, sum(CASE WHEN span_start THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k
+      FROM st
+    ),
+    pieces AS (
+      SELECT id, pos, masked, k,
+             CASE WHEN NOT masked THEN tok
+                  WHEN span_start THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+             END AS in_piece,
+             CASE WHEN masked THEN
+                  CASE WHEN span_start
+                       THEN '<extra_id_' || CAST(k AS VARCHAR) || '> ' || tok
+                       ELSE tok END
+             END AS tgt_piece
+      FROM kk
+    )
+    SELECT id,
+           coalesce(string_agg(in_piece, ' ' ORDER BY pos), '') AS input_text,
+           coalesce(string_agg(tgt_piece, ' ' ORDER BY pos), '') AS target_text,
+           CAST(coalesce(max(k), 0) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked_tokens
+    FROM pieces GROUP BY id
+    """,
+)
+def curation_span_corruption(spark, sf_dir):
+    """T5-style span-corruption example generation (deterministic
+    blocks-merge-into-spans variant): sentinel-marked inputs +
+    sentinel-prefixed targets in one relational plan, oracle-replayed
+    token for token."""
+    d = read_table(spark, sf_dir, "documents")
+    return curation.span_corruption(d, "doc_id", "text")
+
+
+@q(
     "curation_hashed_features",
     f"""
     WITH toks AS (

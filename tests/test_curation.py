@@ -406,3 +406,34 @@ def test_table_diff_all_statuses(spark):
     assert out[3]["status"] == "changed" and out[3]["n_changed_cols"] == 2
     assert out[4]["status"] == "removed"
     assert out[5]["status"] == "added"
+
+
+def test_span_corruption_reconstructs_original(spark):
+    """Denoising invariant: splicing each target span back over its
+    sentinel in the input must reproduce the normalized original text —
+    for every document, whatever the mask pattern."""
+    import re
+
+    from phenoxtract_spark.operators import curation
+
+    texts = [(i, f"token{j} " * 20) for i, j in ((1, 0), (2, 1), (3, 2))]
+    texts.append((4, "the quick brown fox jumps over the lazy dog again and again"))
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    out = curation.span_corruption(df, "doc_id", "text").collect()
+    assert len(out) == 4
+    for r in out:
+        spans = {}
+        for m in re.finditer(r"<extra_id_(\d+)> ([^<]*)", r["target_text"] + " "):
+            spans[m.group(1)] = m.group(2).strip()
+        rebuilt = re.sub(
+            r"<extra_id_(\d+)>",
+            lambda m: spans.get(m.group(1), ""),
+            r["input_text"],
+        )
+        rebuilt = re.sub(r"\s+", " ", rebuilt).strip()
+        original = re.sub(r"\s+", " ", texts[r["id"] - 1][1].lower()).strip()
+        assert rebuilt == original, (r["id"], rebuilt, original)
+        n_sentinels = r["input_text"].count("<extra_id_")
+        assert n_sentinels == r["n_spans"]
+        if r["n_spans"] > 0:
+            assert r["n_masked_tokens"] >= r["n_spans"]
