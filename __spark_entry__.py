@@ -52,10 +52,8 @@ _PRIORITY = [
     "tpch_q18_large_volume_customers",
     # scalar subqueries / analytics
     "distinct_agg_by_group", "scalar_subquery_above_avg",
-    "grouping_sets_revenue", "analytics_winsorized_stats",
-    "analytics_gini_concentration", "analytics_rfm_segments",
     # profiling / quality
-    "stats_numeric_profile", "profiling_skew_report", "quality_drift_report",
+    "stats_numeric_profile", "profiling_skew_report",
     # r5-new operators (first driver rows): IVF-PQ, Z-order layout,
     # token-budget selection, and the sf1-crash-fixed packet roundtrip
     "similarity_ivfpq_topk", "layout_zorder_files",
@@ -76,6 +74,13 @@ _PRIORITY = [
     # WARC ingest, HLL sketch, BM25 retrieval, CDC apply
     "warc_ingest_roundtrip", "sketch_hll_users", "text_bm25_topk",
     "cdc_apply_customers",
+    # late r6: domain profile through WARC, compressed-JSONL ingest,
+    # compaction planner, LR quality trainer, spatial radius join,
+    # table diff, T5 span corruption
+    "web_domain_profile", "jsonl_gz_ingest_roundtrip",
+    "layout_compaction_plan", "curation_quality_lr_train",
+    "geo_grid_radius_join", "quality_table_diff",
+    "curation_span_corruption",
 ]
 
 
