@@ -111,3 +111,28 @@ def synthetic_coords(df: DataFrame, id_col: str, seed: str = "geo-v1",
         (u("lat", lat_span) / 10000.0 - lat_band).alias("lat"),
         (u("lon", 3600000) / 10000.0 - 180.0).alias("lon"),
     )
+
+
+def grid_knn(points: DataFrame, queries: DataFrame, k: int = 1,
+             radius_km: float = 200.0, cell_deg: float = 4.0,
+             id_col: str = "id", lat_col: str = "lat",
+             lon_col: str = "lon") -> DataFrame:
+    """k nearest points per query WITHIN the grid-probe radius: the
+    radius join bounds the candidates, a per-query window ranks them by
+    (dist, point_id).  Queries with no candidate in the radius emit
+    nothing — the caller widens the radius (re-probe with a larger
+    cell) rather than paying an unbounded global search, which is the
+    standard iterative-widening kNN on a grid index.
+    Returns (query_id, point_id, dist_km, rank)."""
+    from pyspark.sql.window import Window
+
+    cand = grid_radius_join(
+        points, queries, radius_km, cell_deg, id_col, lat_col, lon_col
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_km").asc(), F.col("point_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

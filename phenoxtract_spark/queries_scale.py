@@ -1335,6 +1335,62 @@ def geo_grid_radius_join(spark, sf_dir):
 
 
 @q(
+    "geo_nearest_supplier",
+    """
+    WITH cust AS (
+      SELECT c_custkey AS id,
+             ('0x' || substr(md5('geo-v1-lat' || '|' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
+                 % 1200000 / 10000.0 - 60.0 AS lat,
+             ('0x' || substr(md5('geo-v1-lon' || '|' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
+                 % 3600000 / 10000.0 - 180.0 AS lon
+      FROM customer
+    ),
+    supp AS (
+      SELECT s_suppkey AS id,
+             ('0x' || substr(md5('geo-v1-lat' || '|' || CAST(s_suppkey AS VARCHAR)), 1, 12))::BIGINT
+                 % 1200000 / 10000.0 - 60.0 AS lat,
+             ('0x' || substr(md5('geo-v1-lon' || '|' || CAST(s_suppkey AS VARCHAR)), 1, 12))::BIGINT
+                 % 3600000 / 10000.0 - 180.0 AS lon
+      FROM supplier
+    ),
+    p AS (SELECT id AS point_id, lat AS p_lat, lon AS p_lon,
+                 CAST(floor(lat / 4.0) AS BIGINT) AS cell_lat,
+                 CAST(floor(lon / 4.0) AS BIGINT) AS cell_lon
+          FROM supp),
+    q AS (SELECT id AS query_id, lat AS q_lat, lon AS q_lon,
+                 CAST(floor(lat / 4.0) AS BIGINT) + di.di AS cell_lat,
+                 CAST(floor(lon / 4.0) AS BIGINT) + dj.dj AS cell_lon
+          FROM cust,
+               (SELECT unnest([-1, 0, 1]) AS di) di,
+               (SELECT unnest([-1, 0, 1]) AS dj) dj),
+    cand AS (
+      SELECT query_id, point_id,
+             round(2 * 6371.0 * asin(sqrt(
+                 sin(radians(p_lat - q_lat) / 2) * sin(radians(p_lat - q_lat) / 2)
+                 + cos(radians(q_lat)) * cos(radians(p_lat))
+                   * sin(radians(p_lon - q_lon) / 2) * sin(radians(p_lon - q_lon) / 2)
+             )), 3) AS dist_km
+      FROM q JOIN p USING (cell_lat, cell_lon)
+    )
+    SELECT query_id, point_id, dist_km, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY dist_km ASC, point_id ASC) AS BIGINT) AS rank
+      FROM cand WHERE dist_km <= 200.0
+    ) WHERE rank <= 1
+    """,
+)
+def geo_nearest_supplier(spark, sf_dir):
+    """Grid-indexed kNN (k=1): nearest supplier within 200 km per
+    customer — radius-join candidates + one per-query rank window
+    (iterative-widening kNN's inner step)."""
+    from .operators import geo
+
+    c = geo.synthetic_coords(read_table(spark, sf_dir, "customer"), "c_custkey")
+    sup = geo.synthetic_coords(read_table(spark, sf_dir, "supplier"), "s_suppkey")
+    return geo.grid_knn(sup, c, k=1, radius_km=200.0, cell_deg=4.0)
+
+
+@q(
     "sketch_countmin_userfreq",
     """
     WITH params AS (SELECT unnest(generate_series(0, 3)) AS d),

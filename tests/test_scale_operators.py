@@ -867,3 +867,19 @@ def test_grid_radius_join_matches_brute_force(spark):
     assert (101, 1) in got and (101, 2) in got     # 5.6 km and ~111 km
     assert (102, 4) in got and (102, 5) in got     # lon-compressed at 59°
     assert all(q != 103 for q, _ in got)           # isolated query: no pairs
+
+
+def test_grid_knn_rank_one_is_true_nearest(spark):
+    from phenoxtract_spark.operators import geo
+
+    points = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.0, 0.5), (3, 0.0, 1.0)],
+        "id bigint, lat double, lon double",
+    )
+    queries = spark.createDataFrame(
+        [(101, 0.0, 0.6)], "id bigint, lat double, lon double"
+    )
+    out = geo.grid_knn(points, queries, k=2, radius_km=200.0, cell_deg=4.0).collect()
+    ranked = sorted(out, key=lambda r: r["rank"])
+    assert [r["point_id"] for r in ranked] == [2, 3]  # 0.1° then 0.4° away
+    assert ranked[0]["dist_km"] < ranked[1]["dist_km"]
