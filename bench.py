@@ -145,6 +145,11 @@ SF1_PROBE = [
     "cdc_apply_customers",
     "geo_grid_radius_join",
     "curation_quality_lr_train",
+    # round-6 late: compressed-JSONL ingest and the span-corruption
+    # generator (two windows + ordered concat) are the remaining
+    # Python-side and window-heavy new paths
+    "jsonl_gz_ingest_roundtrip",
+    "curation_span_corruption",
 ]
 
 # r5 (verdict #7b/#4): the heaviest sf1 queries get TWO reps and report the
