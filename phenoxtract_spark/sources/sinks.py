@@ -131,3 +131,51 @@ def merge_upsert_sink(keyed: DataFrame, target_dir: str, key_col: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cdc_apply_sink(changes: DataFrame, target_dir: str, key_cols: list[str],
+                   payload_cols: list[str], checkpoint_dir: str,
+                   seq_col: str = "seq", op_col: str = "op"):
+    """Streaming CDC sink: ``foreachBatch`` applies each micro-batch of
+    I/U/D changes to the keyed parquet target through
+    :func:`~phenoxtract_spark.operators.cdc.cdc_apply` — the full MERGE
+    semantics (update / insert / DELETE) that
+    :func:`merge_upsert_sink` lacks.
+
+    Idempotence argument (exactly-once over at-least-once delivery):
+    within one batch last-writer-wins by ``seq_col`` collapses replayed
+    rows; re-applying an already-applied batch maps every key to the
+    state it is already in (U/I overwrite with the same payload, D
+    deletes an absent key = no-op), so failure replays converge.  Same
+    staging-dir overwrite as the upsert sink; at 100 TB the batch body
+    becomes a real MERGE INTO on a table format — the operator shape is
+    identical.  Returns the StreamingQuery."""
+    from ..operators.cdc import cdc_apply
+
+    spark = changes.sparkSession
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if os.path.isdir(target_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(target_dir)
+        ):
+            base = spark.read.parquet(target_dir)
+        else:
+            base = spark.createDataFrame(
+                [],
+                batch.select(*key_cols, *payload_cols).schema,
+            )
+        merged = cdc_apply(base, batch, key_cols, payload_cols, seq_col, op_col)
+        staging = target_dir.rstrip("/") + "._staging"
+        merged.write.mode("overwrite").parquet(staging)
+        import shutil
+
+        if os.path.isdir(target_dir):
+            shutil.rmtree(target_dir)
+        os.replace(staging, target_dir)
+
+    return (
+        changes.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

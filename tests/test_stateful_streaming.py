@@ -275,3 +275,38 @@ def test_stateful_pattern_match_stream(spark, tmp_path):
         ).collect()
     }
     assert batch == {k: v for k, v in got.items() if k[0] in (1, 2)}
+
+
+def test_cdc_apply_sink_stream_equals_batch(spark, tmp_path):
+    """Streaming CDC (I/U/D) applied batch-by-batch must converge to the
+    same table as one batch cdc_apply over the full change stream — and
+    deletes actually delete, which merge_upsert_sink cannot express."""
+    from phenoxtract_spark.operators import cdc
+    from phenoxtract_spark.sources.sinks import cdc_apply_sink
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    b1 = [("I", 1, 1, "a", 1.0), ("I", 2, 2, "b", 2.0), ("I", 3, 3, "c", 3.0)]
+    b2 = [("U", 4, 2, "b2", 22.0), ("D", 5, 3, None, None),
+          ("I", 6, 9, "z", 9.0)]
+    schema = "op string, seq bigint, k bigint, name string, bal double"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "b2"))
+
+    target = str(tmp_path / "cdc_target")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "*"))
+    q = cdc_apply_sink(stream, target, ["k"], ["name", "bal"],
+                       str(tmp_path / "ck"), seq_col="seq", op_col="op")
+    q.awaitTermination(120)
+
+    got = {r["k"]: (r["name"], r["bal"])
+           for r in spark.read.parquet(target).collect()}
+    empty = spark.createDataFrame([], "k bigint, name string, bal double")
+    allchanges = spark.createDataFrame(b1 + b2, schema)
+    want = {r["k"]: (r["name"], r["bal"])
+            for r in cdc.cdc_apply(empty, allchanges, ["k"],
+                                   ["name", "bal"]).collect()}
+    assert got == want
+    assert 3 not in got and got[2] == ("b2", 22.0) and got[9] == ("z", 9.0)
