@@ -290,6 +290,69 @@ def percentile_exact(spark, sf_dir):
 
 
 @q(
+    "analytics_mad_outliers",
+    """
+    WITH spend AS (
+      SELECT c.c_mktsegment, o.o_custkey, round(sum(o.o_totalprice), 2) AS s
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT c_mktsegment, quantile_cont(s, 0.5) AS med FROM spend GROUP BY 1
+    ),
+    dev AS (
+      SELECT sp.c_mktsegment, sp.o_custkey, sp.s, m.med,
+             abs(sp.s - m.med) AS adev
+      FROM spend sp JOIN med m USING (c_mktsegment)
+    ),
+    mad AS (
+      SELECT c_mktsegment, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.o_custkey, d.c_mktsegment, d.s AS total_spend,
+           round((d.s - d.med) / (1.4826 * m.mad), 4) AS robust_z
+    FROM dev d JOIN mad m USING (c_mktsegment)
+    WHERE abs(round((d.s - d.med) / (1.4826 * m.mad), 4)) > 3.0
+    """,
+)
+def analytics_mad_outliers(spark, sf_dir):
+    """Robust outlier detection on per-customer spend within each market
+    segment: median + MAD (two exact percentile passes over the
+    aggregated spend relation, 5-row group dims broadcast back), flag
+    |robust z| > 3 with the 1.4826 normal-consistency factor — the
+    outlier screen that survives the heavy tails plain z-scores drown
+    in (9 real outliers at sf0.01, so the threshold demonstrably
+    bites).  Rounded before the threshold for a stable cross-engine
+    boundary."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    spend = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("s"))
+    )
+    med = spend.groupBy("c_mktsegment").agg(
+        F.percentile("s", F.lit(0.5)).alias("med")
+    )
+    dev = spend.join(F.broadcast(med), "c_mktsegment").withColumn(
+        "adev", F.abs(F.col("s") - F.col("med"))
+    )
+    mad = dev.groupBy("c_mktsegment").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    z = F.round((F.col("s") - F.col("med")) / (1.4826 * F.col("mad")), 4)
+    return (
+        dev.join(F.broadcast(mad), "c_mktsegment")
+        .select(
+            "o_custkey",
+            "c_mktsegment",
+            F.col("s").alias("total_spend"),
+            z.alias("robust_z"),
+        )
+        .filter(F.abs(F.col("robust_z")) > 3.0)
+    )
+
+
+@q(
     "approx_aggregates",
     """
     SELECT count(DISTINCT l_partkey) AS exact_parts,
