@@ -310,3 +310,44 @@ def test_cdc_apply_sink_stream_equals_batch(spark, tmp_path):
                                    ["name", "bal"]).collect()}
     assert got == want
     assert 3 not in got and got[2] == ("b2", 22.0) and got[9] == ("z", 9.0)
+
+
+def test_hll_registers_stream_equals_batch(spark, tmp_path):
+    """The HLL register relation is a plain groupBy-max, so it runs
+    unchanged under Structured Streaming (complete mode) — per-shard
+    micro-batches converge to exactly the batch registers, which is the
+    continuous-ingest mergeability story made executable."""
+    from phenoxtract_spark.operators import sketches
+
+    src = tmp_path / "hll_src"
+    src.mkdir()
+    rows1 = [(i % 3, i % 500) for i in range(0, 4000)]
+    rows2 = [(i % 3, i % 700) for i in range(4000, 8000)]
+    schema = "g bigint, v bigint"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "*"))
+    out = sketches.hll_registers(stream, ["g"], "v", p=8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["g"], r["reg"]): r["rho"]
+        for r in spark.sql("SELECT * FROM hll_stream").collect()
+    }
+    batch = {
+        (r["g"], r["reg"]): r["rho"]
+        for r in sketches.hll_registers(
+            spark.createDataFrame(rows1 + rows2, schema), ["g"], "v", p=8
+        ).collect()
+    }
+    assert streamed == batch
