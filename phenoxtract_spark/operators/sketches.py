@@ -364,3 +364,114 @@ def hll_distinct(df: DataFrame, group_cols: list[str], value_col: str,
         F.round(est, round_dp).alias("est_distinct"),
         "registers_hit",
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min inner product (join-size estimation)
+# ---------------------------------------------------------------------------
+
+
+def count_min_join_size(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """Equi-join cardinality estimate from two Count-Min sketches built
+    with the SAME (depth, width, seed): |A ⋈ₖ B| = Σₖ f_A(k)·f_B(k) is
+    estimated by min_d Σ_w c_A[d,w]·c_B[d,w] — the classic AMS/CM inner
+    product, an upper bound that is exact when no two distinct keys
+    collide in some row d.
+
+    This is what a cost-based planner does before picking a join
+    strategy at 100 TB: both operands are sketch relations of at most
+    depth×width rows (input-size-independent), so the estimate costs an
+    inner join of two tiny relations — no scan, no shuffle of the data
+    itself.  Returns one row (est_join_size,).
+
+    Buckets absent from either sketch contribute 0 to the product, so an
+    inner join on (d, bucket) is exact."""
+    prod = (
+        sketch_a.withColumnRenamed("cnt", "cnt_a")
+        .join(
+            sketch_b.withColumnRenamed("cnt", "cnt_b"), ["d", "bucket"]
+        )
+        .groupBy("d")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).cast("bigint").alias("_ip"))
+    )
+    return prod.agg(F.min("_ip").cast("bigint").alias("est_join_size"))
+
+
+# ---------------------------------------------------------------------------
+# KMV set-operation estimates (union / intersection / Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def _kmv_mins(df: DataFrame, value_col: str, m: int, seed: str,
+              tag: str) -> DataFrame:
+    """Tagged (set_tag, bucket, umin) relation — the mergeable KMV state
+    (same 52-bit md5 hash + 8-bit bucket split as :func:`kmv_distinct`)."""
+    h = F.md5(F.concat_ws("|", F.lit(seed), F.col(value_col).cast("string")))
+    u52 = F.conv(F.substring(h, 1, 13), 16, 10).cast("bigint")
+    bucket = F.pmod(F.conv(F.substring(h, 14, 2), 16, 10).cast("bigint"), F.lit(m))
+    return (
+        df.select(u52.alias("_u"), bucket.alias("_b"))
+        .groupBy("_b")
+        .agg(F.min("_u").alias("_umin"))
+        .select(F.lit(tag).alias("set_tag"), "_b", "_umin")
+    )
+
+
+def _kmv_estimate_col(m: int):
+    """Estimator over a (bucket → umin) group: MinCount Σ-estimator with
+    the linear-counting small-range switch (same constants as
+    :func:`kmv_distinct`)."""
+    two52 = float(1 << 52)
+    hit = F.count(F.lit(1))
+    raw = F.lit(float(m * m)) / (F.sum("_umin").cast("double") / F.lit(two52))
+    linear = F.lit(float(m)) * F.log(
+        F.lit(float(m)) / (F.lit(float(m)) - hit.cast("double"))
+    )
+    return (
+        F.when(hit < m, F.round(linear)).otherwise(F.round(raw)).cast("bigint")
+    )
+
+
+def kmv_set_estimates(df_a: DataFrame, df_b: DataFrame, value_col: str,
+                      m: int = 64, seed: str = "kmv-v1") -> DataFrame:
+    """Distinct-set algebra from two KMV sketches: estimates |A|, |B|,
+    |A ∪ B| (bucket-wise min merge of the two sketches — the defining
+    KMV merge property), |A ∩ B| by inclusion–exclusion (clamped at 0),
+    and the Jaccard similarity Ĵ = |A∩B| / |A∪B|.
+
+    At 100 TB this answers "how much do two corpora / user populations
+    overlap" from two O(m) sketch states that each side maintains
+    independently — the sets are never co-shuffled, never joined.  Both
+    engines replay identical md5 arithmetic, so the result is
+    value-checked, not tolerance-checked.
+
+    Plan: one narrow (bucket, min) agg per input, a bucket-wise min over
+    the union of the two sketch relations (sketch-sized, no rescan), and
+    a final ≤3-row pivot.  Returns one row
+    (est_a, est_b, est_union, est_inter, jaccard_est)."""
+    mins_a = _kmv_mins(df_a, value_col, m, seed, "a")
+    mins_b = _kmv_mins(df_b, value_col, m, seed, "b")
+    # the per-set state feeds both its own estimator and the union merge;
+    # it is at most m rows per side — cheap to recompute, but a single
+    # union keeps it one pass over each input
+    both = mins_a.unionByName(mins_b)
+    per_set = both.groupBy("set_tag").agg(_kmv_estimate_col(m).alias("est"))
+    union_est = (
+        both.groupBy("_b")
+        .agg(F.min("_umin").alias("_umin"))
+        .agg(_kmv_estimate_col(m).alias("est_union"))
+    )
+    wide = per_set.groupBy().pivot("set_tag", ["a", "b"]).agg(F.min("est"))
+    out = wide.join(union_est)
+    inter = F.greatest(
+        F.col("a") + F.col("b") - F.col("est_union"), F.lit(0).cast("bigint")
+    )
+    return out.select(
+        F.col("a").alias("est_a"),
+        F.col("b").alias("est_b"),
+        F.col("est_union").cast("bigint").alias("est_union"),
+        inter.cast("bigint").alias("est_inter"),
+        F.round(
+            inter.cast("double") / F.col("est_union").cast("double"), 4
+        ).alias("jaccard_est"),
+    )

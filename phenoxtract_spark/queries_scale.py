@@ -2164,3 +2164,132 @@ def token_budget_select_q(spark, sf_dir):
         n_tokens=textanalysis.token_count("text"),
         budget_per_shard=5000, shards=8,
     )
+
+
+@q(
+    "sketch_join_size_estimate",
+    """
+    WITH params AS (SELECT unnest(generate_series(0, 3)) AS d),
+    rows_a AS (
+      SELECT d,
+             ('0x' || substr(md5('cmjoin-v1|' || CAST(d AS VARCHAR) || '|'
+                                 || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 256
+               AS bucket
+      FROM events, params WHERE event_type = 'click'
+    ),
+    rows_b AS (
+      SELECT d,
+             ('0x' || substr(md5('cmjoin-v1|' || CAST(d AS VARCHAR) || '|'
+                                 || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 256
+               AS bucket
+      FROM events, params WHERE event_type = 'purchase'
+    ),
+    sk_a AS (SELECT d, bucket, count(*) AS cnt_a FROM rows_a GROUP BY 1, 2),
+    sk_b AS (SELECT d, bucket, count(*) AS cnt_b FROM rows_b GROUP BY 1, 2),
+    ip AS (
+      SELECT d, CAST(sum(cnt_a * cnt_b) AS BIGINT) AS ip
+      FROM sk_a JOIN sk_b USING (d, bucket) GROUP BY d
+    ),
+    est AS (SELECT CAST(min(ip) AS BIGINT) AS est_join_size FROM ip),
+    freq_a AS (SELECT user_id, count(*) AS na FROM events
+               WHERE event_type = 'click' GROUP BY 1),
+    freq_b AS (SELECT user_id, count(*) AS nb FROM events
+               WHERE event_type = 'purchase' GROUP BY 1),
+    exact AS (
+      SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS exact_join_size
+      FROM freq_a JOIN freq_b USING (user_id)
+    )
+    SELECT est_join_size, exact_join_size FROM est, exact
+    """,
+)
+def sketch_join_size(spark, sf_dir):
+    """Join-cardinality estimation from two Count-Min sketches — the
+    planner-side question "how big is clicks ⋈ purchases on user_id"
+    answered by the AMS/CM inner product min_d Σ_w c_A[d,w]·c_B[d,w]
+    WITHOUT joining (or even co-shuffling) the inputs; the exact size
+    Σ_u f_A(u)·f_B(u) is computed alongside so the collision-driven
+    overestimate is visible in the result.  Both engines build the
+    identical md5-seeded sketch, so the estimate is value-checked.
+    See operators/sketches.py:count_min_join_size."""
+    from .operators import sketches
+
+    e = read_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    sk_a = sketches.count_min_build(clicks, "user_id", depth=4, width=256,
+                                    seed="cmjoin-v1")
+    sk_b = sketches.count_min_build(purchases, "user_id", depth=4, width=256,
+                                    seed="cmjoin-v1")
+    est = sketches.count_min_join_size(sk_a, sk_b)
+    freq_a = clicks.groupBy("user_id").agg(F.count(F.lit(1)).alias("na"))
+    freq_b = purchases.groupBy("user_id").agg(F.count(F.lit(1)).alias("nb"))
+    exact = (
+        freq_a.join(freq_b, "user_id")
+        .agg(
+            F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+            .cast("bigint")
+            .alias("exact_join_size")
+        )
+    )
+    return est.join(exact)
+
+
+@q(
+    "sketch_kmv_setops",
+    """
+    WITH ha AS (
+      SELECT ('0x' || substr(md5('kmv-v1|' || CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS u52,
+             ('0x' || substr(md5('kmv-v1|' || CAST(user_id AS VARCHAR)), 14, 2))::BIGINT % 64 AS b
+      FROM events WHERE event_type = 'click'
+    ),
+    hb AS (
+      SELECT ('0x' || substr(md5('kmv-v1|' || CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS u52,
+             ('0x' || substr(md5('kmv-v1|' || CAST(user_id AS VARCHAR)), 14, 2))::BIGINT % 64 AS b
+      FROM events WHERE event_type = 'purchase'
+    ),
+    mins_a AS (SELECT b, min(u52) AS umin FROM ha GROUP BY b),
+    mins_b AS (SELECT b, min(u52) AS umin FROM hb GROUP BY b),
+    mins_u AS (
+      SELECT b, min(umin) AS umin
+      FROM (SELECT * FROM mins_a UNION ALL SELECT * FROM mins_b) GROUP BY b
+    ),
+    est_a AS (
+      SELECT CASE WHEN count(*) < 64
+                  THEN CAST(round(64.0 * ln(64.0 / (64.0 - CAST(count(*) AS DOUBLE)))) AS BIGINT)
+                  ELSE CAST(round(4096.0 / (CAST(sum(umin) AS DOUBLE) / 4503599627370496.0)) AS BIGINT)
+             END AS est_a FROM mins_a
+    ),
+    est_b AS (
+      SELECT CASE WHEN count(*) < 64
+                  THEN CAST(round(64.0 * ln(64.0 / (64.0 - CAST(count(*) AS DOUBLE)))) AS BIGINT)
+                  ELSE CAST(round(4096.0 / (CAST(sum(umin) AS DOUBLE) / 4503599627370496.0)) AS BIGINT)
+             END AS est_b FROM mins_b
+    ),
+    est_u AS (
+      SELECT CASE WHEN count(*) < 64
+                  THEN CAST(round(64.0 * ln(64.0 / (64.0 - CAST(count(*) AS DOUBLE)))) AS BIGINT)
+                  ELSE CAST(round(4096.0 / (CAST(sum(umin) AS DOUBLE) / 4503599627370496.0)) AS BIGINT)
+             END AS est_union FROM mins_u
+    )
+    SELECT est_a, est_b, est_union,
+           CAST(greatest(est_a + est_b - est_union, 0) AS BIGINT) AS est_inter,
+           round(CAST(greatest(est_a + est_b - est_union, 0) AS DOUBLE)
+                 / CAST(est_union AS DOUBLE), 4) AS jaccard_est
+    FROM est_a, est_b, est_u
+    """,
+)
+def sketch_kmv_setops(spark, sf_dir):
+    """Set algebra on KMV sketches: |clickers|, |purchasers|, their union
+    (bucket-wise min merge — the defining KMV property), intersection by
+    inclusion–exclusion, and the estimated Jaccard overlap — all from two
+    O(64)-row sketch states, without ever joining the underlying sets.
+    Identical md5 arithmetic in both engines → value-checked.
+    See operators/sketches.py:kmv_set_estimates."""
+    from .operators import sketches
+
+    e = read_table(spark, sf_dir, "events")
+    return sketches.kmv_set_estimates(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+        "user_id", m=64,
+    )
