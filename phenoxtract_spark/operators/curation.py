@@ -769,3 +769,97 @@ def span_corruption(df: DataFrame, id_col: str, text_col: str,
         F.max("k").cast("bigint").alias("n_spans"),
         F.sum(F.col("masked").cast("int")).cast("bigint").alias("n_masked_tokens"),
     )
+
+
+def dsir_select(df: DataFrame, id_col: str, text_col: str, target_pred,
+                k: int = 100, buckets: int = 1024, alpha: float = 0.5,
+                seed: str = "dsir-v1", round_dp: int = 4) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169) re-expressed relationally: score every pool
+    document by how much more likely its hashed-bigram features are under
+    the TARGET domain's feature distribution than under the raw pool's,
+    and keep the top-k.
+
+    w(doc) = Σ_f n_f(doc) · ( ln p̂_tgt(f) − ln p̂_raw(f) ),  with
+    p̂(f) = (count(f) + α) / (total + α·B)  (additive smoothing over the
+    B-bucket hashed feature space, so unseen features are defined).
+
+    ``target_pred`` is a boolean Column marking the in-domain seed rows;
+    selection ranks only the complement (the pool), as in the paper.
+
+    Scale: one bigram explode feeding two bucket-space aggregations
+    (≤ B rows each — broadcast dims), one per-doc agg, then a top-k that
+    compiles to TakeOrderedAndProject (no global sort, no single-task
+    window over the corpus; the rank window runs on the k-row result).
+    Ranking uses the ROUNDED weight (desc) with id tiebreak so the order
+    is reproducible across engines despite float summation order.
+    Returns (id, n_bigrams, logw, rank), rank 1..k.
+    """
+    from pyspark.sql.window import Window
+
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        target_pred.alias("_is_tgt"),
+        F.filter(
+            F.split(normalized_text(text_col), " "), lambda t: t != ""
+        ).alias("t"),
+    )
+    pairs = docs.select(
+        "id",
+        "_is_tgt",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))).alias("prev"),
+                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))).alias("tok"),
+            )
+        ).alias("bg"),
+    ).select(
+        "id",
+        "_is_tgt",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "::", F.lit(seed), F.col("bg.prev"), F.col("bg.tok")
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("bigint"),
+            F.lit(buckets),
+        ).alias("bucket"),
+    )
+    # per-(doc, bucket) counts — the only corpus-sized shuffle; the two
+    # distribution dims below roll up from it (bucket-space-sized)
+    feats = (
+        pairs.groupBy("id", "_is_tgt", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    dims = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_is_tgt"), F.col("cnt")).otherwise(F.lit(0))).alias("_tc"),
+        F.sum(F.when(~F.col("_is_tgt"), F.col("cnt")).otherwise(F.lit(0))).alias("_rc"),
+    )
+    totals = dims.agg(
+        F.sum("_tc").alias("_tt"), F.sum("_rc").alias("_rt")
+    )
+    ab = float(alpha) * buckets
+    logratio = (
+        F.log((F.col("_tc") + F.lit(alpha)) / (F.col("_tt") + F.lit(ab)))
+        - F.log((F.col("_rc") + F.lit(alpha)) / (F.col("_rt") + F.lit(ab)))
+    )
+    scored = (
+        feats.filter(~F.col("_is_tgt"))
+        .join(F.broadcast(dims), "bucket")
+        .join(F.broadcast(totals))
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            F.round(F.sum(F.col("cnt") * logratio), round_dp).alias("logw"),
+        )
+    )
+    top = scored.orderBy(F.col("logw").desc(), F.col("id").asc()).limit(k)
+    w = Window.orderBy(F.col("logw").desc(), F.col("id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))

@@ -1463,3 +1463,57 @@ def curation_contrastive_positives(spark, sf_dir):
     )
     out = a.join(b, (a["doc_id"] == b["doc_id"]) & (F.col("idx_b") == F.col("idx_a") + 1))
     return out.select(a["doc_id"], "idx_a", "anchor", "positive")
+
+
+@q(
+    "curation_dsir_select",
+    f"""
+    WITH toksd AS (
+      SELECT doc_id, (doc_id % 7 = 0) AS is_tgt,
+             list_filter(string_split({_NORM}, ' '), x -> x != '') AS t
+      FROM documents
+    ),
+    pairsd AS (
+      SELECT doc_id, is_tgt,
+             ('0x' || substr(md5('dsir-v1::' || t[i] || '::' || t[i+1]), 1, 8))::BIGINT
+               % 1024 AS bucket
+      FROM toksd, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    feats AS (
+      SELECT doc_id, is_tgt, bucket, count(*) AS cnt FROM pairsd GROUP BY 1, 2, 3
+    ),
+    dims AS (
+      SELECT bucket,
+             CAST(coalesce(sum(cnt) FILTER (is_tgt), 0) AS BIGINT) AS tc,
+             CAST(coalesce(sum(cnt) FILTER (NOT is_tgt), 0) AS BIGINT) AS rc
+      FROM feats GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(tc) AS BIGINT) AS tt, CAST(sum(rc) AS BIGINT) AS rt
+            FROM dims),
+    scored AS (
+      SELECT doc_id AS id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+             round(sum(cnt * (ln((tc + 0.5) / (tt + 512.0))
+                              - ln((rc + 0.5) / (rt + 512.0)))), 4) AS logw
+      FROM feats JOIN dims USING (bucket), tot
+      WHERE NOT is_tgt GROUP BY doc_id
+    ),
+    topd AS (SELECT * FROM scored ORDER BY logw DESC, id LIMIT 100)
+    SELECT id, n_bigrams, logw,
+           CAST(row_number() OVER (ORDER BY logw DESC, id) AS BIGINT) AS rank
+    FROM topd
+    """,
+)
+def dsir_select_q(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): pool documents
+    ranked by how target-domain-like their hashed-bigram distribution is
+    (target = the doc_id%7 seed slice standing in for the curated
+    in-domain corpus), top-100 kept.  Bucket-space dims broadcast; the
+    top-k compiles to TakeOrderedAndProject; ranking uses the ROUNDED
+    weight + id tiebreak so float summation order can't reorder engines.
+    See operators/curation.py:dsir_select."""
+    d = read_table(spark, sf_dir, "documents")
+    return curation.dsir_select(
+        d, "doc_id", "text",
+        target_pred=(F.col("doc_id") % 7 == 0),
+        k=100, buckets=1024, alpha=0.5,
+    )

@@ -883,3 +883,63 @@ def test_grid_knn_rank_one_is_true_nearest(spark):
     ranked = sorted(out, key=lambda r: r["rank"])
     assert [r["point_id"] for r in ranked] == [2, 3]  # 0.1° then 0.4° away
     assert ranked[0]["dist_km"] < ranked[1]["dist_km"]
+
+
+def test_count_min_join_size_exact_without_collisions_and_upper_bound(spark):
+    from phenoxtract_spark.operators import sketches
+
+    a = spark.createDataFrame([(k,) for k in range(8) for _ in range(k + 1)], ["k"])
+    b = spark.createDataFrame([(k,) for k in range(4) for _ in range(2)], ["k"])
+    exact = 2 * sum(k + 1 for k in range(4))  # Σ f_a(k)·f_b(k)
+    # wide sketch → 8 keys can't collide in every row: estimate is exact
+    sa = sketches.count_min_build(a, "k", depth=4, width=4096, seed="t-js")
+    sb = sketches.count_min_build(b, "k", depth=4, width=4096, seed="t-js")
+    est = sketches.count_min_join_size(sa, sb).collect()[0][0]
+    assert est == exact
+    # narrow sketch → collisions only ever ADD mass: still an upper bound
+    sa2 = sketches.count_min_build(a, "k", depth=2, width=4, seed="t-js")
+    sb2 = sketches.count_min_build(b, "k", depth=2, width=4, seed="t-js")
+    est2 = sketches.count_min_join_size(sa2, sb2).collect()[0][0]
+    assert est2 >= exact
+
+
+def test_kmv_set_estimates_algebra_and_accuracy(spark):
+    from phenoxtract_spark.operators import sketches
+
+    a = spark.createDataFrame([(i,) for i in range(0, 3000)], ["u"])
+    b = spark.createDataFrame([(i,) for i in range(1500, 4500)], ["u"])
+    row = sketches.kmv_set_estimates(a, b, "u", m=64).collect()[0]
+    # m=64 → σ ≈ 12.5%; allow 4σ on the direct estimates
+    assert abs(row.est_a - 3000) < 1500 and abs(row.est_b - 3000) < 1500
+    assert abs(row.est_union - 4500) < 2000
+    # identities that hold EXACTLY on the sketch, not just in expectation
+    assert row.est_inter == max(row.est_a + row.est_b - row.est_union, 0)
+    assert row.jaccard_est == round(row.est_inter / row.est_union, 4)
+    # disjoint sets: union sketch == concatenation sketch → inter ≈ 0
+    c = spark.createDataFrame([(i,) for i in range(10000, 13000)], ["u"])
+    row2 = sketches.kmv_set_estimates(a, c, "u", m=64).collect()[0]
+    assert row2.jaccard_est < 0.15
+
+
+def test_dsir_select_prefers_target_like_pool_docs(spark):
+    from pyspark.sql import functions as F
+    from phenoxtract_spark.operators import curation
+
+    # target seed (ids 0..9): medical prose; pool: 10 medical-like docs
+    # (ids 100..109) and 30 web-spam-like docs (ids 200..229)
+    med = "patient presented with acute fever and responded to treatment"
+    spam = "click here buy now free offer limited deal win big prizes"
+    rows = (
+        [(i, med + f" case {i}") for i in range(10)]
+        + [(100 + i, med + f" cohort {i}") for i in range(10)]
+        + [(200 + i, spam + f" promo {i}") for i in range(30)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = curation.dsir_select(
+        df, "doc_id", "text", target_pred=F.col("doc_id") < 10,
+        k=10, buckets=256,
+    ).collect()
+    assert len(out) == 10
+    picked = {r.id for r in out}
+    assert picked == set(range(100, 110))  # every medical pool doc outranks spam
+    assert all(r.rank == i + 1 for i, r in enumerate(out))
