@@ -790,3 +790,96 @@ def y4m_luma_stats(media: DataFrame, stride: int = 2) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=Y4M_LUMA_SCHEMA)
+
+
+PCM_RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate_out", T.LongType()),
+        T.StructField("n_out", T.LongType()),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("sumsq", T.LongType()),
+    ]
+)
+
+
+def pcm_resample_stats(media: DataFrame) -> DataFrame:
+    """UNSTUBBED audio DSP: real RIFF parse → 2× linear-interpolation
+    upsample in INTEGER arithmetic → exact Σ|y| and Σy² of the resampled
+    signal.  y[2i] = x[i]; y[2i+1] = ⌊(x[i] + x[i+1]) / 2⌋ (floor — the
+    same value both numpy ``//`` and SQL ``floor(Σ/2.0)`` produce, so the
+    oracle replays the interpolation bit-exactly); the final odd sample
+    clamps to x[n−1].  This is the sample-rate-conversion step an audio
+    training pipeline runs before feature extraction; partition-preserving
+    ``mapInPandas``, payloads never shuffle, 5 scalar columns out."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "sample_rate_out", "n_out",
+                                    "sum_abs", "sumsq")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, _ch, pcm = decode_wav(bytes(payload))
+                x = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+                y = np.empty(2 * x.size, dtype=np.int64)
+                y[0::2] = x
+                if x.size:
+                    y[1:-1:2] = (x[:-1] + x[1:]) // 2
+                    y[-1] = x[-1]
+                rows["media_id"].append(mid)
+                rows["sample_rate_out"].append(2 * rate)
+                rows["n_out"].append(int(y.size))
+                rows["sum_abs"].append(int(np.abs(y).sum()))
+                rows["sumsq"].append(int((y * y).sum()))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=PCM_RESAMPLE_SCHEMA)
+
+
+IMAGE_POOL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("out_w", T.LongType()),
+        T.StructField("out_h", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("possum", T.LongType()),
+    ]
+)
+
+
+def image_meanpool_stats(media: DataFrame) -> DataFrame:
+    """UNSTUBBED image downsampling: real BMP/PPM decode → exact 2×2
+    integer mean-pool (⌊Σ₄/4⌋ per output pixel per channel — true
+    average-pool downsampling, not the nearest-neighbor pick of
+    ``nn_resize``) → per-channel pooled sums plus a position-weighted
+    checksum Σ (idx+1)·val over the row-major pooled tensor, which pins
+    the LAYOUT (any transposed/flipped pooling changes it) where plain
+    sums would not.  Partition-preserving ``mapInPandas``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "out_w", "out_h", "sum_r",
+                                    "sum_g", "sum_b", "possum")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, rgb = decode_image(bytes(payload))
+                a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3).astype(np.int64)
+                pooled = (
+                    a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2]
+                ) // 4
+                idx = np.arange(pooled.size, dtype=np.int64).reshape(pooled.shape)
+                sums = pooled.sum(axis=(0, 1))
+                rows["media_id"].append(mid)
+                rows["out_w"].append(w // 2)
+                rows["out_h"].append(h // 2)
+                rows["sum_r"].append(int(sums[0]))
+                rows["sum_g"].append(int(sums[1]))
+                rows["sum_b"].append(int(sums[2]))
+                rows["possum"].append(int(((idx + 1) * pooled).sum()))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=IMAGE_POOL_SCHEMA)

@@ -2293,3 +2293,93 @@ def sketch_kmv_setops(spark, sf_dir):
         e.filter(F.col("event_type") == "purchase"),
         "user_id", m=64,
     )
+
+
+@q(
+    "multimodal_pcm_resample",
+    """
+    WITH docs AS (SELECT doc_id, md5(text) AS seed FROM documents),
+    idx AS (SELECT unnest(generate_series(0, 511)) AS i),
+    samp AS (
+      SELECT doc_id, i,
+             ('0x' || substr(md5(seed || '-' || CAST((2 * i) // 16 AS VARCHAR)),
+                             ((2 * i) % 16) * 2 + 1, 2))::BIGINT
+             + 256 * ('0x' || substr(md5(seed || '-' || CAST((2 * i + 1) // 16 AS VARCHAR)),
+                                     ((2 * i + 1) % 16) * 2 + 1, 2))::BIGINT AS u
+      FROM docs, idx
+    ),
+    x AS (SELECT doc_id, i,
+                 CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+          FROM samp),
+    ys AS (
+      SELECT doc_id, v AS y FROM x
+      UNION ALL
+      SELECT a.doc_id, CAST(floor((a.v + b.v) / 2.0) AS BIGINT) AS y
+      FROM x a JOIN x b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      UNION ALL
+      SELECT doc_id, v FROM x WHERE i = 511
+    )
+    SELECT doc_id AS media_id,
+           CAST(32000 AS BIGINT) AS sample_rate_out,
+           CAST(count(*) AS BIGINT) AS n_out,
+           CAST(sum(abs(y)) AS BIGINT) AS sum_abs,
+           CAST(sum(y * y) AS BIGINT) AS sumsq
+    FROM ys GROUP BY doc_id
+    """,
+)
+def mm_pcm_resample(spark, sf_dir):
+    """UNSTUBBED audio DSP (extends the WAV family): real RIFF parse →
+    2× linear-interpolation upsample in integer arithmetic → exact Σ|y|,
+    Σy² of the 1024-sample resampled signal.  The oracle replays the
+    interpolation (⌊(xᵢ+xᵢ₊₁)/2⌋ midpoints, clamped tail) from the
+    keystream — a value match proves the parse → resample chain
+    bit-exact.  See operators/multimodal.py:pcm_resample_stats."""
+    d = read_table(spark, sf_dir, "documents")
+    media = multimodal.synthetic_wav_media(d, "doc_id", "text", n_samples=512)
+    return multimodal.pcm_resample_stats(media)
+
+
+@q(
+    "multimodal_image_meanpool",
+    """
+    WITH docs AS (SELECT doc_id, md5(text) AS seed FROM documents),
+    rr AS (SELECT unnest(generate_series(0, 7)) AS r),
+    cc AS (SELECT unnest(generate_series(0, 11)) AS c),
+    kk AS (SELECT unnest(generate_series(0, 2)) AS k),
+    dd AS (SELECT unnest([0, 1]) AS dr),
+    ee AS (SELECT unnest([0, 1]) AS dc),
+    corners AS (
+      SELECT doc_id, seed, rr.r, cc.c, kk.k,
+             ((2 * rr.r + dr) * 24 + (2 * cc.c + dc)) * 3 + kk.k AS pos
+      FROM docs, rr, cc, kk, dd, ee
+    ),
+    vals AS (
+      SELECT doc_id, r, c, k,
+             ('0x' || substr(md5(seed || '-' || CAST(pos // 16 AS VARCHAR)),
+                             (pos % 16) * 2 + 1, 2))::BIGINT AS v
+      FROM corners
+    ),
+    pooled AS (
+      SELECT doc_id, r, c, k, CAST(floor(sum(v) / 4.0) AS BIGINT) AS pv
+      FROM vals GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_id AS media_id,
+           CAST(12 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
+           CAST(sum(CASE WHEN k = 0 THEN pv ELSE 0 END) AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN k = 1 THEN pv ELSE 0 END) AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN k = 2 THEN pv ELSE 0 END) AS BIGINT) AS sum_b,
+           CAST(sum(((r * 12 + c) * 3 + k + 1) * pv) AS BIGINT) AS possum
+    FROM pooled GROUP BY doc_id
+    """,
+)
+def mm_image_meanpool(spark, sf_dir):
+    """UNSTUBBED image downsampling (extends the BMP family): real BMP
+    decode → exact 2×2 integer average-pool (⌊Σ₄/4⌋ — true mean-pool,
+    complementing the roundtrip query's nearest-neighbor resize) →
+    per-channel pooled sums plus a position-weighted layout checksum.
+    The oracle recomputes every pooled pixel from the keystream, so a
+    match proves decode AND pooling layout bit-exact.
+    See operators/multimodal.py:image_meanpool_stats."""
+    d = read_table(spark, sf_dir, "documents")
+    media = multimodal.synthetic_bmp_media(d, "doc_id", "text", width=24, height=16)
+    return multimodal.image_meanpool_stats(media)

@@ -943,3 +943,48 @@ def test_dsir_select_prefers_target_like_pool_docs(spark):
     picked = {r.id for r in out}
     assert picked == set(range(100, 110))  # every medical pool doc outranks spam
     assert all(r.rank == i + 1 for i, r in enumerate(out))
+
+
+def test_pcm_resample_matches_pure_python_reference(spark):
+    import hashlib
+    from phenoxtract_spark.operators import multimodal
+
+    df = spark.createDataFrame([(1, "alpha"), (2, "beta")], ["doc_id", "text"])
+    media = multimodal.synthetic_wav_media(df, "doc_id", "text", n_samples=64)
+    got = {r.media_id: r for r in multimodal.pcm_resample_stats(media).collect()}
+    for mid, text in [(1, "alpha"), (2, "beta")]:
+        ks = multimodal.md5_keystream(
+            hashlib.md5(text.encode()).hexdigest(), 128
+        )
+        x = [
+            (ks[2 * i] + 256 * ks[2 * i + 1] + 32768) % 65536 - 32768
+            for i in range(64)
+        ]
+        y = []
+        for i in range(64):
+            y.append(x[i])
+            y.append((x[i] + x[i + 1]) // 2 if i < 63 else x[i])
+        r = got[mid]
+        assert r.n_out == 128 and r.sample_rate_out == 32000
+        assert r.sum_abs == sum(abs(v) for v in y)
+        assert r.sumsq == sum(v * v for v in y)
+
+
+def test_image_meanpool_matches_numpy_reference_and_pins_layout(spark):
+    import hashlib
+    import numpy as np
+    from phenoxtract_spark.operators import multimodal
+
+    df = spark.createDataFrame([(7, "gamma")], ["doc_id", "text"])
+    media = multimodal.synthetic_bmp_media(df, "doc_id", "text", width=8, height=4)
+    r = multimodal.image_meanpool_stats(media).collect()[0]
+    ks = multimodal.md5_keystream(hashlib.md5(b"gamma").hexdigest(), 8 * 4 * 3)
+    a = np.frombuffer(ks, dtype=np.uint8).reshape(4, 8, 3).astype(np.int64)
+    pooled = (a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2]) // 4
+    idx = np.arange(pooled.size, dtype=np.int64).reshape(pooled.shape)
+    assert (r.out_w, r.out_h) == (4, 2)
+    assert r.sum_r == int(pooled[:, :, 0].sum())
+    assert r.possum == int(((idx + 1) * pooled).sum())
+    # the checksum pins layout: a horizontal flip keeps the sums but not possum
+    flipped = pooled[:, ::-1, :]
+    assert int(((idx + 1) * flipped).sum()) != r.possum
