@@ -341,29 +341,8 @@ def hll_distinct(df: DataFrame, group_cols: list[str], value_col: str,
     division and the α constant evaluate once per group on identical
     operands, so both engines produce the identical double before the
     final round.  Returns (*group_cols, est_distinct, registers_hit)."""
-    m = 1 << p
-    max_rho = 40
-    scale = 1 << max_rho
-    regs = hll_registers(df, group_cols, value_col, p, seed, max_rho)
-    alpha = 0.7213 / (1 + 1.079 / m)
-    per = regs.groupBy(*group_cols).agg(
-        F.sum(
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(40 - rho AS INT))")
-        ).cast("bigint").alias("_s_hit"),
-        F.count(F.lit(1)).cast("bigint").alias("registers_hit"),
-    )
-    s_total = F.col("_s_hit") + (F.lit(m) - F.col("registers_hit")) * F.lit(scale)
-    raw = F.lit(alpha) * F.lit(float(m * m)) * F.lit(float(scale)) / s_total
-    v_zero = F.lit(m) - F.col("registers_hit")
-    est = F.when(
-        (raw <= 2.5 * m) & (v_zero > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero),
-    ).otherwise(raw)
-    return per.select(
-        *group_cols,
-        F.round(est, round_dp).alias("est_distinct"),
-        "registers_hit",
-    )
+    regs = hll_registers(df, group_cols, value_col, p, seed, max_rho=40)
+    return hll_estimate(regs, group_cols, p=p, round_dp=round_dp)
 
 
 # ---------------------------------------------------------------------------
@@ -475,3 +454,66 @@ def kmv_set_estimates(df_a: DataFrame, df_b: DataFrame, value_col: str,
             inter.cast("double") / F.col("est_union").cast("double"), 4
         ).alias("jaccard_est"),
     )
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str], p: int = 8,
+                 round_dp: int = 4) -> DataFrame:
+    """Estimator over an (already merged) register relation — the body of
+    :func:`hll_distinct`, exposed so rolled-up register states (per-shard,
+    per-window) estimate WITHOUT recomputing registers from raw data."""
+    m = 1 << p
+    max_rho = 40
+    scale = 1 << max_rho
+    alpha = 0.7213 / (1 + 1.079 / m)
+    per = regs.groupBy(*group_cols).agg(
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(40 - rho AS INT))")
+        ).cast("bigint").alias("_s_hit"),
+        F.count(F.lit(1)).cast("bigint").alias("registers_hit"),
+    )
+    s_total = F.col("_s_hit") + (F.lit(m) - F.col("registers_hit")) * F.lit(scale)
+    raw = F.lit(alpha) * F.lit(float(m * m)) * F.lit(float(scale)) / s_total
+    v_zero = F.lit(m) - F.col("registers_hit")
+    est = F.when(
+        (raw <= 2.5 * m) & (v_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero),
+    ).otherwise(raw)
+    return per.select(
+        *group_cols,
+        F.round(est, round_dp).alias("est_distinct"),
+        "registers_hit",
+    )
+
+
+def hll_sliding_distinct(df: DataFrame, hour_col, value_col: str,
+                         window_hours: int = 4, p: int = 8,
+                         seed: str = "hll-v1",
+                         round_dp: int = 4) -> DataFrame:
+    """Trailing-window distinct count per hour by register REUSE: hourly
+    HLL registers are computed ONCE from the data, then each hourly
+    register state is projected into every trailing window it belongs to
+    (window_end = hour + 0..W−1 — a pure projection, no self-join, no
+    re-scan) and merged register-wise-max per window.  This is the
+    continuous-rollup pattern a 100 TB metrics pipeline runs: the raw
+    stream is touched once per hour, and every derived window — 4 h here,
+    but daily/weekly identically — reduces sketch states, not events.
+
+    ``hour_col``: integer epoch-hour Column.  Output windows are
+    restricted to hours present in the data (partial leading windows
+    included, trailing phantom hours excluded).
+    Returns (window_end_hr, est_distinct, registers_hit)."""
+    base = df.select(hour_col.cast("bigint").alias("hr"),
+                     F.col(value_col).alias("_v"))
+    regs = hll_registers(base, ["hr"], "_v", p=p, seed=seed)
+    # register relation: |hours| × ≤ 2^p rows — tiny; checkpoint-free
+    contrib = regs.select(
+        F.explode(
+            F.sequence(F.col("hr"), F.col("hr") + (window_hours - 1))
+        ).alias("window_end_hr"),
+        "reg",
+        "rho",
+    )
+    merged = contrib.groupBy("window_end_hr", "reg").agg(F.max("rho").alias("rho"))
+    hours = regs.select(F.col("hr").alias("window_end_hr")).distinct()
+    merged = merged.join(F.broadcast(hours), "window_end_hr", "left_semi")
+    return hll_estimate(merged, ["window_end_hr"], p=p, round_dp=round_dp)

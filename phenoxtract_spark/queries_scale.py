@@ -2383,3 +2383,86 @@ def mm_image_meanpool(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
     media = multimodal.synthetic_bmp_media(d, "doc_id", "text", width=24, height=16)
     return multimodal.image_meanpool_stats(media)
+
+
+@q(
+    "sketch_hll_sliding_distinct",
+    """
+    WITH ev AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr, user_id
+      FROM events
+    ),
+    h AS (
+      SELECT hr,
+             ('0x' || substr(md5('hll-v1' || '|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM ev
+    ),
+    r AS (
+      SELECT hr, h % 256 AS reg,
+             least(CASE WHEN h // 256 > 0
+                        THEN 52 - length(bin(h // 256)) + 1
+                        ELSE 53 END, 40) AS rho
+      FROM h
+    ),
+    regs AS (SELECT hr, reg, max(rho) AS rho FROM r GROUP BY 1, 2),
+    hours AS (SELECT DISTINCT hr FROM regs),
+    contrib AS (
+      SELECT hr + o.off AS wend, reg, rho
+      FROM regs, (SELECT unnest(generate_series(0, 3)) AS off) o
+    ),
+    merged AS (
+      SELECT wend, reg, max(rho) AS rho
+      FROM contrib JOIN hours ON hours.hr = contrib.wend GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT wend,
+             CAST(sum(1::BIGINT << CAST(40 - rho AS INTEGER)) AS BIGINT) AS s_hit,
+             CAST(count(*) AS BIGINT) AS registers_hit
+      FROM merged GROUP BY 1
+    ),
+    exact AS (
+      SELECT wend, count(DISTINCT user_id) AS exact_distinct
+      FROM (SELECT hr + o.off AS wend, user_id
+            FROM ev, (SELECT unnest(generate_series(0, 3)) AS off) o) x
+      JOIN hours ON hours.hr = x.wend
+      GROUP BY 1
+    )
+    SELECT per.wend AS window_end_hr,
+           round(CASE WHEN 0.7213 / (1 + 1.079 / 256.0) * 65536.0 * 1099511627776.0
+                           / (s_hit + (256 - registers_hit) * 1099511627776) <= 640.0
+                       AND (256 - registers_hit) > 0
+                      THEN 256.0 * ln(256.0 / (256 - registers_hit))
+                      ELSE 0.7213 / (1 + 1.079 / 256.0) * 65536.0 * 1099511627776.0
+                           / (s_hit + (256 - registers_hit) * 1099511627776)
+                 END, 4) AS est_distinct,
+           registers_hit, exact_distinct
+    FROM per JOIN exact ON per.wend = exact.wend
+    """,
+)
+def sketch_hll_sliding(spark, sf_dir):
+    """Trailing-4-hour distinct users per hour by HLL register REUSE: the
+    event stream is reduced to hourly register states ONCE; every window
+    estimate is a register-wise-max merge of 4 sketch states (a pure
+    projection + tiny groupBy — no re-scan, no per-window
+    count-distinct).  The exact trailing distinct is computed alongside
+    so the geometry error stays observable.  This is the continuous
+    rollup a 100 TB metrics pipeline runs hourly/daily/weekly off one
+    sketch pass.  See operators/sketches.py:hll_sliding_distinct."""
+    from .operators import sketches
+    from .session import normalize_events
+
+    e = normalize_events(read_table(spark, sf_dir, "events"))
+    hr = F.expr("unix_micros(ts) div 3600000000")
+    est = sketches.hll_sliding_distinct(e, hr, "user_id", window_hours=4, p=8)
+    base = e.select(hr.alias("hr"), "user_id")
+    hours = base.select(F.col("hr").alias("window_end_hr")).distinct()
+    exact = (
+        base.select(
+            F.explode(F.sequence(F.col("hr"), F.col("hr") + 3)).alias("window_end_hr"),
+            "user_id",
+        )
+        .join(F.broadcast(hours), "window_end_hr", "left_semi")
+        .groupBy("window_end_hr")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return est.join(exact, "window_end_hr")

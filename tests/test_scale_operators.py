@@ -988,3 +988,30 @@ def test_image_meanpool_matches_numpy_reference_and_pins_layout(spark):
     # the checksum pins layout: a horizontal flip keeps the sums but not possum
     flipped = pooled[:, ::-1, :]
     assert int(((idx + 1) * flipped).sum()) != r.possum
+
+
+def test_hll_sliding_distinct_windows_and_register_reuse(spark):
+    from pyspark.sql import functions as F
+    from phenoxtract_spark.operators import sketches
+
+    # hours 100..103; user u appears only in hour 100
+    rows = [(100, f"u{i}") for i in range(50)] + [(103, f"v{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, ["hr", "user"])
+    out = {
+        r.window_end_hr: r
+        for r in sketches.hll_sliding_distinct(
+            df, F.col("hr"), "user", window_hours=4, p=8
+        ).collect()
+    }
+    # only hours present in data are emitted
+    assert set(out) == {100, 103}
+    # window ending at 103 spans 100..103 → all 80 users merged
+    est_all = sketches.hll_distinct(
+        df.select("user"), [], "user", p=8
+    ).collect()[0].est_distinct
+    assert out[103].est_distinct == est_all
+    # window ending at 100 sees only hour 100
+    est_100 = sketches.hll_distinct(
+        df.filter(F.col("hr") == 100).select("user"), [], "user", p=8
+    ).collect()[0].est_distinct
+    assert out[100].est_distinct == est_100
