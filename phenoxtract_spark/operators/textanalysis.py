@@ -486,3 +486,83 @@ def bm25_topk(df: DataFrame, id_col: str, text_col: str,
     return top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
         "id", "bm25", "n_terms_hit", "rank"
     )
+
+
+def gopher_rules(df: DataFrame, id_col: str, text_col: str,
+                 round_dp: int = 4) -> DataFrame:
+    """The Gopher document-quality rule bundle (Rae et al. 2021,
+    arXiv:2112.11446, Table A1) as one pure-projection pass: word count
+    in [50, 100k], mean word length in [3, 10], symbol-to-word ratio
+    (# and ellipsis) ≤ 0.1, ≤ 90% bullet-led lines, ≤ 30% ellipsis-ended
+    lines, > 80% words containing a letter, and ≥ 2 of the 8 required
+    English stop words.
+
+    Every metric is a built-in expression (split/filter/aggregate HOFs —
+    no UDF, no shuffle): at 100 TB this is a single narrow scan of the
+    text column inside whole-stage codegen.  Rule booleans are computed
+    on the UN-rounded rationals (identical doubles in any engine); the
+    reported ratios are rounded for display.  Returns one row per doc
+    with the metrics, n_rules_failed, and the overall pass flag."""
+    toks = F.filter(F.split(normalized_text(text_col), " "), lambda x: x != "")
+    lines = F.split(F.col(text_col), "\n")
+    n_words = F.size(toks).cast("bigint")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+    )
+    n_hash = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"#", "")
+    )
+    n_ellip = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
+    ) / F.lit(3)
+    n_lines = F.size(lines).cast("bigint")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.ltrim(l).startswith("- ")
+            | F.ltrim(l).startswith("* ")
+            | F.ltrim(l).startswith("•"),
+        )
+    ).cast("bigint")
+    n_ellip_line = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+        )
+    ).cast("bigint")
+    n_alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("bigint")
+    stops = F.array(*[F.lit(s) for s in
+                      ["the", "be", "to", "of", "and", "that", "have", "with"]])
+    stop_hits = F.size(F.array_intersect(toks, stops)).cast("bigint")
+
+    mean_len = F.when(n_words > 0, sum_len.cast("double") / n_words.cast("double"))
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash.cast("double") + n_ellip) / n_words.cast("double")
+    )
+    bullet_frac = n_bullet.cast("double") / n_lines.cast("double")
+    ellip_frac = n_ellip_line.cast("double") / n_lines.cast("double")
+    alpha_frac = F.when(
+        n_words > 0, n_alpha_words.cast("double") / n_words.cast("double")
+    )
+    fails = (
+        F.when((n_words >= 50) & (n_words <= 100000), 0).otherwise(1)
+        + F.when((mean_len >= 3.0) & (mean_len <= 10.0), 0).otherwise(1)
+        + F.when(symbol_ratio <= 0.1, 0).otherwise(1)
+        + F.when(bullet_frac <= 0.9, 0).otherwise(1)
+        + F.when(ellip_frac <= 0.3, 0).otherwise(1)
+        + F.when(alpha_frac > 0.8, 0).otherwise(1)
+        + F.when(stop_hits >= 2, 0).otherwise(1)
+    ).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_len, round_dp).alias("mean_word_len"),
+        F.round(symbol_ratio, round_dp).alias("symbol_ratio"),
+        F.round(bullet_frac, round_dp).alias("bullet_frac"),
+        F.round(ellip_frac, round_dp).alias("ellipsis_frac"),
+        F.round(alpha_frac, round_dp).alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+        fails.alias("n_rules_failed"),
+        (fails == 0).alias("pass_gopher"),
+    )

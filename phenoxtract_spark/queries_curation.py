@@ -1517,3 +1517,74 @@ def dsir_select_q(spark, sf_dir):
         target_pred=(F.col("doc_id") % 7 == 0),
         k=100, buckets=1024, alpha=0.5,
     )
+
+
+@q(
+    "curation_gopher_rules",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(string_split({_NORM}, ' '), x -> x != '') AS t,
+             string_split(text, chr(10)) AS ls
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS sum_len,
+             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) / 3.0 AS n_ellip,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(ls, l -> ltrim(l) LIKE '- %' OR ltrim(l) LIKE '* %'
+                                            OR ltrim(l) LIKE '•%')) AS BIGINT) AS n_bullet,
+             CAST(len(list_filter(ls, l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…'))
+                  AS BIGINT) AS n_ellip_line,
+             CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_distinct(list_intersect(t,
+                  ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])))
+                  AS BIGINT) AS stop_hits
+      FROM base
+    ),
+    r AS (
+      SELECT doc_id, n_words,
+             CASE WHEN n_words > 0 THEN CAST(sum_len AS DOUBLE) / n_words END AS mean_len,
+             CASE WHEN n_words > 0 THEN (n_hash + n_ellip) / n_words END AS symbol_ratio,
+             CAST(n_bullet AS DOUBLE) / n_lines AS bullet_frac,
+             CAST(n_ellip_line AS DOUBLE) / n_lines AS ellip_frac,
+             CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words END AS alpha_frac,
+             stop_hits
+      FROM m
+    ),
+    f AS (
+      SELECT *,
+             CAST((CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 0 ELSE 1 END)
+                + (CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0 THEN 0 ELSE 1 END)
+                + (CASE WHEN symbol_ratio <= 0.1 THEN 0 ELSE 1 END)
+                + (CASE WHEN bullet_frac <= 0.9 THEN 0 ELSE 1 END)
+                + (CASE WHEN ellip_frac <= 0.3 THEN 0 ELSE 1 END)
+                + (CASE WHEN alpha_frac > 0.8 THEN 0 ELSE 1 END)
+                + (CASE WHEN stop_hits >= 2 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_rules_failed
+      FROM r
+    )
+    SELECT doc_id, n_words,
+           round(mean_len, 4) AS mean_word_len,
+           round(symbol_ratio, 4) AS symbol_ratio,
+           round(bullet_frac, 4) AS bullet_frac,
+           round(ellip_frac, 4) AS ellipsis_frac,
+           round(alpha_frac, 4) AS alpha_word_frac,
+           stop_hits, n_rules_failed,
+           (n_rules_failed = 0) AS pass_gopher
+    FROM f
+    """,
+)
+def gopher_rules_q(spark, sf_dir):
+    """The published Gopher quality-rule bundle (Rae et al. 2021, Table
+    A1) over the documents table: seven rules, one narrow
+    whole-stage-codegen scan, no shuffle.  Rule booleans evaluate on
+    un-rounded rationals (identical doubles in both engines); reported
+    ratios round to 4dp.  See operators/textanalysis.py:gopher_rules."""
+    from .operators import textanalysis
+
+    d = read_table(spark, sf_dir, "documents")
+    return textanalysis.gopher_rules(d, "doc_id", "text")

@@ -437,3 +437,22 @@ def test_span_corruption_reconstructs_original(spark):
         assert n_sentinels == r["n_spans"]
         if r["n_spans"] > 0:
             assert r["n_masked_tokens"] >= r["n_spans"]
+
+
+def test_gopher_rules_fire_on_crafted_documents(spark):
+    from phenoxtract_spark.operators import textanalysis
+
+    good = ("the study was designed to measure how the treatment works and "
+            "that it can be replicated with care across sites ") * 3
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    symbols = "buy ### now ### cheap ### deal ### wow ### " * 10
+    short = "too short to pass"
+    rows = [(1, good), (2, bullets), (3, symbols), (4, short)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           textanalysis.gopher_rules(df, "doc_id", "text").collect()}
+    assert out[1].pass_gopher and out[1].n_rules_failed == 0
+    assert out[2].bullet_frac == 1.0 and not out[2].pass_gopher
+    assert out[3].symbol_ratio > 0.1 and not out[3].pass_gopher
+    assert out[4].n_words < 50 and not out[4].pass_gopher
+    assert out[1].stop_hits >= 2
