@@ -214,3 +214,50 @@ def semantic_canonical(vectors: DataFrame, centroids: DataFrame,
         )
         .withColumn("is_duplicate", F.col("canonical_id") < F.col(id_col))
     )
+
+
+def cluster_balanced_sample(vectors: DataFrame, centroids: DataFrame,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            seed: str = "cbs-v1") -> DataFrame:
+    """Diversity-preserving downsample: IVF-assign every vector to its
+    nearest centroid, then keep ⌈√|cluster|⌉ members per cluster — the
+    square-root quota that flattens head clusters (boilerplate-heavy
+    modes) while keeping tail clusters intact, the cluster-balancing
+    step behind SemDeDup-style curation and mixture rebalancing.
+
+    Members are picked by md5-hash order (seeded, engine-replayable) —
+    a deterministic uniform draw within each cluster, the repo's
+    standard stand-in for RNG sampling.
+
+    Scale: assignment is the broadcast-centroid kernel
+    (similarity.assign_ivf_centroid); the per-cluster rank is ONE
+    shuffle on centroid_id; the sizes dim is |centroids|-rows and
+    broadcasts back.  Returns (vec_id, centroid_id, cluster_size,
+    quota, rank) for the kept rows."""
+    from pyspark.sql.window import Window
+
+    from .similarity import assign_ivf_centroid
+
+    assign = assign_ivf_centroid(vectors, centroids, id_col, vec_col)
+    sizes = assign.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.md5(F.concat_ws("|", F.lit(seed), F.col("id").cast("string"))).asc(),
+        F.col("id").asc(),
+    )
+    quota = F.ceil(F.sqrt(F.col("cluster_size").cast("double"))).cast("bigint")
+    return (
+        assign.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .join(F.broadcast(sizes), "centroid_id")
+        .withColumn("quota", quota)
+        .filter(F.col("rank") <= F.col("quota"))
+        .select(
+            F.col("id").alias("vec_id"),
+            "centroid_id",
+            "cluster_size",
+            "quota",
+            "rank",
+        )
+    )

@@ -323,3 +323,42 @@ def ngram_containment(spark, sf_dir):
     return dedup.ngram_containment_pairs(
         d, "doc_id", "text", k=3, threshold=0.2, candidates=cand
     )
+
+
+@q(
+    "curation_cluster_balanced_sample",
+    "WITH "
+    + _VX_SQL
+    + ","
+    + _ASSIGN_SQL
+    + """,
+    sizes AS (SELECT cid, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM assign GROUP BY cid),
+    ranked AS (
+      SELECT id, cid,
+             CAST(row_number() OVER (
+               PARTITION BY cid
+               ORDER BY md5('cbs-v1|' || CAST(id AS VARCHAR)), id
+             ) AS BIGINT) AS rank
+      FROM assign
+    )
+    SELECT r.id AS vec_id, r.cid AS centroid_id, s.cluster_size,
+           CAST(ceil(sqrt(CAST(s.cluster_size AS DOUBLE))) AS BIGINT) AS quota,
+           r.rank
+    FROM ranked r JOIN sizes s USING (cid)
+    WHERE r.rank <= ceil(sqrt(CAST(s.cluster_size AS DOUBLE)))
+    """,
+)
+def cluster_balanced_sample_q(spark, sf_dir):
+    """Cluster-balanced √-quota downsample over the embeddings: flatten
+    head clusters, keep tails — the diversity-preserving selection step
+    between semantic dedup and mixture weighting.  Deterministic
+    md5-order draw within each cluster; same broadcast-centroid
+    assignment kernel (and oracle fragment) as the SemDeDup query.
+    See operators/clustering.py:cluster_balanced_sample."""
+    import math
+
+    e = read_table(spark, sf_dir, "embeddings")
+    stride = max(61, int(math.isqrt(e.count())))
+    centroids = e.filter(F.col("vec_id") % stride == 0)
+    return clustering.cluster_balanced_sample(e, centroids)

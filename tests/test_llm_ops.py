@@ -376,3 +376,29 @@ def test_bpe_apply_matches_reference_tokenizer(spark):
     }
     for i, t in enumerate(texts):
         assert rows[i] == ref_count(t), t
+
+
+def test_cluster_balanced_sample_quotas_and_determinism(spark):
+    import math
+    from phenoxtract_spark.operators import clustering
+
+    # two well-separated clusters in 4-d: 16 near e1, 4 near e2
+    rows = []
+    for i in range(16):
+        rows.append((i, [10.0, 0.1 * i, 0.0, 0.0]))
+    for i in range(4):
+        rows.append((100 + i, [0.0, 0.0, 10.0, 0.1 * i]))
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = vecs.filter((vecs.vec_id == 0) | (vecs.vec_id == 100))
+    out = clustering.cluster_balanced_sample(vecs, cents).collect()
+    by_c = {}
+    for r in out:
+        by_c.setdefault(r.centroid_id, []).append(r)
+    assert {c: len(v) for c, v in by_c.items()} == {0: 4, 100: 2}
+    for c, members in by_c.items():
+        n = members[0].cluster_size
+        assert members[0].quota == math.ceil(math.sqrt(n))
+        assert sorted(m.rank for m in members) == list(range(1, len(members) + 1))
+    # deterministic: re-run picks the same ids
+    out2 = clustering.cluster_balanced_sample(vecs, cents).collect()
+    assert {r.vec_id for r in out2} == {r.vec_id for r in out}
