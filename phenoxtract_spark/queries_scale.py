@@ -2466,3 +2466,76 @@ def sketch_hll_sliding(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("exact_distinct"))
     )
     return est.join(exact, "window_end_hr")
+
+
+def _hilbert_sql_levels(bits: int = 8) -> str:
+    """Unrolled per-level Hilbert walk as chained CTEs (h128 → … → h1),
+    mirroring layout.hilbert_key_2d's fold exactly — integer CASE/xor
+    arithmetic only."""
+    ctes = []
+    prev = "h_init"
+    for i in range(bits):
+        s = 1 << (bits - 1 - i)
+        ctes.append(f"""
+    h{s} AS (
+      SELECT price, qty,
+        CASE WHEN (y & {s}) = 0
+             THEN CASE WHEN (x & {s}) > 0 THEN {s - 1} - y ELSE y END
+             ELSE x END AS x,
+        CASE WHEN (y & {s}) = 0
+             THEN CASE WHEN (x & {s}) > 0 THEN {s - 1} - x ELSE x END
+             ELSE y END AS y,
+        d + {s * s} * xor(3 * (CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END),
+                          (CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)) AS d
+      FROM {prev}
+    )""")
+        prev = f"h{s}"
+    return ",".join(ctes)
+
+
+@q(
+    "layout_hilbert_files",
+    """
+    WITH dd AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS price,
+             CAST(l_quantity AS DOUBLE) AS qty
+      FROM lineitem
+    ),
+    s AS (SELECT min(price) AS plo, max(price) AS phi,
+                 min(qty) AS qlo, max(qty) AS qhi FROM dd),
+    h_init AS (
+      SELECT price, qty,
+             CAST(floor((CASE WHEN phi - plo > 0
+                              THEN (price - plo) / (phi - plo) ELSE 0 END)
+                        * 255 + 0.5) AS BIGINT) AS x,
+             CAST(floor((CASE WHEN qhi - qlo > 0
+                              THEN (qty - qlo) / (qhi - qlo) ELSE 0 END)
+                        * 255 + 0.5) AS BIGINT) AS y,
+             0 AS d
+      FROM dd, s
+    ),"""
+    + _hilbert_sql_levels(8)
+    + """
+    SELECT CAST(d AS BIGINT) // 4096 AS file_id, count(*) AS n_rows,
+           min(price) AS price_lo, max(price) AS price_hi,
+           min(qty) AS qty_lo, max(qty) AS qty_hi
+    FROM h1 GROUP BY 1
+    """,
+)
+def layout_hilbert(spark, sf_dir):
+    """Hilbert-curve write layout over the same (price, qty) dims as the
+    Z-order query, so the two clustering keys' per-file bounding boxes
+    are directly comparable in the results — Hilbert's edge-connected
+    key ranges yield tighter boxes, i.e. better file-skipping, which is
+    the whole point of curve-ordering a 100 TB table.  The fold is an
+    ``F.aggregate`` HOF (expression tree linear in bit depth); the
+    oracle unrolls the identical walk into 8 chained CTEs.  Integer
+    arithmetic end to end (operators/layout.py:hilbert_key_2d)."""
+    from .operators import layout
+
+    li = read_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_quantity").cast("double").alias("qty"),
+    )
+    return layout.hilbert_layout(d, ["price", "qty"], bits=8, file_bits=4)

@@ -1015,3 +1015,37 @@ def test_hll_sliding_distinct_windows_and_register_reuse(spark):
         df.filter(F.col("hr") == 100).select("user"), [], "user", p=8
     ).collect()[0].est_distinct
     assert out[100].est_distinct == est_100
+
+
+def test_hilbert_key_matches_reference_and_is_locality_preserving(spark):
+    from pyspark.sql import functions as F
+    from phenoxtract_spark.operators import layout
+
+    def ref_hilbert(x, y, bits=4):
+        rx = ry = 0
+        d = 0
+        s = 1 << (bits - 1)
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    n = 16
+    pts = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    out = df.select(
+        "x", "y", layout.hilbert_key_2d(F.col("x"), F.col("y"), bits=4).alias("d")
+    ).collect()
+    got = {(r.x, r.y): r.d for r in out}
+    assert got == {(x, y): ref_hilbert(x, y) for x, y in pts}
+    # the curve visits every cell once, and consecutive cells are adjacent
+    by_d = sorted(got.items(), key=lambda kv: kv[1])
+    assert [d for _, d in by_d] == list(range(n * n))
+    for ((x1, y1), _), ((x2, y2), _) in zip(by_d, by_d[1:]):
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
