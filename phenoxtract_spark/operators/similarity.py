@@ -759,3 +759,33 @@ def ring_negatives(df: DataFrame, id_col: str = "vec_id",
             F.col("alabel").eqNullSafe(F.col("nlabel")).alias("same_label"),
         )
     )
+
+
+def topk_recall(exact: DataFrame, approx: DataFrame, k: int,
+                round_dp: int = 4) -> DataFrame:
+    """Recall@k of an approximate neighbor result against the exact one:
+    per query, |approx ∩ exact| / k over the (query_id, neighbor_id)
+    pairs — the standard ANN quality metric, computed as data so the
+    recall/cost dial (nprobe, bucket width, plane count) is OBSERVABLE in
+    the pipeline rather than asserted once in a test.
+
+    Both inputs are already top-k relations (≤ k·|queries| rows), so the
+    intersection join and per-query count are trivially small at any
+    corpus scale.  Returns (query_id, n_hits, recall_at_k); queries the
+    approximate index missed entirely still appear with recall 0."""
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id")
+    hits = (
+        e.join(a, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    qs = e.select("query_id").distinct()
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint")).alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(float(k)),
+            round_dp,
+        ).alias("recall_at_k"),
+    )

@@ -2539,3 +2539,93 @@ def layout_hilbert(spark, sf_dir):
         F.col("l_quantity").cast("double").alias("qty"),
     )
     return layout.hilbert_layout(d, ["price", "qty"], bits=8, file_bits=4)
+
+
+@q(
+    "similarity_ann_recall",
+    """
+    WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+    vx AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, idx),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM vx GROUP BY vec_id),
+    bdots AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             round(sum(q.x * n.x) / (nq.nrm * nv.nrm), 6) AS cos
+      FROM vx q
+      JOIN vx n ON n.i = q.i AND n.vec_id != q.vec_id
+      JOIN norms nq ON nq.vec_id = q.vec_id
+      JOIN norms nv ON nv.vec_id = n.vec_id
+      WHERE q.vec_id < 5
+      GROUP BY q.vec_id, n.vec_id, nq.nrm, nv.nrm
+    ),
+    btop AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+        FROM bdots) WHERE rank <= 5
+    ),
+    cen AS (SELECT vec_id AS cid FROM embeddings
+            WHERE vec_id % (SELECT greatest(61, CAST(floor(sqrt(count(*))) AS BIGINT))
+                            FROM embeddings) = 0),
+    adots AS (
+      SELECT v.vec_id AS id, c.cid,
+             round(sum(v.x * cv.x) / (nv.nrm * nc.nrm), 6) AS cos
+      FROM vx v
+      JOIN cen c ON true
+      JOIN vx cv ON cv.vec_id = c.cid AND cv.i = v.i
+      JOIN norms nv ON nv.vec_id = v.vec_id
+      JOIN norms nc ON nc.vec_id = c.cid
+      GROUP BY v.vec_id, c.cid, nv.nrm, nc.nrm
+    ),
+    assign AS (
+      SELECT id, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid) AS rn
+        FROM adots) WHERE rn = 1
+    ),
+    pair AS (
+      SELECT q.id AS query_id, n.id AS neighbor_id
+      FROM assign q JOIN assign n ON q.cid = n.cid
+      WHERE q.id < 5 AND n.id != q.id
+    ),
+    pdots AS (
+      SELECT p.query_id, p.neighbor_id,
+             round(sum(a.x * b.x) / (na.nrm * nb.nrm), 6) AS cos
+      FROM pair p
+      JOIN vx a ON a.vec_id = p.query_id
+      JOIN vx b ON b.vec_id = p.neighbor_id AND b.i = a.i
+      JOIN norms na ON na.vec_id = p.query_id
+      JOIN norms nb ON nb.vec_id = p.neighbor_id
+      GROUP BY p.query_id, p.neighbor_id, na.nrm, nb.nrm
+    ),
+    atop AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+        FROM pdots) WHERE rank <= 5
+    ),
+    hits AS (
+      SELECT query_id, count(*) AS n_hits
+      FROM btop JOIN atop USING (query_id, neighbor_id) GROUP BY 1
+    ),
+    qs AS (SELECT DISTINCT query_id FROM btop)
+    SELECT qs.query_id,
+           CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(n_hits, 0) / 5.0, 4) AS recall_at_k
+    FROM qs LEFT JOIN hits ON hits.query_id = qs.query_id
+    """,
+)
+def sim_ann_recall(spark, sf_dir):
+    """Recall@5 of the IVF index against exact brute force, as DATA: the
+    ANN quality/cost dial made observable in the pipeline (the same two
+    registered operators — brute_force_topk and ivf_topk — feed the
+    metric, so this also pins their relative semantics).  Both inputs
+    are k·|queries| rows; the metric costs one tiny join.
+    See operators/similarity.py:topk_recall."""
+    import math
+
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    stride = max(61, int(math.isqrt(e.count())))
+    centroids = e.filter(F.col("vec_id") % stride == 0)
+    exact = similarity.brute_force_topk(e, queries, k=5)
+    approx = similarity.ivf_topk(e, queries, centroids, k=5)
+    return similarity.topk_recall(exact, approx, k=5)

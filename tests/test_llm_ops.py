@@ -402,3 +402,20 @@ def test_cluster_balanced_sample_quotas_and_determinism(spark):
     # deterministic: re-run picks the same ids
     out2 = clustering.cluster_balanced_sample(vecs, cents).collect()
     assert {r.vec_id for r in out2} == {r.vec_id for r in out}
+
+
+def test_topk_recall_counts_and_zero_for_missed_queries(spark):
+    from phenoxtract_spark.operators import similarity
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30), (3, 31)],
+        ["query_id", "neighbor_id"],
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 21), (2, 99)], ["query_id", "neighbor_id"]
+    )
+    out = {r.query_id: r for r in
+           similarity.topk_recall(exact, approx, k=2).collect()}
+    assert out[1].n_hits == 2 and out[1].recall_at_k == 1.0
+    assert out[2].n_hits == 1 and out[2].recall_at_k == 0.5
+    assert out[3].n_hits == 0 and out[3].recall_at_k == 0.0
