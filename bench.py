@@ -150,6 +150,19 @@ SF1_PROBE = [
     # Python-side and window-heavy new paths
     "jsonl_gz_ingest_roundtrip",
     "curation_span_corruption",
+    # round-6 continuation: the new sketch-algebra paths are sketch-sized
+    # after one narrow pass (ratios ~10x scan cost); DSIR is one bigram
+    # explode + broadcast dims; the two new codec stats are partition-
+    # local Python like their siblings; Hilbert layout mirrors Z-order;
+    # cluster-balanced sampling is the assignment kernel + one window
+    "sketch_join_size_estimate",
+    "sketch_hll_sliding_distinct",
+    "curation_dsir_select",
+    "multimodal_pcm_resample",
+    "multimodal_image_meanpool",
+    "layout_hilbert_files",
+    "curation_cluster_balanced_sample",
+    "curation_gopher_rules",
 ]
 
 # r5 (verdict #7b/#4): the heaviest sf1 queries get TWO reps and report the

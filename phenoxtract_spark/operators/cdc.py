@@ -85,3 +85,67 @@ def merge_upsert(target: DataFrame, source: DataFrame, key_cols: list[str],
         *payload_cols,
     )
     return cdc_apply(target, src, key_cols, payload_cols)
+
+
+def incremental_agg_maintain(base: DataFrame, changes: DataFrame,
+                             key_cols: list[str], group_col: str,
+                             measure_col: str, seq_col: str = "seq",
+                             op_col: str = "op",
+                             base_agg: DataFrame | None = None) -> DataFrame:
+    """Incremental materialized-view maintenance for per-group
+    (count, sum) aggregates under an I/U/D change stream: instead of
+    re-aggregating the post-apply table, combine the STORED aggregate
+    with a delta computed only from the CHANGED keys —
+
+    - every touched key retracts its old contribution (−1, −measure) in
+      its OLD group (an update that moves a row across groups retracts
+      there and asserts in the new group automatically);
+    - every surviving last-change (I/U) asserts its new contribution.
+
+    At 100 TB this is the difference between scanning the fact table per
+    refresh and scanning |changes|: the only base-table access is the
+    key-join fetching old rows of touched keys (bucket/index-prunable),
+    and the final combine is a union + one group aggregate against the
+    view-sized stored state.  Count and sum are self-maintainable; min /
+    max / distinct need auxiliary state and are out of scope.
+
+    Use an exact type (DECIMAL) for ``measure_col`` — retract/assert
+    arithmetic in floating point would drift from a full recompute.
+    ``base_agg`` (group_col, n_rows, measure_sum) is the stored view
+    state; if None it is computed from ``base`` (test convenience —
+    production passes the stored relation).  The maintained result
+    EQUALS the full re-aggregation of cdc_apply(base, changes) — that is
+    the property the registered oracle value-checks.
+    Returns (group_col, n_rows, measure_sum), empty groups dropped."""
+    last = latest_changes(changes, key_cols, seq_col, op_col)
+    if base_agg is None:
+        base_agg = base.groupBy(group_col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(measure_col).alias("measure_sum"),
+        )
+    removed = base.join(last.select(*key_cols), key_cols)
+    neg = removed.select(
+        F.col(group_col).alias("_g"),
+        (-F.lit(1)).cast("bigint").alias("_dn"),
+        (-F.col(measure_col)).alias("_dm"),
+    )
+    pos = last.filter(F.col(op_col) != "D").select(
+        F.col(group_col).alias("_g"),
+        F.lit(1).cast("bigint").alias("_dn"),
+        F.col(measure_col).alias("_dm"),
+    )
+    state = base_agg.select(
+        F.col(group_col).alias("_g"),
+        F.col("n_rows").cast("bigint").alias("_dn"),
+        F.col("measure_sum").alias("_dm"),
+    )
+    return (
+        state.unionByName(neg).unionByName(pos)
+        .groupBy("_g")
+        .agg(
+            F.sum("_dn").cast("bigint").alias("n_rows"),
+            F.sum("_dm").alias("measure_sum"),
+        )
+        .filter(F.col("n_rows") > 0)
+        .withColumnRenamed("_g", group_col)
+    )

@@ -522,3 +522,88 @@ def cdc_apply_customers(spark, sf_dir):
     return cdc.cdc_apply(
         c, changes, ["c_custkey"], ["c_name", "c_acctbal"], "seq", "op"
     )
+
+
+@q(
+    "cdc_incremental_agg",
+    """
+    WITH ch AS (
+      SELECT CASE WHEN b % 7 = 0 THEN o_custkey + 1000000
+                  ELSE o_custkey END AS c_custkey,
+             o_orderkey AS seq,
+             CASE WHEN b < 1000 THEN 'D'
+                  WHEN b < 4000 THEN 'I'
+                  ELSE 'U' END AS op,
+             o_custkey % 25 AS c_nationkey,
+             CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS c_acctbal
+      FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                   ('0x' || substr(md5('cdc-v1|' || CAST(o_orderkey AS VARCHAR)),
+                                   1, 8))::BIGINT % 10000 AS b
+            FROM orders)
+    ),
+    last AS (
+      SELECT * FROM (
+        SELECT ch.*, row_number() OVER (PARTITION BY c_custkey
+                                        ORDER BY seq DESC, op ASC) AS rn
+        FROM ch
+      ) WHERE rn = 1
+    ),
+    final AS (
+      SELECT coalesce(l.c_custkey, c.c_custkey) AS k,
+             CASE WHEN l.c_custkey IS NOT NULL THEN l.c_nationkey
+                  ELSE c.c_nationkey END AS g,
+             CASE WHEN l.c_custkey IS NOT NULL THEN l.c_acctbal
+                  ELSE CAST(round(c.c_acctbal, 2) AS DECIMAL(18,2)) END AS m
+      FROM customer c FULL OUTER JOIN last l ON l.c_custkey = c.c_custkey
+      WHERE l.op IS NULL OR l.op != 'D'
+    )
+    SELECT g AS c_nationkey, CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(sum(m) AS DOUBLE), 2) AS sum_acctbal
+    FROM final GROUP BY g
+    """,
+)
+def cdc_incremental_agg_q(spark, sf_dir):
+    """Incremental materialized-view maintenance: per-nation
+    (count, Σ acctbal) is maintained from the stored aggregate + a delta
+    over ONLY the changed keys (retract old / assert new contributions,
+    DECIMAL-exact), never re-aggregating the post-apply table.  The
+    oracle replays the change stream arm-for-arm and RE-AGGREGATES the
+    final state directly — so a value match proves maintained ≡ full
+    recompute, the defining IVM property, cross-engine.  Updates that
+    move a row across groups exercise the retract-here/assert-there
+    path (the synthesized nationkey differs from the base row's).
+    See operators/cdc.py:incremental_agg_maintain."""
+    from .operators import cdc
+
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    b = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", F.lit("cdc-v1"),
+                                             F.col("o_orderkey").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") % 10000
+    )
+    changes = o.select(
+        F.when(b % 7 == 0, F.col("o_custkey") + 1000000)
+        .otherwise(F.col("o_custkey"))
+        .alias("c_custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(b < 1000, F.lit("D"))
+        .when(b < 4000, F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        (F.col("o_custkey") % 25).alias("c_nationkey"),
+        F.round("o_totalprice", 2).cast("decimal(18,2)").alias("c_acctbal"),
+    )
+    base = c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round("c_acctbal", 2).cast("decimal(18,2)").alias("c_acctbal"),
+    )
+    out = cdc.incremental_agg_maintain(
+        base, changes, ["c_custkey"], "c_nationkey", "c_acctbal"
+    )
+    return out.select(
+        "c_nationkey",
+        "n_rows",
+        F.round(F.col("measure_sum").cast("double"), 2).alias("sum_acctbal"),
+    )

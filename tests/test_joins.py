@@ -218,3 +218,45 @@ def test_merge_upsert_matches_and_inserts(spark):
     assert out[1]["name"] == "a"
     assert out[2]["name"] == "b2" and out[2]["bal"] == 22.0
     assert out[3]["name"] == "c"
+
+
+def test_incremental_agg_maintain_equals_full_recompute(spark):
+    """The defining IVM property: the maintained (count, sum) per group
+    EQUALS re-aggregating cdc_apply(base, changes) — including an update
+    that MOVES a row across groups (retract in the old group, assert in
+    the new) and a delete that empties a group (row dropped)."""
+    from decimal import Decimal
+    from phenoxtract_spark.operators import cdc
+
+    base = spark.createDataFrame(
+        [(1, "g1", Decimal("10.00")), (2, "g1", Decimal("20.00")),
+         (3, "g2", Decimal("30.00")), (4, "g3", Decimal("40.00"))],
+        "k bigint, g string, m decimal(18,2)",
+    )
+    changes = spark.createDataFrame(
+        [
+            ("U", 1, 2, "g2", Decimal("21.00")),  # moves g1 -> g2
+            ("D", 2, 4, None, None),              # empties g3
+            ("I", 3, 9, "g4", Decimal("90.00")),  # new key, new group
+            ("U", 4, 1, "g1", Decimal("11.00")),  # in-place update
+        ],
+        "op string, seq bigint, k bigint, g string, m decimal(18,2)",
+    )
+    maintained = {
+        r["g"]: (r["n_rows"], r["m_sum"])
+        for r in cdc.incremental_agg_maintain(
+            base, changes, ["k"], "g", "m"
+        ).withColumnRenamed("measure_sum", "m_sum").collect()
+    }
+    applied = cdc.cdc_apply(base, changes, ["k"], ["g", "m"])
+    from pyspark.sql import functions as F
+    full = {
+        r["g"]: (r["n_rows"], r["m_sum"])
+        for r in applied.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+             F.sum("m").alias("m_sum"))
+        .collect()
+    }
+    assert maintained == full
+    assert maintained["g2"] == (2, Decimal("51.00"))  # moved-in row counted
+    assert "g3" not in maintained                      # emptied group dropped
