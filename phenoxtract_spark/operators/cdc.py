@@ -149,3 +149,31 @@ def incremental_agg_maintain(base: DataFrame, changes: DataFrame,
         .filter(F.col("n_rows") > 0)
         .withColumnRenamed("_g", group_col)
     )
+
+
+def time_travel(base: DataFrame, changes: DataFrame, key_cols: list[str],
+                payload_cols: list[str], as_of, seq_col: str = "seq",
+                op_col: str = "op") -> DataFrame:
+    """Reconstruct the table state AS OF a sequence point from the base
+    snapshot plus the retained change log — the time-travel read every
+    lakehouse table format exposes, expressed as plain relational
+    algebra: filter the log to ``seq <= as_of``, then the same
+    last-writer-wins window + one full outer join as :func:`cdc_apply`.
+
+    ``as_of`` may be a Python scalar or a ONE-ROW DataFrame holding a
+    single ``as_of`` column (e.g. a computed watermark); the one-row
+    form broadcasts and never touches the driver.  Changes after the
+    point are invisible — including deletes, so a row deleted later is
+    resurrected in the reconstruction, the property the tests pin.
+    At 100 TB the cost is one log scan (partition-prunable by seq if
+    the log is seq-bucketed on disk) — the base table is read once
+    regardless of how far back ``as_of`` lies."""
+    if isinstance(as_of, DataFrame):
+        visible = (
+            changes.crossJoin(F.broadcast(as_of))
+            .filter(F.col(seq_col) <= F.col("as_of"))
+            .drop("as_of")
+        )
+    else:
+        visible = changes.filter(F.col(seq_col) <= F.lit(as_of))
+    return cdc_apply(base, visible, key_cols, payload_cols, seq_col, op_col)

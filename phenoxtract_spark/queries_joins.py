@@ -607,3 +607,75 @@ def cdc_incremental_agg_q(spark, sf_dir):
         "n_rows",
         F.round(F.col("measure_sum").cast("double"), 2).alias("sum_acctbal"),
     )
+
+
+@q(
+    "cdc_time_travel",
+    """
+    WITH ch AS (
+      SELECT CASE WHEN b % 7 = 0 THEN o_custkey + 1000000
+                  ELSE o_custkey END AS c_custkey,
+             o_orderkey AS seq,
+             CASE WHEN b < 1000 THEN 'D'
+                  WHEN b < 4000 THEN 'I'
+                  ELSE 'U' END AS op,
+             'cdc-' || CAST(o_orderkey AS VARCHAR) AS c_name,
+             round(o_totalprice, 2) AS c_acctbal
+      FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                   ('0x' || substr(md5('cdc-v1|' || CAST(o_orderkey AS VARCHAR)),
+                                   1, 8))::BIGINT % 10000 AS b
+            FROM orders)
+    ),
+    wm AS (SELECT max(o_orderkey) // 2 AS as_of FROM orders),
+    visible AS (SELECT ch.* FROM ch, wm WHERE ch.seq <= wm.as_of),
+    last AS (
+      SELECT * FROM (
+        SELECT visible.*, row_number() OVER (PARTITION BY c_custkey
+                                             ORDER BY seq DESC, op ASC) AS rn
+        FROM visible
+      ) WHERE rn = 1
+    )
+    SELECT coalesce(l.c_custkey, c.c_custkey) AS c_custkey,
+           CASE WHEN l.c_custkey IS NOT NULL THEN l.c_name
+                ELSE c.c_name END AS c_name,
+           CASE WHEN l.c_custkey IS NOT NULL THEN l.c_acctbal
+                ELSE c.c_acctbal END AS c_acctbal
+    FROM customer c FULL OUTER JOIN last l ON l.c_custkey = c.c_custkey
+    WHERE l.op IS NULL OR l.op != 'D'
+    """,
+)
+def cdc_time_travel_q(spark, sf_dir):
+    """Time-travel read (operators/cdc.py:time_travel): reconstruct the
+    customer table AS OF the mid-stream watermark max(seq)//2 from the
+    base snapshot + the same synthesized change log as
+    cdc_apply_customers.  The watermark is a one-row computed relation
+    that broadcasts onto the log filter — no driver scalar round-trip —
+    and everything after it (updates AND deletes) is invisible, which
+    the oracle proves by replaying the filtered log arm-for-arm."""
+    from .operators import cdc
+
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    b = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", F.lit("cdc-v1"),
+                                             F.col("o_orderkey").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") % 10000
+    )
+    changes = o.select(
+        F.when(b % 7 == 0, F.col("o_custkey") + 1000000)
+        .otherwise(F.col("o_custkey"))
+        .alias("c_custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(b < 1000, F.lit("D"))
+        .when(b < 4000, F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.concat(F.lit("cdc-"), F.col("o_orderkey").cast("string")).alias("c_name"),
+        F.round("o_totalprice", 2).alias("c_acctbal"),
+    )
+    wm = o.agg(
+        F.floor(F.max("o_orderkey") / 2).cast("bigint").alias("as_of")
+    )
+    return cdc.time_travel(
+        c, changes, ["c_custkey"], ["c_name", "c_acctbal"], wm
+    )

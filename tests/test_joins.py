@@ -260,3 +260,33 @@ def test_incremental_agg_maintain_equals_full_recompute(spark):
     assert maintained == full
     assert maintained["g2"] == (2, Decimal("51.00"))  # moved-in row counted
     assert "g3" not in maintained                      # emptied group dropped
+
+
+def test_time_travel_boundaries_and_resurrection(spark):
+    """as_of before the log -> the base snapshot; as_of at/after max(seq)
+    -> cdc_apply of the full log; a mid-stream as_of makes a LATER delete
+    invisible (the row is 'resurrected' relative to the current state)."""
+    from phenoxtract_spark.operators import cdc
+
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k bigint, name string, bal double"
+    )
+    changes = spark.createDataFrame(
+        [("U", 10, 1, "a2", 11.0),   # visible at as_of=15
+         ("D", 20, 2, None, None),   # invisible at as_of=15
+         ("I", 30, 3, "c", 3.0)],    # invisible at as_of=15
+        "op string, seq bigint, k bigint, name string, bal double",
+    )
+    snap = lambda s: {r["k"]: (r["name"], r["bal"]) for r in
+                      cdc.time_travel(base, changes, ["k"],
+                                      ["name", "bal"], s).collect()}
+    assert snap(0) == {1: ("a", 1.0), 2: ("b", 2.0)}        # pre-log = base
+    assert snap(15) == {1: ("a2", 11.0), 2: ("b", 2.0)}     # D/I not yet visible
+    full = {r["k"]: (r["name"], r["bal"]) for r in
+            cdc.cdc_apply(base, changes, ["k"], ["name", "bal"]).collect()}
+    assert snap(30) == full == {1: ("a2", 11.0), 3: ("c", 3.0)}
+    # one-row DataFrame watermark form agrees with the scalar form
+    wm = spark.createDataFrame([(15,)], "as_of bigint")
+    assert {r["k"]: (r["name"], r["bal"]) for r in
+            cdc.time_travel(base, changes, ["k"], ["name", "bal"],
+                            wm).collect()} == snap(15)
