@@ -789,3 +789,44 @@ def topk_recall(exact: DataFrame, approx: DataFrame, k: int,
             round_dp,
         ).alias("recall_at_k"),
     )
+
+
+def rrf_fuse(rankings: list[DataFrame], k0: int = 60, topk: int = 10,
+             query_col: str = "query_id", item_col: str = "neighbor_id",
+             rank_col: str = "rank", round_dp: int = 6) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N per-query
+    rankings — the standard way hybrid retrieval combines a sparse
+    (BM25/Jaccard) leg with a dense (embedding cosine) leg without
+    score calibration: rrf(q, i) = Σ_legs 1/(k0 + rank_leg(q, i)),
+    items missing from a leg contribute nothing.
+
+    Plan shape: the legs are already top-k relations (≤ k·|queries|
+    rows each), so the union + per-(query, item) sum + per-query rank
+    window all run on leg-sized data regardless of corpus size — the
+    corpus-scale work happened inside the legs.  The fused score is
+    rounded before ranking and ties break by item id, so the top-k
+    boundary is deterministic across engines (with two legs the sum is
+    a single IEEE addition, which is commutative — no sum-order caveat).
+    Returns (query_id, neighbor_id, rrf, n_legs, rank)."""
+    legs = [
+        r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(item_col).alias("neighbor_id"),
+            F.col(rank_col).cast("bigint").alias("_r"),
+        )
+        for r in rankings
+    ]
+    allr = legs[0]
+    for r in legs[1:]:
+        allr = allr.unionByName(r)
+    fused = allr.groupBy("query_id", "neighbor_id").agg(
+        F.round(F.sum(F.lit(1.0) / (F.lit(k0) + F.col("_r"))), round_dp).alias("rrf"),
+        F.count(F.lit(1)).cast("bigint").alias("n_legs"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("neighbor_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= topk)
+    )

@@ -566,3 +566,55 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str,
         fails.alias("n_rules_failed"),
         (fails == 0).alias("pass_gopher"),
     )
+
+
+def token_jaccard_topk(df: DataFrame, id_col: str, text_col: str,
+                       query_pred, k: int = 10,
+                       round_dp: int = 6) -> DataFrame:
+    """Per-query lexical ranking by unigram-SET Jaccard: the sparse leg
+    a hybrid retriever fuses with an embedding leg (see
+    similarity.rrf_fuse).  ``query_pred`` is a Column predicate selecting
+    the (small) query document set.
+
+    Plan shape: one distinct-token relation feeds BOTH sides; the query
+    side is broadcast onto the corpus side's token stream, so candidate
+    generation costs |corpus tokens| with no self-shuffle, and only docs
+    sharing >= 1 token with a query ever materialize a pair (inverted-
+    index semantics for free).  Scores round before ranking, ties break
+    by neighbor id.  Returns (query_id, neighbor_id, jaccard, rank)."""
+    dtoks = tokens_long(df, id_col, text_col).distinct().localCheckpoint(
+        eager=True
+    )
+    sizes = dtoks.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    qt = dtoks.join(df.filter(query_pred).select(F.col(id_col).alias("id")),
+                    "id").select(F.col("id").alias("query_id"), "tok")
+    inter = (
+        dtoks.withColumnRenamed("id", "neighbor_id")
+        .join(F.broadcast(qt), "tok")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    scored = (
+        inter.join(sizes.withColumnRenamed("id", "query_id")
+                   .withColumnRenamed("sz", "_sq"), "query_id")
+        .join(sizes.withColumnRenamed("id", "neighbor_id")
+              .withColumnRenamed("sz", "_sn"), "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(
+                F.col("inter")
+                / (F.col("_sq") + F.col("_sn") - F.col("inter")).cast("double"),
+                round_dp,
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("jaccard").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

@@ -2629,3 +2629,77 @@ def sim_ann_recall(spark, sf_dir):
     exact = similarity.brute_force_topk(e, queries, k=5)
     approx = similarity.ivf_topk(e, queries, centroids, k=5)
     return similarity.topk_recall(exact, approx, k=5)
+
+
+@q(
+    "similarity_hybrid_rrf",
+    f"""
+    WITH {_DOTS},
+    dense AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ),
+    dtoks AS (
+      SELECT DISTINCT doc_id, t.tok FROM (
+        SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+      ) t WHERE t.tok != ''
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+              FROM dtoks GROUP BY doc_id),
+    inter AS (
+      SELECT q.doc_id AS query_id, n.doc_id AS neighbor_id,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM dtoks q JOIN dtoks n USING (tok)
+      WHERE q.doc_id < 5 AND n.doc_id != q.doc_id
+      GROUP BY q.doc_id, n.doc_id
+    ),
+    lex AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY jaccard DESC,
+                                neighbor_id) AS rank
+      FROM (
+        SELECT query_id, neighbor_id,
+               round(inter / CAST(sq.sz + sn.sz - inter AS DOUBLE), 6)
+                 AS jaccard
+        FROM inter
+        JOIN sizes sq ON sq.doc_id = query_id
+        JOIN sizes sn ON sn.doc_id = neighbor_id
+      )
+    ),
+    legs AS (
+      SELECT query_id, neighbor_id, rank FROM dense WHERE rank <= 20
+      UNION ALL
+      SELECT query_id, neighbor_id, rank FROM lex WHERE rank <= 20
+    ),
+    fused AS (
+      SELECT query_id, neighbor_id,
+             round(sum(1.0 / (60 + rank)), 6) AS rrf,
+             CAST(count(*) AS BIGINT) AS n_legs
+      FROM legs GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, rrf, n_legs, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY rrf DESC, neighbor_id)
+                     AS BIGINT) AS rank
+      FROM fused) WHERE rank <= 5
+    """,
+)
+def similarity_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: a dense leg (exact cosine top-20 over the
+    embeddings, queries vec_id < 5) and a sparse lexical leg (unigram-set
+    Jaccard top-20 over the documents' text, same ids — doc_id and
+    vec_id index the same corpus in the testdata) fused with
+    reciprocal-rank fusion, rrf = Σ 1/(60 + rank), top-5 per query.
+    Corpus-scale work happens inside the legs (broadcast queries, no
+    self-shuffle); the fusion itself touches only leg-sized relations.
+    See operators/similarity.py:rrf_fuse and
+    operators/textanalysis.py:token_jaccard_topk."""
+    e = read_table(spark, sf_dir, "embeddings")
+    d = read_table(spark, sf_dir, "documents")
+    dense = similarity.brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=20)
+    lex = textanalysis.token_jaccard_topk(
+        d, "doc_id", "text", F.col("doc_id") < 5, k=20
+    )
+    return similarity.rrf_fuse([dense, lex], k0=60, topk=5)

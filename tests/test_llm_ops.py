@@ -419,3 +419,46 @@ def test_topk_recall_counts_and_zero_for_missed_queries(spark):
     assert out[1].n_hits == 2 and out[1].recall_at_k == 1.0
     assert out[2].n_hits == 1 and out[2].recall_at_k == 0.5
     assert out[3].n_hits == 0 and out[3].recall_at_k == 0.0
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Two legs, one query: an item present in both legs at mediocre
+    ranks outscores an item that tops a single leg (the RRF property),
+    single-leg items still appear, ties break by neighbor id."""
+    from phenoxtract_spark.operators import similarity
+
+    dense = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id bigint, neighbor_id bigint, rank bigint",
+    )
+    lex = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)],
+        "query_id bigint, neighbor_id bigint, rank bigint",
+    )
+    out = {r["neighbor_id"]: r for r in
+           similarity.rrf_fuse([dense, lex], k0=60, topk=10).collect()}
+    # 11: 1/62 + 1/61 (both legs) beats 10: 1/61 (single leg)
+    assert out[11]["rank"] == 1 and out[11]["n_legs"] == 2
+    assert out[10]["rank"] == 2 and out[10]["n_legs"] == 1
+    assert round(out[11]["rrf"], 6) == round(1 / 62 + 1 / 61, 6)
+    assert round(out[13]["rrf"], 6) == round(1 / 62, 6)
+    assert set(out) == {10, 11, 12, 13}
+    # 12 (1/63) vs 13 (1/62): 13 ranks higher
+    assert out[13]["rank"] == 3 and out[12]["rank"] == 4
+
+
+def test_token_jaccard_topk_tiny(spark):
+    """Unigram-set Jaccard against a 4-doc corpus, hand-checked."""
+    from pyspark.sql import functions as F
+    from phenoxtract_spark.operators import textanalysis
+
+    d = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c d"), (2, "a x"), (3, "y z")],
+        "doc_id bigint, text string",
+    )
+    out = {r["neighbor_id"]: r for r in textanalysis.token_jaccard_topk(
+        d, "doc_id", "text", F.col("doc_id") == 0, k=10).collect()}
+    assert round(out[1]["jaccard"], 6) == 0.75      # |{a,b,c}|/|{a,b,c,d}|
+    assert round(out[2]["jaccard"], 6) == 0.25      # {a} / {a,b,c,x}
+    assert 3 not in out                             # no shared token
+    assert out[1]["rank"] == 1 and out[2]["rank"] == 2
