@@ -200,3 +200,73 @@ def hilbert_layout(df: DataFrame, dims: list[str], bits: int = 8,
             ],
         )
     )
+
+
+def range_layout(df: DataFrame, file_dim: str, stat_dims: list[str],
+                 file_bits: int = 4) -> DataFrame:
+    """Per-file bounding boxes under a SINGLE-dimension range layout
+    (what ``repartitionByRange(file_dim)`` with ``2^file_bits``
+    partitions writes): the baseline :func:`zonemap_prune` contrasts
+    against Z-order — files are narrow in ``file_dim`` but span the full
+    range of every OTHER dimension, so min/max skipping only works for
+    predicates on the sort column.  Same two-pass shape as
+    :func:`zorder_layout`.  Returns
+    (file_id, n_rows, then per stat dim: <dim>_lo, <dim>_hi)."""
+    stats = df.agg(
+        F.min(file_dim).alias("_lo"), F.max(file_dim).alias("_hi")
+    )
+    file_id = scale_to_grid(
+        F.col(file_dim), F.col("_lo"), F.col("_hi"), file_bits
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .select(*[F.col(d) for d in stat_dims], file_id.alias("file_id"))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                agg
+                for d in stat_dims
+                for agg in (
+                    F.min(d).alias(f"{d}_lo"),
+                    F.max(d).alias(f"{d}_hi"),
+                )
+            ],
+        )
+    )
+
+
+def zonemap_prune(stats: DataFrame,
+                  predicates: list[tuple[str, float, float]]) -> DataFrame:
+    """File-skipping decision from zone-map statistics: a file must be
+    SCANNED iff for EVERY range predicate ``(col, lo, hi)`` the file's
+    ``[col_lo, col_hi]`` box intersects ``[lo, hi]`` — the exact
+    min/max-pruning rule parquet row groups and Delta/Iceberg data
+    skipping apply.  Conservative by construction (a scanned file may
+    still contain zero matches; a pruned file provably contains none).
+    Adds a ``scanned`` boolean to the stats relation — metadata-sized,
+    never touches the data files themselves, which is the whole point at
+    100 TB: the decision costs |files|, not |rows|."""
+    cond = F.lit(True)
+    for c, lo, hi in predicates:
+        cond = cond & (F.col(f"{c}_hi") >= F.lit(lo)) & (
+            F.col(f"{c}_lo") <= F.lit(hi)
+        )
+    return stats.withColumn("scanned", cond)
+
+
+def prune_summary(stats: DataFrame,
+                  predicates: list[tuple[str, float, float]]) -> DataFrame:
+    """One-row scan-cost summary of :func:`zonemap_prune`:
+    (n_files, files_scanned, rows_scanned) — the number a layout is
+    judged by."""
+    pruned = zonemap_prune(stats, predicates)
+    return pruned.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum(F.col("scanned").cast("bigint")).cast("bigint").alias(
+            "files_scanned"
+        ),
+        F.sum(
+            F.when(F.col("scanned"), F.col("n_rows")).otherwise(F.lit(0))
+        ).cast("bigint").alias("rows_scanned"),
+    )

@@ -2703,3 +2703,97 @@ def similarity_hybrid_rrf(spark, sf_dir):
         d, "doc_id", "text", F.col("doc_id") < 5, k=20
     )
     return similarity.rrf_fuse([dense, lex], k0=60, topk=5)
+
+
+@q(
+    "layout_zonemap_prune",
+    """
+    WITH d AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS price,
+             CAST(l_quantity AS DOUBLE) AS qty
+      FROM lineitem
+    ),
+    s AS (SELECT min(price) AS plo, max(price) AS phi,
+                 min(qty) AS qlo, max(qty) AS qhi FROM d),
+    g AS (
+      SELECT price, qty,
+             CAST(floor((CASE WHEN phi - plo > 0
+                              THEN (price - plo) / (phi - plo) ELSE 0 END)
+                        * 255 + 0.5) AS BIGINT) AS g0,
+             CAST(floor((CASE WHEN qhi - qlo > 0
+                              THEN (qty - qlo) / (qhi - qlo) ELSE 0 END)
+                        * 255 + 0.5) AS BIGINT) AS g1,
+             CAST(floor((CASE WHEN phi - plo > 0
+                              THEN (price - plo) / (phi - plo) ELSE 0 END)
+                        * 15 + 0.5) AS BIGINT) AS pfile
+      FROM d, s
+    ),
+    k AS (
+      SELECT price, qty, pfile,
+             (((g0 >> 0) & 1) << 0) + (((g1 >> 0) & 1) << 1) + (((g0 >> 1) & 1) << 2) + (((g1 >> 1) & 1) << 3) + (((g0 >> 2) & 1) << 4) + (((g1 >> 2) & 1) << 5) + (((g0 >> 3) & 1) << 6) + (((g1 >> 3) & 1) << 7) + (((g0 >> 4) & 1) << 8) + (((g1 >> 4) & 1) << 9) + (((g0 >> 5) & 1) << 10) + (((g1 >> 5) & 1) << 11) + (((g0 >> 6) & 1) << 12) + (((g1 >> 6) & 1) << 13) + (((g0 >> 7) & 1) << 14) + (((g1 >> 7) & 1) << 15) AS zkey
+      FROM g
+    ),
+    zbox AS (SELECT zkey // 4096 AS file_id, CAST(count(*) AS BIGINT) AS n_rows,
+                    min(qty) AS qty_lo, max(qty) AS qty_hi
+             FROM k GROUP BY 1),
+    rbox AS (SELECT pfile AS file_id, CAST(count(*) AS BIGINT) AS n_rows,
+                    min(qty) AS qty_lo, max(qty) AS qty_hi
+             FROM k GROUP BY 1),
+    matched AS (SELECT CAST(count(*) AS BIGINT) AS rows_matched
+                FROM d WHERE qty >= 10 AND qty <= 20),
+    summ AS (
+      SELECT 'zorder' AS layout,
+             CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(CASE WHEN qty_hi >= 10 AND qty_lo <= 20
+                           THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+             CAST(sum(CASE WHEN qty_hi >= 10 AND qty_lo <= 20
+                           THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+      FROM zbox
+      UNION ALL
+      SELECT 'price_sort',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN qty_hi >= 10 AND qty_lo <= 20
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN qty_hi >= 10 AND qty_lo <= 20
+                           THEN n_rows ELSE 0 END) AS BIGINT)
+      FROM rbox
+    )
+    SELECT layout, n_files, files_scanned, rows_scanned, rows_matched
+    FROM summ, matched
+    """,
+)
+def layout_zonemap_prune_q(spark, sf_dir):
+    """Zone-map file skipping, and WHY Z-order earns its write cost: the
+    same qty-range predicate is pruned against the per-file min/max boxes
+    of TWO 16-file layouts of lineitem — Z-order over (price, qty)
+    vs a price-only range sort.  The price-sorted files each span the
+    full qty range (files_scanned = n_files: zero skipping on a
+    non-sort column); the Z-order boxes stay narrow in BOTH dims, so most
+    files prove themselves empty from metadata alone.  The decision
+    costs |files|, not |rows| (operators/layout.py:zonemap_prune)."""
+    from .operators import layout
+
+    li = read_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_quantity").cast("double").alias("qty"),
+    )
+    preds = [("qty", 10.0, 20.0)]
+    zbox = layout.zorder_layout(d, ["price", "qty"], bits=8, file_bits=4)
+    rbox = layout.range_layout(d, "price", ["price", "qty"], file_bits=4)
+    matched = d.filter((F.col("qty") >= 10) & (F.col("qty") <= 20)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_matched")
+    )
+    summ = (
+        layout.prune_summary(zbox, preds)
+        .select(F.lit("zorder").alias("layout"), "n_files",
+                "files_scanned", "rows_scanned")
+        .unionByName(
+            layout.prune_summary(rbox, preds)
+            .select(F.lit("price_sort").alias("layout"), "n_files",
+                    "files_scanned", "rows_scanned")
+        )
+    )
+    return summ.crossJoin(F.broadcast(matched)).select(
+        "layout", "n_files", "files_scanned", "rows_scanned", "rows_matched"
+    )

@@ -1049,3 +1049,40 @@ def test_hilbert_key_matches_reference_and_is_locality_preserving(spark):
     assert [d for _, d in by_d] == list(range(n * n))
     for ((x1, y1), _), ((x2, y2), _) in zip(by_d, by_d[1:]):
         assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_zonemap_prune_rule_and_soundness(spark):
+    """A file is scanned iff its box intersects EVERY predicate range;
+    pruning is SOUND (a pruned file contains no matching row) on a
+    layout where file membership is known exactly."""
+    from phenoxtract_spark.operators import layout
+
+    rows = [(i, float(i % 10), float(i // 10)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id bigint, x double, y double")
+    # range layout on x: 4 files, each a narrow x-band spanning all y
+    boxes = layout.range_layout(df, "x", ["x", "y"], file_bits=2)
+    pruned = {r["file_id"]: r for r in
+              layout.zonemap_prune(boxes, [("x", 2.5, 4.5)]).collect()}
+    assert len(pruned) == 4 and any(not r["scanned"] for r in pruned.values())
+    # soundness: recompute each row's file id and check no pruned file
+    # holds a matching row
+    from pyspark.sql import functions as F
+    stats = df.agg(F.min("x").alias("_lo"), F.max("x").alias("_hi"))
+    fid = layout.scale_to_grid(F.col("x"), F.col("_lo"), F.col("_hi"), 2)
+    assigned = df.crossJoin(F.broadcast(stats)).select(
+        "x", fid.alias("file_id")
+    ).collect()
+    for r in assigned:
+        if 2.5 <= r["x"] <= 4.5:
+            assert pruned[r["file_id"]]["scanned"]
+    # conjunction: an impossible second range prunes everything
+    none = layout.zonemap_prune(
+        boxes, [("x", 2.5, 4.5), ("y", 99.0, 100.0)]
+    ).filter("scanned").count()
+    assert none == 0
+    # summary arithmetic
+    s = layout.prune_summary(boxes, [("x", 2.5, 4.5)]).collect()[0]
+    assert s["n_files"] == 4
+    assert s["rows_scanned"] == sum(
+        r["n_rows"] for r in pruned.values() if r["scanned"]
+    )
