@@ -883,3 +883,48 @@ def image_meanpool_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=IMAGE_POOL_SCHEMA)
+
+
+def vad_segments(frame_energy: DataFrame, media_col: str = "media_id",
+                 frame_col: str = "frame_idx",
+                 energy_col: str = "sumsq") -> DataFrame:
+    """Energy-threshold voice-activity detection over a per-frame energy
+    relation (the output of :func:`wav_frame_energy`): a frame is ACTIVE
+    iff its energy exceeds the recording's mean frame energy — computed
+    in exact integer arithmetic as ``energy·n_frames > total_energy``
+    (no float mean, no tie ambiguity) — and consecutive active frames
+    merge into maximal segments via the gaps-and-islands difference of
+    frame index and per-media active rank.
+
+    Plan shape: ONE window pass per media for the stats (the relation is
+    already per-frame, media-partitioned), one more for the island rank,
+    one groupBy for the segments — all partitioned by media id, so the
+    pass distributes over recordings regardless of corpus size.  Returns
+    (media_id, seg_idx, start_frame, end_frame, n_frames, seg_sumsq)."""
+    from pyspark.sql.window import Window
+
+    wm = Window.partitionBy(media_col)
+    stats = frame_energy.select(
+        F.col(media_col).alias("media_id"),
+        F.col(frame_col).cast("bigint").alias("frame_idx"),
+        F.col(energy_col).cast("bigint").alias("e"),
+        F.count(F.lit(1)).over(wm).cast("bigint").alias("_n"),
+        F.sum(energy_col).over(wm).cast("bigint").alias("_tot"),
+    )
+    active = stats.filter(F.col("e") * F.col("_n") > F.col("_tot"))
+    wr = Window.partitionBy("media_id").orderBy("frame_idx")
+    isl = active.withColumn(
+        "_island", F.col("frame_idx") - F.row_number().over(wr)
+    )
+    segs = isl.groupBy("media_id", "_island").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.max("frame_idx").alias("end_frame"),
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum("e").cast("bigint").alias("seg_sumsq"),
+    )
+    ws = Window.partitionBy("media_id").orderBy("start_frame")
+    return segs.select(
+        "media_id",
+        F.row_number().over(ws).cast("bigint").alias("seg_idx"),
+        "start_frame", "end_frame", "n_frames", "seg_sumsq",
+    )

@@ -2797,3 +2797,68 @@ def layout_zonemap_prune_q(spark, sf_dir):
     return summ.crossJoin(F.broadcast(matched)).select(
         "layout", "n_files", "files_scanned", "rows_scanned", "rows_matched"
     )
+
+
+@q(
+    "multimodal_vad_segments",
+    """
+    WITH docs AS (SELECT doc_id, md5(text) AS seed FROM documents),
+    idx AS (SELECT unnest(generate_series(0, 511)) AS i),
+    samp AS (
+      SELECT doc_id, i,
+             ('0x' || substr(md5(seed || '-' || CAST((2 * i) // 16 AS VARCHAR)),
+                             ((2 * i) % 16) * 2 + 1, 2))::BIGINT
+             + 256 * ('0x' || substr(md5(seed || '-' || CAST((2 * i + 1) // 16 AS VARCHAR)),
+                                     ((2 * i + 1) % 16) * 2 + 1, 2))::BIGINT AS u
+      FROM docs, idx
+    ),
+    x AS (SELECT doc_id, i,
+                 CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+          FROM samp),
+    frames AS (
+      SELECT doc_id AS media_id, CAST(i // 64 AS BIGINT) AS frame_idx,
+             CAST(sum(v * v) AS BIGINT) AS e
+      FROM x GROUP BY doc_id, i // 64
+    ),
+    stats AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(e) AS BIGINT) AS tot
+              FROM frames GROUP BY media_id),
+    active AS (
+      SELECT f.media_id, frame_idx, e
+      FROM frames f JOIN stats USING (media_id)
+      WHERE e * n > tot
+    ),
+    isl AS (
+      SELECT *, frame_idx - row_number() OVER (PARTITION BY media_id
+                                               ORDER BY frame_idx) AS island
+      FROM active
+    ),
+    segs AS (
+      SELECT media_id, island,
+             min(frame_idx) AS start_frame, max(frame_idx) AS end_frame,
+             CAST(count(*) AS BIGINT) AS n_frames,
+             CAST(sum(e) AS BIGINT) AS seg_sumsq
+      FROM isl GROUP BY media_id, island
+    )
+    SELECT media_id,
+           CAST(row_number() OVER (PARTITION BY media_id
+                                   ORDER BY start_frame) AS BIGINT) AS seg_idx,
+           start_frame, end_frame, n_frames, seg_sumsq
+    FROM segs
+    """,
+)
+def multimodal_vad_segments_q(spark, sf_dir):
+    """Voice-activity detection over the real WAV path: the encoded
+    PCM16 recordings parse back through the stdlib RIFF decoder, frame
+    into 64-sample windows, and frames louder than the recording's mean
+    energy (exact integer test e·n > total — no float mean) merge into
+    maximal active segments via gaps-and-islands.  All passes partition
+    by recording, so the plan distributes over the corpus.  The oracle
+    recomputes the segments arithmetically from the md5 keystream — a
+    value match proves encode → RIFF parse → framing → thresholding →
+    island merge end to end
+    (operators/multimodal.py:vad_segments)."""
+    d = read_table(spark, sf_dir, "documents")
+    media = multimodal.synthetic_wav_media(d, "doc_id", "text", n_samples=512)
+    frames = multimodal.wav_frame_energy(media, frame_samples=64)
+    return multimodal.vad_segments(frames)

@@ -1086,3 +1086,23 @@ def test_zonemap_prune_rule_and_soundness(spark):
     assert s["rows_scanned"] == sum(
         r["n_rows"] for r in pruned.values() if r["scanned"]
     )
+
+
+def test_vad_segments_islands_and_threshold(spark):
+    """Hand-checked VAD: mean of [10,10,100,100,10,100] is 55; frames
+    2,3,5 are active (strict >), islands merge 2-3 and leave 5 alone;
+    a uniform recording (all == mean) yields NO active frames."""
+    from phenoxtract_spark.operators import multimodal
+
+    rows = [("a", i, e) for i, e in enumerate([10, 10, 100, 100, 10, 100])]
+    rows += [("b", i, 7) for i in range(4)]        # uniform: e*n == tot
+    df = spark.createDataFrame(
+        rows, "media_id string, frame_idx bigint, sumsq bigint"
+    )
+    out = [r.asDict() for r in multimodal.vad_segments(df)
+           .orderBy("media_id", "seg_idx").collect()]
+    assert [r["media_id"] for r in out] == ["a", "a"]
+    assert (out[0]["start_frame"], out[0]["end_frame"],
+            out[0]["n_frames"], out[0]["seg_sumsq"]) == (2, 3, 2, 200)
+    assert (out[1]["start_frame"], out[1]["end_frame"]) == (5, 5)
+    assert out[0]["seg_idx"] == 1 and out[1]["seg_idx"] == 2
