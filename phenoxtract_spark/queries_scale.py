@@ -2862,3 +2862,117 @@ def multimodal_vad_segments_q(spark, sf_dir):
     media = multimodal.synthetic_wav_media(d, "doc_id", "text", n_samples=512)
     frames = multimodal.wav_frame_energy(media, frame_samples=64)
     return multimodal.vad_segments(frames)
+
+
+@q(
+    "web_url_canonical_dedup",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             (CASE WHEN b % 2 = 0 THEN 'http' ELSE 'HTTP' END)
+             || '://'
+             || (CASE WHEN (b // 2) % 2 = 0 THEN 'Site' ELSE 'www.site' END)
+             || CAST(doc_id // 16 AS VARCHAR) || '.Example.com'
+             || (CASE WHEN (b // 4) % 2 = 0 THEN '' ELSE ':80' END)
+             || '/articles/item' || CAST(doc_id % 4 AS VARCHAR)
+             || (CASE WHEN (b // 8) % 2 = 0 THEN '' ELSE '/' END)
+             || (CASE WHEN b % 3 = 0 THEN '?b=2&a=1&utm_source=feed'
+                      WHEN b % 3 = 1 THEN '?a=1&b=2'
+                      ELSE '?b=2&a=1&ref=rss' END)
+             || (CASE WHEN b % 5 = 0 THEN '#sec' ELSE '' END) AS url
+      FROM (SELECT doc_id,
+                   ('0x' || substr(md5('url-v1|' || CAST(doc_id AS VARCHAR)),
+                                   1, 8))::BIGINT % 16 AS b
+            FROM documents)
+    ),
+    a1 AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^\\s*([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+             regexp_replace(
+               regexp_extract(url, '^\\s*[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+               '^[^@]*@', '') AS hostport,
+             regexp_extract(url,
+               '^\\s*[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS pathq
+      FROM raw
+    ),
+    a2 AS (
+      SELECT doc_id, url, scheme,
+             regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
+                            '^www\\.', '') AS host,
+             regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+             regexp_extract(pathq, '^([^?]*)', 1) AS path,
+             regexp_extract(pathq, '\\?(.*)$', 1) AS query
+      FROM a1
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             scheme || '://' || host
+             || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                        OR (scheme = 'https' AND port = '443')
+                      THEN '' ELSE ':' || port END)
+             || (CASE WHEN regexp_replace(path, '/+$', '') = ''
+                      THEN '/' ELSE regexp_replace(path, '/+$', '') END)
+             || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canon_url
+      FROM (
+        SELECT *, array_to_string(list_sort(list_filter(
+                 string_split(query, '&'),
+                 s -> s != '' AND NOT regexp_matches(
+                   s, '^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=.*)?$')
+               )), '&') AS q
+        FROM a2
+      )
+    )
+    SELECT canon_url,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms,
+           min(doc_id) AS keep_id
+    FROM canon GROUP BY canon_url
+    """,
+)
+def web_url_canonical_dedup_q(spark, sf_dir):
+    """Crawl-level URL dedup (functions/urls.py:canonicalize_url): a
+    deterministic messy-URL synthesis (case-varied scheme/host, www
+    prefixes, default ports, unsorted query strings, utm/ref trackers,
+    trailing slashes, fragments — 16 md5-bucketed surface variants over
+    4 docs per page) collapses to one canonical form per page with
+    count + distinct-raw-form + keep-id per group.  Canonicalization is
+    one codegen'd expression tree, so it runs at scan speed and dedup is
+    the one md5-free groupBy; the oracle replays every rule in SQL."""
+    from .functions import urls
+
+    d = read_table(spark, sf_dir, "documents")
+    b = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", F.lit("url-v1"),
+                                             F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") % 16
+    )
+    url = F.concat(
+        F.when(b % 2 == 0, F.lit("http")).otherwise(F.lit("HTTP")),
+        F.lit("://"),
+        F.when((b / 2).cast("bigint") % 2 == 0, F.lit("Site"))
+        .otherwise(F.lit("www.site")),
+        (F.col("doc_id") / 16).cast("bigint").cast("string"),
+        F.lit(".Example.com"),
+        F.when((b / 4).cast("bigint") % 2 == 0, F.lit("")).otherwise(F.lit(":80")),
+        F.lit("/articles/item"),
+        (F.col("doc_id") % 4).cast("string"),
+        F.when((b / 8).cast("bigint") % 2 == 0, F.lit("")).otherwise(F.lit("/")),
+        F.when(b % 3 == 0, F.lit("?b=2&a=1&utm_source=feed"))
+        .when(b % 3 == 1, F.lit("?a=1&b=2"))
+        .otherwise(F.lit("?b=2&a=1&ref=rss")),
+        F.when(b % 5 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    raw = d.select("doc_id", url.alias("url"))
+    return (
+        raw.select(
+            "doc_id", "url",
+            urls.canonicalize_url(F.col("url")).alias("canon_url"),
+        )
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("url").cast("bigint").alias("n_raw_forms"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )

@@ -1106,3 +1106,30 @@ def test_vad_segments_islands_and_threshold(spark):
             out[0]["n_frames"], out[0]["seg_sumsq"]) == (2, 3, 2, 200)
     assert (out[1]["start_frame"], out[1]["end_frame"]) == (5, 5)
     assert out[0]["seg_idx"] == 1 and out[1]["seg_idx"] == 2
+
+
+def test_canonicalize_url_rules(spark):
+    """Each rule in functions/urls.py, hand-checked: case, www, userinfo,
+    default vs non-default port, tracker strip, param sort, trailing
+    slash, empty path, fragment."""
+    from pyspark.sql import functions as F
+    from phenoxtract_spark.functions import urls
+
+    cases = [
+        ("HTTP://WWW.Ex.COM/A/", "http://ex.com/A"),          # case kept in path
+        ("http://ex.com", "http://ex.com/"),                  # empty path -> /
+        ("http://ex.com:80/x", "http://ex.com/x"),            # default port
+        ("https://ex.com:443/x", "https://ex.com/x"),
+        ("https://ex.com:8443/x", "https://ex.com:8443/x"),   # kept
+        ("http://u:p@ex.com/x", "http://ex.com/x"),           # userinfo
+        ("http://ex.com/x#frag", "http://ex.com/x"),          # fragment
+        ("http://ex.com/x?utm_source=a&b=2&a=1&gclid=z",
+         "http://ex.com/x?a=1&b=2"),                          # trackers + sort
+        ("http://ex.com/x?utm_source=a", "http://ex.com/x"),  # all stripped
+        ("http://ex.com/x/?ref=rss", "http://ex.com/x"),      # slash + ref
+        ("http://ex.com/x?refresh=1", "http://ex.com/x?refresh=1"),  # not 'ref'
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in
+           df.select(urls.canonicalize_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
