@@ -863,3 +863,70 @@ def dsir_select(df: DataFrame, id_col: str, text_col: str, target_pred,
     top = scored.orderBy(F.col("logw").desc(), F.col("id").asc()).limit(k)
     w = Window.orderBy(F.col("logw").desc(), F.col("id").asc())
     return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def pareto_frontier_2d(df: DataFrame, id_col: str, max_col: str,
+                       min_col: str, bits: int = 8) -> DataFrame:
+    """Exact 2-D Pareto frontier (skyline): keep every row NOT dominated
+    — no other row with ``max_col`` >= it AND ``min_col`` <= it, strict
+    in at least one.  The data-selection question "which documents give
+    the most quality for the least cost" with no scalarization weights.
+    Ties on BOTH axes all survive (the classic skyline contract).
+
+    Scale design — the textbook running-min over a global quality order
+    would be ONE task over n rows.  Instead the global-order recurrence
+    is decomposed into three bounded pieces:
+
+    1. group to per-distinct-``max_col`` minima (|distinct q| rows);
+    2. bucket those onto a ``2^bits`` grid; the ACROSS-bucket running
+       min runs on the 2^bits-row bucket relation (trivially one task);
+    3. the WITHIN-bucket running min is a window partitioned by bucket —
+       distributed across buckets, each a |distinct q|/2^bits slice.
+
+    A row is dominated iff the min cost among STRICTLY higher q (the
+    least of pieces 2+3) is <= its cost, or its q-group's own min is
+    strictly below.  All comparisons on exact stored values — the grid
+    only routes the recurrence, never decides dominance.  Returns the
+    surviving (id, max_col, min_col) rows."""
+    from pyspark.sql.window import Window
+
+    from .layout import scale_to_grid
+
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.col(max_col).cast("double").alias("q"),
+        F.col(min_col).cast("double").alias("c"),
+    ).filter(F.col("q").isNotNull() & F.col("c").isNotNull())
+    per_q = d.groupBy("q").agg(F.min("c").alias("mq"))
+    stats = per_q.agg(F.min("q").alias("_lo"), F.max("q").alias("_hi"))
+    bq = per_q.crossJoin(F.broadcast(stats)).select(
+        "q", "mq",
+        scale_to_grid(F.col("q"), F.col("_lo"), F.col("_hi"), bits).alias("_b"),
+    )
+    bmins = bq.groupBy("_b").agg(F.min("mq").alias("_bm"))
+    wb = Window.orderBy(F.col("_b").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # 2^bits rows: the single-task window is on the TINY relation only
+    bprev = bmins.withColumn("_hb", F.min("_bm").over(wb)).select("_b", "_hb")
+    ww = Window.partitionBy("_b").orderBy(F.col("q").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = (
+        bq.join(F.broadcast(bprev), "_b")
+        .withColumn("_hw", F.min("mq").over(ww))
+        .select(
+            "q", "mq",
+            F.least("_hb", "_hw").alias("_mc_strict"),  # least skips nulls
+        )
+    )
+    joined = d.join(ranked, "q")
+    dominated = (
+        F.coalesce(F.col("_mc_strict") <= F.col("c"), F.lit(False))
+        | (F.col("mq") < F.col("c"))
+    )
+    return joined.filter(~dominated).select(
+        F.col("id").alias(id_col),
+        F.col("q").alias(max_col),
+        F.col("c").alias(min_col),
+    )

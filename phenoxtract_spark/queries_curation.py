@@ -1588,3 +1588,54 @@ def gopher_rules_q(spark, sf_dir):
 
     d = read_table(spark, sf_dir, "documents")
     return textanalysis.gopher_rules(d, "doc_id", "text")
+
+
+@q(
+    "curation_pareto_frontier",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, t.tok FROM (
+        SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+      ) t WHERE t.tok != ''
+    ),
+    m AS (
+      SELECT doc_id,
+             round(CAST(count(DISTINCT tok) AS DOUBLE) / count(*), 6) AS richness,
+             CAST(count(*) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.richness, d.n_tokens
+    FROM m d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM m o
+      WHERE (o.richness > d.richness AND o.n_tokens <= d.n_tokens)
+         OR (o.richness = d.richness AND o.n_tokens < d.n_tokens)
+    )
+    """,
+)
+def curation_pareto_frontier_q(spark, sf_dir):
+    """Pareto-optimal document selection: the exact skyline over
+    (vocabulary richness ↑, token count ↓) — docs no other doc beats on
+    both axes, i.e. the selection no scalarization weighting would ever
+    skip (richness and length are strongly anti-correlated in the
+    corpus, so the frontier is a real curve, not one point).  The Spark
+    plan decomposes the global-order running-min into
+    per-distinct-quality minima, a 256-row across-bucket recurrence, and
+    a within-bucket window, so no stage ever sees a single-task global
+    sort over the data; the oracle states dominance directly as
+    NOT EXISTS, proving the decomposition exact
+    (operators/curation.py:pareto_frontier_2d)."""
+    from .operators import textanalysis
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = textanalysis.tokens_long(d, "doc_id", "text")
+    m = toks.groupBy(F.col("id").alias("doc_id")).agg(
+        F.round(
+            F.countDistinct("tok").cast("double") / F.count(F.lit(1)), 6
+        ).alias("richness"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+    )
+    out = curation.pareto_frontier_2d(m, "doc_id", "richness", "n_tokens")
+    # the operator compares in double; restore the cost column's integer
+    # type (exact — the values are integral) so both engines render alike
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("bigint"))

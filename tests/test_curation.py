@@ -456,3 +456,29 @@ def test_gopher_rules_fire_on_crafted_documents(spark):
     assert out[3].symbol_ratio > 0.1 and not out[3].pass_gopher
     assert out[4].n_words < 50 and not out[4].pass_gopher
     assert out[1].stop_hits >= 2
+
+
+def test_pareto_frontier_2d_matches_bruteforce(spark):
+    """The bucket-recurrence skyline equals quadratic dominance checking,
+    on data with q-ties, c-ties, full (q,c) duplicates, and a point that
+    straddles bucket boundaries."""
+    import random
+
+    from phenoxtract_spark.operators import curation
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 20) / 4.0, float(rng.randint(0, 30)))
+            for i in range(200)]
+    rows += [(200, 5.0, 0.0), (201, 5.0, 0.0)]     # duplicate optimum: both kept
+    df = spark.createDataFrame(rows, "id bigint, q double, c double")
+    got = {r["id"] for r in
+           curation.pareto_frontier_2d(df, "id", "q", "c").collect()}
+    want = {
+        i for i, qi, ci in rows
+        if not any(
+            (qo > qi and co <= ci) or (qo == qi and co < ci)
+            for j, qo, co in rows if j != i
+        )
+    }
+    assert got == want
+    assert {200, 201} <= got
