@@ -123,3 +123,38 @@ def table_diff(left: DataFrame, right: DataFrame, key_cols: list[str],
         .cast("bigint")
         .alias("n_changed_cols"),
     )
+
+
+def group_digest(df: DataFrame, group_col: str,
+                 payload: list[Column | str],
+                 sep: str = "\x1f") -> DataFrame:
+    """Order-independent per-group content digest — the anti-entropy
+    primitive for comparing two copies of a table (replica vs primary,
+    pre- vs post-migration) WITHOUT sorting or shipping rows: each row
+    hashes to a 60-bit integer (md5 of the separator-joined payload
+    rendering) and a group's digest is the XOR of its row hashes plus
+    the row count and a 32-bit hash sum.  XOR is commutative/associative
+    with no overflow, so the digest is independent of row order,
+    partitioning, and merge tree — two copies agree iff their
+    (digest, n_rows, sum32) triples agree per group, and a mismatch
+    localizes to the group.  XOR alone cancels rows duplicated an even
+    number of times; the count and the bounded sum (2^32·n < 2^63 for
+    any realistic group) are the standard hardening.  Callers must
+    render NON-AMBIGUOUS payload strings (e.g. integer cents, not
+    floats) — the digest is only as engine-stable as its rendering.
+    One groupBy; map-side partial aggregation applies."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in payload]
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(sep, *[c.cast("string") for c in cols])),
+                    1, 15),
+        16, 10,
+    ).cast("bigint")
+    return (
+        df.select(F.col(group_col), h.alias("_h"))
+        .groupBy(group_col)
+        .agg(
+            F.bit_xor("_h").alias("digest"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("_h") % F.lit(4294967296)).cast("bigint").alias("sum32"),
+        )
+    )

@@ -1639,3 +1639,40 @@ def curation_pareto_frontier_q(spark, sf_dir):
     # the operator compares in double; restore the cost column's integer
     # type (exact — the values are integral) so both engines render alike
     return out.withColumn("n_tokens", F.col("n_tokens").cast("bigint"))
+
+
+@q(
+    "quality_group_digest",
+    """
+    WITH r AS (
+      SELECT c_nationkey,
+             ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || chr(31)
+                                 || c_name || chr(31)
+                                 || CAST(CAST(round(c_acctbal * 100, 0) AS BIGINT)
+                                         AS VARCHAR)),
+                             1, 15))::BIGINT AS h
+      FROM customer
+    )
+    SELECT c_nationkey,
+           bit_xor(h) AS digest,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h % 4294967296) AS BIGINT) AS sum32
+    FROM r GROUP BY c_nationkey
+    """,
+)
+def quality_group_digest_q(spark, sf_dir):
+    """Anti-entropy table digest (operators/quality.py:group_digest):
+    per-nation XOR-of-row-hashes + count + 32-bit hash sum over
+    customer, with the acctbal rendered as integer CENTS so the row
+    string is engine-unambiguous.  Two table copies agree iff these
+    triples agree per group — no sort, no row shipping, one map-side-
+    combinable groupBy; a mismatch localizes to the nation.  The oracle
+    recomputes the same digest independently, which is itself the
+    two-engine agreement the operator exists to check."""
+    from .operators import quality
+
+    c = read_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    return quality.group_digest(
+        c, "c_nationkey", [F.col("c_custkey"), F.col("c_name"), cents]
+    )

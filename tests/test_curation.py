@@ -482,3 +482,30 @@ def test_pareto_frontier_2d_matches_bruteforce(spark):
     }
     assert got == want
     assert {200, 201} <= got
+
+
+def test_group_digest_order_invariant_and_sensitive(spark):
+    """Digest is invariant to row order and partitioning; any single-cell
+    change flips it; an even-duplicated row slips past XOR but is caught
+    by n_rows/sum32 (the documented hardening)."""
+    from pyspark.sql import functions as F
+    from phenoxtract_spark.operators import quality
+
+    rows = [("g", i, f"n{i}", i * 10) for i in range(8)]
+    a = spark.createDataFrame(rows, "g string, k bigint, name string, v bigint")
+    b = spark.createDataFrame(rows[::-1], "g string, k bigint, name string, v bigint").repartition(7)
+    dig = lambda df: quality.group_digest(
+        df, "g", ["k", "name", "v"]).collect()[0]
+    da, db = dig(a), dig(b)
+    assert (da["digest"], da["n_rows"], da["sum32"]) == (
+        db["digest"], db["n_rows"], db["sum32"])
+    # one changed cell -> digest differs
+    c = spark.createDataFrame(
+        rows[:-1] + [("g", 7, "n7", 71)], "g string, k bigint, name string, v bigint")
+    assert dig(c)["digest"] != da["digest"]
+    # a row duplicated twice XOR-cancels, but count and sum32 catch it
+    d = spark.createDataFrame(
+        rows + [rows[0], rows[0]], "g string, k bigint, name string, v bigint")
+    dd = dig(d)
+    assert dd["digest"] == da["digest"]
+    assert dd["n_rows"] != da["n_rows"] and dd["sum32"] != da["sum32"]
