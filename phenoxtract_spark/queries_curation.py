@@ -1676,3 +1676,47 @@ def quality_group_digest_q(spark, sf_dir):
     return quality.group_digest(
         c, "c_nationkey", [F.col("c_custkey"), F.col("c_name"), cents]
     )
+
+
+@q(
+    "curation_shrunk_source_quality",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, t.tok FROM (
+        SELECT doc_id, source, unnest(string_split({_NORM}, ' ')) AS tok
+        FROM documents
+      ) t WHERE t.tok != ''
+    ),
+    m AS (
+      SELECT doc_id, source,
+             CAST(count(DISTINCT tok) AS DOUBLE) / count(*) AS richness
+      FROM toks GROUP BY doc_id, source
+    ),
+    g AS (SELECT sum(richness) / count(*) AS gm FROM m)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(richness) / count(*), 6) AS raw_mean,
+           round((20.0 * gm + sum(richness)) / (20.0 + count(*)), 6)
+             AS shrunk_mean
+    FROM m, g GROUP BY source, gm
+    """,
+)
+def curation_shrunk_source_quality_q(spark, sf_dir):
+    """Per-source quality ranking with empirical-Bayes shrinkage
+    (operators/curation.py:shrunk_group_means): each source's mean
+    vocabulary richness is pulled toward the corpus mean with prior
+    weight 20, so small sources can't top the ranking on luck — the
+    correction a 100 TB curation recipe needs before weighting sources
+    by measured quality.  One doc-level aggregate, one group aggregate,
+    one broadcast 1-row global mean."""
+    from .operators import textanalysis
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = textanalysis.tokens_long(d, "doc_id", "text").join(
+        d.select(F.col("doc_id").alias("id"), "source"), "id"
+    )
+    m = toks.groupBy("id", "source").agg(
+        (F.countDistinct("tok").cast("double") / F.count(F.lit(1)))
+        .alias("richness")
+    )
+    return curation.shrunk_group_means(m, "source", "richness", 20.0)

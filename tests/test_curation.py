@@ -509,3 +509,23 @@ def test_group_digest_order_invariant_and_sensitive(spark):
     dd = dig(d)
     assert dd["digest"] == da["digest"]
     assert dd["n_rows"] != da["n_rows"] and dd["sum32"] != da["sum32"]
+
+
+def test_shrunk_group_means_pulls_small_groups(spark):
+    """A 2-row group with extreme scores lands near the prior; a 1000-row
+    group keeps (almost) its raw mean; shrunk is always strictly between
+    raw mean and global mean (when they differ)."""
+    from phenoxtract_spark.operators import curation
+
+    rows = [("small", 1.0)] * 2 + [("big", 0.4)] * 500 + [("big", 0.6)] * 500
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in
+           curation.shrunk_group_means(df, "g", "v", 20.0).collect()}
+    gm = (2 * 1.0 + 500 * 0.4 + 500 * 0.6) / 1002
+    assert out["small"]["raw_mean"] == 1.0
+    # k=20 vs n=2: shrunk sits much nearer the prior than the raw mean
+    assert abs(out["small"]["shrunk_mean"] - gm) < 0.15
+    assert abs(out["big"]["shrunk_mean"] - out["big"]["raw_mean"]) < 0.001
+    for g in ("small", "big"):
+        lo, hi = sorted((out[g]["raw_mean"], round(gm, 6)))
+        assert lo <= out[g]["shrunk_mean"] <= hi
