@@ -222,3 +222,41 @@ def followed_within(events: DataFrame, first_type: str, then_type: str,
             F.col("_next").alias("matched_us"),
         )
     )
+
+
+def trailing_ewma(df: DataFrame, part_col: str, order_cols: list[str],
+                  value_col: str, window_rows: int = 8, alpha: float = 0.3,
+                  round_dp: int = 6) -> DataFrame:
+    """Per-entity trailing exponentially-weighted moving average over the
+    last ``window_rows`` events — the smoothing a feature pipeline
+    applies to noisy per-user signals before training or alerting.
+    Weights are (1-α)^j for lag j, normalized over the finite window:
+    both the numerator and the weight mass come from the SAME fold-left
+    recurrence acc = acc·(1-α) + x, so the arithmetic is one
+    deterministic pass per row (and replays exactly engine-to-engine —
+    DuckDB's list_reduce folds in the identical order).
+
+    Plan shape: one window (partition by entity, bounded rows frame)
+    collecting the trailing values, one codegen'd ``F.aggregate`` fold —
+    no self-join, no explode, state bounded by ``window_rows``
+    regardless of history length.  Returns the ordering/entity columns
+    plus ``ewma``."""
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-(int(window_rows) - 1), 0)
+    )
+    decay = 1.0 - float(alpha)
+    trail = df.withColumn(
+        "_l", F.collect_list(F.col(value_col).cast("double")).over(w)
+    )
+    num = F.aggregate(
+        F.col("_l"), F.lit(0.0), lambda a, x: a * F.lit(decay) + x
+    )
+    den = F.aggregate(
+        F.col("_l"), F.lit(0.0), lambda a, x: a * F.lit(decay) + F.lit(1.0)
+    )
+    return trail.select(
+        part_col, *order_cols,
+        F.round(num / den, round_dp).alias("ewma"),
+    )

@@ -841,3 +841,40 @@ def events_purchase_intervals(spark, sf_dir):
         F.round(F.percentile(h, F.lit(0.9)), 4).alias("p90_hours"),
         F.round(F.max("gap_us") / 3_600_000_000.0, 4).alias("max_hours"),
     )
+
+
+@q(
+    "events_trailing_ewma",
+    """
+    WITH w AS (
+      SELECT user_id, ts, event_id,
+             list(CAST(value AS DOUBLE))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS l
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id, ts, event_id,
+           round(list_reduce(l, (a, x) -> a * CAST(0.7 AS DOUBLE) + x)
+                 / list_reduce(list_transform(l, x -> CAST(1.0 AS DOUBLE)),
+                               (a, x) -> a * CAST(0.7 AS DOUBLE) + x),
+                 6) AS ewma
+    FROM w
+    """,
+)
+def events_trailing_ewma_q(spark, sf_dir):
+    """Per-user trailing EWMA (α=0.3, last 8 events) over event values
+    (operators/behavior.py:trailing_ewma): numerator and weight mass come
+    from the SAME fold-left recurrence acc·(1-α)+x, one bounded-frame
+    window + one codegen'd F.aggregate fold — no self-join, state
+    bounded by the window regardless of history.  DuckDB's list_reduce
+    folds in the identical order, so the doubles match bit-for-bit
+    before the 6-dp round.  Null values are filtered on both sides (the
+    engines disagree on nulls-in-list semantics; the contract is
+    non-null input)."""
+    from .operators import behavior
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    out = behavior.trailing_ewma(
+        ev, "user_id", ["ts", "event_id"], "value", window_rows=8, alpha=0.3
+    )
+    return out.select("user_id", "ts", "event_id", "ewma")

@@ -328,3 +328,24 @@ def test_hierarchy_resolve_doubling(spark):
         1: (1, 1), 11: (1, 2), 111: (1, 3), 1111: (1, 4),
         2: (2, 1), 21: (2, 2), 3: (3, 1),
     }
+
+
+def test_trailing_ewma_hand_computed(spark):
+    """Finite-window normalized EWMA, hand-checked: with alpha=0.5 over
+    values [1, 2, 4]: row1 = 1; row2 = (1*0.5 + 2)/(0.5 + 1) = 5/3;
+    row3 = (1*0.25 + 2*0.5 + 4)/(0.25 + 0.5 + 1) = 3; a window of 2
+    rows drops the oldest term (row3 = (2*0.5 + 4)/1.5 = 10/3)."""
+    from phenoxtract_spark.operators import behavior
+
+    df = spark.createDataFrame(
+        [("u", 1, 1.0), ("u", 2, 2.0), ("u", 3, 4.0)],
+        "uid string, seq bigint, v double",
+    )
+    got = {r["seq"]: r["ewma"] for r in behavior.trailing_ewma(
+        df, "uid", ["seq"], "v", window_rows=8, alpha=0.5).collect()}
+    assert got[1] == 1.0
+    assert got[2] == round(5 / 3, 6)
+    assert got[3] == round((0.25 + 1.0 + 4.0) / 1.75, 6)
+    got2 = {r["seq"]: r["ewma"] for r in behavior.trailing_ewma(
+        df, "uid", ["seq"], "v", window_rows=2, alpha=0.5).collect()}
+    assert got2[3] == round(10 / 3, 6)
