@@ -163,6 +163,24 @@ SF1_PROBE = [
     "layout_hilbert_files",
     "curation_cluster_balanced_sample",
     "curation_gopher_rules",
+    # round-6 continuation 2: IVM maintains from |changes| not |table|
+    # (the ratio tracks the change stream); time-travel is the same
+    # window+join as cdc_apply; hybrid RRF's legs are the corpus-scale
+    # work (fusion is leg-sized); zone-map pruning is two scans + two
+    # coarse groupBys; VAD extends the linear codec family; URL dedup is
+    # one expression pass + one groupBy; the Pareto frontier's bucket
+    # recurrence must stay flat as distinct-quality count grows; the
+    # digest and EWMA are single-window/groupBy passes
+    "cdc_incremental_agg",
+    "cdc_time_travel",
+    "similarity_hybrid_rrf",
+    "layout_zonemap_prune",
+    "multimodal_vad_segments",
+    "web_url_canonical_dedup",
+    "curation_pareto_frontier",
+    "quality_group_digest",
+    "curation_shrunk_source_quality",
+    "events_trailing_ewma",
 ]
 
 # r5 (verdict #7b/#4): the heaviest sf1 queries get TWO reps and report the
