@@ -830,3 +830,54 @@ def rrf_fuse(rankings: list[DataFrame], k0: int = 60, topk: int = 10,
         fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= topk)
     )
+
+
+def topk_ndcg(exact: DataFrame, approx: DataFrame, k: int,
+              round_dp: int = 6) -> DataFrame:
+    """nDCG@k of an approximate ranking against the exact one, with the
+    exact neighbors' (rounded) cosine as graded relevance — the metric
+    that, unlike recall@k, penalizes an index for returning the right
+    set in the wrong order.  Gains for pairs outside the exact top-k are
+    0 (the truncated-gain convention: relevance is only known where the
+    exact ranking computed it); callers should use score spaces where
+    top-k gains are positive so the ratio is well-behaved.
+
+    Determinism: the discount 1/log2(rank+1) is NOT evaluated by each
+    engine's libm (last-ulp log2 differences would leak through the
+    sum) — it comes from a k-row literal dim computed once in Python,
+    broadcast here and embedded verbatim in the oracle SQL, so both
+    engines multiply bitwise-identical doubles.  Both inputs are top-k
+    relations, so every join and aggregate is k·|queries|-sized.
+    Returns (query_id, dcg, idcg, ndcg_at_k)."""
+    import math
+
+    spark = exact.sparkSession
+    disc = spark.createDataFrame(
+        [(r, 1.0 / math.log2(r + 1)) for r in range(1, int(k) + 1)],
+        "rank bigint, _disc double",
+    )
+    rel = exact.select(
+        "query_id", "neighbor_id",
+        F.col("cos").alias("_rel"), F.col("rank").alias("rank"),
+    )
+    idcg = (
+        rel.join(F.broadcast(disc), "rank")
+        .groupBy("query_id")
+        .agg(F.sum(F.col("_rel") * F.col("_disc")).alias("idcg"))
+    )
+    dcg = (
+        approx.select("query_id", "neighbor_id", "rank")
+        .join(F.broadcast(disc), "rank")
+        .join(rel.select("query_id", "neighbor_id", "_rel"),
+              ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.sum(F.col("_rel") * F.col("_disc")).alias("dcg"))
+    )
+    return idcg.join(dcg, "query_id", "left").select(
+        "query_id",
+        F.round(F.coalesce(F.col("dcg"), F.lit(0.0)), round_dp).alias("dcg"),
+        F.round(F.col("idcg"), round_dp).alias("idcg"),
+        F.round(
+            F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"), round_dp
+        ).alias("ndcg_at_k"),
+    )

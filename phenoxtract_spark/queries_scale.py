@@ -2976,3 +2976,106 @@ def web_url_canonical_dedup_q(spark, sf_dir):
             F.min("doc_id").alias("keep_id"),
         )
     )
+
+
+_DISC5 = "(1, 1.0), (2, 0.6309297535714575), (3, 0.5), (4, 0.43067655807339306), (5, 0.38685280723454163)"
+
+
+@q(
+    "similarity_ann_ndcg",
+    f"""
+    WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+    vx AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, idx),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM vx GROUP BY vec_id),
+    bdots AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             round(sum(q.x * n.x) / (nq.nrm * nv.nrm), 6) AS cos
+      FROM vx q
+      JOIN vx n ON n.i = q.i AND n.vec_id != q.vec_id
+      JOIN norms nq ON nq.vec_id = q.vec_id
+      JOIN norms nv ON nv.vec_id = n.vec_id
+      WHERE q.vec_id < 5
+      GROUP BY q.vec_id, n.vec_id, nq.nrm, nv.nrm
+    ),
+    btopr AS (
+      SELECT query_id, neighbor_id, cos, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+        FROM bdots) WHERE rank <= 5
+    ),
+    cen AS (SELECT vec_id AS cid FROM embeddings
+            WHERE vec_id % (SELECT greatest(61, CAST(floor(sqrt(count(*))) AS BIGINT))
+                            FROM embeddings) = 0),
+    adots AS (
+      SELECT v.vec_id AS id, c.cid,
+             round(sum(v.x * cv.x) / (nv.nrm * nc.nrm), 6) AS cos
+      FROM vx v
+      JOIN cen c ON true
+      JOIN vx cv ON cv.vec_id = c.cid AND cv.i = v.i
+      JOIN norms nv ON nv.vec_id = v.vec_id
+      JOIN norms nc ON nc.vec_id = c.cid
+      GROUP BY v.vec_id, c.cid, nv.nrm, nc.nrm
+    ),
+    assign AS (
+      SELECT id, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid) AS rn
+        FROM adots) WHERE rn = 1
+    ),
+    pair AS (
+      SELECT q.id AS query_id, n.id AS neighbor_id
+      FROM assign q JOIN assign n ON q.cid = n.cid
+      WHERE q.id < 5 AND n.id != q.id
+    ),
+    pdots AS (
+      SELECT p.query_id, p.neighbor_id,
+             round(sum(a.x * b.x) / (na.nrm * nb.nrm), 6) AS cos
+      FROM pair p
+      JOIN vx a ON a.vec_id = p.query_id
+      JOIN vx b ON b.vec_id = p.neighbor_id AND b.i = a.i
+      JOIN norms na ON na.vec_id = p.query_id
+      JOIN norms nb ON nb.vec_id = p.neighbor_id
+      GROUP BY p.query_id, p.neighbor_id, na.nrm, nb.nrm
+    ),
+    atopr AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+        FROM pdots) WHERE rank <= 5
+    ),
+    disc AS (SELECT * FROM (VALUES {_DISC5}) t(rank, d)),
+    idcg AS (
+      SELECT query_id, sum(cos * d) AS idcg
+      FROM btopr JOIN disc USING (rank) GROUP BY query_id
+    ),
+    dcgt AS (
+      SELECT a.query_id, sum(b.cos * d) AS dcg
+      FROM atopr a
+      JOIN disc ON disc.rank = a.rank
+      JOIN btopr b ON b.query_id = a.query_id
+         AND b.neighbor_id = a.neighbor_id
+      GROUP BY a.query_id
+    )
+    SELECT i.query_id,
+           round(coalesce(dcg, 0.0), 6) AS dcg,
+           round(idcg, 6) AS idcg,
+           round(coalesce(dcg, 0.0) / idcg, 6) AS ndcg_at_k
+    FROM idcg i LEFT JOIN dcgt ON dcgt.query_id = i.query_id
+    """,
+)
+def sim_ann_ndcg(spark, sf_dir):
+    """nDCG@5 of the IVF index against exact brute force, with the exact
+    cosines as graded relevance — the order-sensitive companion to
+    similarity_ann_recall (an index returning the right 5 docs reversed
+    keeps recall 1.0 but loses nDCG).  The 1/log2(rank+1) discounts are
+    a 5-row Python-computed literal dim embedded verbatim in BOTH plans,
+    so no engine's libm log2 enters the comparison
+    (operators/similarity.py:topk_ndcg)."""
+    import math
+
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    stride = max(61, int(math.isqrt(e.count())))
+    centroids = e.filter(F.col("vec_id") % stride == 0)
+    exact = similarity.brute_force_topk(e, queries, k=5)
+    approx = similarity.ivf_topk(e, queries, centroids, k=5)
+    return similarity.topk_ndcg(exact, approx, k=5)

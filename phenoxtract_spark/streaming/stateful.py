@@ -275,3 +275,71 @@ def pattern_match_stream(events: DataFrame, first_type: str, then_type: str,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming content dedup (first-seen wins)
+# ---------------------------------------------------------------------------
+
+DEDUP_SCHEMA = T.StructType(
+    [
+        T.StructField("digest", T.StringType()),
+        T.StructField("keep_id", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+_DEDUP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("keep_id", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def dedup_first_seen_stream(docs: DataFrame) -> DataFrame:
+    """Streaming exact content dedup over a (doc_id, digest) stream:
+    per content digest, keep the FIRST document ever seen and count
+    every arrival — the ingestion-time dedup that stops duplicate
+    content from ever landing in the corpus, with state bounded by
+    |distinct content|, not |arrivals|.
+
+    Determinism contract: arrival order WITHIN a micro-batch is
+    partition-dependent, so within a batch "first" means min doc_id;
+    across batches the earlier batch always wins (GroupState folds in
+    trigger order).  Feed batches in id order and the result equals the
+    batch groupBy (the parity the test pins).  Emit mode: update — each
+    digest re-emits its (keep_id, n_seen) row whenever a batch touches
+    it."""
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd  # worker-side import
+
+        (digest,) = key
+        keep, n = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            if len(pdf):
+                bmin = int(pdf["doc_id"].min())
+                keep = bmin if keep is None else min(keep, bmin)
+                n += len(pdf)
+        state.update((keep, n))
+        yield pd.DataFrame(
+            {"digest": [digest], "keep_id": [keep], "n_seen": [n]}
+        )
+
+    return docs.groupBy("digest").applyInPandasWithState(
+        update,
+        outputStructType=DEDUP_SCHEMA,
+        stateStructType=_DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def dedup_first_seen_batch(docs: DataFrame) -> DataFrame:
+    """Batch-equivalent semantics: one groupBy over all arrivals."""
+    from pyspark.sql import functions as F
+
+    return docs.groupBy("digest").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_seen"),
+    )

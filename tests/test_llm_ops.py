@@ -462,3 +462,37 @@ def test_token_jaccard_topk_tiny(spark):
     assert round(out[2]["jaccard"], 6) == 0.25      # {a} / {a,b,c,x}
     assert 3 not in out                             # no shared token
     assert out[1]["rank"] == 1 and out[2]["rank"] == 2
+
+
+def test_topk_ndcg_order_sensitivity(spark):
+    """nDCG = 1 when approx matches exact order; REVERSING the same set
+    drops nDCG below 1 while recall@k would stay 1; a miss costs more
+    at rank 1 than at rank k."""
+    import math
+
+    from phenoxtract_spark.operators import similarity
+
+    exact = spark.createDataFrame(
+        [(0, 10, 0.9, 1), (0, 11, 0.8, 2), (0, 12, 0.7, 3)],
+        "query_id bigint, neighbor_id bigint, cos double, rank bigint",
+    )
+    same = similarity.topk_ndcg(exact, exact, k=3).collect()[0]
+    assert same["ndcg_at_k"] == 1.0
+    rev = spark.createDataFrame(
+        [(0, 12, 1), (0, 11, 2), (0, 10, 3)],
+        "query_id bigint, neighbor_id bigint, rank bigint",
+    )
+    r = similarity.topk_ndcg(exact, rev, k=3).collect()[0]
+    d = [1.0 / math.log2(i + 1) for i in (1, 2, 3)]
+    want = (0.7 * d[0] + 0.8 * d[1] + 0.9 * d[2]) / (
+        0.9 * d[0] + 0.8 * d[1] + 0.7 * d[2]
+    )
+    assert r["ndcg_at_k"] == round(want, 6) < 1.0
+    # unknown neighbor (outside exact top-k) contributes zero gain
+    miss_top = spark.createDataFrame(
+        [(0, 99, 1), (0, 10, 2), (0, 11, 3)],
+        "query_id bigint, neighbor_id bigint, rank bigint",
+    )
+    m = similarity.topk_ndcg(exact, miss_top, k=3).collect()[0]
+    want_m = (0.9 * d[1] + 0.8 * d[2]) / (0.9 * d[0] + 0.8 * d[1] + 0.7 * d[2])
+    assert m["ndcg_at_k"] == round(want_m, 6)

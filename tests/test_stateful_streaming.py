@@ -351,3 +351,54 @@ def test_hll_registers_stream_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_dedup_first_seen_stream_equals_batch(spark, tmp_path):
+    """Streaming content dedup: three id-ordered micro-batches with
+    duplicates inside a batch, across batches, and a late duplicate of
+    the very first doc — final per-digest state equals the batch
+    groupBy, and the earliest id always wins."""
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    batches = [
+        [(1, "aaa"), (2, "bbb"), (3, "aaa")],     # in-batch dup of aaa
+        [(4, "ccc"), (5, "bbb")],                 # cross-batch dup of bbb
+        [(6, "aaa"), (7, "ddd")],                 # late dup of the first doc
+    ]
+    for rows in batches:
+        spark.createDataFrame(
+            rows, "doc_id bigint, digest string"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema("doc_id bigint, digest string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        stateful.dedup_first_seen_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode re-emits per batch; the max-n row per digest is final
+    got = {
+        r["digest"]: (r["keep_id"], r["n"])
+        for r in spark.sql(
+            "SELECT digest, max_by(keep_id, n_seen) AS keep_id,"
+            " max(n_seen) AS n FROM dedup_stream_test GROUP BY digest"
+        ).collect()
+    }
+    allrows = [r for rows in batches for r in rows]
+    batch = {
+        r["digest"]: (r["keep_id"], r["n_seen"])
+        for r in stateful.dedup_first_seen_batch(
+            spark.createDataFrame(allrows, "doc_id bigint, digest string")
+        ).collect()
+    }
+    assert got == batch == {
+        "aaa": (1, 3), "bbb": (2, 2), "ccc": (4, 1), "ddd": (7, 1)
+    }
