@@ -177,3 +177,37 @@ def time_travel(base: DataFrame, changes: DataFrame, key_cols: list[str],
     else:
         visible = changes.filter(F.col(seq_col) <= F.lit(as_of))
     return cdc_apply(base, visible, key_cols, payload_cols, seq_col, op_col)
+
+
+def merge_conflicts(a: DataFrame, b: DataFrame, key_cols: list[str],
+                    payload_cols: list[str], seq_col: str = "seq",
+                    op_col: str = "op") -> DataFrame:
+    """Conflict report between TWO change streams writing the same table
+    (two replicas, two pipelines, a branch merge): a key conflicts iff
+    BOTH streams touched it and their last-writer payloads (or ops)
+    disagree — the relation a reconciler reviews before applying a
+    resolution policy.  Agreeing double-writes are NOT conflicts.
+
+    The report also carries the default LWW RESOLUTION: higher seq wins,
+    ties break toward stream A (deterministic, documented — not a claim
+    that LWW is always the right policy).  Plan: one window per stream +
+    one inner join on the key; cost is |touched keys|, never table-sized.
+    Returns key_cols + per-stream (op, seq, payload…) + ``winner``."""
+    la = latest_changes(a, key_cols, seq_col, op_col)
+    lb = latest_changes(b, key_cols, seq_col, op_col)
+    pa = la.select(
+        *key_cols, F.col(op_col).alias("a_op"), F.col(seq_col).alias("a_seq"),
+        *[F.col(c).alias(f"a_{c}") for c in payload_cols],
+    )
+    pb = lb.select(
+        *key_cols, F.col(op_col).alias("b_op"), F.col(seq_col).alias("b_seq"),
+        *[F.col(c).alias(f"b_{c}") for c in payload_cols],
+    )
+    joined = pa.join(pb, key_cols)
+    differs = F.col("a_op") != F.col("b_op")
+    for c in payload_cols:
+        differs = differs | ~F.col(f"a_{c}").eqNullSafe(F.col(f"b_{c}"))
+    return joined.filter(differs).withColumn(
+        "winner",
+        F.when(F.col("b_seq") > F.col("a_seq"), F.lit("b")).otherwise(F.lit("a")),
+    )

@@ -679,3 +679,74 @@ def cdc_time_travel_q(spark, sf_dir):
     return cdc.time_travel(
         c, changes, ["c_custkey"], ["c_name", "c_acctbal"], wm
     )
+
+
+@q(
+    "cdc_merge_conflicts",
+    """
+    WITH cha AS (
+      SELECT o_custkey AS c_custkey, o_orderkey AS seq,
+             CASE WHEN ba < 2000 THEN 'D' ELSE 'U' END AS op,
+             round(o_totalprice, 2) AS c_acctbal
+      FROM (SELECT *, ('0x' || substr(md5('wa-v1|' || CAST(o_orderkey AS VARCHAR)),
+                                      1, 8))::BIGINT % 10000 AS ba
+            FROM orders)
+      WHERE ba % 3 != 0
+    ),
+    chb AS (
+      SELECT o_custkey AS c_custkey, o_orderkey AS seq,
+             CASE WHEN bb < 2000 THEN 'D' ELSE 'U' END AS op,
+             round(o_totalprice + 1, 2) AS c_acctbal
+      FROM (SELECT *, ('0x' || substr(md5('wb-v1|' || CAST(o_orderkey AS VARCHAR)),
+                                      1, 8))::BIGINT % 10000 AS bb
+            FROM orders)
+      WHERE bb % 3 != 1
+    ),
+    la AS (
+      SELECT * FROM (SELECT cha.*, row_number() OVER (PARTITION BY c_custkey
+                       ORDER BY seq DESC, op ASC) AS rn FROM cha) WHERE rn = 1
+    ),
+    lb AS (
+      SELECT * FROM (SELECT chb.*, row_number() OVER (PARTITION BY c_custkey
+                       ORDER BY seq DESC, op ASC) AS rn FROM chb) WHERE rn = 1
+    )
+    SELECT la.c_custkey,
+           la.op AS a_op, la.seq AS a_seq, la.c_acctbal AS a_c_acctbal,
+           lb.op AS b_op, lb.seq AS b_seq, lb.c_acctbal AS b_c_acctbal,
+           CASE WHEN lb.seq > la.seq THEN 'b' ELSE 'a' END AS winner
+    FROM la JOIN lb USING (c_custkey)
+    WHERE la.op != lb.op
+       OR la.c_acctbal IS DISTINCT FROM lb.c_acctbal
+    """,
+)
+def cdc_merge_conflicts_q(spark, sf_dir):
+    """Two-writer conflict detection (operators/cdc.py:merge_conflicts):
+    two md5-seeded change streams over the customer keyspace (overlapping
+    but not identical key sets, deliberately divergent payloads) collapse
+    last-writer-wins per stream, then one |touched-keys| join reports
+    every key whose final writes disagree, with the default
+    higher-seq-wins resolution attached.  The oracle replays both windows
+    and the null-safe disagreement test arm-for-arm."""
+    from .operators import cdc
+
+    o = read_table(spark, sf_dir, "orders")
+
+    def stream(seed: str, drop_mod: int, shift: int):
+        b = (
+            F.conv(F.substring(F.md5(F.concat_ws("|", F.lit(seed),
+                                                 F.col("o_orderkey").cast("string"))), 1, 8), 16, 10)
+            .cast("bigint") % 10000
+        )
+        return o.select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_orderkey").alias("seq"),
+            F.when(b < 2000, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+            F.round(F.col("o_totalprice") + shift, 2).alias("c_acctbal"),
+            b.alias("_b"),
+        ).filter(F.col("_b") % 3 != drop_mod).drop("_b")
+
+    a = stream("wa-v1", 0, 0)
+    bstream = stream("wb-v1", 1, 1)
+    return cdc.merge_conflicts(
+        a, bstream, ["c_custkey"], ["c_acctbal"]
+    )

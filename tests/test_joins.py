@@ -290,3 +290,33 @@ def test_time_travel_boundaries_and_resurrection(spark):
     assert {r["k"]: (r["name"], r["bal"]) for r in
             cdc.time_travel(base, changes, ["k"], ["name", "bal"],
                             wm).collect()} == snap(15)
+
+
+def test_merge_conflicts_semantics(spark):
+    """Only disagreeing double-writes conflict: agreeing double-writes
+    and single-writer keys are silent; op disagreement (U vs D) counts;
+    LWW winner by higher seq, tie -> stream A."""
+    from phenoxtract_spark.operators import cdc
+
+    a = spark.createDataFrame(
+        [("U", 5, 1, 10.0),   # k=1: both write, same payload -> silent
+         ("U", 5, 2, 20.0),   # k=2: payloads differ, b has higher seq
+         ("U", 9, 3, 30.0),   # k=3: a wins on seq
+         ("D", 5, 4, None),   # k=4: op conflict (D vs U), tie -> a
+         ("U", 5, 9, 90.0)],  # k=9: only a writes -> silent
+        "op string, seq bigint, k bigint, bal double",
+    )
+    b = spark.createDataFrame(
+        [("U", 5, 1, 10.0),
+         ("U", 7, 2, 21.0),
+         ("U", 5, 3, 31.0),
+         ("U", 5, 4, 40.0),
+         ("U", 5, 8, 80.0)],  # k=8: only b writes -> silent
+        "op string, seq bigint, k bigint, bal double",
+    )
+    out = {r["k"]: r for r in
+           cdc.merge_conflicts(a, b, ["k"], ["bal"]).collect()}
+    assert set(out) == {2, 3, 4}
+    assert out[2]["winner"] == "b" and out[2]["b_bal"] == 21.0
+    assert out[3]["winner"] == "a" and out[3]["a_bal"] == 30.0
+    assert out[4]["winner"] == "a" and out[4]["a_op"] == "D"
