@@ -260,3 +260,41 @@ def trailing_ewma(df: DataFrame, part_col: str, order_cols: list[str],
         part_col, *order_cols,
         F.round(num / den, round_dp).alias("ewma"),
     )
+
+
+def seasonal_hod_anomaly(events: DataFrame, factor: int = 2) -> DataFrame:
+    """Seasonality-aware anomaly flags over hourly event counts: each
+    (event_type, hour) bucket is judged against the LEAVE-ONE-OUT mean
+    of the same type at the same HOUR OF DAY on other days — the
+    correction that stops the 9am traffic ramp from looking like an
+    incident, which a trailing z-score (rolling_zscore) cannot do.
+
+    The flag is exact integer arithmetic, no float mean:
+    high iff x·(n−1) > factor·(Σ−x), low iff factor·x·(n−1) < (Σ−x) —
+    i.e. the hour is ``factor``× above/below its LOO seasonal baseline.
+    Plan: one count aggregate + one window over (type, hod) — two
+    shuffles total, both on bounded key spaces.  Buckets with no peer
+    (n = 1) are never flagged.  Returns (event_type, bucket_hour,
+    n_events, n_peer_hours, loo_baseline, ratio, anomaly)."""
+    hourly = (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_hour")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    w = Window.partitionBy("event_type", F.hour("bucket_hour"))
+    x = F.col("n_events")
+    tot = F.sum("n_events").over(w).cast("bigint")
+    n = F.count(F.lit(1)).over(w).cast("bigint")
+    loo = (tot - x).cast("double") / (n - 1).cast("double")
+    f = int(factor)
+    high = x * (n - 1) > f * (tot - x)
+    low = f * x * (n - 1) < (tot - x)
+    return hourly.select(
+        "event_type", "bucket_hour", "n_events",
+        (n - 1).alias("n_peer_hours"),
+        F.when(n > 1, F.round(loo, 6)).alias("loo_baseline"),
+        F.when((n > 1) & (tot != x),
+               F.round(x.cast("double") / loo, 6)).alias("ratio"),
+        F.when(n > 1, high | low).otherwise(F.lit(False)).alias("anomaly"),
+    )

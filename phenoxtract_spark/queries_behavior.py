@@ -878,3 +878,46 @@ def events_trailing_ewma_q(spark, sf_dir):
         ev, "user_id", ["ts", "event_id"], "value", window_rows=8, alpha=0.3
     )
     return out.select("user_id", "ts", "event_id", "ewma")
+
+
+@q(
+    "events_seasonal_anomaly",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_hour,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT *, CAST(sum(n_events) OVER w AS BIGINT) AS tot,
+                CAST(count(*) OVER w AS BIGINT) AS n
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type, hour(bucket_hour))
+    )
+    SELECT event_type, bucket_hour, n_events,
+           n - 1 AS n_peer_hours,
+           CASE WHEN n > 1
+                THEN round(CAST(tot - n_events AS DOUBLE) / (n - 1), 6) END
+             AS loo_baseline,
+           CASE WHEN n > 1 AND tot != n_events
+                THEN round(CAST(n_events AS DOUBLE)
+                           / (CAST(tot - n_events AS DOUBLE) / (n - 1)), 6) END
+             AS ratio,
+           CASE WHEN n > 1
+                THEN (n_events * (n - 1) > 2 * (tot - n_events))
+                  OR (2 * n_events * (n - 1) < (tot - n_events))
+                ELSE FALSE END AS anomaly
+    FROM s
+    """,
+)
+def events_seasonal_anomaly_q(spark, sf_dir):
+    """Hour-of-day seasonal anomaly screen
+    (operators/behavior.py:seasonal_hod_anomaly): each (type, hour)
+    bucket vs the leave-one-out mean of the SAME hour of day on other
+    days — the seasonality correction the trailing z-score can't make.
+    Flags are exact integer inequalities (x·(n−1) vs 2·(Σ−x)); one
+    count aggregate + one window, two bounded shuffles."""
+    from .operators import behavior
+
+    ev = read_table(spark, sf_dir, "events")
+    return behavior.seasonal_hod_anomaly(ev, factor=2)

@@ -349,3 +349,33 @@ def test_trailing_ewma_hand_computed(spark):
     got2 = {r["seq"]: r["ewma"] for r in behavior.trailing_ewma(
         df, "uid", ["seq"], "v", window_rows=2, alpha=0.5).collect()}
     assert got2[3] == round(10 / 3, 6)
+
+
+def test_seasonal_hod_anomaly_loo_and_flags(spark):
+    """LOO baseline excludes the judged hour; a 3x spike at the same hour
+    of day flags high; a normal hour stays silent even though a trailing
+    window would see the spike; single-peer buckets never flag."""
+    from phenoxtract_spark.operators import behavior
+
+    rows = []
+    # type 'a', hod 9: days 1-4 have 10 events, day 5 has 30 (spike)
+    for day in range(1, 5):
+        rows += [("a", f"2024-01-0{day} 09:{m:02d}:00") for m in range(10)]
+    rows += [("a", f"2024-01-05 09:{m:02d}:00") for m in range(30)]
+    # type 'a', hod 12: a single lonely bucket -> no peers, never flagged
+    rows += [("a", "2024-01-01 12:00:00")]
+    from pyspark.sql import functions as F
+    ev = spark.createDataFrame(rows, "event_type string, ts_raw string").select(
+        "event_type", F.col("ts_raw").cast("timestamp").alias("ts")
+    )
+    out = {(r["event_type"], str(r["bucket_hour"])): r
+           for r in behavior.seasonal_hod_anomaly(ev, factor=2).collect()}
+    spike = out[("a", "2024-01-05 09:00:00")]
+    assert spike["loo_baseline"] == 10.0 and spike["ratio"] == 3.0
+    assert spike["anomaly"] is True
+    normal = out[("a", "2024-01-02 09:00:00")]
+    assert normal["loo_baseline"] == 15.0  # (30 + 10*3) / 4
+    assert normal["anomaly"] is False
+    lonely = out[("a", "2024-01-01 12:00:00")]
+    assert lonely["n_peer_hours"] == 0 and lonely["anomaly"] is False
+    assert lonely["loo_baseline"] is None
