@@ -928,3 +928,53 @@ def vad_segments(frame_energy: DataFrame, media_col: str = "media_id",
         F.row_number().over(ws).cast("bigint").alias("seg_idx"),
         "start_frame", "end_frame", "n_frames", "seg_sumsq",
     )
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ahash_hi", T.LongType()),
+        T.StructField("ahash_lo", T.LongType()),
+        T.StructField("n_ones", T.LongType()),
+    ]
+)
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) over the real image decode path —
+    the classic near-duplicate-image fingerprint: grayscale, reduce to
+    an 8×8 grid, threshold each cell against the image mean, pack the
+    64 bits.  Everything integer-exact so the oracle can replay it from
+    the keystream: grayscale = ⌊(r+g+b)/3⌋ per pixel, cells are
+    (h/8 × w/8) block SUMS (equal-area blocks make the sum threshold
+    equivalent to the mean threshold), bit = cell·64 > total (strict —
+    the VAD/seasonal integer-mean trick, no float mean anywhere), bits
+    packed row-major into two 32-bit halves (sign-safe in both engines'
+    BIGINT).  Near-dup pairing is then a Hamming-band bucket join, same
+    shape as simhash.  Partition-preserving ``mapInPandas``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "ahash_hi", "ahash_lo",
+                                    "n_ones")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, rgb = decode_image(bytes(payload))
+                a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+                gs = a.astype(np.int64).sum(axis=2) // 3
+                bh, bw = h // 8, w // 8
+                cells = gs[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).sum(
+                    axis=(1, 3)
+                )
+                tot = int(cells.sum())
+                bits = (cells.flatten() * 64 > tot).astype(np.int64)
+                hi = int(sum(int(b) << (31 - i) for i, b in enumerate(bits[:32])))
+                lo = int(sum(int(b) << (31 - i) for i, b in enumerate(bits[32:])))
+                rows["media_id"].append(mid)
+                rows["ahash_hi"].append(hi)
+                rows["ahash_lo"].append(lo)
+                rows["n_ones"].append(int(bits.sum()))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=AHASH_SCHEMA)

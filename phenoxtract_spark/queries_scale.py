@@ -3079,3 +3079,63 @@ def sim_ann_ndcg(spark, sf_dir):
     exact = similarity.brute_force_topk(e, queries, k=5)
     approx = similarity.ivf_topk(e, queries, centroids, k=5)
     return similarity.topk_ndcg(exact, approx, k=5)
+
+
+@q(
+    "multimodal_image_ahash",
+    """
+    WITH docs AS (SELECT doc_id, md5(text) AS seed FROM documents),
+    ii AS (SELECT unnest(generate_series(0, 7)) AS i),
+    jj AS (SELECT unnest(generate_series(0, 7)) AS j),
+    dd AS (SELECT unnest([0, 1]) AS dr),
+    ee AS (SELECT unnest([0, 1, 2]) AS dc),
+    kk AS (SELECT unnest([0, 1, 2]) AS k),
+    px AS (
+      SELECT doc_id, seed, ii.i, jj.j, dd.dr, ee.dc, kk.k,
+             ((2 * ii.i + dr) * 24 + (3 * jj.j + dc)) * 3 + kk.k AS pos
+      FROM docs, ii, jj, dd, ee, kk
+    ),
+    vals AS (
+      SELECT doc_id, i, j, dr, dc,
+             ('0x' || substr(md5(seed || '-' || CAST(pos // 16 AS VARCHAR)),
+                             (pos % 16) * 2 + 1, 2))::BIGINT AS v
+      FROM px
+    ),
+    gray AS (
+      SELECT doc_id, i, j, dr, dc, CAST(sum(v) AS BIGINT) // 3 AS g
+      FROM vals GROUP BY doc_id, i, j, dr, dc
+    ),
+    cells AS (
+      SELECT doc_id, i, j, CAST(sum(g) AS BIGINT) AS s
+      FROM gray GROUP BY doc_id, i, j
+    ),
+    tots AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS tot
+             FROM cells GROUP BY doc_id),
+    bits AS (
+      SELECT cells.doc_id, i * 8 + j AS idx,
+             CASE WHEN s * 64 > tot THEN 1 ELSE 0 END AS bit
+      FROM cells JOIN tots ON tots.doc_id = cells.doc_id
+    )
+    SELECT doc_id AS media_id,
+           CAST(sum(CASE WHEN idx < 32
+                         THEN bit * (1::BIGINT << (31 - idx))
+                         ELSE 0 END) AS BIGINT) AS ahash_hi,
+           CAST(sum(CASE WHEN idx >= 32
+                         THEN bit * (1::BIGINT << (63 - idx))
+                         ELSE 0 END) AS BIGINT) AS ahash_lo,
+           CAST(sum(bit) AS BIGINT) AS n_ones
+    FROM bits GROUP BY doc_id
+    """,
+)
+def mm_image_ahash(spark, sf_dir):
+    """Perceptual average-hash over the real BMP path: decode → integer
+    grayscale → 8×8 equal-area block sums → strict integer mean
+    threshold → row-major bit-pack into two 32-bit halves.  The oracle
+    recomputes all 64 bits per image from the md5 keystream, so a match
+    proves decode, grayscale, blocking, thresholding, and packing
+    bit-exact end to end — the fingerprint a multimodal dedup pipeline
+    Hamming-bands exactly like simhash
+    (operators/multimodal.py:image_ahash)."""
+    d = read_table(spark, sf_dir, "documents")
+    media = multimodal.synthetic_bmp_media(d, "doc_id", "text", width=24, height=16)
+    return multimodal.image_ahash(media)

@@ -199,3 +199,27 @@ def test_y4m_luma_stats_spark(spark):
     ks = mm.md5_keystream(seed, 6 * 384)
     for r in rows:
         assert r["luma_sum"] == sum(ks[r["frame_idx"] * 384 : r["frame_idx"] * 384 + 128])
+
+
+def test_image_ahash_known_pattern(spark):
+    """A left-dark / right-bright 24x16 image hashes to bit pattern
+    00001111 per 8-bit row: hi = lo = 0x0F0F0F0F, n_ones = 32; a uniform
+    image has NO cell strictly above the mean -> all-zero hash."""
+    from phenoxtract_spark.operators import multimodal
+
+    half = bytes()
+    for r in range(16):
+        row = b"\x10\x10\x10" * 12 + b"\xf0\xf0\xf0" * 12
+        half += row
+    img = multimodal.encode_bmp(24, 16, half)
+    flat = b"\x40\x40\x40" * (24 * 16)
+    uni = multimodal.encode_bmp(24, 16, flat)
+    df = spark.createDataFrame(
+        [(1, bytearray(img)), (2, bytearray(uni))],
+        "media_id bigint, payload binary",
+    )
+    out = {r["media_id"]: r for r in multimodal.image_ahash(df).collect()}
+    assert out[1]["ahash_hi"] == 0x0F0F0F0F
+    assert out[1]["ahash_lo"] == 0x0F0F0F0F
+    assert out[1]["n_ones"] == 32
+    assert (out[2]["ahash_hi"], out[2]["ahash_lo"], out[2]["n_ones"]) == (0, 0, 0)
