@@ -181,6 +181,13 @@ SF1_PROBE = [
     "quality_group_digest",
     "curation_shrunk_source_quality",
     "events_trailing_ewma",
+    # round-6 continuation 3: conflicts cost |touched keys|; the
+    # seasonal screen is one agg + one bounded window; nDCG reuses the
+    # recall legs; aHash is the codec family's fingerprint pass
+    "cdc_merge_conflicts",
+    "events_seasonal_anomaly",
+    "similarity_ann_ndcg",
+    "multimodal_image_ahash",
 ]
 
 # r5 (verdict #7b/#4): the heaviest sf1 queries get TWO reps and report the

@@ -183,3 +183,43 @@ def write_bucketed(df: DataFrame, table_name: str, bucket_cols: list[str],
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table_name)
+
+
+def join_fanout_profile(left: DataFrame, right: DataFrame,
+                        key_cols: list[str]) -> DataFrame:
+    """Pre-join cardinality guardrail: the EXACT output size and fanout
+    profile of ``left ⋈ right`` computed WITHOUT running the join — two
+    per-key count aggregates and one key-level merge, so the cost is
+    |distinct keys|, not |join output|.  This is the pre-flight a
+    pipeline runs before an unfamiliar join at 100 TB: join_rows =
+    Σ n_left·n_right catches the accidental many-to-many explosion
+    (max_fanout tells you which side), and the only-left/only-right
+    counts catch silent referential breakage.  Returns ONE row:
+    (n_keys_both, n_keys_left_only, n_keys_right_only, join_rows,
+    max_fanout_left, max_fanout_right)."""
+    lc = left.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_nl")
+    )
+    rc = right.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_nr")
+    )
+    m = lc.join(rc, key_cols, "full_outer")
+    both = F.col("_nl").isNotNull() & F.col("_nr").isNotNull()
+    return m.agg(
+        F.sum(both.cast("bigint")).cast("bigint").alias("n_keys_both"),
+        F.sum(F.col("_nr").isNull().cast("bigint")).cast("bigint").alias(
+            "n_keys_left_only"
+        ),
+        F.sum(F.col("_nl").isNull().cast("bigint")).cast("bigint").alias(
+            "n_keys_right_only"
+        ),
+        F.sum(
+            F.when(both, F.col("_nl") * F.col("_nr")).otherwise(F.lit(0))
+        ).cast("bigint").alias("join_rows"),
+        F.max(F.when(both, F.col("_nl"))).cast("bigint").alias(
+            "max_fanout_left"
+        ),
+        F.max(F.when(both, F.col("_nr"))).cast("bigint").alias(
+            "max_fanout_right"
+        ),
+    )

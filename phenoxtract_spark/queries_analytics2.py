@@ -906,3 +906,49 @@ def analytics_fulfillment_lag(spark, sf_dir):
         F.max("lag_days").cast("bigint").alias("max_days"),
         F.sum((F.col("lag_days") < 0).cast("bigint")).alias("n_negative"),
     )
+
+
+@q(
+    "profiling_benford_digits",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    counts AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+               FROM d GROUP BY digit),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+    SELECT digit, n,
+           round(CAST(n AS DOUBLE) / total, 6) AS observed,
+           round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford,
+           round(CAST(n AS DOUBLE) / total
+                 - ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS deviation
+    FROM counts, tot
+    """,
+)
+def profiling_benford_digits_q(spark, sf_dir):
+    """Benford first-digit screen over order totals — the classic
+    fabricated-data / wrong-units tripwire for ingested numeric columns:
+    observed first-significant-digit frequencies next to the Benford
+    expectation log10(1 + 1/d), deviations in-result.  Leading digit
+    extracted from the integer-cents rendering (engine-identical, no
+    float formatting); one 9-row aggregate, whole-stage codegen
+    throughout.  TPC-H prices are range-uniform, NOT Benford — the
+    deviations are the signal demonstrated, not noise."""
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    d = o.filter(F.col("o_totalprice") > 0).select(
+        F.substring(cents.cast("string"), 1, 1).cast("bigint").alias("digit")
+    )
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    benford = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit", "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("observed"),
+        F.round(benford, 6).alias("benford"),
+        F.round(
+            F.col("n").cast("double") / F.col("total") - benford, 6
+        ).alias("deviation"),
+    )

@@ -750,3 +750,45 @@ def cdc_merge_conflicts_q(spark, sf_dir):
     return cdc.merge_conflicts(
         a, bstream, ["c_custkey"], ["c_acctbal"]
     )
+
+
+@q(
+    "profiling_join_fanout",
+    """
+    WITH lc AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS nl
+                FROM orders GROUP BY 1),
+    rc AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS nr
+           FROM lineitem GROUP BY 1),
+    m AS (SELECT lc.k AS lk, rc.k AS rk, nl, nr
+          FROM lc FULL OUTER JOIN rc ON lc.k = rc.k)
+    SELECT CAST(sum(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_both,
+           CAST(sum(CASE WHEN rk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keys_left_only,
+           CAST(sum(CASE WHEN lk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keys_right_only,
+           CAST(sum(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                         THEN nl * nr ELSE 0 END) AS BIGINT) AS join_rows,
+           CAST(max(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                         THEN nl END) AS BIGINT) AS max_fanout_left,
+           CAST(max(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                         THEN nr END) AS BIGINT) AS max_fanout_right
+    FROM m
+    """,
+)
+def profiling_join_fanout_q(spark, sf_dir):
+    """Pre-join cardinality guardrail
+    (operators/joins.py:join_fanout_profile): the exact orders⋈lineitem
+    output size and per-side fanout profile from two per-key counts and
+    a key-level merge — |distinct keys| cost, the join never runs.  The
+    pre-flight that catches many-to-many explosions and silent
+    referential breakage before a 100 TB shuffle is committed."""
+    from .operators import joins
+
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    return joins.join_fanout_profile(o, li, ["k"])

@@ -320,3 +320,22 @@ def test_merge_conflicts_semantics(spark):
     assert out[2]["winner"] == "b" and out[2]["b_bal"] == 21.0
     assert out[3]["winner"] == "a" and out[3]["a_bal"] == 30.0
     assert out[4]["winner"] == "a" and out[4]["a_op"] == "D"
+
+
+def test_join_fanout_profile_exact(spark):
+    """Profile equals the real join's arithmetic: 2x3 fanout on a shared
+    key, an unmatched key each side, exact join_rows."""
+    from phenoxtract_spark.operators import joins
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (2,), (9,)], "k bigint"
+    )
+    right = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (8,)], "k bigint"
+    )
+    r = joins.join_fanout_profile(left, right, ["k"]).collect()[0]
+    assert r["n_keys_both"] == 2
+    assert r["n_keys_left_only"] == 1 and r["n_keys_right_only"] == 1
+    assert r["join_rows"] == 2 * 3 + 1 * 1       # == real inner join size
+    assert r["join_rows"] == left.join(right, "k").count()
+    assert r["max_fanout_left"] == 2 and r["max_fanout_right"] == 3
