@@ -3117,12 +3117,8 @@ def sim_ann_ndcg(spark, sf_dir):
       FROM cells JOIN tots ON tots.doc_id = cells.doc_id
     )
     SELECT doc_id AS media_id,
-           CAST(sum(CASE WHEN idx < 32
-                         THEN bit * (1::BIGINT << (31 - idx))
-                         ELSE 0 END) AS BIGINT) AS ahash_hi,
-           CAST(sum(CASE WHEN idx >= 32
-                         THEN bit * (1::BIGINT << (63 - idx))
-                         ELSE 0 END) AS BIGINT) AS ahash_lo,
+           CAST(sum(CASE WHEN idx < 32 THEN bit * (1::BIGINT << (31 - idx)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+           CAST(sum(CASE WHEN idx >= 32 THEN bit * (1::BIGINT << (63 - idx)) ELSE 0 END) AS BIGINT) AS ahash_lo,
            CAST(sum(bit) AS BIGINT) AS n_ones
     FROM bits GROUP BY doc_id
     """,
