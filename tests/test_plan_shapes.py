@@ -68,6 +68,29 @@ EXPECTATIONS = [
     # TakeOrderedAndProject (asserted separately below), never a global
     # window exchange
     ("text_bm25_topk", 5, 4, 0),
+    # r6 continuation: the codec fingerprint is a pure mapInPandas chain;
+    # the digest is ONE map-side-combinable aggregate; EWMA and VAD are
+    # single bounded-window passes
+    ("multimodal_image_ahash", 0, 0, 0),
+    ("quality_group_digest", 1, 0, 0),
+    ("events_trailing_ewma", 1, 0, 0),
+    ("multimodal_vad_segments", 1, 0, 0),
+    # URL dedup = one expression pass + one groupBy (+ the distinct-form
+    # count's partial); seasonal screen = count agg + one window
+    ("web_url_canonical_dedup", 2, 0, 0),
+    ("events_seasonal_anomaly", 2, 0, 0),
+    # CDC family: conflicts = two windows sharing one key exchange + a
+    # broadcastable touched-keys join; time-travel = the cdc_apply plan
+    # + the broadcast watermark; IVM's delta joins broadcast at dim size
+    ("cdc_merge_conflicts", 2, 1, 0),
+    ("cdc_time_travel", 3, 0, 1),
+    ("cdc_incremental_agg", 4, 1, 0),
+    # hybrid RRF: every query-side dim broadcasts (dense queries, lexical
+    # query tokens); fusion adds ONE leg-sized exchange, never corpus
+    ("similarity_hybrid_rrf", 5, 4, 0),
+    # fanout guardrail: two per-key counts + key-level merge; the one SMJ
+    # is the full-outer key merge (cannot broadcast)
+    ("profiling_join_fanout", 3, 0, 1),
 ]
 
 
