@@ -189,9 +189,24 @@ def main():
     import __spark_entry__ as ent
     from phenoxtract_spark import get_spark
 
+    global SF_DIR
     args = sys.argv[1:]
     vanilla = "--vanilla" in args
-    only = {a for a in args if a != "--vanilla"}
+    if vanilla:
+        args = [a for a in args if a != "--vanilla"]
+    if "--sf-dir" in args:
+        i = args.index("--sf-dir")
+        SF_DIR = args[i + 1]
+        del args[i : i + 2]
+    # any remaining arg must name a registered query — an unrecognized
+    # flag or a typo would otherwise filter everything out and print a
+    # deceptively green "0 ok, 0 fail" (this silently no-op'd a round-6
+    # session's per-query scale gates; never again)
+    unknown = [a for a in args if a.startswith("--")]
+    if unknown:
+        print(f"ERROR: unknown flag(s): {unknown}")
+        sys.exit(2)
+    only = set(args)
     if vanilla:
         from pyspark.sql import SparkSession
 
@@ -205,6 +220,10 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connect(SF_DIR)
     qs, oracles = ent.queries(), ent.oracle_sql()
+    missing = only - set(qs)
+    if missing:
+        print(f"ERROR: not registered queries: {sorted(missing)}")
+        sys.exit(2)
     ok = fail = no_oracle = 0
     for name, fn in qs.items():
         if only and name not in only:
