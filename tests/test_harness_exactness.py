@@ -188,3 +188,20 @@ def test_list_valued_result_columns_fail_as_driver_fatal():
     c = pd.DataFrame({"id": [1], "v": [0.5]})
     d = pd.DataFrame({"id": [1], "v": [0.5]})
     assert not compare("scalars_eq", c, d)
+
+
+def test_check_correctness_rejects_unknown_flags():
+    """The r6 lesson: an unrecognized flag used to act as a query-name
+    filter and print a deceptively green '0 ok, 0 fail'.  It must exit 2
+    before any Spark work."""
+    import subprocess
+    import sys
+
+    repo = Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [sys.executable, str(repo / "tools" / "check_correctness.py"),
+         "--no-such-flag"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode == 2
+    assert "unknown flag" in r.stdout
