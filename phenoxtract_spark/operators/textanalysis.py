@@ -618,3 +618,72 @@ def token_jaccard_topk(df: DataFrame, id_col: str, text_col: str,
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def cross_entropy_score(train: DataFrame, score: DataFrame, id_col: str,
+                        text_col: str, round_dp: int = 4) -> DataFrame:
+    """CCNet-style perplexity filtering (Wenzek et al. 2020): train an
+    add-one-smoothed bigram LM on a REFERENCE corpus, score a DIFFERENT
+    corpus by per-token cross-entropy — the held-out separation the
+    self-corpus ``bigram_logprob`` deliberately lacks (there the model
+    IS the corpus, so smoothing is unnecessary; here out-of-vocabulary
+    tokens map to UNK and unseen bigrams get mass):
+
+        p(tok | prev) = (c(prev,tok) + 1) / (c(prev) + V),   V = |vocab|+1
+
+    Plan: the model is three reference-bounded dims (bigram counts,
+    context totals rolled up from them, vocab) that BROADCAST onto the
+    scored token stream; OOV mapping is one broadcast left join per
+    token; bigrams re-form with one per-doc window lag.  At real scale
+    the vocab dim is frequency-capped before broadcast (rare tokens fold
+    into UNK anyway) — the standard lever, noted not needed at test
+    scale.  Returns (id, n_bigrams, cross_entropy), LOWER = more fluent
+    under the reference model."""
+    from ..session import fan_out
+
+    def toks_pos(df):
+        return fan_out(df).select(
+            F.col(id_col).alias("id"),
+            F.posexplode(tokens(text_col)).alias("pos", "tok"),
+        )
+
+    ttoks = toks_pos(train)
+    vocab = ttoks.select("tok").distinct().localCheckpoint(eager=True)
+    v_plus_unk = vocab.agg(
+        (F.count(F.lit(1)) + 1).cast("double").alias("_V")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    tpairs = ttoks.withColumn("prev", F.lag("tok").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    bg = tpairs.groupBy("prev", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("_bg")
+    ).localCheckpoint(eager=True)
+    ctx = bg.groupBy("prev").agg(F.sum("_bg").alias("_ctx"))
+    stoks = (
+        toks_pos(score)
+        .join(F.broadcast(vocab.withColumn("_known", F.lit(True))), "tok",
+              "left")
+        .select(
+            "id", "pos",
+            F.when(F.col("_known"), F.col("tok"))
+            .otherwise(F.lit("\x01UNK")).alias("tok"),
+        )
+    )
+    spairs = stoks.withColumn("prev", F.lag("tok").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    logp = F.log(
+        (F.coalesce(F.col("_bg"), F.lit(0.0)) + 1.0)
+        / (F.coalesce(F.col("_ctx"), F.lit(0.0)) + F.col("_V"))
+    )
+    return (
+        spairs.join(F.broadcast(bg), ["prev", "tok"], "left")
+        .join(F.broadcast(ctx), "prev", "left")
+        .crossJoin(F.broadcast(v_plus_unk))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(-F.avg(logp), round_dp).alias("cross_entropy"),
+        )
+    )

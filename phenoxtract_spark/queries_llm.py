@@ -634,3 +634,69 @@ def embedding_hard_negatives(spark, sf_dir):
         .filter(F.col("cos_sim") >= 0.3)
         .select("id_a", "id_b", "label_a", "label_b", "cos_sim")
     )
+
+
+@q(
+    "text_cross_entropy_filter",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM}, ' '), t -> t != '') AS t,
+             ('0x' || substr(md5('ce-v1::' || CAST(doc_id AS VARCHAR)),
+                             1, 8))::BIGINT % 10 AS b
+      FROM documents
+    ),
+    train AS (SELECT doc_id, t FROM base WHERE b < 3),
+    rest  AS (SELECT doc_id, t FROM base WHERE b >= 3),
+    tpair AS (
+      SELECT t[i] AS prev, t[i + 1] AS tok
+      FROM train, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    bg AS (SELECT prev, tok, CAST(count(*) AS DOUBLE) AS c
+           FROM tpair GROUP BY prev, tok),
+    ctx AS (SELECT prev, sum(c) AS cc FROM bg GROUP BY prev),
+    vocab AS (
+      SELECT DISTINCT t[i] AS tok
+      FROM train, unnest(generate_series(1, len(t))) AS u(i)
+    ),
+    vs AS (SELECT count(*) + 1.0 AS v FROM vocab),
+    stoks AS (
+      SELECT s.doc_id, s.i,
+             CASE WHEN vv.tok IS NULL THEN chr(1) || 'UNK' ELSE s.tok END AS tok
+      FROM (SELECT doc_id, i, t[i] AS tok
+            FROM rest, unnest(generate_series(1, len(t))) AS u(i)) s
+      LEFT JOIN vocab vv ON vv.tok = s.tok
+    ),
+    spair AS (
+      SELECT a.doc_id, a.tok AS prev, b.tok AS tok
+      FROM stoks a JOIN stoks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-avg(ln((coalesce(c, 0) + 1.0) / (coalesce(cc, 0) + v))), 4)
+             AS cross_entropy
+    FROM spair LEFT JOIN bg USING (prev, tok) LEFT JOIN ctx USING (prev), vs
+    GROUP BY doc_id
+    """,
+)
+def text_cross_entropy_filter_q(spark, sf_dir):
+    """CCNet-style perplexity filtering
+    (operators/textanalysis.py:cross_entropy_score): an add-one-smoothed
+    bigram LM trains on a 30% md5-bucketed reference split and scores
+    the OTHER 70% by per-token cross-entropy — the held-out train/score
+    separation the self-corpus LM queries deliberately lack; OOV tokens
+    map to UNK and unseen bigrams get smoothed mass.  The model is three
+    reference-bounded broadcast dims; the scored token stream is
+    touched once."""
+    d = read_table(spark, sf_dir, "documents")
+    b = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ce-v1::"),
+                                          F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") % 10
+    )
+    dd = d.withColumn("_b", b)
+    train = dd.filter(F.col("_b") < 3)
+    rest = dd.filter(F.col("_b") >= 3)
+    return textanalysis.cross_entropy_score(
+        train, rest, "doc_id", "text"
+    ).withColumnRenamed("id", "doc_id")

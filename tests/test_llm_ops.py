@@ -496,3 +496,32 @@ def test_topk_ndcg_order_sensitivity(spark):
     m = similarity.topk_ndcg(exact, miss_top, k=3).collect()[0]
     want_m = (0.9 * d[1] + 0.8 * d[2]) / (0.9 * d[0] + 0.8 * d[1] + 0.7 * d[2])
     assert m["ndcg_at_k"] == round(want_m, 6)
+
+
+def test_cross_entropy_score_held_out_semantics(spark):
+    """Reference-like text scores LOWER cross-entropy than word salad or
+    fully-OOV text; OOV maps to UNK (still scored, not dropped); add-one
+    smoothing hand-checked on a one-bigram model."""
+    import math
+
+    from phenoxtract_spark.operators import textanalysis
+
+    train = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the cat ran")],
+        "doc_id bigint, text string",
+    )
+    score = spark.createDataFrame(
+        [(10, "the cat sat"),      # in-model
+         (11, "cat the sat"),      # same words, wrong order
+         (12, "zorp blif quux")],  # fully OOV
+        "doc_id bigint, text string",
+    )
+    out = {r["id"]: r for r in textanalysis.cross_entropy_score(
+        train, score, "doc_id", "text").collect()}
+    assert out[10]["cross_entropy"] < out[11]["cross_entropy"]
+    assert out[10]["cross_entropy"] < out[12]["cross_entropy"]
+    assert out[12]["n_bigrams"] == 2          # OOV scored, not dropped
+    # hand-check doc 10: vocab={the,cat,sat,ran}, V=5;
+    # p(cat|the)=(2+1)/(2+5); p(sat|cat)=(1+1)/(2+5)
+    want = -(math.log(3 / 7) + math.log(2 / 7)) / 2
+    assert out[10]["cross_entropy"] == round(want, 4)
