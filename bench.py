@@ -188,6 +188,9 @@ SF1_PROBE = [
     "events_seasonal_anomaly",
     "similarity_ann_ndcg",
     "multimodal_image_ahash",
+    # held-out LM filtering: three reference-bounded broadcast dims over
+    # one pass of the scored token stream
+    "text_cross_entropy_filter",
 ]
 
 # r5 (verdict #7b/#4): the heaviest sf1 queries get TWO reps and report the
