@@ -964,3 +964,78 @@ def shrunk_group_means(df: DataFrame, group_col: str, value_col: Column | str,
             round_dp,
         ).alias("shrunk_mean"),
     )
+
+
+def lr_reliability_bins(df: DataFrame, id_col: str, text_col: str,
+                        buckets: int = 16, iterations: int = 2,
+                        lr: float = 1.0, threshold: float = 0.55,
+                        seed: str = "feat-v1", n_bins: int = 10,
+                        round_dp: int = 6) -> DataFrame:
+    """Calibration (reliability) curve for the trained quality
+    classifier: bin the predicted probabilities into ``n_bins`` equal
+    intervals and report per-bin count, mean prediction, and observed
+    positive rate — the standard check that a filtering threshold on the
+    classifier's score means what it says (a calibrated model has
+    frac_pos ≈ mean_pred per bin).  Completes the classifier story:
+    train (:func:`train_quality_lr`) → predict → calibrate.
+
+    Bins are equal-width over the OBSERVED score range (a 1-row
+    broadcast min/max dim) — a lightly-trained model clusters its scores
+    in a narrow band, and absolute [0,1] deciles would collapse the
+    whole curve into one bin.  Predictions use the trainer's ROUNDED
+    returned weights (the same relation an oracle replays); probabilities
+    round before binning so the bin boundary is deterministic
+    cross-engine.  Returns (bin, n_docs, mean_pred, frac_pos)."""
+    from .textanalysis import quality_score
+
+    weights = train_quality_lr(
+        df, id_col, text_col, buckets, iterations, lr, threshold, seed,
+        round_dp,
+    )
+    feats = hashed_features(df, id_col, text_col, buckets, seed).select(
+        F.col(id_col).alias("id"), "bucket", F.col("l2_weight").alias("x")
+    )
+    bias = df.select(
+        F.col(id_col).alias("id"),
+        F.lit(-1).cast("bigint").alias("bucket"),
+        F.lit(1.0).alias("x"),
+    )
+    labels = df.select(
+        F.col(id_col).alias("id"),
+        F.when(quality_score(text_col) >= threshold, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+    margins = (
+        feats.unionByName(bias)
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("id")
+        .agg(F.sum(F.col("weight") * F.col("x")).alias("margin"))
+    )
+    prob = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))), round_dp
+    )
+    scored = margins.join(labels, "id").select(prob.alias("p"), "y")
+    rng = scored.agg(F.min("p").alias("_lo"), F.max("p").alias("_hi"))
+    binned = scored.crossJoin(F.broadcast(rng)).select(
+        F.when(
+            F.col("_hi") > F.col("_lo"),
+            F.least(
+                F.floor(
+                    (F.col("p") - F.col("_lo"))
+                    / (F.col("_hi") - F.col("_lo")) * n_bins
+                ).cast("bigint"),
+                F.lit(int(n_bins) - 1),
+            ),
+        ).otherwise(F.lit(0).cast("bigint")).alias("bin"),
+        "p", "y",
+    )
+    # per-bin averages report at 4 dp: they aggregate hundreds of
+    # already-rounded doubles, where 6-dp half-boundaries DO occur
+    # cross-engine (observed once at sf0.01) — same coarsening as the
+    # LM-scoring queries
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg("p"), 4).alias("mean_pred"),
+        F.round(F.avg("y"), 4).alias("frac_pos"),
+    )

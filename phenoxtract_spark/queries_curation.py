@@ -1720,3 +1720,94 @@ def curation_shrunk_source_quality_q(spark, sf_dir):
         .alias("richness")
     )
     return curation.shrunk_group_means(m, "source", "richness", 20.0)
+
+
+@q(
+    "curation_lr_calibration",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+             CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE) AS n_punct,
+             CAST(len(list_filter(string_split({_NORM}, ' '), t -> t != '')) AS DOUBLE) AS n_tok,
+             CAST({_votes_sql('en')} AS DOUBLE) AS en_stop
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+             round(0.3 * least(n_chars / 500.0, 1.0)
+                 + 0.3 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+                 + 0.2 * (CASE WHEN n_tok > 0
+                               THEN least(en_stop / (n_tok * 0.1 + 1e-9), 1.0) ELSE 0.0 END)
+                 + 0.2 * (CASE WHEN n_chars > 0
+                               THEN 1.0 - least(n_punct / n_chars * 5, 1.0) ELSE 0.0 END), 6)
+             AS quality
+      FROM m
+    ),
+    labels AS (SELECT doc_id AS id,
+                      CASE WHEN quality >= 0.55 THEN 1.0 ELSE 0.0 END AS y
+               FROM q),
+    toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split({_NORM}, ' '), x -> x != '')) AS tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('feat-v1::' || tok), 1, 8))::BIGINT % 16 AS bucket,
+             count(*) AS cnt
+      FROM toks GROUP BY 1, 2
+    ),
+    hf AS (SELECT doc_id AS id, bucket,
+                  round(cnt / sqrt(sum(cnt * cnt) OVER (PARTITION BY doc_id)), 6) AS x
+           FROM c),
+    fl AS (SELECT id, bucket, x FROM hf
+           UNION ALL
+           SELECT doc_id, -1, 1.0 FROM documents),
+    nn AS (SELECT count(*) AS n FROM documents),
+    e1 AS (SELECT id, 0.5 - y AS err FROM labels),
+    g1 AS (SELECT bucket, sum(x * err) / n AS g
+           FROM fl JOIN e1 USING (id), nn GROUP BY bucket, n),
+    w1 AS (SELECT bucket, 0.0 - 1.0 * g AS w FROM g1),
+    m2 AS (SELECT fl.id, sum(w1.w * fl.x) AS margin
+           FROM fl JOIN w1 USING (bucket) GROUP BY fl.id),
+    e2 AS (SELECT m2.id, 1.0 / (1.0 + exp(-margin)) - l.y AS err
+           FROM m2 JOIN labels l USING (id)),
+    g2 AS (SELECT bucket, sum(x * err) / n AS g
+           FROM fl JOIN e2 USING (id), nn GROUP BY bucket, n),
+    wr AS (SELECT w1.bucket, round(w1.w - 1.0 * g2.g, 6) AS w
+           FROM w1 JOIN g2 USING (bucket)),
+    pm AS (SELECT fl.id, sum(wr.w * fl.x) AS margin
+           FROM fl JOIN wr USING (bucket) GROUP BY fl.id),
+    scored AS (
+      SELECT round(1.0 / (1.0 + exp(-margin)), 6) AS p, l.y
+      FROM pm JOIN labels l USING (id)
+    ),
+    rng AS (SELECT min(p) AS lo, max(p) AS hi FROM scored),
+    binned AS (
+      SELECT CASE WHEN hi > lo
+                  THEN least(CAST(floor((p - lo) / (hi - lo) * 10) AS BIGINT), 9)
+                  ELSE 0 END AS bin, p, y
+      FROM scored, rng
+    )
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(p), 4) AS mean_pred,
+           round(avg(y), 4) AS frac_pos
+    FROM binned GROUP BY bin
+    """,
+)
+def curation_lr_calibration_q(spark, sf_dir):
+    """Reliability curve of the trained quality classifier
+    (operators/curation.py:lr_reliability_bins): predictions from the
+    trainer's rounded returned weights bin into ten range-relative
+    intervals with per-bin
+    count, mean prediction, and observed positive rate (equal-width bins
+    over the OBSERVED score range — absolute deciles would collapse the
+    lightly-trained model's narrow band into one bin) — the calibration
+    check that a filtering threshold means what it says.  The oracle
+    replays the FULL training trajectory CTE by CTE and then the
+    predict + binning on top, so a value match covers train → predict →
+    calibrate end to end."""
+    d = read_table(spark, sf_dir, "documents")
+    return curation.lr_reliability_bins(d, "doc_id", "text")

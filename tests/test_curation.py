@@ -529,3 +529,24 @@ def test_shrunk_group_means_pulls_small_groups(spark):
     for g in ("small", "big"):
         lo, hi = sorted((out[g]["raw_mean"], round(gm, 6)))
         assert lo <= out[g]["shrunk_mean"] <= hi
+
+
+def test_lr_reliability_bins_monotone_signal(spark):
+    """On separable data the calibration curve is usable: multiple bins
+    fill, counts conserve, frac_pos rises from the lowest to the highest
+    bin (the trained model orders clean above junk)."""
+    from phenoxtract_spark.operators import curation
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog and runs far")
+            for i in range(30)]
+    rows += [(100 + i, "zzz !!! ### @@@ %%% ^^^ &&& *** ((( )))")
+             for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = sorted(
+        (r["bin"], r["n_docs"], r["mean_pred"], r["frac_pos"])
+        for r in curation.lr_reliability_bins(df, "doc_id", "text").collect()
+    )
+    assert sum(n for _, n, _, _ in out) == 60
+    assert len(out) >= 2
+    assert out[-1][3] > out[0][3]          # high-score bin is purer
+    assert out[-1][2] > out[0][2]          # and predicts higher
