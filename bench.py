@@ -191,6 +191,9 @@ SF1_PROBE = [
     # held-out LM filtering: three reference-bounded broadcast dims over
     # one pass of the scored token stream
     "text_cross_entropy_filter",
+    # the calibration pass re-runs the bounded-driver-traffic GD loop +
+    # one broadcast predict join
+    "curation_lr_calibration",
 ]
 
 # r5 (verdict #7b/#4): the heaviest sf1 queries get TWO reps and report the
