@@ -1039,3 +1039,64 @@ def lr_reliability_bins(df: DataFrame, id_col: str, text_col: str,
         F.round(F.avg("p"), 4).alias("mean_pred"),
         F.round(F.avg("y"), 4).alias("frac_pos"),
     )
+
+
+def length_bucket_padding(df: DataFrame, id_col: str, n_tokens,
+                          round_dp: int = 6) -> DataFrame:
+    """Batching-efficiency report for length-bucketed training: assign
+    every document to its power-of-two token-length bucket and report,
+    per bucket, the padding waste of batching within that bucket
+    (everything pads to the bucket ceiling) NEXT TO the single-bucket
+    baseline (everything pads to the global max) — the measured argument
+    for bucketed batching, as data.
+
+    waste = 1 − Σtokens / (n_docs · pad_to); all integer arithmetic up
+    to the final ratio.  One groupBy on ~log2(max_len) keys plus a
+    1-row broadcast global max; the baseline row carries bucket = −1.
+    Returns (bucket_ceiling, n_docs, total_tokens, padded_tokens,
+    waste_frac) with the baseline's bucket_ceiling = global max."""
+    n = (F.col(n_tokens) if isinstance(n_tokens, str) else n_tokens).cast(
+        "bigint"
+    )
+    d = df.select(F.col(id_col).alias("id"), n.alias("_n")).filter(
+        F.col("_n") > 0
+    )
+    # ceiling = 2^ceil(log2(n)) via the bit length of (n-1) — the
+    # exponent comes from a string length, never a float log; pow(2, L)
+    # is exact in double for any realistic length, cast back to bigint
+    bit_len = F.length(F.conv((F.col("_n") - 1).cast("string"), 10, 2))
+    ceil_pow2 = F.when(
+        F.col("_n") == 1, F.lit(1).cast("bigint")
+    ).otherwise(F.pow(F.lit(2.0), bit_len.cast("double")).cast("bigint"))
+    per = (
+        d.select(ceil_pow2.alias("bucket_ceiling"), F.col("_n"))
+        .groupBy("bucket_ceiling")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_n").cast("bigint").alias("total_tokens"),
+        )
+        .withColumn(
+            "padded_tokens", (F.col("n_docs") * F.col("bucket_ceiling")).cast("bigint")
+        )
+    )
+    base = d.agg(
+        F.max("_n").cast("bigint").alias("bucket_ceiling"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_n").cast("bigint").alias("total_tokens"),
+    ).select(
+        "bucket_ceiling", "n_docs", "total_tokens",
+        (F.col("n_docs") * F.col("bucket_ceiling")).cast("bigint").alias(
+            "padded_tokens"
+        ),
+        F.lit(False).alias("bucketed"),
+    )
+    out = per.withColumn("bucketed", F.lit(True)).unionByName(base)
+    return out.select(
+        "bucketed", "bucket_ceiling", "n_docs", "total_tokens",
+        "padded_tokens",
+        F.round(
+            F.lit(1.0)
+            - F.col("total_tokens").cast("double") / F.col("padded_tokens"),
+            round_dp,
+        ).alias("waste_frac"),
+    )

@@ -1811,3 +1811,59 @@ def curation_lr_calibration_q(spark, sf_dir):
     calibrate end to end."""
     d = read_table(spark, sf_dir, "documents")
     return curation.lr_reliability_bins(d, "doc_id", "text")
+
+
+@q(
+    "curation_length_bucket_padding",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split({_NORM}, ' '), t -> t != ''))
+                  AS BIGINT) AS n
+      FROM documents
+    ),
+    dd AS (SELECT * FROM d WHERE n > 0),
+    b AS (
+      SELECT CASE WHEN n = 1 THEN 1::BIGINT
+                  ELSE (1::BIGINT << length(printf('%b', n - 1))) END
+               AS bucket_ceiling,
+             n
+      FROM dd
+    ),
+    per AS (
+      SELECT TRUE AS bucketed, bucket_ceiling,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS total_tokens,
+             CAST(count(*) * bucket_ceiling AS BIGINT) AS padded_tokens
+      FROM b GROUP BY bucket_ceiling
+    ),
+    base AS (
+      SELECT FALSE AS bucketed, CAST(max(n) AS BIGINT) AS bucket_ceiling,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS total_tokens,
+             CAST(count(*) * max(n) AS BIGINT) AS padded_tokens
+      FROM dd
+    ),
+    u AS (SELECT * FROM per UNION ALL SELECT * FROM base)
+    SELECT bucketed, bucket_ceiling, n_docs, total_tokens, padded_tokens,
+           round(1.0 - CAST(total_tokens AS DOUBLE) / padded_tokens, 6)
+             AS waste_frac
+    FROM u
+    """,
+)
+def curation_length_bucket_padding_q(spark, sf_dir):
+    """Length-bucketed batching efficiency
+    (operators/curation.py:length_bucket_padding): per power-of-two
+    token-length bucket, the padding waste of batching within the
+    bucket, next to the single-bucket pad-to-global-max baseline
+    (bucketed = FALSE row) — the measured argument for bucketed
+    batching.  Bucket ceilings come from integer bit-length (no float
+    log2 crosses engines); one ~log2(max_len)-key groupBy + one 1-row
+    baseline aggregate."""
+    from .operators import textanalysis
+
+    d = read_table(spark, sf_dir, "documents")
+    counts = textanalysis.tokens_long(d, "doc_id", "text").groupBy(
+        F.col("id").alias("doc_id")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+    return curation.length_bucket_padding(counts, "doc_id", "n_tokens")

@@ -550,3 +550,31 @@ def test_lr_reliability_bins_monotone_signal(spark):
     assert len(out) >= 2
     assert out[-1][3] > out[0][3]          # high-score bin is purer
     assert out[-1][2] > out[0][2]          # and predicts higher
+
+
+def test_length_bucket_padding_arithmetic(spark):
+    """Power-of-two ceilings (1->1, 2->2, 3->4, 5->8); waste arithmetic
+    exact; the bucketed total waste is strictly below the single-bucket
+    baseline on mixed lengths."""
+    from phenoxtract_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3), (4, 5), (5, 100)],
+        "doc_id bigint, n_tokens bigint",
+    )
+    out = {(r["bucketed"], r["bucket_ceiling"]): r
+           for r in curation.length_bucket_padding(
+               df, "doc_id", "n_tokens").collect()}
+    assert (True, 1) in out and (True, 2) in out
+    b4 = out[(True, 4)]
+    assert b4["n_docs"] == 1 and b4["total_tokens"] == 3
+    assert b4["padded_tokens"] == 4 and b4["waste_frac"] == 0.25
+    assert out[(True, 8)]["waste_frac"] == round(1 - 5 / 8, 6)
+    base = out[(False, 100)]
+    assert base["padded_tokens"] == 500
+    assert base["waste_frac"] == round(1 - 111 / 500, 6)
+    bucketed_waste = sum(
+        r["padded_tokens"] - r["total_tokens"]
+        for k, r in out.items() if k[0]
+    )
+    assert bucketed_waste < base["padded_tokens"] - base["total_tokens"]
