@@ -192,8 +192,9 @@ SF1_PROBE = [
     # one pass of the scored token stream
     "text_cross_entropy_filter",
     # the calibration pass re-runs the bounded-driver-traffic GD loop +
-    # one broadcast predict join
+    # one broadcast predict join; the padding report is one tiny groupBy
     "curation_lr_calibration",
+    "curation_length_bucket_padding",
 ]
 
 # r5 (verdict #7b/#4): the heaviest sf1 queries get TWO reps and report the

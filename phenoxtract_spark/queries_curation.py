@@ -1824,9 +1824,9 @@ def curation_lr_calibration_q(spark, sf_dir):
     ),
     dd AS (SELECT * FROM d WHERE n > 0),
     b AS (
-      SELECT CASE WHEN n = 1 THEN 1::BIGINT
-                  ELSE (1::BIGINT << length(printf('%b', n - 1))) END
-               AS bucket_ceiling,
+      SELECT CASE WHEN n = 1 THEN CAST(1 AS BIGINT)
+                  ELSE CAST(power(2, length(printf('%b', n - 1))) AS BIGINT)
+             END AS bucket_ceiling,
              n
       FROM dd
     ),
