@@ -978,3 +978,53 @@ def image_ahash(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def ahash_banded_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate IMAGE pairs from aHash fingerprints, banded exactly
+    like simhash: the 64 bits split into four 16-bit bands, candidates
+    form ONLY on an exact band match (Σ|bucket|² cost, never all-pairs),
+    then the exact Hamming distance verifies
+    (bit_count(hi⊕hi') + bit_count(lo⊕lo')).  By pigeonhole a pair
+    differing in ≤ 3 bits cannot differ in all 4 bands, so candidate
+    generation is EXACT for distance ≤ 3 and probabilistic above — the
+    same recall/cost dial as the text simhash operator, stated rather
+    than hidden.  Pairs emit once (min id < max id).
+    Returns (id_a, id_b, hamming)."""
+    h = hashes.select(
+        F.col("media_id").alias("id"),
+        F.col("ahash_hi").alias("hi"), F.col("ahash_lo").alias("lo"),
+    )
+    bands = h.select(
+        "id", "hi", "lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"),
+                         F.shiftright("hi", 16).alias("key")),
+                F.struct(F.lit(1).alias("band"),
+                         (F.col("hi") % 65536).alias("key")),
+                F.struct(F.lit(2).alias("band"),
+                         F.shiftright("lo", 16).alias("key")),
+                F.struct(F.lit(3).alias("band"),
+                         (F.col("lo") % 65536).alias("key")),
+            )
+        ).alias("b"),
+    ).select("id", "hi", "lo", F.col("b.band").alias("band"),
+             F.col("b.key").alias("key"))
+    a = bands.select(F.col("id").alias("id_a"), F.col("hi").alias("_ha"),
+                     F.col("lo").alias("_la"), "band", "key")
+    b = bands.select(F.col("id").alias("id_b"), F.col("hi").alias("_hb"),
+                     F.col("lo").alias("_lb"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ha", "_la", "_hb", "_lb")
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+        + F.bit_count(F.col("_la").bitwiseXOR(F.col("_lb")))
+    ).cast("bigint")
+    return cand.select(
+        "id_a", "id_b", ham.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -3135,3 +3135,91 @@ def mm_image_ahash(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
     media = multimodal.synthetic_bmp_media(d, "doc_id", "text", width=24, height=16)
     return multimodal.image_ahash(media)
+
+
+@q(
+    "multimodal_ahash_pairs",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             md5(substring(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                           1, 40)) AS seed
+      FROM documents
+    ),
+    ii AS (SELECT unnest(generate_series(0, 7)) AS i),
+    jj AS (SELECT unnest(generate_series(0, 7)) AS j),
+    dd AS (SELECT unnest([0, 1]) AS dr),
+    ee AS (SELECT unnest([0, 1, 2]) AS dc),
+    kk AS (SELECT unnest([0, 1, 2]) AS k),
+    px AS (
+      SELECT doc_id, seed, ii.i, jj.j, dd.dr, ee.dc, kk.k,
+             ((2 * ii.i + dr) * 24 + (3 * jj.j + dc)) * 3 + kk.k AS pos
+      FROM docs, ii, jj, dd, ee, kk
+    ),
+    vals AS (
+      SELECT doc_id, i, j, dr, dc,
+             ('0x' || substr(md5(seed || '-' || CAST(pos // 16 AS VARCHAR)),
+                             (pos % 16) * 2 + 1, 2))::BIGINT AS v
+      FROM px
+    ),
+    gray AS (
+      SELECT doc_id, i, j, dr, dc, CAST(sum(v) AS BIGINT) // 3 AS g
+      FROM vals GROUP BY doc_id, i, j, dr, dc
+    ),
+    cells AS (
+      SELECT doc_id, i, j, CAST(sum(g) AS BIGINT) AS s
+      FROM gray GROUP BY doc_id, i, j
+    ),
+    tots AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS tot
+             FROM cells GROUP BY doc_id),
+    bits AS (
+      SELECT cells.doc_id, i * 8 + j AS idx,
+             CASE WHEN s * 64 > tot THEN 1 ELSE 0 END AS bit
+      FROM cells JOIN tots ON tots.doc_id = cells.doc_id
+    ),
+    hashes AS (
+      SELECT doc_id AS id,
+             CAST(sum(CASE WHEN idx < 32 THEN bit * (1::BIGINT << (31 - idx)) ELSE 0 END) AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN idx >= 32 THEN bit * (1::BIGINT << (63 - idx)) ELSE 0 END) AS BIGINT) AS lo
+      FROM bits GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT id, hi, lo, b.band,
+             CASE b.band WHEN 0 THEN hi // 65536 WHEN 1 THEN hi % 65536
+                         WHEN 2 THEN lo // 65536 ELSE lo % 65536 END AS key
+      FROM hashes, (SELECT unnest([0, 1, 2, 3]) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.hi AS ha, a.lo AS la, b.hi AS hb, b.lo AS lb
+      FROM bands a JOIN bands b USING (band, key)
+      WHERE a.id < b.id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT)
+             AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 6
+    """,
+)
+def multimodal_ahash_pairs_q(spark, sf_dir):
+    """Near-duplicate image pairs via banded aHash
+    (operators/multimodal.py:ahash_banded_pairs): the perceptual hashes
+    split into four 16-bit bands, candidates form only on an exact band
+    match (Σ|bucket|² — never all-pairs over the image corpus), exact
+    Hamming ≤ 6 verifies.  Images here are thumbnails seeded from each
+    document's 40-char normalized lead, so the corpus's planted
+    near-duplicate texts yield byte-identical thumbnails — the pair
+    relation is non-empty and value-checked end to end: synth → decode →
+    aHash → band → verify, all replayed arithmetically by the oracle."""
+    d = read_table(spark, sf_dir, "documents")
+    lead = d.select(
+        "doc_id",
+        F.substring(
+            F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")),
+            1, 40,
+        ).alias("text"),
+    )
+    media = multimodal.synthetic_bmp_media(lead, "doc_id", "text", width=24, height=16)
+    hashes = multimodal.image_ahash(media)
+    return multimodal.ahash_banded_pairs(hashes, max_hamming=6)

@@ -223,3 +223,28 @@ def test_image_ahash_known_pattern(spark):
     assert out[1]["ahash_lo"] == 0x0F0F0F0F
     assert out[1]["n_ones"] == 32
     assert (out[2]["ahash_hi"], out[2]["ahash_lo"], out[2]["n_ones"]) == (0, 0, 0)
+
+
+def test_ahash_banded_pairs_pigeonhole_and_verify(spark):
+    """Identical hashes pair at distance 0; a 2-bit difference (<= 3)
+    MUST be caught (pigeonhole: 4 bands); a pair differing in all four
+    bands produces no candidate even if (hypothetically) close; the
+    verify threshold drops far pairs that banded together."""
+    from phenoxtract_spark.operators import multimodal
+
+    rows = [
+        (1, 0x0F0F0F0F, 0x0F0F0F0F),
+        (2, 0x0F0F0F0F, 0x0F0F0F0F),          # identical -> hamming 0
+        (3, 0x0F0F0F0E, 0x0F0F0F0D),          # 1+1 bits off vs 1 -> 2
+        (4, 0x1F0F0F0F, 0x0F0F0F0F),          # 1 bit off band 0 -> 1
+        (5, 0xF0F0F0F0, 0x70707070),          # differs everywhere
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id bigint, ahash_hi bigint, ahash_lo bigint"
+    )
+    out = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+           multimodal.ahash_banded_pairs(df, max_hamming=6).collect()}
+    assert out[(1, 2)] == 0
+    assert out[(1, 3)] == 2 and out[(2, 3)] == 2
+    assert out[(1, 4)] == 1
+    assert not any(5 in k for k in out)
