@@ -195,6 +195,8 @@ SF1_PROBE = [
     # one broadcast predict join; the padding report is one tiny groupBy
     "curation_lr_calibration",
     "curation_length_bucket_padding",
+    # banded-aHash pairs: Σ|bucket|² candidates over image fingerprints
+    "multimodal_ahash_pairs",
 ]
 
 # r5 (verdict #7b/#4): the heaviest sf1 queries get TWO reps and report the
