@@ -44,43 +44,36 @@ _PRIORITY = [
     # crashed the driver's sort_values canon) — now posexploded to
     # atomic columns; its green r6 row is the fix evidence
     "multimodal_features",
-    # --- r6 first-time rotation (never driver-checked before) ---------
-    # TPC-H block
-    "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping", "tpch_q10_returned_items",
-    "tpch_q12_priority_shipping", "tpch_q14_promo_share",
-    "tpch_q18_large_volume_customers",
-    # scalar subqueries / analytics
-    "distinct_agg_by_group", "scalar_subquery_above_avg",
-    # profiling / quality
-    "stats_numeric_profile", "profiling_skew_report",
-    # r5-new operators (first driver rows): IVF-PQ, Z-order layout,
-    # token-budget selection, and the sf1-crash-fixed packet roundtrip
-    "similarity_ivfpq_topk", "layout_zorder_files",
-    "curation_token_budget_select", "g10_packet_roundtrip",
-    # curation / text (text_repetition + the three curation_pack/shard
-    # queries are the r5 HUGEINT-cast sites — their green rows close
-    # that class with driver evidence)
-    "text_repetition", "curation_pack_sequences", "curation_pack_stats",
-    "curation_shard_assign", "text_bpe_apply",
-    # events / behavior / graph
-    "events_window_dedup", "events_rolling_wau", "events_churn_labels",
-    "graph_pagerank_similarity",
-    # --- new in round 6 (first driver rows for the new operators) -----
-    # exact-substring dedup family (Lee et al. 2022): spans, the clean
-    # action, and benchmark decontamination
-    "dedup_substring_spans", "dedup_substring_clean",
-    "curation_substring_decontaminate",
-    # WARC ingest, HLL sketch, BM25 retrieval, CDC apply
-    "warc_ingest_roundtrip", "sketch_hll_users", "text_bm25_topk",
-    "cdc_apply_customers",
-    # late r6: domain profile through WARC, compressed-JSONL ingest,
-    # compaction planner, LR quality trainer, spatial radius join,
-    # table diff, T5 span corruption
-    "web_domain_profile", "jsonl_gz_ingest_roundtrip",
-    "layout_compaction_plan", "curation_quality_lr_train",
-    "geo_grid_radius_join", "quality_table_diff",
-    "curation_span_corruption",
+    # --- r7 first-time rotation (never driver-checked before; pool from
+    # tools/rotation_status.py — the r6-continuation operators lead) ----
+    # CDC family: IVM, time travel, two-writer conflicts
+    "cdc_incremental_agg", "cdc_time_travel", "cdc_merge_conflicts",
+    # similarity: hybrid RRF fusion, nDCG@k, recall@k
+    "similarity_hybrid_rrf", "similarity_ann_ndcg", "similarity_ann_recall",
+    # layout: zone-map pruning + the Hilbert curve (slowest registered
+    # query — its r7 perf work needs a driver row too)
+    "layout_zonemap_prune", "layout_hilbert_files",
+    # multimodal: VAD, aHash + banded pairs, mean-pool, PCM resample
+    "multimodal_vad_segments", "multimodal_image_ahash",
+    "multimodal_ahash_pairs", "multimodal_image_meanpool",
+    "multimodal_pcm_resample",
+    # web / curation continuation operators
+    "web_url_canonical_dedup", "curation_pareto_frontier",
+    "curation_lr_calibration", "curation_length_bucket_padding",
+    "curation_shrunk_source_quality", "curation_span_corruption",
+    # text / quality / profiling
+    "text_cross_entropy_filter", "quality_group_digest",
+    "quality_table_diff", "quality_drift_report",
+    "profiling_benford_digits", "profiling_join_fanout",
+    # events / behavior
+    "events_trailing_ewma", "events_seasonal_anomaly",
+    "stateful_running_totals",
+    # geo + substring coverage + sketches
+    "geo_grid_radius_join", "geo_nearest_supplier",
+    "dedup_substring_coverage", "sketch_kmv_setops",
+    "sketch_hll_sliding_distinct",
+    # analytics / TPC-H first-timers
+    "analytics_mad_outliers", "tpch_q4_order_priority",
 ]
 
 
