@@ -868,6 +868,11 @@ def image_meanpool_stats(media: DataFrame) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 w, h, rgb = decode_image(bytes(payload))
                 a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3).astype(np.int64)
+                # crop to even dims first (as image_ahash crops to its 8×8
+                # grid): the four strided slices below have unequal shapes
+                # on an odd width/height and numpy raises in the executor
+                h2, w2 = h // 2 * 2, w // 2 * 2
+                a = a[:h2, :w2]
                 pooled = (
                     a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2]
                 ) // 4

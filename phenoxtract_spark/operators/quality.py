@@ -142,11 +142,15 @@ def group_digest(df: DataFrame, group_col: str,
     any realistic group) are the standard hardening.  Callers must
     render NON-AMBIGUOUS payload strings (e.g. integer cents, not
     floats) — the digest is only as engine-stable as its rendering.
+    NULL cells render as a \\x00-prefixed sentinel rather than being
+    skipped: ``concat_ws`` drops NULLs entirely, so (a, NULL, b) and
+    (a, b, NULL) would otherwise hash identically — a silent false
+    negative in exactly the divergence this primitive exists to catch.
     One groupBy; map-side partial aggregation applies."""
     cols = [F.col(c) if isinstance(c, str) else c for c in payload]
+    rendered = [F.coalesce(c.cast("string"), F.lit("\x00NULL")) for c in cols]
     h = F.conv(
-        F.substring(F.md5(F.concat_ws(sep, *[c.cast("string") for c in cols])),
-                    1, 15),
+        F.substring(F.md5(F.concat_ws(sep, *rendered)), 1, 15),
         16, 10,
     ).cast("bigint")
     return (

@@ -1646,10 +1646,14 @@ def curation_pareto_frontier_q(spark, sf_dir):
     """
     WITH r AS (
       SELECT c_nationkey,
-             ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || chr(31)
-                                 || c_name || chr(31)
-                                 || CAST(CAST(round(c_acctbal * 100, 0) AS BIGINT)
-                                         AS VARCHAR)),
+             -- NULL cells render as the chr(0)-prefixed sentinel, exactly
+             -- like the operator (concat_ws would silently SKIP them)
+             ('0x' || substr(md5(
+                 coalesce(CAST(c_custkey AS VARCHAR), chr(0) || 'NULL')
+                 || chr(31)
+                 || coalesce(c_name, chr(0) || 'NULL') || chr(31)
+                 || coalesce(CAST(CAST(round(c_acctbal * 100, 0) AS BIGINT)
+                                  AS VARCHAR), chr(0) || 'NULL')),
                              1, 15))::BIGINT AS h
       FROM customer
     )

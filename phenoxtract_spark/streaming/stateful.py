@@ -304,12 +304,12 @@ def dedup_first_seen_stream(docs: DataFrame) -> DataFrame:
     |distinct content|, not |arrivals|.
 
     Determinism contract: arrival order WITHIN a micro-batch is
-    partition-dependent, so within a batch "first" means min doc_id;
-    across batches the earlier batch always wins (GroupState folds in
-    trigger order).  Feed batches in id order and the result equals the
-    batch groupBy (the parity the test pins).  Emit mode: update — each
-    digest re-emits its (keep_id, n_seen) row whenever a batch touches
-    it."""
+    partition-dependent, so "first" means min doc_id — and the fold
+    takes ``min(keep, batch_min)`` across batches too, so the keep
+    policy is the GLOBAL minimum doc_id over all arrivals regardless of
+    batch order (which is exactly what makes the stream=batch-groupBy
+    parity hold for any batch split).  Emit mode: update — each digest
+    re-emits its (keep_id, n_seen) row whenever a batch touches it."""
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd  # worker-side import

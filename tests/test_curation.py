@@ -511,6 +511,24 @@ def test_group_digest_order_invariant_and_sensitive(spark):
     assert dd["n_rows"] != da["n_rows"] and dd["sum32"] != da["sum32"]
 
 
+def test_group_digest_null_position_disambiguated(spark):
+    """Rows differing only in WHICH column is NULL must hash differently:
+    concat_ws silently skips NULLs, so (a, NULL, b) and (a, b, NULL)
+    would collapse to the same row string without the sentinel rendering
+    (r6 ADVICE) — a silent false negative in a divergence detector."""
+    from phenoxtract_spark.operators import quality
+
+    schema = "g string, k string, name string, v string"
+    a = spark.createDataFrame([("g", "a", None, "b")], schema)
+    b = spark.createDataFrame([("g", "a", "b", None)], schema)
+    dig = lambda df: quality.group_digest(
+        df, "g", ["k", "name", "v"]).collect()[0]["digest"]
+    assert dig(a) != dig(b)
+    # and a NULL cell differs from the literal sentinel-free empty string
+    c = spark.createDataFrame([("g", "a", "", "b")], schema)
+    assert dig(a) != dig(c)
+
+
 def test_shrunk_group_means_pulls_small_groups(spark):
     """A 2-row group with extreme scores lands near the prior; a 1000-row
     group keeps (almost) its raw mean; shrunk is always strictly between

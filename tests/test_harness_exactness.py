@@ -205,3 +205,20 @@ def test_check_correctness_rejects_unknown_flags():
     )
     assert r.returncode == 2
     assert "unknown flag" in r.stdout
+
+
+def test_check_correctness_sf_dir_without_value_exits_cleanly():
+    """``--sf-dir`` as the LAST argument must print a clear error and
+    exit 2, not die with a raw IndexError traceback (r6 ADVICE)."""
+    import subprocess
+    import sys
+
+    repo = Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [sys.executable, str(repo / "tools" / "check_correctness.py"),
+         "--sf-dir"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode == 2
+    assert "--sf-dir requires a path" in r.stdout
+    assert "IndexError" not in r.stderr

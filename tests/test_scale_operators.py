@@ -990,6 +990,30 @@ def test_image_meanpool_matches_numpy_reference_and_pins_layout(spark):
     assert int(((idx + 1) * flipped).sum()) != r.possum
 
 
+def test_image_meanpool_odd_dimensions_crop_to_even(spark):
+    """Odd width/height decode must pool over the even-cropped region
+    instead of raising a numpy broadcast error in the executor (r6
+    ADVICE: the registry only feeds even dims, but the library function
+    has no such contract)."""
+    import hashlib
+    import numpy as np
+    from phenoxtract_spark.operators import multimodal
+
+    df = spark.createDataFrame([(9, "odd")], ["doc_id", "text"])
+    media = multimodal.synthetic_bmp_media(df, "doc_id", "text", width=7, height=5)
+    r = multimodal.image_meanpool_stats(media).collect()[0]
+    ks = multimodal.md5_keystream(hashlib.md5(b"odd").hexdigest(), 7 * 5 * 3)
+    a = np.frombuffer(ks, dtype=np.uint8).reshape(5, 7, 3).astype(np.int64)
+    a = a[:4, :6]  # even crop
+    pooled = (a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2]) // 4
+    idx = np.arange(pooled.size, dtype=np.int64).reshape(pooled.shape)
+    assert (r.out_w, r.out_h) == (3, 2)
+    assert r.sum_r == int(pooled[:, :, 0].sum())
+    assert r.sum_g == int(pooled[:, :, 1].sum())
+    assert r.sum_b == int(pooled[:, :, 2].sum())
+    assert r.possum == int(((idx + 1) * pooled).sum())
+
+
 def test_hll_sliding_distinct_windows_and_register_reuse(spark):
     from pyspark.sql import functions as F
     from phenoxtract_spark.operators import sketches

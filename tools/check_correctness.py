@@ -196,6 +196,9 @@ def main():
         args = [a for a in args if a != "--vanilla"]
     if "--sf-dir" in args:
         i = args.index("--sf-dir")
+        if i + 1 >= len(args):
+            print("ERROR: --sf-dir requires a path")
+            sys.exit(2)
         SF_DIR = args[i + 1]
         del args[i : i + 2]
     # any remaining arg must name a registered query — an unrecognized
