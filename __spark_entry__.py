@@ -72,8 +72,11 @@ _PRIORITY = [
     "geo_grid_radius_join", "geo_nearest_supplier",
     "dedup_substring_coverage", "sketch_kmv_setops",
     "sketch_hll_sliding_distinct",
-    # analytics / TPC-H first-timers
-    "analytics_mad_outliers", "tpch_q4_order_priority",
+    # analytics first-timer + the r7 capstone: the composed FineWeb/
+    # CCNet-style web-curation pipeline (WARC -> URL dedup -> langid ->
+    # Gopher -> CCNet LM filter -> MinHash-LSH -> decontaminate ->
+    # token budget) as ONE plan with a full chained-CTE oracle
+    "analytics_mad_outliers", "curation_web_pipeline_e2e",
 ]
 
 

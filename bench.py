@@ -197,6 +197,11 @@ SF1_PROBE = [
     "curation_length_bucket_padding",
     # banded-aHash pairs: Σ|bucket|² candidates over image fingerprints
     "multimodal_ahash_pairs",
+    # round-7 capstone: the composed web-curation pipeline — WARC codec
+    # pass + LM dims + LSH + decontamination chained in one plan; the
+    # ratio tracks corpus size (every stage is broadcast- or
+    # bucket-bounded; checkpoints pin the shared subtrees)
+    "curation_web_pipeline_e2e",
 ]
 
 # r5 (verdict #7b/#4): the heaviest sf1 queries get TWO reps and report the

@@ -1871,3 +1871,472 @@ def curation_length_bucket_padding_q(spark, sf_dir):
         F.col("id").alias("doc_id")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
     return curation.length_bucket_padding(counts, "doc_id", "n_tokens")
+
+
+_CE_BUCKET_SQL = (
+    "('0x' || substr(md5('ce-v1::' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10"
+)
+
+_WEB_E2E_URL_SQL = """
+         (CASE WHEN b % 2 = 0 THEN 'http' ELSE 'HTTP' END)
+         || '://'
+         || (CASE WHEN (b // 2) % 2 = 0 THEN 'Site' ELSE 'www.site' END)
+         || CAST(doc_id // 2 AS VARCHAR) || '.Example.com'
+         || (CASE WHEN (b // 4) % 2 = 0 THEN '' ELSE ':80' END)
+         || '/articles/page' || CAST(doc_id // 2 AS VARCHAR)
+         || (CASE WHEN (b // 8) % 2 = 0 THEN '' ELSE '/' END)
+         || (CASE WHEN b % 3 = 0 THEN '?b=2&a=1&utm_source=feed'
+                  WHEN b % 3 = 1 THEN '?a=1&b=2'
+                  ELSE '?b=2&a=1&ref=rss' END)
+         || '#d' || CAST(doc_id AS VARCHAR)
+"""
+
+
+@q(
+    "curation_web_pipeline_e2e",
+    f"""
+    WITH split AS (
+      SELECT doc_id, text, lang,
+             {_CE_BUCKET_SQL} AS ce_b,
+             {_BUCKET_SQL} AS sp_b
+      FROM documents
+    ),
+    ref AS (SELECT doc_id, text FROM split WHERE ce_b < 3),
+    bench AS (SELECT doc_id, text FROM split
+              WHERE sp_b >= 8000 AND length(text) >= 30),
+    corpus AS (SELECT doc_id, text, lang FROM split
+               WHERE ce_b >= 3 AND sp_b < 8000),
+    fetched AS (
+      SELECT doc_id, text, lang, {_WEB_E2E_URL_SQL} AS url
+      FROM (SELECT doc_id, text, lang,
+                   ('0x' || substr(md5('url-v2|' || CAST(doc_id AS VARCHAR)),
+                                   1, 8))::BIGINT % 16 AS b
+            FROM corpus)
+    ),
+    a1 AS (
+      SELECT doc_id, text, lang,
+             lower(regexp_extract(url, '^\\s*([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+             regexp_replace(
+               regexp_extract(url, '^\\s*[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+               '^[^@]*@', '') AS hostport,
+             regexp_extract(url,
+               '^\\s*[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS pathq
+      FROM fetched
+    ),
+    a2 AS (
+      SELECT doc_id, text, lang, scheme,
+             regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
+                            '^www\\.', '') AS host,
+             regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+             regexp_extract(pathq, '^([^?]*)', 1) AS path,
+             regexp_extract(pathq, '\\?(.*)$', 1) AS query
+      FROM a1
+    ),
+    canon AS (
+      SELECT doc_id, text, lang,
+             scheme || '://' || host
+             || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                        OR (scheme = 'https' AND port = '443')
+                      THEN '' ELSE ':' || port END)
+             || (CASE WHEN regexp_replace(path, '/+$', '') = ''
+                      THEN '/' ELSE regexp_replace(path, '/+$', '') END)
+             || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canon_url
+      FROM (
+        SELECT *, array_to_string(list_sort(list_filter(
+                 string_split(query, '&'),
+                 s -> s != '' AND NOT regexp_matches(
+                   s, '^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=.*)?$')
+               )), '&') AS q
+        FROM a2
+      )
+    ),
+    s1 AS (
+      SELECT c.doc_id, c.text, c.lang
+      FROM canon c
+      JOIN (SELECT canon_url, min(doc_id) AS doc_id FROM canon GROUP BY 1) k
+        ON c.canon_url = k.canon_url AND c.doc_id = k.doc_id
+    ),
+    v AS (
+      SELECT doc_id, text, lang,
+             {_votes_sql('de')} AS v_de, {_votes_sql('en')} AS v_en,
+             {_votes_sql('es')} AS v_es, {_votes_sql('fr')} AS v_fr,
+             {_votes_sql('it')} AS v_it
+      FROM s1
+    ),
+    s2 AS (
+      SELECT doc_id, text, lang FROM v
+      WHERE greatest(v_de, v_en, v_es, v_fr, v_it) > 0
+        AND v_de != greatest(v_de, v_en, v_es, v_fr, v_it)
+        AND v_en = greatest(v_de, v_en, v_es, v_fr, v_it)
+    ),
+    gbase AS (
+      SELECT doc_id, text,
+             list_filter(string_split({_NORM}, ' '), x -> x != '') AS t,
+             string_split(text, chr(10)) AS ls
+      FROM s2
+    ),
+    gm AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+                  AS BIGINT) AS sum_len,
+             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+               AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) / 3.0 AS n_ellip,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(ls, l -> ltrim(l) LIKE '- %'
+                                            OR ltrim(l) LIKE '* %'
+                                            OR ltrim(l) LIKE '•%')) AS BIGINT)
+               AS n_bullet,
+             CAST(len(list_filter(ls, l -> rtrim(l) LIKE '%...'
+                                            OR rtrim(l) LIKE '%…')) AS BIGINT)
+               AS n_ellip_line,
+             CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+                  AS BIGINT) AS n_alpha,
+             CAST(len(list_distinct(list_intersect(t,
+                  ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])))
+                  AS BIGINT) AS stop_hits
+      FROM gbase
+    ),
+    gr AS (
+      SELECT doc_id, n_words,
+             CASE WHEN n_words > 0 THEN CAST(sum_len AS DOUBLE) / n_words END
+               AS mean_len,
+             CASE WHEN n_words > 0 THEN (n_hash + n_ellip) / n_words END
+               AS symbol_ratio,
+             CAST(n_bullet AS DOUBLE) / n_lines AS bullet_frac,
+             CAST(n_ellip_line AS DOUBLE) / n_lines AS ellip_frac,
+             CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words END
+               AS alpha_frac,
+             stop_hits
+      FROM gm
+    ),
+    gf AS (
+      SELECT doc_id,
+             CAST((CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 0 ELSE 1 END)
+                + (CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0 THEN 0 ELSE 1 END)
+                + (CASE WHEN symbol_ratio <= 0.1 THEN 0 ELSE 1 END)
+                + (CASE WHEN bullet_frac <= 0.9 THEN 0 ELSE 1 END)
+                + (CASE WHEN ellip_frac <= 0.3 THEN 0 ELSE 1 END)
+                + (CASE WHEN alpha_frac > 0.8 THEN 0 ELSE 1 END)
+                + (CASE WHEN stop_hits >= 2 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_rules_failed
+      FROM gr
+    ),
+    s3 AS (
+      SELECT s2.doc_id, s2.text FROM s2
+      JOIN gf ON gf.doc_id = s2.doc_id AND gf.n_rules_failed <= 1
+    ),
+    rtoks AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM}, ' '), t -> t != '') AS t
+      FROM ref
+    ),
+    tpair AS (
+      SELECT t[i] AS prev, t[i + 1] AS tok
+      FROM rtoks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    bg AS (SELECT prev, tok, CAST(count(*) AS DOUBLE) AS c
+           FROM tpair GROUP BY prev, tok),
+    ctx AS (SELECT prev, sum(c) AS cc FROM bg GROUP BY prev),
+    vocab AS (
+      SELECT DISTINCT t[i] AS tok
+      FROM rtoks, unnest(generate_series(1, len(t))) AS u(i)
+    ),
+    vs AS (SELECT count(*) + 1.0 AS v FROM vocab),
+    s3toks AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM}, ' '), t -> t != '') AS t
+      FROM s3
+    ),
+    stoks AS (
+      SELECT s.doc_id, s.i,
+             CASE WHEN vv.tok IS NULL THEN chr(1) || 'UNK' ELSE s.tok END AS tok
+      FROM (SELECT doc_id, i, t[i] AS tok
+            FROM s3toks, unnest(generate_series(1, len(t))) AS u(i)) s
+      LEFT JOIN vocab vv ON vv.tok = s.tok
+    ),
+    spair AS (
+      SELECT a.doc_id, a.tok AS prev, b.tok AS tok
+      FROM stoks a JOIN stoks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    ),
+    ces AS (
+      SELECT doc_id,
+             round(-avg(ln((coalesce(c, 0) + 1.0) / (coalesce(cc, 0) + v))), 4)
+               AS cross_entropy
+      FROM spair LEFT JOIN bg USING (prev, tok) LEFT JOIN ctx USING (prev), vs
+      GROUP BY doc_id
+    ),
+    s4 AS (
+      SELECT s3.doc_id, s3.text FROM s3
+      JOIN ces ON ces.doc_id = s3.doc_id AND ces.cross_entropy <= 3.49
+    ),
+    ltoks AS (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM s4),
+    lsh AS (
+      SELECT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS sh
+      FROM ltoks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+    ),
+    seeded AS (
+      SELECT doc_id, s.seed, md5(CAST(s.seed AS VARCHAR) || '|' || sh) AS h
+      FROM lsh, (SELECT unnest(generate_series(0, 3)) AS seed) s
+    ),
+    sig AS (SELECT doc_id AS id, seed, min(h) AS minhash FROM seeded GROUP BY 1, 2),
+    bands AS (
+      SELECT id, seed // 2 AS band,
+             md5(array_to_string(list_sort(
+               list(CAST(seed AS VARCHAR) || ':' || minhash)), '|')) AS band_key
+      FROM sig GROUP BY id, seed // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+    ),
+    dsh AS (SELECT DISTINCT doc_id, sh FROM lsh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT common.id_a, common.id_b
+      FROM common
+      JOIN cand ON cand.id_a = common.id_a AND cand.id_b = common.id_b
+      JOIN sizes sa ON sa.doc_id = common.id_a
+      JOIN sizes sb ON sb.doc_id = common.id_b
+      WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.3
+    ),
+    partners AS (
+      SELECT id_a AS doc_id, id_b AS partner FROM verified
+      UNION ALL SELECT id_b, id_a FROM verified
+    ),
+    canonical AS (
+      SELECT d.doc_id,
+             least(d.doc_id, coalesce(min(p.partner), d.doc_id)) AS canonical_id
+      FROM s4 d LEFT JOIN partners p USING (doc_id)
+      GROUP BY d.doc_id
+    ),
+    s5 AS (
+      SELECT s4.doc_id, s4.text FROM s4
+      JOIN canonical k ON k.doc_id = s4.doc_id AND k.canonical_id = s4.doc_id
+    ),
+    atr AS (SELECT doc_id AS id, unnest(range(0, length(text) - 29)) AS pos,
+                   text AS t
+            FROM s5 WHERE length(text) >= 30),
+    ate AS (SELECT doc_id AS id, unnest(range(0, length(text) - 29)) AS pos,
+                   text AS t
+            FROM bench),
+    htr AS (SELECT id, pos,
+                   ('0x' || substr(md5(substr(t, CAST(pos AS INTEGER) + 1, 30)),
+                                   1, 15))::BIGINT AS h
+            FROM atr),
+    hte AS (SELECT id, pos,
+                   ('0x' || substr(md5(substr(t, CAST(pos AS INTEGER) + 1, 30)),
+                                   1, 15))::BIGINT AS h
+            FROM ate),
+    contaminated AS (SELECT DISTINCT x.id AS doc_id
+                     FROM htr x JOIN hte y ON x.h = y.h),
+    s6 AS (
+      SELECT s5.doc_id, s5.text FROM s5
+      WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = s5.doc_id)
+    ),
+    qm AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                  AS DOUBLE) AS n_alpha,
+             CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))
+                  AS DOUBLE) AS n_punct,
+             CAST(len(list_filter(string_split({_NORM}, ' '), t -> t != ''))
+                  AS DOUBLE) AS n_tok,
+             CAST({_votes_sql('en')} AS DOUBLE) AS en_stop
+      FROM s6
+    ),
+    scored AS (
+      SELECT doc_id AS id,
+             ('0x' || substr(md5('budget-v1::' || CAST(doc_id AS VARCHAR)),
+                             1, 8))::BIGINT % 4 AS shard,
+             CAST(n_tok AS BIGINT) AS n_tokens,
+             round(0.3 * least(n_chars / 500.0, 1.0)
+                 + 0.3 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars
+                               ELSE 0.0 END)
+                 + 0.2 * (CASE WHEN n_tok > 0
+                               THEN least(en_stop / (n_tok * 0.1 + 1e-9), 1.0)
+                               ELSE 0.0 END)
+                 + 0.2 * (CASE WHEN n_chars > 0
+                               THEN 1.0 - least(n_punct / n_chars * 5, 1.0)
+                               ELSE 0.0 END), 6) AS quality
+      FROM qm
+    ),
+    cum AS (
+      SELECT id, shard, n_tokens, quality,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard
+                                      ORDER BY quality DESC, id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      FROM scored
+    )
+    SELECT id, shard, n_tokens, quality, cum_tokens
+    FROM cum WHERE cum_tokens <= 1500
+    """,
+)
+def curation_web_pipeline_e2e_q(spark, sf_dir):
+    """The composed FineWeb/CCNet-style web-curation pipeline as ONE
+    Catalyst plan (r6 verdict #5) — every stage is an already-green
+    registered operator, chained at realistic shape:
+
+      WARC ingest (real bytes: encode -> strict parse -> rehydrate by
+      id + body-md5 integrity gate) -> URL canonicalization dedup
+      (first fetch per canonical page; 16 messy surface variants, 2
+      fetches per page) -> language ID (keep predicted-English) ->
+      Gopher rules (<=1 failed; the synthetic corpus universally fails
+      the stopword rule) -> CCNet held-out perplexity filter (add-one
+      bigram LM on the 30% ce-v1 reference slice; keep cross-entropy
+      <= 3.49) -> MinHash-LSH near-dup dedup (4 hashes, 2-row bands,
+      Jaccard >= 0.3 verify, keep min id) -> exact-substring benchmark
+      decontamination (30-gram anchors vs the val+test split) ->
+      token-budget selection (4 shards x 1500 tokens, greedy by
+      quality).
+
+    Every stage removes rows at every test scale (sf0.01: 263 corpus
+    -> 199 -> 149 -> 100 -> 88 -> 86 -> 85 -> 72 selected).  Scale
+    posture: the WARC parse is partition-local Python; canonical-URL
+    dedup and the shard window are the only table-sized shuffles; the
+    LM and benchmark anchors are reference-bounded broadcast dims; LSH
+    candidates are bucket-bounded.  The oracle replays all eight
+    stages as chained CTEs."""
+    from .functions import urls
+    from .operators import textanalysis
+    from .sources import warc
+
+    d = read_table(spark, sf_dir, "documents")
+    ce_b = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ce-v1::"),
+                                          F.col("doc_id").cast("string"))),
+                           1, 8), 16, 10).cast("bigint") % 10
+    )
+    sp_b = curation.split_bucket("doc_id", "split-v1")
+    dd = d.select("doc_id", "text", "lang", ce_b.alias("_ce"), sp_b.alias("_sp"))
+    ref = dd.filter(F.col("_ce") < 3).select("doc_id", "text")
+    bench = dd.filter((F.col("_sp") >= 8000) & (F.length("text") >= 30)).select(
+        "doc_id", "text"
+    )
+    corpus = dd.filter((F.col("_ce") >= 3) & (F.col("_sp") < 8000)).select(
+        "doc_id", "text", "lang"
+    )
+
+    # stage 0: the crawl — messy fetch URLs through REAL WARC bytes,
+    # then rehydrate the payload by id with an md5 integrity gate (the
+    # join proves the roundtrip inside the query; a corrupted byte
+    # drops the row and fails the count check)
+    b = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", F.lit("url-v2"),
+                                             F.col("doc_id").cast("string"))),
+                           1, 8), 16, 10).cast("bigint") % 16
+    )
+    page = (F.col("doc_id") / 2).cast("bigint").cast("string")
+    url = F.concat(
+        F.when(b % 2 == 0, F.lit("http")).otherwise(F.lit("HTTP")),
+        F.lit("://"),
+        F.when((b / 2).cast("bigint") % 2 == 0, F.lit("Site"))
+        .otherwise(F.lit("www.site")),
+        page, F.lit(".Example.com"),
+        F.when((b / 4).cast("bigint") % 2 == 0, F.lit("")).otherwise(F.lit(":80")),
+        F.lit("/articles/page"), page,
+        F.when((b / 8).cast("bigint") % 2 == 0, F.lit("")).otherwise(F.lit("/")),
+        F.when(b % 3 == 0, F.lit("?b=2&a=1&utm_source=feed"))
+        .when(b % 3 == 1, F.lit("?a=1&b=2"))
+        .otherwise(F.lit("?b=2&a=1&ref=rss")),
+        F.lit("#d"), F.col("doc_id").cast("string"),
+    )
+    fetched = corpus.withColumn("url", url)
+    segs = warc.synthetic_warc_segments(
+        fetched, "doc_id", "text", docs_per_segment=16, uri_col="url"
+    )
+    rec = warc.parse_warc_segments(segs).select(
+        F.regexp_extract("target_uri", r"#d(\d+)$", 1).cast("bigint").alias("doc_id"),
+        "target_uri", "body_md5",
+    )
+    s0 = rec.join(
+        fetched.select(
+            F.col("doc_id").alias("_fid"), "text", "lang",
+            F.md5(F.coalesce("text", F.lit(""))).alias("_tmd5"),
+        ),
+        (F.col("doc_id") == F.col("_fid")) & (F.col("body_md5") == F.col("_tmd5")),
+    ).select("doc_id", "target_uri", "text", "lang")
+
+    # stage 1: canonical-URL dedup — first fetch per canonical page
+    canon = s0.withColumn("canon_url", urls.canonicalize_url(F.col("target_uri")))
+    keep = canon.groupBy("canon_url").agg(F.min("doc_id").alias("doc_id"))
+    s1 = canon.join(keep, ["canon_url", "doc_id"]).select("doc_id", "text", "lang")
+
+    # stage 2: language ID — keep predicted-English.  Checkpointed: the
+    # relation is consumed by the Gopher scorer AND the survivor join
+    # (divergence below the dedup exchange), and everything above it —
+    # the WARC codec pass in particular — must execute once, not once
+    # per downstream consumer (the r6 checkpoint-placement rule).
+    s2 = s1.filter(
+        textanalysis.detect_language("text") == "en"
+    ).localCheckpoint(eager=True)
+
+    # stage 3: Gopher rules, relaxed to <=1 failed rule
+    gpass = (
+        textanalysis.gopher_rules(s2, "doc_id", "text")
+        .filter(F.col("n_rules_failed") <= 1)
+        .select("doc_id")
+    )
+    s3 = s2.join(gpass, "doc_id").select("doc_id", "text")
+
+    # stage 4: held-out perplexity filter (LM trained on the ref slice)
+    ces = textanalysis.cross_entropy_score(ref, s3, "doc_id", "text")
+    # checkpointed: four downstream consumers (minhash signatures, both
+    # sides of the Jaccard verify, the canonical join) diverge here
+    s4 = s3.join(
+        ces.filter(F.col("cross_entropy") <= 3.49).select(
+            F.col("id").alias("doc_id")
+        ),
+        "doc_id",
+    ).localCheckpoint(eager=True)
+
+    # stage 5: MinHash-LSH near-dup dedup (keep the min id of each pair)
+    sg = dedup.minhash_signature(s4, "doc_id", "text", num_hashes=4, k=3)
+    cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(sg, rows_per_band=2))
+    ver = dedup.ngram_jaccard_pairs(
+        s4, "doc_id", "text", k=3, threshold=0.3, candidates=cand
+    ).select("id_a", "id_b")
+    partners = ver.unionByName(
+        ver.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).select(F.col("id_a").alias("doc_id"), F.col("id_b").alias("partner"))
+    canon5 = (
+        s4.select("doc_id")
+        .join(partners, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(F.least(F.col("doc_id"),
+                     F.coalesce(F.min("partner"), F.col("doc_id")))
+             .alias("canonical_id"))
+    )
+    # checkpointed: the decontamination anchors and the survivor join
+    # both consume s5, and recomputing it means re-running the LSH
+    # verify self-join
+    s5 = s4.join(
+        canon5.filter(F.col("canonical_id") == F.col("doc_id")).select("doc_id"),
+        "doc_id",
+    ).localCheckpoint(eager=True)
+
+    # stage 6: exact-substring decontamination vs the benchmark split
+    hits = (
+        dedup.cross_duplicate_spans(s5, bench, "doc_id", "text", gram=30)
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+    )
+    s6 = s5.join(hits, "doc_id", "left_anti")
+
+    # stage 7: token-budget selection
+    return curation.token_budget_select(
+        s6, "doc_id",
+        quality=textanalysis.quality_score("text"),
+        n_tokens=textanalysis.token_count("text"),
+        budget_per_shard=1500, shards=4,
+    )

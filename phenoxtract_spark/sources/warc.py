@@ -111,11 +111,14 @@ def decode_warc(payload: bytes) -> list[dict]:
 def synthetic_warc_segments(df: DataFrame, id_col: str, text_col: str,
                             docs_per_segment: int = 16,
                             uri_prefix: str = "http://corpus.local/doc/",
-                            host_col: str | None = None) -> DataFrame:
+                            host_col: str | None = None,
+                            uri_col: str | None = None) -> DataFrame:
     """Pack documents into multi-record WARC segments through the REAL
     encoder — ``segment_id = id // docs_per_segment`` keys one
     ``applyInPandas`` group per segment (records sorted by id inside, so
-    bytes are deterministic).  With ``host_col``, each record's URI is
+    bytes are deterministic).  With ``uri_col``, each record's
+    Target-URI is taken verbatim from that column (crawl-shaped corpora
+    where the fetch URL is data); with ``host_col``, the URI is
     ``http://<host>.corpus.local/doc/<id>`` (per-domain corpora); else
     ``uri_prefix<id>``.  Returns (segment_id, n_records, payload)."""
     import pandas as pd
@@ -127,13 +130,17 @@ def synthetic_warc_segments(df: DataFrame, id_col: str, text_col: str,
         .cast("bigint")
         .alias("segment_id"),
     ]
-    if host_col is not None:
+    if uri_col is not None:
+        cols.append(F.col(uri_col).cast("string").alias("uri"))
+    elif host_col is not None:
         cols.append(F.col(host_col).cast("string").alias("host"))
     src = df.select(*cols)
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id")
-        if host_col is not None:
+        if uri_col is not None:
+            uris = list(pdf["uri"])
+        elif host_col is not None:
             uris = [
                 f"http://{h}.corpus.local/doc/{int(i)}"
                 for i, h in zip(pdf["id"], pdf["host"])
