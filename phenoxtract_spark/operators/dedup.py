@@ -879,7 +879,8 @@ def _merge_intervals(iv: DataFrame) -> DataFrame:
 
 def duplicated_char_coverage(df: DataFrame, id_col: str, text_col: str,
                              gram: int = 40, max_bucket: int | None = None,
-                             round_dp: int = 6) -> DataFrame:
+                             round_dp: int = 6,
+                             spans: DataFrame | None = None) -> DataFrame:
     """Per-document duplicated-character coverage: the fraction of each
     document covered by some exact cross-document duplicated span of
     length >= ``gram`` — the per-doc deliverable of suffix-array dedup
@@ -899,7 +900,8 @@ def duplicated_char_coverage(df: DataFrame, id_col: str, text_col: str,
     doc-length projection is by id."""
     from pyspark.sql.window import Window
 
-    spans = duplicate_span_pairs(df, id_col, text_col, gram, max_bucket)
+    if spans is None:
+        spans = duplicate_span_pairs(df, id_col, text_col, gram, max_bucket)
     iv = (
         spans.select(
             F.col("id_a").alias("id"),
@@ -940,7 +942,8 @@ def duplicated_char_coverage(df: DataFrame, id_col: str, text_col: str,
 
 def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
                            gram: int = 40,
-                           max_bucket: int | None = None) -> DataFrame:
+                           max_bucket: int | None = None,
+                           spans: DataFrame | None = None) -> DataFrame:
     """ACT on exact-substring duplication (the actual Lee et al. 2022
     treatment): cut every duplicated span from the HIGHER-id document of
     each pair, so exactly one occurrence survives corpus-wide while the
@@ -962,7 +965,8 @@ def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     production write would project the kept-segment concat instead)."""
     from pyspark.sql.window import Window
 
-    spans = duplicate_span_pairs(df, id_col, text_col, gram, max_bucket)
+    if spans is None:
+        spans = duplicate_span_pairs(df, id_col, text_col, gram, max_bucket)
     # cuts feeds THREE consumers (gaps, tails, the has-cut flag) — but do
     # NOT localCheckpoint it: the consumers share the subtree up to the
     # islands groupBy's exchange, which Spark reuses (ReusedExchange), so

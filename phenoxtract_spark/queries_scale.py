@@ -306,6 +306,116 @@ def dedup_substring_clean(spark, sf_dir):
 
 
 @q(
+    "dedup_substring_shared_report",
+    """
+    WITH d AS (SELECT doc_id, text AS t FROM documents WHERE length(text) >= 40),
+    a AS (SELECT doc_id AS id, unnest(range(0, length(t) - 39)) AS pos, t FROM d),
+    hh AS (SELECT id, pos,
+                  ('0x' || substr(md5(substr(t, CAST(pos AS INTEGER) + 1, 40)), 1, 15))::BIGINT AS h
+           FROM a),
+    m AS (SELECT x.id AS id_a, y.id AS id_b, x.pos AS pa, y.pos AS pb,
+                 y.pos - x.pos AS diag
+          FROM hh x JOIN hh y ON x.h = y.h AND x.id < y.id),
+    g AS (SELECT id_a, id_b, pa, pb, diag,
+                 pa - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) AS grp
+          FROM m),
+    sp AS (SELECT id_a, id_b, min(pa) AS start_a, min(pb) AS start_b,
+                  CAST(count(*) + 39 AS BIGINT) AS span_len
+           FROM g GROUP BY id_a, id_b, diag, grp),
+    -- consumer 1: per-doc coverage (both span endpoints, union-merged)
+    iv AS (
+      SELECT id_a AS id, start_a AS s, start_a + span_len AS e FROM sp
+      UNION
+      SELECT id_b AS id, start_b AS s, start_b + span_len AS e FROM sp
+    ),
+    cfl AS (
+      SELECT id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS ni
+      FROM iv
+    ),
+    cisl AS (
+      SELECT id, s, e,
+             sum(ni) OVER (PARTITION BY id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM cfl
+    ),
+    cov AS (
+      SELECT id, CAST(sum(covered) AS BIGINT) AS dup_chars FROM (
+        SELECT id, island, max(e) - min(s) AS covered FROM cisl GROUP BY id, island
+      ) GROUP BY id
+    ),
+    -- consumer 2: keep-first clean (cut spans from the higher-id doc)
+    civ AS (SELECT DISTINCT id_b AS id, start_b AS s, start_b + span_len AS e FROM sp),
+    kfl AS (SELECT id, s, e,
+                  CASE WHEN s > coalesce(max(e) OVER (PARTITION BY id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                       THEN 1 ELSE 0 END AS ni
+           FROM civ),
+    kisl AS (SELECT id, s, e,
+                   sum(ni) OVER (PARTITION BY id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+            FROM kfl),
+    mg AS (SELECT id, min(s) AS s, max(e) AS e FROM kisl GROUP BY id, island),
+    gaps AS (SELECT id, coalesce(lag(e) OVER (PARTITION BY id ORDER BY s), 0) AS gs,
+                    s AS ge
+             FROM mg),
+    tails AS (SELECT mg.id, max(mg.e) AS gs, CAST(length(doc.text) AS BIGINT) AS ge
+              FROM mg JOIN documents doc ON doc.doc_id = mg.id
+              GROUP BY mg.id, length(doc.text)),
+    segs AS (
+      SELECT u.id, u.gs,
+             substr(doc.text, CAST(u.gs AS INTEGER) + 1, CAST(u.ge - u.gs AS INTEGER)) AS seg
+      FROM (SELECT * FROM gaps UNION ALL SELECT * FROM tails) u
+      JOIN documents doc ON doc.doc_id = u.id
+      WHERE u.ge > u.gs
+    ),
+    kept AS (SELECT id, string_agg(seg, '' ORDER BY gs) AS clean_text
+             FROM segs GROUP BY id),
+    hascut AS (SELECT DISTINCT id FROM civ)
+    SELECT doc.doc_id AS id,
+           coalesce(c.dup_chars, 0) AS dup_chars,
+           CAST(length(doc.text) AS BIGINT) AS n_chars,
+           round(CASE WHEN length(doc.text) > 0
+                      THEN coalesce(c.dup_chars, 0) / CAST(length(doc.text) AS DOUBLE)
+                      ELSE 0.0 END, 6) AS dup_frac,
+           CAST(length(CASE WHEN h.id IS NOT NULL THEN coalesce(k.clean_text, '')
+                            ELSE doc.text END) AS BIGINT) AS clean_len,
+           md5(CASE WHEN h.id IS NOT NULL THEN coalesce(k.clean_text, '')
+                    ELSE doc.text END) AS clean_md5
+    FROM documents doc
+    LEFT JOIN cov c ON c.id = doc.doc_id
+    LEFT JOIN kept k ON k.id = doc.doc_id
+    LEFT JOIN hascut h ON h.id = doc.doc_id
+    """,
+)
+def dedup_substring_shared_report(spark, sf_dir):
+    """Coverage + clean from ONE materialized span relation (r6 verdict
+    #6): running dedup_substring_coverage and dedup_substring_clean as
+    separate queries recomputes the anchor/witness subtree — in a real
+    pipeline both deliverables come off one span relation.  Here
+    ``duplicate_span_pairs`` runs once (its anchor relation is already
+    eagerly checkpointed inside the operator) and BOTH the sweep-line
+    coverage stats and the keep-first clean fingerprints consume it via
+    the ``spans=`` injection point, joined into one per-doc report
+    (id, dup_chars, n_chars, dup_frac, clean_len, clean_md5).  The span
+    relation is eagerly checkpointed: the two consumers get NO exchange
+    reuse here (executed plan shows zero ReusedExchange — they diverge
+    below the diagonal shuffle), so without it the witness join runs
+    twice; interleaved sf1 A/B: ckpt 13.9/14.5/21.1 s vs no-ckpt
+    20.9/38.6/53.0 s.  One anchor job, one witness join, |spans|-sized
+    materialization."""
+    d = read_table(spark, sf_dir, "documents")
+    spans = dedup.duplicate_span_pairs(
+        d, "doc_id", "text", gram=40
+    ).localCheckpoint(eager=True)
+    cov = dedup.duplicated_char_coverage(d, "doc_id", "text", spans=spans)
+    clean = dedup.remove_duplicate_spans(d, "doc_id", "text", spans=spans)
+    return cov.join(clean.select("id", "clean_len", "clean_md5"), "id")
+
+
+@q(
     "dedup_minhash_signature",
     f"""
     WITH {_SHINGLES3},
