@@ -114,6 +114,100 @@ def pre_resolve(
     ).drop("_k", "resolved")
 
 
+class TransportResolver:
+    """Reference ``resolver`` implementation for :func:`pre_resolve`
+    (~ ontology/bioportal_client.rs:52-346): a rate-limited, retrying,
+    negative-caching callable over an INJECTABLE transport, so the HTTP
+    layer stays out of the engine and out of tests.
+
+    ``transport(term) -> (status, value)`` is the single integration
+    point — a production caller wraps its HTTP client (e.g. a BioPortal
+    /search request returning the canonical CURIE); tests inject a fake.
+    Semantics mirror the reference client:
+
+    - **token-bucket rate limit** (default 4 req/s, the reference's
+      ``Ratelimiter::builder(4, 1s)``) enforced via an injectable
+      ``clock``/``sleep`` pair so tests assert waits without waiting;
+    - **bounded LRU cache** (default 1500 entries, the reference's
+      ``Cache::new(1500)``) holding positive AND negative results —
+      a 404 is cached as ``None`` and never re-queried (X4 NOT_FOUND);
+    - **retry with exponential backoff** on 429/5xx (the transient
+      classes), up to ``max_retries``; a still-failing term raises —
+      the bounded-error philosophy, never a silent drop;
+    - any other non-200 status raises immediately (client error).
+
+    The callable takes the distinct-term list :func:`pre_resolve`
+    produces and returns ``{term: resolved_or_None}`` — resolution work
+    is |distinct terms|-bounded and happens ON THE DRIVER, never in
+    executors (the module-docstring contract)."""
+
+    def __init__(self, transport: Callable[[str], tuple[int, Optional[str]]],
+                 rate_per_sec: float = 4.0, max_retries: int = 3,
+                 backoff_s: float = 0.5, cache_size: int = 1500,
+                 clock: Optional[Callable[[], float]] = None,
+                 sleep: Optional[Callable[[float], None]] = None) -> None:
+        import time
+        from collections import OrderedDict
+
+        self._transport = transport
+        self._rate = float(rate_per_sec)
+        self._max_retries = int(max_retries)
+        self._backoff_s = float(backoff_s)
+        self._cache: "OrderedDict[str, Optional[str]]" = OrderedDict()
+        self._cache_size = int(cache_size)
+        self._clock = clock or time.monotonic
+        self._sleep = sleep or time.sleep
+        self._tokens = self._rate  # start with a full bucket
+        self._last_refill = self._clock()
+
+    def _wait_for_token(self) -> None:
+        now = self._clock()
+        self._tokens = min(
+            self._rate, self._tokens + (now - self._last_refill) * self._rate
+        )
+        self._last_refill = now
+        if self._tokens < 1.0:
+            wait = (1.0 - self._tokens) / self._rate
+            self._sleep(wait)
+            self._tokens = 1.0
+            self._last_refill = self._clock()
+        self._tokens -= 1.0
+
+    def _cache_put(self, key: str, value: Optional[str]) -> None:
+        self._cache[key] = value
+        self._cache.move_to_end(key)
+        while len(self._cache) > self._cache_size:
+            self._cache.popitem(last=False)
+
+    def _resolve_one(self, term: str) -> Optional[str]:
+        if term in self._cache:
+            self._cache.move_to_end(term)
+            return self._cache[term]
+        attempt = 0
+        while True:
+            self._wait_for_token()
+            status, value = self._transport(term)
+            if status == 200:
+                self._cache_put(term, value)
+                return value
+            if status == 404:
+                self._cache_put(term, None)  # negative cache
+                return None
+            if status == 429 or status >= 500:
+                if attempt >= self._max_retries:
+                    raise RuntimeError(
+                        f"resolver: {term!r} failed with {status} after "
+                        f"{attempt + 1} attempts"
+                    )
+                self._sleep(self._backoff_s * (2 ** attempt))
+                attempt += 1
+                continue
+            raise RuntimeError(f"resolver: {term!r} got client error {status}")
+
+    def __call__(self, terms: list[str]) -> dict[str, Optional[str]]:
+        return {t: self._resolve_one(t) for t in terms}
+
+
 def resource_dim(spark: SparkSession, resources: list[dict]) -> DataFrame:
     """X5 BioRegistry resource metadata as a static dimension
     ``(prefix, name, url, version, iri_prefix)``."""

@@ -144,3 +144,107 @@ def test_prefixed_id_null_value(spark):
     df = spark.createDataFrame([("x",), (None,)], "v string")
     out = [r["p"] for r in df.select(prefixed_id(F.lit("C"), F.col("v")).alias("p")).collect()]
     assert out == ["C-x", None]
+
+
+def test_transport_resolver_negative_cache_and_results():
+    """404s are cached as None and never re-queried; 200s cache their
+    value; the callable shape plugs straight into pre_resolve."""
+    from phenoxtract_spark.operators.ontology import TransportResolver
+
+    calls = []
+
+    def transport(term):
+        calls.append(term)
+        if term == "missing":
+            return 404, None
+        return 200, f"CURIE:{term}"
+
+    r = TransportResolver(transport, rate_per_sec=1000.0)
+    out = r(["a", "missing", "a"])
+    assert out == {"a": "CURIE:a", "missing": None}
+    # second batch: everything served from cache, zero new transport calls
+    n = len(calls)
+    out2 = r(["a", "missing"])
+    assert out2 == {"a": "CURIE:a", "missing": None}
+    assert len(calls) == n
+    # 'a' hit the transport exactly once even within the first batch
+    assert calls.count("a") == 1
+
+
+def test_transport_resolver_rate_limit_waits():
+    """The token bucket sleeps once the initial burst is exhausted:
+    with rate 2/s and 5 calls from a frozen clock, the first two are
+    free and each later call waits 0.5 s (injected clock/sleep — the
+    test itself never sleeps)."""
+    from phenoxtract_spark.operators.ontology import TransportResolver
+
+    now = [0.0]
+    sleeps = []
+
+    def sleep(s):
+        sleeps.append(round(s, 6))
+        now[0] += s  # sleeping advances the fake clock
+
+    r = TransportResolver(lambda t: (200, t), rate_per_sec=2.0,
+                          clock=lambda: now[0], sleep=sleep)
+    r([f"t{i}" for i in range(5)])
+    assert sleeps == [0.5, 0.5, 0.5]
+
+
+def test_transport_resolver_retries_transient_then_succeeds():
+    """429/5xx retry with exponential backoff; a persistent failure
+    raises after max_retries; a 4xx client error raises immediately."""
+    import pytest
+    from phenoxtract_spark.operators.ontology import TransportResolver
+
+    attempts = {"n": 0}
+
+    def flaky(term):
+        attempts["n"] += 1
+        return (429, None) if attempts["n"] < 3 else (200, "ok")
+
+    sleeps = []
+    r = TransportResolver(flaky, rate_per_sec=1000.0, backoff_s=0.1,
+                          sleep=sleeps.append)
+    assert r(["x"]) == {"x": "ok"}
+    assert sleeps == [0.1, 0.2]  # exponential backoff between attempts
+
+    r2 = TransportResolver(lambda t: (503, None), rate_per_sec=1000.0,
+                           max_retries=2, backoff_s=0.0, sleep=lambda s: None)
+    with pytest.raises(RuntimeError, match="after 3 attempts"):
+        r2(["y"])
+
+    r3 = TransportResolver(lambda t: (400, None), rate_per_sec=1000.0)
+    with pytest.raises(RuntimeError, match="client error 400"):
+        r3(["z"])
+
+
+def test_transport_resolver_cache_bound_evicts_lru():
+    from phenoxtract_spark.operators.ontology import TransportResolver
+
+    calls = []
+    r = TransportResolver(lambda t: (calls.append(t), (200, t))[1],
+                          rate_per_sec=1000.0, cache_size=2)
+    r(["a", "b", "c"])          # a evicted (LRU, size 2)
+    n = len(calls)
+    r(["b", "c"])               # cached
+    assert len(calls) == n
+    r(["a"])                    # re-fetched after eviction
+    assert len(calls) == n + 1
+
+
+def test_transport_resolver_plugs_into_pre_resolve(spark):
+    """End to end: the injectable-transport resolver drives the X3/X4
+    pre-resolve broadcast-dim pattern with a fake transport."""
+    from pyspark.sql import functions as F
+    from phenoxtract_spark.operators import ontology
+    from phenoxtract_spark.operators.ontology import TransportResolver
+
+    df = spark.createDataFrame(
+        [(1, "Fever"), (2, "unknown thing"), (3, "fever")], ["id", "term"]
+    )
+    transport = lambda t: (200, "HP:0001945") if t == "fever" else (404, None)
+    out = ontology.pre_resolve(
+        df, "term", TransportResolver(transport, rate_per_sec=1000.0), spark
+    ).orderBy("id").collect()
+    assert [r["term_resolved"] for r in out] == ["HP:0001945", None, "HP:0001945"]
