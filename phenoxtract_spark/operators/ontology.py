@@ -354,6 +354,73 @@ def ontology_factory(spark: SparkSession, path: str, resource: str = "",
     return dim
 
 
+def fetch_and_cache_ontology(spark: SparkSession, url: str, cache_dir: str,
+                             transport: Callable[[str, Optional[str]],
+                                                 tuple[int, Optional[bytes], Optional[str]]],
+                             resource: str = "",
+                             max_age_s: Optional[float] = None,
+                             clock: Optional[Callable[[], float]] = None) -> DataFrame:
+    """X6 download-and-cache (~ ontology_factory.rs:42-397: download the
+    OBO/obographs document, cache it, parse into the bidict dimension).
+    The HTTP layer is an INJECTABLE transport — the same seam as
+    :class:`TransportResolver` — so the engine carries the full
+    download → document cache → parse → parquet cache chain while tests
+    (and this sandbox) run a fake transport and production wraps its
+    HTTP client:
+
+        transport(url, etag_or_None) -> (status, body_bytes, etag)
+
+    Cache policy mirrors the reference factory:
+
+    - the document caches under ``cache_dir`` keyed by the url hash
+      (plus its last ETag in a sidecar) — a cached copy younger than
+      ``max_age_s`` (or any copy, when ``max_age_s`` is None) is used
+      WITHOUT calling the transport at all;
+    - a stale copy revalidates with its ETag: **304** keeps the cached
+      bytes (and refreshes their age), **200** replaces them;
+    - a transport failure (non-200/304) falls back to the stale copy if
+      one exists — availability over freshness, the factory's offline
+      behavior — and raises only when there is nothing to parse.
+
+    Parsing and the columnar cache are :func:`ontology_factory`'s."""
+    import hashlib
+    import os
+    import time
+
+    now = clock or time.time
+    os.makedirs(cache_dir, exist_ok=True)
+    suffix = ".json" if url.rstrip("/").endswith(".json") else ".obo"
+    stem = hashlib.md5(url.encode()).hexdigest()[:16]
+    doc_path = os.path.join(cache_dir, f"dl_{stem}{suffix}")
+    etag_path = doc_path + ".etag"
+
+    have = os.path.exists(doc_path)
+    fresh = have and (
+        max_age_s is None or (now() - os.stat(doc_path).st_mtime) <= max_age_s
+    )
+    if not fresh:
+        etag = None
+        if have and os.path.exists(etag_path):
+            with open(etag_path) as fh:
+                etag = fh.read().strip() or None
+        status, body, new_etag = transport(url, etag)
+        if status == 200 and body is not None:
+            with open(doc_path, "wb") as fh:
+                fh.write(body)
+            os.utime(doc_path, (now(), now()))  # age from the SAME clock
+            with open(etag_path, "w") as fh:
+                fh.write(new_etag or "")
+        elif status == 304 and have:
+            os.utime(doc_path, (now(), now()))  # revalidated: refresh age
+        elif have:
+            pass  # stale fallback: availability over freshness
+        else:
+            raise RuntimeError(
+                f"ontology fetch failed with {status} and no cached copy: {url}"
+            )
+    return ontology_factory(spark, doc_path, resource=resource, cache_dir=cache_dir)
+
+
 def labels_dim_from_terms(spark: SparkSession, terms: Iterable[OntologyTerm]) -> DataFrame:
     """(id, label) rendering dimension from parsed terms."""
     return spark.createDataFrame(
