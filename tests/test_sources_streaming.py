@@ -355,3 +355,82 @@ def test_stream_static_enrich(spark, tmp_path):
         ).collect()
     }
     assert batch == got
+
+
+def test_streaming_tumbling_append_drops_late_data(spark, tmp_path):
+    """Watermark late-data semantics under append mode, pinned with the
+    REAL Spark contract: a late row whose window state is still live is
+    merged (the delay allowance), and a late row arriving AFTER its
+    window was finalized and evicted is DROPPED — observable both in
+    the per-batch numRowsDroppedByWatermark metric and in the emitted
+    count, which the batch-mode aggregation over the same rows
+    contradicts (2 vs 3)."""
+    import os
+    from phenoxtract_spark.streaming import events as ev
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    schema = "ts_raw string, event_type string"
+    batches = [
+        # batch 0: the 00:00 window's two clicks + a 02:05 row that will
+        # move the watermark to 01:05 once the batch commits
+        [("2024-01-01 00:10:00", "click"), ("2024-01-01 00:20:00", "click"),
+         ("2024-01-01 02:05:00", "view")],
+        # batch 1 (wm 01:05): finalizes + evicts the 00:00 window (n=2)
+        [("2024-01-01 04:00:00", "view")],
+        # batch 2 (wm 03:00): the 00:30 click is late AND its window is
+        # gone -> dropped by the watermark, not merged
+        [("2024-01-01 00:30:00", "click"), ("2024-01-01 06:00:00", "view")],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(str(src))
+    # the file source triggers batches oldest-mtime-first: make the
+    # ordering explicit instead of trusting write-timestamp granularity
+    files = sorted(
+        (os.path.getmtime(os.path.join(src, p)), p)
+        for p in os.listdir(src) if p.endswith(".parquet")
+    )
+    base = files[0][0]
+    for i, (_, p) in enumerate(files):
+        os.utime(os.path.join(src, p), (base + 10 * i, base + 10 * i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .select(F.col("ts_raw").cast("timestamp").alias("ts"), "event_type")
+    )
+    out = ev.streaming_tumbling(spark, stream, "1 hour", "1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_drop_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress if p["stateOperators"]
+    )
+    assert dropped == 1  # exactly the post-eviction late click
+    got = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM late_drop_test").collect()
+    }
+    # the finalized 00:00 window never saw the dropped late row
+    assert got[("2024-01-01 00:00:00", "click")] == 2
+    # batch mode over the union of all rows counts it (the contrast)
+    allrows = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    ).select(
+        F.col("ts_raw").cast("timestamp").alias("ts"), "event_type",
+        F.lit(1.0).alias("value"),
+    )
+    batch = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in ev.tumbling(allrows, "1 hour").collect()
+    }
+    assert batch[("2024-01-01 00:00:00", "click")] == 3
