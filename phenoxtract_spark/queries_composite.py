@@ -555,3 +555,88 @@ def dedup_pair_features(spark, sf_dir):
             F.bit_count(F.expr("_fa ^ _fb")).cast("bigint").alias("simhash_hamming"),
         )
     )
+
+
+@q(
+    "dedup_lsh_recall",
+    f"""
+    WITH {_SHINGLES3},
+    dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT common.id_a, common.id_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = common.id_a
+      JOIN sizes sb ON sb.doc_id = common.id_b
+      WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.3
+    ),
+    seeded AS (
+      SELECT doc_id, s.seed, md5(CAST(s.seed AS VARCHAR) || '|' || sh) AS h
+      FROM sh, (SELECT unnest(generate_series(0, 3)) AS seed) s
+    ),
+    sig AS (SELECT doc_id AS id, seed, min(h) AS minhash FROM seeded GROUP BY 1, 2),
+    bands AS (
+      SELECT id, seed // 2 AS band,
+             md5(array_to_string(list_sort(list(CAST(seed AS VARCHAR) || ':' || minhash)), '|')) AS band_key
+      FROM sig GROUP BY id, seed // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+    ),
+    hit AS (SELECT t.id_a, t.id_b FROM truth t
+            JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b)
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true_pairs,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+           round(CASE WHEN (SELECT count(*) FROM truth) > 0
+                      THEN CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                           / (SELECT count(*) FROM truth) ELSE 1.0 END, 6)
+             AS recall,
+           round(CASE WHEN (SELECT count(*) FROM cand) > 0
+                      THEN CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                           / (SELECT count(*) FROM cand) ELSE 1.0 END, 6)
+             AS candidate_precision
+    """,
+)
+def dedup_lsh_recall(spark, sf_dir):
+    """The LSH recall CONTRACT as a queryable metric (the dedup
+    counterpart of similarity_ann_recall): ground-truth pairs with
+    exact 3-gram Jaccard >= 0.3 via the shingle self-join, LSH
+    candidates from the 4-hash / 2-row-band scheme, and the one-row
+    report (n_true_pairs, n_candidates, n_hit, recall,
+    candidate_precision).  Recall quantifies what the banding misses;
+    candidate precision quantifies the verify stage's workload quality.
+    The exact truth side is the expensive leg (Σ|bucket|² over shingle
+    buckets) — at 100 TB you run this on a SAMPLE to monitor the
+    contract, which is exactly how the report is meant to be used
+    (the docstring of lsh_capped documents the same valve)."""
+    d = read_table(spark, sf_dir, "documents")
+    truth = dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.3)
+    sig = dedup.minhash_signature(d, "doc_id", "text", num_hashes=4, k=3)
+    cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, rows_per_band=2))
+    hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    n_true = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    n_hit = hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    return (
+        n_true.crossJoin(n_cand).crossJoin(n_hit)
+        .select(
+            "n_true_pairs", "n_candidates", "n_hit",
+            F.round(
+                F.when(F.col("n_true_pairs") > 0,
+                       F.col("n_hit") / F.col("n_true_pairs"))
+                .otherwise(F.lit(1.0)), 6,
+            ).alias("recall"),
+            F.round(
+                F.when(F.col("n_candidates") > 0,
+                       F.col("n_hit") / F.col("n_candidates"))
+                .otherwise(F.lit(1.0)), 6,
+            ).alias("candidate_precision"),
+        )
+    )
