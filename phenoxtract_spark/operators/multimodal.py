@@ -768,6 +768,81 @@ def synthetic_y4m_media(df: DataFrame, id_col: str, text_col: str,
     return base.mapInPandas(run, schema=schema)
 
 
+def synthetic_y4m_shot_media(df: DataFrame, id_col: str, text_col: str,
+                             width: int = 16, height: int = 8,
+                             n_frames: int = 12, shot_len: int = 3) -> DataFrame:
+    """REAL .y4m streams with PLANTED shot structure: frame ``f``'s luma
+    plane is the CONSTANT byte ``b(shot) = first md5 byte of
+    '<seed>-shot-<f // shot_len>'`` (seed = md5(text)), chroma planes a
+    constant 128 — so within a shot the frame-to-frame luma delta is
+    exactly 0 and across a cut it is ``|b(s+1) - b(s)| · width · height``,
+    the ground truth :func:`shot_boundaries` detects.  Same real-encoder
+    ``mapInPandas`` contract as :func:`synthetic_y4m_media`."""
+    w, h, nf, sl = int(width), int(height), int(n_frames), int(shot_len)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        plane = w * h
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                seed = hashlib.md5(t.encode("utf-8")).hexdigest()
+                frames = []
+                for f in range(nf):
+                    b = int(
+                        hashlib.md5(f"{seed}-shot-{f // sl}".encode()).hexdigest()[:2],
+                        16,
+                    )
+                    frames.append(bytes([b]) * plane + bytes([128]) * (2 * plane))
+                payloads.append(encode_y4m(w, h, frames))
+            yield pd.DataFrame({"media_id": pdf[id_col], "payload": payloads})
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+    base = df.select(F.col(id_col).cast("long").alias(id_col), text_col)
+    return base.mapInPandas(run, schema=schema)
+
+
+def shot_boundaries(luma: DataFrame, threshold_per_pixel: int = 8) -> DataFrame:
+    """Shot-boundary detection over a per-frame luma relation (the
+    output of :func:`y4m_luma_stats` at stride 1): a CUT is a
+    frame-to-frame luma-sum delta exceeding ``threshold_per_pixel``
+    per pixel — the classic integer luma-difference detector — and
+    consecutive frames between cuts group into shots via a running sum
+    of cut flags.  Returns (media_id, shot_id, start_frame, end_frame,
+    n_frames), one row per detected shot.
+
+    Plan: the codec pass is partition-local Python; everything here is
+    two window passes + one groupBy, all partitioned by media_id — the
+    same gaps-and-islands shape as :func:`vad_segments`, so the 100 TB
+    posture is per-media parallelism with no payload shuffle."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    thr = F.col("width") * F.col("height") * F.lit(int(threshold_per_pixel))
+    prev = F.lag("luma_sum").over(w)
+    flagged = luma.withColumn(
+        "_cut",
+        F.when(prev.isNotNull() & (F.abs(F.col("luma_sum") - prev) > thr),
+               F.lit(1)).otherwise(F.lit(0)),
+    )
+    shots = flagged.withColumn(
+        "shot_id",
+        F.sum("_cut").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("bigint"),
+    )
+    return (
+        shots.groupBy("media_id", "shot_id")
+        .agg(
+            F.min("frame_idx").cast("bigint").alias("start_frame"),
+            F.max("frame_idx").cast("bigint").alias("end_frame"),
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        )
+    )
+
+
 def y4m_luma_stats(media: DataFrame, stride: int = 2) -> DataFrame:
     """UNSTUBBED video pipeline: real YUV4MPEG2 parse → frame sampling
     every ``stride``-th frame (the frame_sample_plan semantics, now on

@@ -1172,6 +1172,60 @@ def mm_y4m_luma(spark, sf_dir):
 
 
 @q(
+    "multimodal_shot_boundaries",
+    """
+    WITH docs AS (SELECT doc_id, md5(text) AS seed FROM documents),
+    fr AS (SELECT unnest(generate_series(0, 11)) AS f),
+    luma AS (
+      SELECT doc_id, f,
+             ('0x' || substr(md5(seed || '-shot-' || CAST(f // 3 AS VARCHAR)),
+                             1, 2))::BIGINT * 128 AS luma_sum
+      FROM docs, fr
+    ),
+    flagged AS (
+      SELECT doc_id, f, luma_sum,
+             CASE WHEN lag(luma_sum) OVER (PARTITION BY doc_id ORDER BY f)
+                       IS NOT NULL
+                   AND abs(luma_sum - lag(luma_sum)
+                           OVER (PARTITION BY doc_id ORDER BY f)) > 8 * 128
+                  THEN 1 ELSE 0 END AS cut
+      FROM luma
+    ),
+    shots AS (
+      SELECT doc_id, f,
+             CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY f
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS shot_id
+      FROM flagged
+    )
+    SELECT doc_id AS media_id, shot_id,
+           CAST(min(f) AS BIGINT) AS start_frame,
+           CAST(max(f) AS BIGINT) AS end_frame,
+           CAST(count(*) AS BIGINT) AS n_frames
+    FROM shots GROUP BY doc_id, shot_id
+    """,
+)
+def mm_shot_boundaries(spark, sf_dir):
+    """Video shot-boundary detection through the REAL codec path:
+    documents seed 12-frame C444 YUV4MPEG2 streams with PLANTED shot
+    structure (each 3-frame shot's luma plane is one constant md5 byte,
+    operators/multimodal.py:synthetic_y4m_shot_media), the stdlib
+    parser walks every frame (stride 1), and the integer
+    luma-difference detector (|delta| > 8/pixel) merges frames into
+    shots — the frame-level curation step that turns raw video into
+    trainable clips.  Adjacent shots whose seed bytes land within the
+    threshold merge (data-driven in BOTH engines); the oracle replays
+    the keystream bytes, the lag deltas, and the running-sum islands
+    arithmetically."""
+    d = read_table(spark, sf_dir, "documents")
+    media = multimodal.synthetic_y4m_shot_media(
+        d, "doc_id", "text", width=16, height=8, n_frames=12, shot_len=3
+    )
+    luma = multimodal.y4m_luma_stats(media, stride=1)
+    return multimodal.shot_boundaries(luma, threshold_per_pixel=8)
+
+
+@q(
     "similarity_ivf_nprobe_topk",
     """
     WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),

@@ -1157,3 +1157,47 @@ def test_canonicalize_url_rules(spark):
     got = [r["c"] for r in
            df.select(urls.canonicalize_url(F.col("url")).alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_shot_boundaries_detects_planted_cuts(spark):
+    """Hand-built luma relation: three shots with deltas above the
+    threshold split exactly at the cuts; a sub-threshold drift does NOT
+    split; per-media independence holds."""
+    from phenoxtract_spark.operators import multimodal
+
+    rows = [
+        # media 1: luma/pixel 10,10,10 | 100,100 | 30  (cuts at f3, f5)
+        *[(1, 4, 2, f, v * 8) for f, v in enumerate([10, 10, 10, 100, 100, 30])],
+        # media 2: drift of +5/pixel never exceeds the 8/pixel threshold
+        *[(2, 4, 2, f, v * 8) for f, v in enumerate([10, 15, 20, 25])],
+    ]
+    luma = spark.createDataFrame(
+        rows, "media_id bigint, width bigint, height bigint, "
+              "frame_idx bigint, luma_sum bigint"
+    )
+    out = multimodal.shot_boundaries(luma, threshold_per_pixel=8)
+    got = {
+        (r.media_id, r.shot_id): (r.start_frame, r.end_frame, r.n_frames)
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 0): (0, 2, 3), (1, 1): (3, 4, 2), (1, 2): (5, 5, 1),
+        (2, 0): (0, 3, 4),
+    }
+
+
+def test_shot_media_roundtrip_matches_keystream(spark):
+    """The planted-shot y4m stream decodes to constant luma planes whose
+    byte replays from md5(seed || '-shot-' || s) — the oracle contract."""
+    import hashlib
+    from phenoxtract_spark.operators import multimodal
+
+    df = spark.createDataFrame([(5, "clipdoc")], ["doc_id", "text"])
+    media = multimodal.synthetic_y4m_shot_media(
+        df, "doc_id", "text", width=4, height=2, n_frames=6, shot_len=2)
+    luma = {r.frame_idx: r.luma_sum
+            for r in multimodal.y4m_luma_stats(media, stride=1).collect()}
+    seed = hashlib.md5(b"clipdoc").hexdigest()
+    for f in range(6):
+        b = int(hashlib.md5(f"{seed}-shot-{f // 2}".encode()).hexdigest()[:2], 16)
+        assert luma[f] == b * 8
