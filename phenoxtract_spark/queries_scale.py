@@ -1384,6 +1384,90 @@ def events_locf(spark, sf_dir):
 
 
 @q(
+    "profiling_ndv_all_columns",
+    """
+    WITH long AS (
+      SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS val FROM orders
+      UNION ALL
+      SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', o_orderstatus FROM orders
+    ),
+    h AS (
+      SELECT col_name,
+             ('0x' || substr(md5('hll-v1' || '|' || val), 1, 15))::BIGINT AS h
+      FROM long WHERE val IS NOT NULL
+    ),
+    r AS (
+      SELECT col_name, h % 256 AS reg,
+             least(CASE WHEN h // 256 > 0
+                        THEN 52 - length(bin(h // 256)) + 1
+                        ELSE 53 END, 40) AS rho
+      FROM h
+    ),
+    regs AS (SELECT col_name, reg, max(rho) AS rho FROM r GROUP BY 1, 2),
+    per AS (
+      SELECT col_name,
+             CAST(sum(1::BIGINT << CAST(40 - rho AS INTEGER)) AS BIGINT) AS s_hit,
+             CAST(count(*) AS BIGINT) AS registers_hit
+      FROM regs GROUP BY 1
+    ),
+    ex AS (SELECT col_name, CAST(count(DISTINCT val) AS BIGINT) AS exact_distinct
+           FROM long WHERE val IS NOT NULL GROUP BY 1)
+    SELECT per.col_name,
+           round(CASE WHEN 0.7213 / (1 + 1.079 / 256.0) * 65536.0 * 1099511627776.0
+                           / (s_hit + (256 - registers_hit) * 1099511627776) <= 640.0
+                       AND (256 - registers_hit) > 0
+                      THEN 256.0 * ln(256.0 / (256 - registers_hit))
+                      ELSE 0.7213 / (1 + 1.079 / 256.0) * 65536.0 * 1099511627776.0
+                           / (s_hit + (256 - registers_hit) * 1099511627776)
+                 END, 4) AS est_distinct,
+           registers_hit,
+           ex.exact_distinct
+    FROM per JOIN ex USING (col_name)
+    """,
+)
+def profiling_ndv_all_columns(spark, sf_dir):
+    """Whole-table NDV profile in ONE scan: every profiled column stacks
+    into a (col_name, value) long relation via a single generator
+    projection — the table is read once no matter how many columns are
+    profiled — and the shared HLL machinery (p=8, md5-deterministic
+    registers, integer-exact register sums) estimates each column's
+    distinct count, reported NEXT TO the exact count for observable
+    accuracy.  This is the schema-profiling primitive a 100 TB ingest
+    runs before choosing partition/bucket columns: per-column NDV at
+    |cols|x row fan-out but SKETCH-sized state, vs the exact side's
+    full distinct per column (which the oracle also replays — at scale
+    you would drop it and keep only the sketch)."""
+    from .operators import sketches
+
+    o = read_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus"]
+    long = (
+        o.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in cols
+                ])
+            ).alias("kv")
+        )
+        .select("kv.col_name", "kv.val")
+        .filter(F.col("val").isNotNull())
+    )
+    est = sketches.hll_distinct(long, ["col_name"], "val", p=8)
+    exact = long.groupBy("col_name").agg(
+        F.countDistinct("val").cast("bigint").alias("exact_distinct")
+    )
+    return est.join(exact, "col_name")
+
+
+@q(
     "sketch_hll_users",
     """
     WITH h AS (
