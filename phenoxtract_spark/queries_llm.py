@@ -700,3 +700,97 @@ def text_cross_entropy_filter_q(spark, sf_dir):
     return textanalysis.cross_entropy_score(
         train, rest, "doc_id", "text"
     ).withColumnRenamed("id", "doc_id")
+
+
+_MOJI_REPL = "\ufffd"
+_MOJI_LATIN1 = "\u00c3"
+_MOJI_WIN = "\u00e2\u20ac"
+_MOJI_CORRUPT = {
+    0: " caf\u00c3\u00a9 d\u00c3\u00a9j\u00c3\u00a0",
+    1: " \u00e2\u20ac\u0153quoted\u00e2\u20ac\u201d dash",
+    2: " bad\ufffdbyte\ufffd",
+}
+
+
+@q(
+    "text_mojibake_score",
+    f"""
+    WITH corrupted AS (
+      SELECT doc_id,
+             text || (CASE WHEN b = 0 THEN '{_MOJI_CORRUPT[0]}'
+                           WHEN b = 1 THEN '{_MOJI_CORRUPT[1]}'
+                           WHEN b = 2 THEN '{_MOJI_CORRUPT[2]}'
+                           ELSE '' END) AS text
+      FROM (SELECT doc_id, text,
+                   ('0x' || substr(md5('moji-v1|' || CAST(doc_id AS VARCHAR)),
+                                   1, 8))::BIGINT % 8 AS b
+            FROM documents)
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(text) - length(replace(text, '{_MOJI_REPL}', ''))
+                  AS BIGINT) AS n_replacement,
+             CAST(length(text) - length(replace(text, '{_MOJI_LATIN1}', ''))
+                  AS BIGINT) AS n_latin1_utf8,
+             CAST((length(text) - length(replace(text, '{_MOJI_WIN}', ''))) // 2
+                  AS BIGINT) AS n_win1252_utf8
+      FROM corrupted
+    )
+    SELECT doc_id, n_chars, n_replacement, n_latin1_utf8, n_win1252_utf8,
+           round(CASE WHEN n_chars > 0
+                      THEN CAST(n_replacement + n_latin1_utf8 + n_win1252_utf8
+                                AS DOUBLE) / n_chars
+                      ELSE 0.0 END, 6) AS mojibake_score,
+           (n_replacement + n_latin1_utf8 + n_win1252_utf8) > 0 AS is_damaged
+    FROM m
+    """,
+)
+def text_mojibake_score_q(spark, sf_dir):
+    """Encoding-damage detection (the web-QA screen next to langid and
+    the Gopher rules): per-doc counts of U+FFFD replacement characters,
+    latin-1-decoded-UTF-8 markers (the stray 0xC3 lead byte as a
+    codepoint), and windows-1252-decoded-UTF-8 digraphs, plus the
+    per-char damage score - the classic mojibake signatures a crawl
+    pipeline drops or re-decodes on.  One codegen expression pass
+    (length/replace arithmetic, no regex, no UDF).  Deterministic
+    md5-bucketed corruption is planted on 3/8 of the corpus so every
+    counter fires; the oracle SQL interpolates the SAME string
+    constants, and codepoint-counting semantics (Spark length ==
+    DuckDB length) keep both engines integer-identical."""
+    d = read_table(spark, sf_dir, "documents")
+    b = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", F.lit("moji-v1"),
+                                             F.col("doc_id").cast("string"))),
+                           1, 8), 16, 10).cast("bigint") % 8
+    )
+    text = F.concat(
+        F.col("text"),
+        F.when(b == 0, F.lit(_MOJI_CORRUPT[0]))
+        .when(b == 1, F.lit(_MOJI_CORRUPT[1]))
+        .when(b == 2, F.lit(_MOJI_CORRUPT[2]))
+        .otherwise(F.lit("")),
+    )
+    n_chars = F.length(text).cast("bigint")
+    n_repl = (
+        F.length(text) - F.length(F.replace(text, F.lit(_MOJI_REPL), F.lit("")))
+    ).cast("bigint")
+    n_lat = (
+        F.length(text) - F.length(F.replace(text, F.lit(_MOJI_LATIN1), F.lit("")))
+    ).cast("bigint")
+    n_win = (
+        (F.length(text) - F.length(F.replace(text, F.lit(_MOJI_WIN), F.lit("")))) / 2
+    ).cast("bigint")
+    total = n_repl + n_lat + n_win
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_repl.alias("n_replacement"),
+        n_lat.alias("n_latin1_utf8"),
+        n_win.alias("n_win1252_utf8"),
+        F.round(
+            F.when(n_chars > 0, total.cast("double") / n_chars)
+            .otherwise(F.lit(0.0)), 6,
+        ).alias("mojibake_score"),
+        (total > 0).alias("is_damaged"),
+    )
