@@ -179,6 +179,56 @@ def time_travel(base: DataFrame, changes: DataFrame, key_cols: list[str],
     return cdc_apply(base, visible, key_cols, payload_cols, seq_col, op_col)
 
 
+def log_expiry(changes: DataFrame, key_cols: list[str], retain_from,
+               seq_col: str = "seq", op_col: str = "op") -> DataFrame:
+    """VACUUM planning for a CDC log under a time-travel retention
+    watermark (the Delta/Iceberg expire-snapshots decision as plain
+    relational algebra): an entry may be EXPIRED iff dropping it cannot
+    change any reconstruction AS OF any point ``>= retain_from``.
+    Three statuses per log entry:
+
+    - ``retain_window``: ``seq > retain_from`` — still inside the
+      travel window, every such entry is reachable;
+    - ``retain_boundary``: the key's LATEST entry with
+      ``seq <= retain_from`` (same LWW tie convention as
+      :func:`cdc_apply`: seq desc, delete-first) — it alone defines the
+      key's state at the watermark, so every reconstruction at or after
+      ``retain_from`` needs it (a boundary DELETE must be kept too, or
+      the key would resurrect from the base snapshot);
+    - ``expire``: every other ``seq <= retain_from`` entry — shadowed
+      by the boundary entry at EVERY reachable as_of.
+
+    ``retain_from`` may be a scalar or a one-row DataFrame with a
+    ``retain_from`` column (broadcasts; no driver scalar).  Cost: one
+    window over the below-watermark slice, partitioned by key — the
+    same single shuffle as :func:`latest_changes`; the above-watermark
+    slice passes through untouched."""
+    from pyspark.sql.window import Window
+
+    if isinstance(retain_from, DataFrame):
+        tagged = changes.crossJoin(F.broadcast(retain_from))
+    else:
+        tagged = changes.withColumn("retain_from", F.lit(retain_from))
+    below = tagged.filter(F.col(seq_col) <= F.col("retain_from"))
+    above = tagged.filter(F.col(seq_col) > F.col("retain_from"))
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).asc()
+    )
+    ranked = below.withColumn("_rn", F.row_number().over(w))
+    out_cols = [c for c in changes.columns]
+    return (
+        ranked.select(
+            *out_cols,
+            F.when(F.col("_rn") == 1, F.lit("retain_boundary"))
+            .otherwise(F.lit("expire"))
+            .alias("status"),
+        )
+        .unionByName(
+            above.select(*out_cols, F.lit("retain_window").alias("status"))
+        )
+    )
+
+
 def merge_conflicts(a: DataFrame, b: DataFrame, key_cols: list[str],
                     payload_cols: list[str], seq_col: str = "seq",
                     op_col: str = "op") -> DataFrame:

@@ -682,6 +682,71 @@ def cdc_time_travel_q(spark, sf_dir):
 
 
 @q(
+    "cdc_log_expiry",
+    """
+    WITH ch AS (
+      SELECT CASE WHEN b % 7 = 0 THEN o_custkey + 1000000
+                  ELSE o_custkey END AS c_custkey,
+             o_orderkey AS seq,
+             CASE WHEN b < 1000 THEN 'D'
+                  WHEN b < 4000 THEN 'I'
+                  ELSE 'U' END AS op
+      FROM (SELECT o_orderkey, o_custkey,
+                   ('0x' || substr(md5('cdc-v1|' || CAST(o_orderkey AS VARCHAR)),
+                                   1, 8))::BIGINT % 10000 AS b
+            FROM orders)
+    ),
+    wm AS (SELECT max(o_orderkey) // 2 AS retain_from FROM orders),
+    below AS (
+      SELECT ch.*, row_number() OVER (PARTITION BY c_custkey
+                                      ORDER BY seq DESC, op ASC) AS rn
+      FROM ch, wm WHERE ch.seq <= wm.retain_from
+    )
+    SELECT c_custkey, seq, op,
+           CASE WHEN rn = 1 THEN 'retain_boundary' ELSE 'expire' END AS status
+    FROM below
+    UNION ALL
+    SELECT ch.c_custkey, ch.seq, ch.op, 'retain_window' AS status
+    FROM ch, wm WHERE ch.seq > wm.retain_from
+    """,
+)
+def cdc_log_expiry_q(spark, sf_dir):
+    """CDC-log VACUUM planning (operators/cdc.py:log_expiry): under the
+    mid-stream retention watermark max(seq)//2, classify every entry of
+    the synthesized cdc-v1 change log as retain_window (still inside
+    the time-travel window), retain_boundary (the key's latest entry at
+    or below the watermark — it alone defines the key's state there,
+    boundary DELETEs included, or the key would resurrect from the base
+    snapshot), or expire (shadowed at every reachable as_of).  The
+    expire-snapshots decision every lakehouse table format makes, as
+    one key-partitioned window over the below-watermark slice; the
+    watermark is a one-row broadcast relation.  Completes the CDC
+    family: apply, IVM, time-travel, merge-conflicts, expiry."""
+    from .operators import cdc
+
+    o = read_table(spark, sf_dir, "orders")
+    b = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", F.lit("cdc-v1"),
+                                             F.col("o_orderkey").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") % 10000
+    )
+    changes = o.select(
+        F.when(b % 7 == 0, F.col("o_custkey") + 1000000)
+        .otherwise(F.col("o_custkey"))
+        .alias("c_custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(b < 1000, F.lit("D"))
+        .when(b < 4000, F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    wm = o.agg(
+        F.floor(F.max("o_orderkey") / 2).cast("bigint").alias("retain_from")
+    )
+    return cdc.log_expiry(changes, ["c_custkey"], wm)
+
+
+@q(
     "cdc_merge_conflicts",
     """
     WITH cha AS (

@@ -339,3 +339,46 @@ def test_join_fanout_profile_exact(spark):
     assert r["join_rows"] == 2 * 3 + 1 * 1       # == real inner join size
     assert r["join_rows"] == left.join(right, "k").count()
     assert r["max_fanout_left"] == 2 and r["max_fanout_right"] == 3
+
+
+def test_log_expiry_preserves_all_reachable_reconstructions(spark):
+    """The expiry CONTRACT: replaying only the retained entries must
+    reproduce time_travel at EVERY as_of >= the retention watermark —
+    including boundary deletes (dropping one would resurrect the key
+    from the base snapshot).  Also pins the status taxonomy."""
+    from phenoxtract_spark.operators import cdc
+
+    base = spark.createDataFrame(
+        [(1, "a0"), (2, "b0"), (3, "c0")], "k bigint, v string"
+    )
+    log_rows = [
+        # k=1: two updates below wm (only the later is boundary), one after
+        (1, 10, "U", "a1"), (1, 20, "U", "a2"), (1, 60, "U", "a3"),
+        # k=2: boundary DELETE at the watermark edge — must be retained
+        (2, 15, "U", "b1"), (2, 50, "D", None),
+        # k=3: only above-watermark traffic
+        (3, 70, "U", "c1"),
+        # k=4: insert below, shadowed insert far below
+        (4, 5, "I", "d0"), (4, 30, "U", "d1"),
+    ]
+    log = spark.createDataFrame(log_rows, "k bigint, seq bigint, op string, v string")
+    wm = 50
+    plan = cdc.log_expiry(log, ["k"], wm)
+    status = {(r.k, r.seq): r.status for r in plan.collect()}
+    assert status[(1, 10)] == "expire" and status[(1, 20)] == "retain_boundary"
+    assert status[(1, 60)] == "retain_window"
+    assert status[(2, 50)] == "retain_boundary"  # the boundary delete
+    assert status[(2, 15)] == "expire"
+    assert status[(3, 70)] == "retain_window"
+    assert status[(4, 5)] == "expire" and status[(4, 30)] == "retain_boundary"
+    # the contract: retained-only replay == full replay at every
+    # reachable as_of (and, as a control, it DIVERGES somewhere below)
+    retained = plan.filter(F.col("status") != "expire").select(
+        "k", "seq", "op", "v"
+    )
+    def snap(chg, as_of):
+        rows = cdc.time_travel(base, chg, ["k"], ["v"], as_of).collect()
+        return {(r.k, r.v) for r in rows}
+    for as_of in [50, 55, 60, 65, 70, 999]:
+        assert snap(log, as_of) == snap(retained, as_of), as_of
+    assert any(snap(log, a) != snap(retained, a) for a in [5, 10, 15, 30])
