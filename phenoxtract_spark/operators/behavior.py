@@ -298,3 +298,141 @@ def seasonal_hod_anomaly(events: DataFrame, factor: int = 2) -> DataFrame:
                F.round(x.cast("double") / loo, 6)).alias("ratio"),
         F.when(n > 1, high | low).otherwise(F.lit(False)).alias("anomaly"),
     )
+
+
+def markov_attribution(events: DataFrame, conversion: str = "purchase",
+                       user_col: str = "user_id", ts_col: str = "ts",
+                       type_col: str = "event_type", id_col: str = "event_id",
+                       iterations: int = 12) -> DataFrame:
+    """First-order Markov multi-touch attribution by REMOVAL EFFECT: per
+    user, the ordered event path up to (and including) the first
+    conversion becomes a chain ``__START__ -> ch1 -> ... -> __CONV__``
+    (non-converting paths end in ``__NULL__``); channel ``c``'s removal
+    effect is how much the START->CONV absorption probability drops
+    when every transition into ``c`` is redirected to ``__NULL__`` —
+    the standard data-driven alternative to last-touch heuristics.
+
+    Absorption probabilities come from a FIXED ``iterations``-step value
+    iteration (the pagerank contract: the horizon is part of the
+    operator, so both engines run bit-identical arithmetic — per-step
+    contributions round to 9 dp and accumulate in DECIMAL(28,12)).  All
+    removal variants iterate TOGETHER as one (variant, state) keyed
+    relation, so the chain solve is ONE plan regardless of channel
+    count.  Scale shape: one (ts, id)-ordered window pass per user
+    builds transitions; everything after is dimension-sized
+    (|variants| x |states| rows).  Returns one row per channel:
+    (channel, p_conv, p_conv_removed, removal_effect,
+    attribution_share)."""
+    FULL, START, CONV, NULLS = "__full__", "__START__", "__CONV__", "__NULL__"
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prior = F.sum(
+        (F.col(type_col) == conversion).cast("int")
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    path = events.withColumn("_prior", F.coalesce(prior, F.lit(0))).filter(
+        F.col("_prior") == 0
+    )
+    w2 = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    seq = path.select(
+        user_col, ts_col, id_col, type_col,
+        F.lead(type_col).over(w2).alias("_nxt"),
+        F.row_number().over(w2).alias("_rn"),
+    )
+    absorb = lambda c: (
+        F.when(c == conversion, F.lit(CONV)).otherwise(c)
+    )
+    first = seq.filter(F.col("_rn") == 1).select(
+        F.lit(START).alias("src"), absorb(F.col(type_col)).alias("dst")
+    )
+    mids = seq.filter(F.col(type_col) != conversion).select(
+        F.col(type_col).alias("src"),
+        F.when(F.col("_nxt").isNull(), F.lit(NULLS))
+        .otherwise(absorb(F.col("_nxt")))
+        .alias("dst"),
+    )
+    tcounts = (
+        first.unionByName(mids)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    channels = tcounts.filter(F.col("src") != START).select(
+        F.col("src").alias("variant")
+    ).distinct()
+    variants = channels.unionByName(
+        channels.sparkSession.createDataFrame([(FULL,)], "variant string")
+    )
+    vtrans = (
+        tcounts.crossJoin(F.broadcast(variants))
+        .filter(F.col("src") != F.col("variant"))
+        .select(
+            "variant", "src",
+            F.when(F.col("dst") == F.col("variant"), F.lit(NULLS))
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+            "n",
+        )
+        .groupBy("variant", "src", "dst")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+    tot = vtrans.groupBy("variant", "src").agg(F.sum("n").cast("bigint").alias("_tot"))
+    probs = vtrans.join(tot, ["variant", "src"]).select(
+        "variant", "src", "dst",
+        (F.col("n").cast("double") / F.col("_tot").cast("double")).alias("p"),
+    ).localCheckpoint(eager=True)  # iterated 12x below; dimension-sized
+    states = probs.select("variant", F.col("src").alias("state")).distinct()
+    p_prev = states.select("variant", "state", F.lit(0.0).alias("p"))
+    for _ in range(int(iterations)):
+        joined = probs.join(
+            p_prev.select(
+                F.col("variant").alias("_v"),
+                F.col("state").alias("_s"),
+                F.col("p").alias("_pp"),
+            ),
+            (F.col("variant") == F.col("_v")) & (F.col("dst") == F.col("_s")),
+            "left",
+        )
+        pd_ = F.when(F.col("dst") == CONV, F.lit(1.0)).otherwise(
+            F.coalesce(F.col("_pp"), F.lit(0.0))
+        )
+        p_prev = (
+            joined.withColumn(
+                "_t", F.round(F.col("p") * pd_, 9).cast("decimal(28,12)")
+            )
+            .groupBy("variant", F.col("src").alias("state"))
+            .agg(F.round(F.sum("_t").cast("double"), 9).alias("p"))
+            # per-round checkpoint (the pagerank discipline): the state is
+            # |variants| x |states| rows, but without it each round's plan
+            # contains all prior rounds and analysis cost grows O(k^2)
+            .localCheckpoint(eager=True)
+        )
+    full_p = p_prev.filter(
+        (F.col("variant") == FULL) & (F.col("state") == START)
+    ).select(F.col("p").alias("_p_conv"))
+    rem = p_prev.filter(
+        (F.col("variant") != FULL) & (F.col("state") == START)
+    ).select(F.col("variant").alias("channel"), F.col("p").alias("_p_rem"))
+    re = rem.crossJoin(F.broadcast(full_p)).select(
+        "channel",
+        F.round(F.col("_p_conv"), 6).alias("p_conv"),
+        F.round(F.col("_p_rem"), 6).alias("p_conv_removed"),
+        F.greatest(
+            F.when(
+                F.col("_p_conv") > 0,
+                F.round(1 - F.col("_p_rem") / F.col("_p_conv"), 6),
+            ).otherwise(F.lit(0.0)),
+            F.lit(0.0),
+        ).alias("removal_effect"),
+    )
+    total = re.agg(
+        F.sum(F.col("removal_effect").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("_total")
+    )
+    return re.crossJoin(F.broadcast(total)).select(
+        "channel", "p_conv", "p_conv_removed", "removal_effect",
+        F.when(
+            F.col("_total") > 0,
+            F.round(F.col("removal_effect") / F.col("_total"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("attribution_share"),
+    )

@@ -921,3 +921,124 @@ def events_seasonal_anomaly_q(spark, sf_dir):
 
     ev = read_table(spark, sf_dir, "events")
     return behavior.seasonal_hod_anomaly(ev, factor=2)
+
+
+def _miter_sql(out: str, prev: str) -> str:
+    """One Markov value-iteration step (mirrors behavior.markov_attribution:
+    per-step contributions round to 9dp, accumulate in DECIMAL(28,12))."""
+    return f"""
+    {out} AS (
+      SELECT pr.variant, pr.src AS state,
+             round(CAST(coalesce(sum(CAST(round(pr.p *
+                   (CASE WHEN pr.dst = '__CONV__' THEN 1.0
+                         ELSE coalesce(prev.p, 0.0) END), 9)
+                   AS DECIMAL(28,12))), CAST(0 AS DECIMAL(28,12)))
+                   AS DOUBLE), 9) AS p
+      FROM probs pr
+      LEFT JOIN {prev} prev ON prev.variant = pr.variant
+                           AND prev.state = pr.dst
+      GROUP BY 1, 2
+    )"""
+
+
+_MITER_CHAIN = ",".join(
+    _miter_sql(f"p{k}", f"p{k - 1}") for k in range(1, 13)
+)
+
+
+@q(
+    "events_markov_attribution",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prior_conv
+      FROM events
+    ),
+    path AS (SELECT * FROM ordered WHERE prior_conv = 0),
+    seq AS (
+      SELECT *, lead(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS nxt,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prn
+      FROM path
+    ),
+    tr AS (
+      SELECT '__START__' AS src,
+             CASE WHEN event_type = 'purchase' THEN '__CONV__'
+                  ELSE event_type END AS dst
+      FROM seq WHERE prn = 1
+      UNION ALL
+      SELECT event_type AS src,
+             CASE WHEN nxt IS NULL THEN '__NULL__'
+                  WHEN nxt = 'purchase' THEN '__CONV__'
+                  ELSE nxt END AS dst
+      FROM seq WHERE event_type != 'purchase'
+    ),
+    tcounts AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+                FROM tr GROUP BY 1, 2),
+    variants AS (
+      SELECT DISTINCT src AS variant FROM tcounts WHERE src != '__START__'
+      UNION ALL SELECT '__full__'
+    ),
+    vtrans AS (
+      SELECT v.variant, t.src,
+             CASE WHEN t.dst = v.variant THEN '__NULL__' ELSE t.dst END AS dst,
+             CAST(sum(t.n) AS BIGINT) AS n
+      FROM tcounts t, variants v
+      WHERE t.src != v.variant
+      GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT variant, src, CAST(sum(n) AS BIGINT) AS tot
+            FROM vtrans GROUP BY 1, 2),
+    probs AS (
+      SELECT vt.variant, vt.src, vt.dst,
+             CAST(vt.n AS DOUBLE) / CAST(tt.tot AS DOUBLE) AS p
+      FROM vtrans vt JOIN tot tt ON tt.variant = vt.variant
+                                AND tt.src = vt.src
+    ),
+    p0 AS (SELECT DISTINCT variant, src AS state, CAST(0.0 AS DOUBLE) AS p
+           FROM probs),
+    {_MITER_CHAIN},
+    fullp AS (SELECT p AS p_conv FROM p12
+              WHERE variant = '__full__' AND state = '__START__'),
+    rem AS (SELECT variant AS channel, p AS p_rem FROM p12
+            WHERE variant != '__full__' AND state = '__START__'),
+    re AS (
+      SELECT channel,
+             round(p_conv, 6) AS p_conv,
+             round(p_rem, 6) AS p_conv_removed,
+             greatest(CASE WHEN p_conv > 0
+                           THEN round(1 - p_rem / p_conv, 6)
+                           ELSE 0.0 END, 0.0) AS removal_effect
+      FROM rem, fullp
+    ),
+    t2 AS (SELECT CAST(sum(CAST(removal_effect AS DECIMAL(18,6))) AS DOUBLE)
+             AS total FROM re)
+    SELECT channel, p_conv, p_conv_removed, removal_effect,
+           CASE WHEN total > 0
+                THEN round(removal_effect / total, 6)
+                ELSE 0.0 END AS attribution_share
+    FROM re, t2
+    """,
+)
+def events_markov_attribution_q(spark, sf_dir):
+    """Data-driven multi-touch attribution
+    (operators/behavior.py:markov_attribution): per-user paths truncated
+    at the first purchase feed a first-order Markov chain; each
+    channel's REMOVAL EFFECT is the drop in 12-step START->CONV
+    absorption probability when that channel redirects to the
+    non-converting sink — the principled alternative to last-touch
+    credit.  All removal variants iterate together as one
+    (variant, state)-keyed relation (the chain solve is dimension-sized
+    no matter how many channels), and the 12-step horizon is part of
+    the contract so both engines run bit-identical arithmetic (the
+    pagerank discipline: 9dp contribution rounds, DECIMAL(28,12)
+    accumulation)."""
+    ev = read_table(spark, sf_dir, "events")
+    return behavior.markov_attribution(ev, conversion="purchase",
+                                       iterations=12)

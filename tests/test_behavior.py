@@ -379,3 +379,38 @@ def test_seasonal_hod_anomaly_loo_and_flags(spark):
     lonely = out[("a", "2024-01-01 12:00:00")]
     assert lonely["n_peer_hours"] == 0 and lonely["anomaly"] is False
     assert lonely["loo_baseline"] is None
+
+
+def test_markov_attribution_hand_computed(spark):
+    """Tiny chain with a known solve: paths u1 A->B->conv, u2 A->null,
+    u3 B->conv.  Transitions: START->{A:2/3, B:1/3}, A->{B:1/2,
+    NULL:1/2}, B->{CONV:1}.  Absorption: p(B)=1, p(A)=0.5,
+    p(START)=2/3*0.5 + 1/3*1 = 2/3.  Removing A: p(START) = 1/3;
+    removing B: p(A)=0, p(START)=0.  Removal effects: A = 1-0.5 = 0.5,
+    B = 1-0 = 1.0; shares 1/3 and 2/3."""
+    from phenoxtract_spark.operators import behavior
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "A"),
+        (1, 2, "2024-01-01 00:01:00", "B"),
+        (1, 3, "2024-01-01 00:02:00", "purchase"),
+        (2, 4, "2024-01-01 00:00:00", "A"),
+        (3, 5, "2024-01-01 00:00:00", "B"),
+        (3, 6, "2024-01-01 00:01:00", "purchase"),
+        # post-conversion tail traffic must be ignored (path truncation)
+        (1, 7, "2024-01-01 00:03:00", "A"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts_raw string, event_type string"
+    ).select("user_id", "event_id",
+             F.col("ts_raw").cast("timestamp").alias("ts"), "event_type")
+    out = {r.channel: r for r in behavior.markov_attribution(
+        ev, iterations=12).collect()}
+    assert set(out) == {"A", "B"}
+    assert abs(out["A"].p_conv - 2 / 3) < 1e-6
+    assert abs(out["A"].p_conv_removed - 1 / 3) < 1e-6
+    assert abs(out["A"].removal_effect - 0.5) < 1e-6
+    assert out["B"].p_conv_removed == 0.0
+    assert abs(out["B"].removal_effect - 1.0) < 1e-6
+    assert abs(out["A"].attribution_share - 1 / 3) < 1e-5
+    assert abs(out["B"].attribution_share - 2 / 3) < 1e-5
