@@ -137,3 +137,64 @@ def hierarchy_resolve(nodes: DataFrame, id_col: str, parent_col: str,
             f"rounds (depth > 2^{rounds}) — increase rounds"
         )
     return state.select("id", F.col("root").alias("root_id"), F.col("d").alias("depth"))
+
+
+def onion_peel(nodes: DataFrame, pairs: DataFrame, k: int = 2,
+               rounds: int = 8, id_col: str = "id") -> DataFrame:
+    """Onion / k-core decomposition by FIXED-ROUND peeling: each round
+    removes every remaining node whose degree among the remaining nodes
+    is below ``k``; nodes peeled in round r get ``peel_round = r`` and
+    whatever survives all ``rounds`` is flagged ``in_core`` with
+    ``peel_round = 0``.  The layer number is the onion-decomposition
+    depth — the peel-resistance curation signal (core = densely
+    interlinked template/boilerplate families; layer 1 = singletons and
+    dangling near-dups), strictly finer than connected components.
+
+    The round count is part of the operator contract (the pagerank
+    discipline — the oracle replays the same rounds; no convergence
+    collect).  Peeling is monotone, so a converged round ``r`` (nothing
+    removed) makes every later round a no-op and the fixed-round output
+    IS the exact k-core.  Integer arithmetic only.
+
+    Scale shape: per round, one semi-join of the (checkpointed) edge
+    relation against the alive set per side + one degree count — all
+    keyed by node id; the alive set shrinks monotonically.  Rounds are
+    checkpointed (dimension-to-table-sized state) so round r's plan
+    does not contain rounds 1..r-1."""
+    sym = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    alive = nodes.select(F.col(id_col).alias("id"))
+    peeled_layers = None
+    for r in range(1, int(rounds) + 1):
+        live_edges = (
+            sym.join(alive.select(F.col("id").alias("src")), "src", "left_semi")
+            .join(alive.select(F.col("id").alias("dst")), "dst", "left_semi")
+        )
+        deg = live_edges.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("_deg")
+        )
+        tagged = alive.join(deg, "id", "left").select(
+            "id", F.coalesce("_deg", F.lit(0)).alias("_deg")
+        )
+        peeled = tagged.filter(F.col("_deg") < k).select(
+            "id", F.lit(r).cast("bigint").alias("peel_round")
+        )
+        peeled_layers = (
+            peeled if peeled_layers is None
+            else peeled_layers.unionByName(peeled)
+        )
+        alive = tagged.filter(F.col("_deg") >= k).select("id").localCheckpoint(
+            eager=True
+        )
+    core = alive.select("id", F.lit(0).cast("bigint").alias("peel_round"))
+    return (
+        peeled_layers.unionByName(core)
+        .select(
+            "id", "peel_round", (F.col("peel_round") == 0).alias("in_core")
+        )
+    )

@@ -154,3 +154,99 @@ def graph_triangle_count(spark, sf_dir):
     )
     edges = cand.agg(F.count(F.lit(1)).alias("n_edges"))
     return tri.crossJoin(F.broadcast(edges)).select("n_triangles", "n_edges")
+
+
+def _peel_sql(r: int) -> str:
+    """One peeling round (mirrors graph.onion_peel): degree among the
+    still-alive nodes; < k peels with layer r, >= k survives."""
+    return f"""
+    deg{r} AS (
+      SELECT a.id, CAST(count(e.dst) AS BIGINT) AS deg
+      FROM alive{r - 1} a
+      LEFT JOIN sym e ON e.src = a.id
+      LEFT JOIN alive{r - 1} b ON b.id = e.dst
+      GROUP BY a.id
+      HAVING TRUE
+    ),
+    degc{r} AS (
+      SELECT a.id,
+             CAST(coalesce(sum(CASE WHEN b.id IS NOT NULL THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS deg
+      FROM alive{r - 1} a
+      LEFT JOIN sym e ON e.src = a.id
+      LEFT JOIN alive{r - 1} b ON b.id = e.dst
+      GROUP BY a.id
+    ),
+    peel{r} AS (SELECT id, CAST({r} AS BIGINT) AS peel_round
+                FROM degc{r} WHERE deg < 2),
+    alive{r} AS (SELECT id FROM degc{r} WHERE deg >= 2)"""
+
+
+_PEEL_CHAIN = ",".join(_peel_sql(r) for r in range(1, 9))
+_PEEL_UNION = "\n      UNION ALL ".join(
+    f"SELECT * FROM peel{r}" for r in range(1, 9)
+)
+
+
+@q(
+    "graph_onion_layers",
+    f"""
+    WITH edges AS (
+      SELECT c_custkey AS id_a, c_custkey + 1 AS id_b FROM customer
+      WHERE (c_custkey - 1) % 10 < 9
+      UNION ALL
+      SELECT c_custkey, c_custkey + 9 FROM customer
+      WHERE (c_custkey - 1) % 10 = 0
+        AND ('0x' || substr(md5('onion-v1|'
+              || CAST((c_custkey - 1) // 10 AS VARCHAR)), 1, 8))::BIGINT % 3 = 0
+    ),
+    sym AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM edges
+    ),
+    alive0 AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+    {_PEEL_CHAIN},
+    layers AS (
+      {_PEEL_UNION}
+      UNION ALL SELECT id, CAST(0 AS BIGINT) AS peel_round FROM alive8
+    )
+    SELECT id, peel_round, peel_round = 0 AS in_core
+    FROM layers
+    """,
+)
+def graph_onion_layers(spark, sf_dir):
+    """Onion / 2-core decomposition (operators/graph.py:onion_peel) over
+    a deterministic chain-and-chord graph on customers: every block of
+    ten consecutive keys is a path, and md5-selected blocks (1 in 3)
+    close into a cycle.  Cycles survive into the 2-core (layer 0);
+    open chains peel CASCADING from both ends — two nodes per round
+    for five rounds — so the layer histogram exercises the full onion
+    depth, not just a one-round peel (the LSH near-dup graph at test
+    scale is too sparse: 497 of 500 docs peel in round 1).  Edges that
+    point past the last key vanish in the alive semi-join (the operator
+    contract).  Eight fixed rounds, converged by round 5; the oracle
+    replays every round as generated MATERIALIZED CTEs — DuckDB's
+    default CTE inlining re-expands each round's double reference to
+    the previous alive set, going exponential without them.  Integer
+    arithmetic only."""
+    c = read_table(spark, sf_dir, "customer")
+    pos = (F.col("c_custkey") - 1) % 10
+    block = ((F.col("c_custkey") - 1) / 10).cast("bigint")
+    bsel = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", F.lit("onion-v1"),
+                                             block.cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") % 3
+    )
+    chain = c.filter(pos < 9).select(
+        F.col("c_custkey").alias("id_a"),
+        (F.col("c_custkey") + 1).alias("id_b"),
+    )
+    chords = c.filter((pos == 0) & (bsel == 0)).select(
+        F.col("c_custkey").alias("id_a"),
+        (F.col("c_custkey") + 9).alias("id_b"),
+    )
+    return graph.onion_peel(
+        c.select(F.col("c_custkey").alias("id")),
+        chain.unionByName(chords), k=2, rounds=8, id_col="id",
+    )

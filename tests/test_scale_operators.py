@@ -1201,3 +1201,36 @@ def test_shot_media_roundtrip_matches_keystream(spark):
     for f in range(6):
         b = int(hashlib.md5(f"{seed}-shot-{f // 2}".encode()).hexdigest()[:2], 16)
         assert luma[f] == b * 8
+
+
+def test_onion_peel_layers_and_core(spark):
+    """Hand-built graph: a 6-path peels two ends per round (layers
+    1,1,2,2,3,3); a triangle plus a pendant keeps the triangle in the
+    2-core and peels the pendant in round 1; an isolated node peels in
+    round 1 with degree 0."""
+    from phenoxtract_spark.operators import graph
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 11)], "id bigint")
+    edges = spark.createDataFrame(
+        [
+            # path 1-2-3-4-5-6
+            (1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+            # triangle 7-8-9 with pendant 10
+            (7, 8), (8, 9), (7, 9), (9, 10),
+        ],
+        "id_a bigint, id_b bigint",
+    )
+    out = {r.id: (r.peel_round, r.in_core)
+           for r in graph.onion_peel(nodes, edges, k=2, rounds=8).collect()}
+    assert out[1] == (1, False) and out[6] == (1, False)
+    assert out[2] == (2, False) and out[5] == (2, False)
+    assert out[3] == (3, False) and out[4] == (3, False)
+    assert out[7] == (0, True) and out[8] == (0, True) and out[9] == (0, True)
+    assert out[10] == (1, False)  # pendant
+    # edge pointing at a non-node must vanish, not crash or resurrect
+    edges2 = edges.unionByName(
+        spark.createDataFrame([(7, 999)], "id_a bigint, id_b bigint")
+    )
+    out2 = {r.id: r.in_core
+            for r in graph.onion_peel(nodes, edges2, k=2, rounds=8).collect()}
+    assert out2[7] is True and 999 not in out2
