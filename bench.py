@@ -202,6 +202,15 @@ SF1_PROBE = [
     # ratio tracks corpus size (every stage is broadcast- or
     # bucket-bounded; checkpoints pin the shared subtrees)
     "curation_web_pipeline_e2e",
+    # round-7 late: the shared-span report (one witness join feeding
+    # both consumers), CDC log expiry (one key window), Markov
+    # attribution (one path window + dimension-sized chain solve), and
+    # onion peeling (8 alive-set semi-join rounds) — each linear in its
+    # table by construction
+    "dedup_substring_shared_report",
+    "cdc_log_expiry",
+    "events_markov_attribution",
+    "graph_onion_layers",
 ]
 
 # r5 (verdict #7b/#4): the heaviest sf1 queries get TWO reps and report the
