@@ -640,3 +640,98 @@ def dedup_lsh_recall(spark, sf_dir):
             ).alias("candidate_precision"),
         )
     )
+
+
+@q(
+    "dedup_minhash_estimator_quality",
+    f"""
+    WITH {_SHINGLES3},
+    seeded AS (
+      SELECT doc_id, s.seed, md5(CAST(s.seed AS VARCHAR) || '|' || sh) AS h
+      FROM sh, (SELECT unnest(generate_series(0, 3)) AS seed) s
+    ),
+    sig AS (SELECT doc_id AS id, seed, min(h) AS minhash FROM seeded GROUP BY 1, 2),
+    bands AS (
+      SELECT id, seed // 2 AS band,
+             md5(array_to_string(list_sort(list(CAST(seed AS VARCHAR) || ':' || minhash)), '|')) AS band_key
+      FROM sig GROUP BY id, seed // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+    ),
+    wide AS (
+      SELECT doc_id, s.seed, md5(CAST(s.seed AS VARCHAR) || '|' || sh) AS h
+      FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed) s
+    ),
+    wsig AS (SELECT doc_id AS id, seed, min(h) AS minhash FROM wide GROUP BY 1, 2),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             round(CAST(sum(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END)
+                        AS DOUBLE) / 16.0, 6) AS jacc_est
+      FROM cand c
+      JOIN wsig a ON a.id = c.id_a
+      JOIN wsig b ON b.id = c.id_b AND b.seed = a.seed
+      GROUP BY c.id_a, c.id_b
+    ),
+    dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+    common AS (
+      SELECT c.id_a, c.id_b, count(*) AS cc
+      FROM cand c
+      JOIN dsh a ON a.doc_id = c.id_a
+      JOIN dsh b ON b.doc_id = c.id_b AND b.sh = a.sh
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT c.id_a, c.id_b,
+             round(CAST(coalesce(cm.cc, 0) AS DOUBLE)
+                   / (sa.n + sb.n - coalesce(cm.cc, 0)), 6) AS jacc_exact
+      FROM cand c
+      LEFT JOIN common cm ON cm.id_a = c.id_a AND cm.id_b = c.id_b
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+    )
+    SELECT e.id_a, e.id_b, e.jacc_est, x.jacc_exact,
+           round(abs(e.jacc_est - x.jacc_exact), 6) AS abs_err
+    FROM est e JOIN exact x ON x.id_a = e.id_a AND x.id_b = e.id_b
+    """,
+)
+def dedup_minhash_estimator_quality(spark, sf_dir):
+    """MinHash ESTIMATOR quality as data (the signature-side companion
+    of dedup_lsh_recall's candidate-side contract): for every LSH
+    candidate pair, the 16-hash signature estimate of Jaccard
+    (fraction of agreeing minima — the unbiased MinHash estimator)
+    NEXT TO the exact shingle Jaccard and the absolute error.  This is
+    what tells you whether the VERIFY stage can run on signatures
+    alone (cheap, signature-sized) or must touch the shingle sets
+    (exact, witness-sized) at a given error tolerance.  Candidate
+    generation stays the standard 4-hash/2-row bands; only the
+    ESTIMATE widens to 16 hashes — at 100 TB the signature join is
+    |candidates| x 16 rows while the exact leg is witness-sized, which
+    is exactly the trade the report quantifies."""
+    d = read_table(spark, sf_dir, "documents")
+    sig4 = dedup.minhash_signature(d, "doc_id", "text", num_hashes=4, k=3)
+    cand = dedup.lsh_candidate_pairs(
+        dedup.lsh_bands(sig4, rows_per_band=2)
+    ).localCheckpoint(eager=True)  # three consumers below
+    wsig = dedup.minhash_signature(d, "doc_id", "text", num_hashes=16, k=3)
+    a = wsig.select(F.col("id").alias("id_a"), "seed",
+                    F.col("minhash").alias("_ma"))
+    b = wsig.select(F.col("id").alias("id_b"), "seed",
+                    F.col("minhash").alias("_mb"))
+    est = (
+        cand.join(a, "id_a").join(b, ["id_b", "seed"])
+        .groupBy("id_a", "id_b")
+        .agg(F.round(
+            F.sum((F.col("_ma") == F.col("_mb")).cast("int")).cast("double")
+            / F.lit(16.0), 6).alias("jacc_est"))
+    )
+    exact = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", k=3, threshold=0.0, candidates=cand
+    ).select("id_a", "id_b", F.col("jacc").alias("jacc_exact"))
+    return est.join(exact, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "jacc_est", "jacc_exact",
+        F.round(F.abs(F.col("jacc_est") - F.col("jacc_exact")), 6)
+        .alias("abs_err"),
+    )

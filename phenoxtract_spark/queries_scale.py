@@ -1468,6 +1468,75 @@ def profiling_ndv_all_columns(spark, sf_dir):
 
 
 @q(
+    "profiling_completeness_profile",
+    """
+    WITH long AS (
+      SELECT 'lang' AS col_name, lang AS val FROM documents
+      UNION ALL
+      SELECT 'source', source FROM documents
+      UNION ALL
+      SELECT 'text', text FROM documents
+    ),
+    m AS (
+      SELECT col_name,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+             CAST(sum(CASE WHEN val IS NOT NULL AND trim(val) = ''
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
+             CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+             CAST(min(length(val)) AS BIGINT) AS min_len,
+             CAST(max(length(val)) AS BIGINT) AS max_len
+      FROM long GROUP BY 1
+    )
+    SELECT col_name, n_rows, n_null, n_blank, n_distinct, min_len, max_len,
+           round(CAST(n_rows - n_null - n_blank AS DOUBLE) / n_rows, 6)
+             AS completeness,
+           round(CAST(n_distinct AS DOUBLE) / n_rows, 6) AS distinct_ratio
+    FROM m
+    """,
+)
+def profiling_completeness_profile(spark, sf_dir):
+    """Per-column completeness profile in ONE scan (the ingest-QA
+    sibling of profiling_ndv_all_columns): null count, blank-after-trim
+    count, exact distinct, length bounds, completeness and
+    distinct-ratio for every profiled column, via the same
+    stack-to-long generator projection — the table is read once no
+    matter how many columns are audited.  The report an ingest runs
+    before accepting a new source: a column going 0.99 → 0.40 complete
+    is the classic upstream-schema-change symptom that silent
+    pipelines swallow."""
+    d = read_table(spark, sf_dir, "documents")
+    cols = ["lang", "source", "text"]
+    long = d.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(c).alias("col_name"),
+                         F.col(c).cast("string").alias("val"))
+                for c in cols
+            ])
+        ).alias("kv")
+    ).select("kv.col_name", "kv.val")
+    m = long.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("val").isNull().cast("int")).cast("bigint").alias("n_null"),
+        F.sum((F.col("val").isNotNull() & (F.trim("val") == "")).cast("int"))
+        .cast("bigint").alias("n_blank"),
+        F.countDistinct("val").cast("bigint").alias("n_distinct"),
+        F.min(F.length("val")).cast("bigint").alias("min_len"),
+        F.max(F.length("val")).cast("bigint").alias("max_len"),
+    )
+    return m.select(
+        "col_name", "n_rows", "n_null", "n_blank", "n_distinct",
+        "min_len", "max_len",
+        F.round((F.col("n_rows") - F.col("n_null") - F.col("n_blank"))
+                .cast("double") / F.col("n_rows"), 6).alias("completeness"),
+        F.round(F.col("n_distinct").cast("double") / F.col("n_rows"), 6)
+        .alias("distinct_ratio"),
+    )
+
+
+@q(
     "sketch_hll_users",
     """
     WITH h AS (
