@@ -1892,6 +1892,147 @@ _WEB_E2E_URL_SQL = """
 """
 
 
+def _web_pipeline_stages(spark, sf_dir):
+    """Shared stage builder for the composed web pipeline: returns the
+    per-stage survivor relations (corpus, s1..s6, selected) so the e2e
+    query and the attrition report audit the SAME plan (checkpoints
+    included)."""
+    from .functions import urls
+    from .operators import textanalysis
+    from .sources import warc
+
+    d = read_table(spark, sf_dir, "documents")
+    ce_b = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ce-v1::"),
+                                          F.col("doc_id").cast("string"))),
+                           1, 8), 16, 10).cast("bigint") % 10
+    )
+    sp_b = curation.split_bucket("doc_id", "split-v1")
+    dd = d.select("doc_id", "text", "lang", ce_b.alias("_ce"), sp_b.alias("_sp"))
+    ref = dd.filter(F.col("_ce") < 3).select("doc_id", "text")
+    bench = dd.filter((F.col("_sp") >= 8000) & (F.length("text") >= 30)).select(
+        "doc_id", "text"
+    )
+    corpus = dd.filter((F.col("_ce") >= 3) & (F.col("_sp") < 8000)).select(
+        "doc_id", "text", "lang"
+    )
+
+    # stage 0: the crawl — messy fetch URLs through REAL WARC bytes,
+    # then rehydrate the payload by id with an md5 integrity gate (the
+    # join proves the roundtrip inside the query; a corrupted byte
+    # drops the row and fails the count check)
+    b = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", F.lit("url-v2"),
+                                             F.col("doc_id").cast("string"))),
+                           1, 8), 16, 10).cast("bigint") % 16
+    )
+    page = (F.col("doc_id") / 2).cast("bigint").cast("string")
+    url = F.concat(
+        F.when(b % 2 == 0, F.lit("http")).otherwise(F.lit("HTTP")),
+        F.lit("://"),
+        F.when((b / 2).cast("bigint") % 2 == 0, F.lit("Site"))
+        .otherwise(F.lit("www.site")),
+        page, F.lit(".Example.com"),
+        F.when((b / 4).cast("bigint") % 2 == 0, F.lit("")).otherwise(F.lit(":80")),
+        F.lit("/articles/page"), page,
+        F.when((b / 8).cast("bigint") % 2 == 0, F.lit("")).otherwise(F.lit("/")),
+        F.when(b % 3 == 0, F.lit("?b=2&a=1&utm_source=feed"))
+        .when(b % 3 == 1, F.lit("?a=1&b=2"))
+        .otherwise(F.lit("?b=2&a=1&ref=rss")),
+        F.lit("#d"), F.col("doc_id").cast("string"),
+    )
+    fetched = corpus.withColumn("url", url)
+    segs = warc.synthetic_warc_segments(
+        fetched, "doc_id", "text", docs_per_segment=16, uri_col="url"
+    )
+    rec = warc.parse_warc_segments(segs).select(
+        F.regexp_extract("target_uri", r"#d(\d+)$", 1).cast("bigint").alias("doc_id"),
+        "target_uri", "body_md5",
+    )
+    s0 = rec.join(
+        fetched.select(
+            F.col("doc_id").alias("_fid"), "text", "lang",
+            F.md5(F.coalesce("text", F.lit(""))).alias("_tmd5"),
+        ),
+        (F.col("doc_id") == F.col("_fid")) & (F.col("body_md5") == F.col("_tmd5")),
+    ).select("doc_id", "target_uri", "text", "lang")
+
+    # stage 1: canonical-URL dedup — first fetch per canonical page
+    canon = s0.withColumn("canon_url", urls.canonicalize_url(F.col("target_uri")))
+    keep = canon.groupBy("canon_url").agg(F.min("doc_id").alias("doc_id"))
+    s1 = canon.join(keep, ["canon_url", "doc_id"]).select("doc_id", "text", "lang")
+
+    # stage 2: language ID — keep predicted-English.  Checkpointed: the
+    # relation is consumed by the Gopher scorer AND the survivor join
+    # (divergence below the dedup exchange), and everything above it —
+    # the WARC codec pass in particular — must execute once, not once
+    # per downstream consumer (the r6 checkpoint-placement rule).
+    s2 = s1.filter(
+        textanalysis.detect_language("text") == "en"
+    ).localCheckpoint(eager=True)
+
+    # stage 3: Gopher rules, relaxed to <=1 failed rule
+    gpass = (
+        textanalysis.gopher_rules(s2, "doc_id", "text")
+        .filter(F.col("n_rules_failed") <= 1)
+        .select("doc_id")
+    )
+    s3 = s2.join(gpass, "doc_id").select("doc_id", "text")
+
+    # stage 4: held-out perplexity filter (LM trained on the ref slice)
+    ces = textanalysis.cross_entropy_score(ref, s3, "doc_id", "text")
+    # checkpointed: four downstream consumers (minhash signatures, both
+    # sides of the Jaccard verify, the canonical join) diverge here
+    s4 = s3.join(
+        ces.filter(F.col("cross_entropy") <= 3.49).select(
+            F.col("id").alias("doc_id")
+        ),
+        "doc_id",
+    ).localCheckpoint(eager=True)
+
+    # stage 5: MinHash-LSH near-dup dedup (keep the min id of each pair)
+    sg = dedup.minhash_signature(s4, "doc_id", "text", num_hashes=4, k=3)
+    cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(sg, rows_per_band=2))
+    ver = dedup.ngram_jaccard_pairs(
+        s4, "doc_id", "text", k=3, threshold=0.3, candidates=cand
+    ).select("id_a", "id_b")
+    partners = ver.unionByName(
+        ver.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).select(F.col("id_a").alias("doc_id"), F.col("id_b").alias("partner"))
+    canon5 = (
+        s4.select("doc_id")
+        .join(partners, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(F.least(F.col("doc_id"),
+                     F.coalesce(F.min("partner"), F.col("doc_id")))
+             .alias("canonical_id"))
+    )
+    # checkpointed: the decontamination anchors and the survivor join
+    # both consume s5, and recomputing it means re-running the LSH
+    # verify self-join
+    s5 = s4.join(
+        canon5.filter(F.col("canonical_id") == F.col("doc_id")).select("doc_id"),
+        "doc_id",
+    ).localCheckpoint(eager=True)
+
+    # stage 6: exact-substring decontamination vs the benchmark split
+    hits = (
+        dedup.cross_duplicate_spans(s5, bench, "doc_id", "text", gram=30)
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+    )
+    s6 = s5.join(hits, "doc_id", "left_anti")
+
+    # stage 7: token-budget selection
+    selected = curation.token_budget_select(
+        s6, "doc_id",
+        quality=textanalysis.quality_score("text"),
+        n_tokens=textanalysis.token_count("text"),
+        budget_per_shard=1500, shards=4,
+    )
+    return corpus, s1, s2, s3, s4, s5, s6, selected
+
+
 @q(
     "curation_web_pipeline_e2e",
     f"""
@@ -2207,136 +2348,45 @@ def curation_web_pipeline_e2e_q(spark, sf_dir):
     LM and benchmark anchors are reference-bounded broadcast dims; LSH
     candidates are bucket-bounded.  The oracle replays all eight
     stages as chained CTEs."""
-    from .functions import urls
-    from .operators import textanalysis
-    from .sources import warc
+    return _web_pipeline_stages(spark, sf_dir)[-1]
 
-    d = read_table(spark, sf_dir, "documents")
-    ce_b = (
-        F.conv(F.substring(F.md5(F.concat(F.lit("ce-v1::"),
-                                          F.col("doc_id").cast("string"))),
-                           1, 8), 16, 10).cast("bigint") % 10
-    )
-    sp_b = curation.split_bucket("doc_id", "split-v1")
-    dd = d.select("doc_id", "text", "lang", ce_b.alias("_ce"), sp_b.alias("_sp"))
-    ref = dd.filter(F.col("_ce") < 3).select("doc_id", "text")
-    bench = dd.filter((F.col("_sp") >= 8000) & (F.length("text") >= 30)).select(
-        "doc_id", "text"
-    )
-    corpus = dd.filter((F.col("_ce") >= 3) & (F.col("_sp") < 8000)).select(
-        "doc_id", "text", "lang"
-    )
 
-    # stage 0: the crawl — messy fetch URLs through REAL WARC bytes,
-    # then rehydrate the payload by id with an md5 integrity gate (the
-    # join proves the roundtrip inside the query; a corrupted byte
-    # drops the row and fails the count check)
-    b = (
-        F.conv(F.substring(F.md5(F.concat_ws("|", F.lit("url-v2"),
-                                             F.col("doc_id").cast("string"))),
-                           1, 8), 16, 10).cast("bigint") % 16
-    )
-    page = (F.col("doc_id") / 2).cast("bigint").cast("string")
-    url = F.concat(
-        F.when(b % 2 == 0, F.lit("http")).otherwise(F.lit("HTTP")),
-        F.lit("://"),
-        F.when((b / 2).cast("bigint") % 2 == 0, F.lit("Site"))
-        .otherwise(F.lit("www.site")),
-        page, F.lit(".Example.com"),
-        F.when((b / 4).cast("bigint") % 2 == 0, F.lit("")).otherwise(F.lit(":80")),
-        F.lit("/articles/page"), page,
-        F.when((b / 8).cast("bigint") % 2 == 0, F.lit("")).otherwise(F.lit("/")),
-        F.when(b % 3 == 0, F.lit("?b=2&a=1&utm_source=feed"))
-        .when(b % 3 == 1, F.lit("?a=1&b=2"))
-        .otherwise(F.lit("?b=2&a=1&ref=rss")),
-        F.lit("#d"), F.col("doc_id").cast("string"),
-    )
-    fetched = corpus.withColumn("url", url)
-    segs = warc.synthetic_warc_segments(
-        fetched, "doc_id", "text", docs_per_segment=16, uri_col="url"
-    )
-    rec = warc.parse_warc_segments(segs).select(
-        F.regexp_extract("target_uri", r"#d(\d+)$", 1).cast("bigint").alias("doc_id"),
-        "target_uri", "body_md5",
-    )
-    s0 = rec.join(
-        fetched.select(
-            F.col("doc_id").alias("_fid"), "text", "lang",
-            F.md5(F.coalesce("text", F.lit(""))).alias("_tmd5"),
-        ),
-        (F.col("doc_id") == F.col("_fid")) & (F.col("body_md5") == F.col("_tmd5")),
-    ).select("doc_id", "target_uri", "text", "lang")
+from .queries_core import QUERIES as _QREG
+_WEB_E2E_SQL = _QREG["curation_web_pipeline_e2e"][1]
+_WEB_REPORT_SQL = _WEB_E2E_SQL[: _WEB_E2E_SQL.rindex("SELECT id, shard")] + """
+    SELECT 0 AS stage_idx, 'corpus' AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs FROM corpus
+    UNION ALL SELECT 1, 'url_dedup', CAST(count(*) AS BIGINT) FROM s1
+    UNION ALL SELECT 2, 'langid', CAST(count(*) AS BIGINT) FROM s2
+    UNION ALL SELECT 3, 'gopher', CAST(count(*) AS BIGINT) FROM s3
+    UNION ALL SELECT 4, 'lm_filter', CAST(count(*) AS BIGINT) FROM s4
+    UNION ALL SELECT 5, 'lsh_dedup', CAST(count(*) AS BIGINT) FROM s5
+    UNION ALL SELECT 6, 'decontaminated', CAST(count(*) AS BIGINT) FROM s6
+    UNION ALL SELECT 7, 'budget_selected', CAST(count(*) AS BIGINT)
+    FROM cum WHERE cum_tokens <= 1500
+    """
 
-    # stage 1: canonical-URL dedup — first fetch per canonical page
-    canon = s0.withColumn("canon_url", urls.canonicalize_url(F.col("target_uri")))
-    keep = canon.groupBy("canon_url").agg(F.min("doc_id").alias("doc_id"))
-    s1 = canon.join(keep, ["canon_url", "doc_id"]).select("doc_id", "text", "lang")
 
-    # stage 2: language ID — keep predicted-English.  Checkpointed: the
-    # relation is consumed by the Gopher scorer AND the survivor join
-    # (divergence below the dedup exchange), and everything above it —
-    # the WARC codec pass in particular — must execute once, not once
-    # per downstream consumer (the r6 checkpoint-placement rule).
-    s2 = s1.filter(
-        textanalysis.detect_language("text") == "en"
-    ).localCheckpoint(eager=True)
-
-    # stage 3: Gopher rules, relaxed to <=1 failed rule
-    gpass = (
-        textanalysis.gopher_rules(s2, "doc_id", "text")
-        .filter(F.col("n_rules_failed") <= 1)
-        .select("doc_id")
-    )
-    s3 = s2.join(gpass, "doc_id").select("doc_id", "text")
-
-    # stage 4: held-out perplexity filter (LM trained on the ref slice)
-    ces = textanalysis.cross_entropy_score(ref, s3, "doc_id", "text")
-    # checkpointed: four downstream consumers (minhash signatures, both
-    # sides of the Jaccard verify, the canonical join) diverge here
-    s4 = s3.join(
-        ces.filter(F.col("cross_entropy") <= 3.49).select(
-            F.col("id").alias("doc_id")
-        ),
-        "doc_id",
-    ).localCheckpoint(eager=True)
-
-    # stage 5: MinHash-LSH near-dup dedup (keep the min id of each pair)
-    sg = dedup.minhash_signature(s4, "doc_id", "text", num_hashes=4, k=3)
-    cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(sg, rows_per_band=2))
-    ver = dedup.ngram_jaccard_pairs(
-        s4, "doc_id", "text", k=3, threshold=0.3, candidates=cand
-    ).select("id_a", "id_b")
-    partners = ver.unionByName(
-        ver.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).select(F.col("id_a").alias("doc_id"), F.col("id_b").alias("partner"))
-    canon5 = (
-        s4.select("doc_id")
-        .join(partners, "doc_id", "left")
-        .groupBy("doc_id")
-        .agg(F.least(F.col("doc_id"),
-                     F.coalesce(F.min("partner"), F.col("doc_id")))
-             .alias("canonical_id"))
-    )
-    # checkpointed: the decontamination anchors and the survivor join
-    # both consume s5, and recomputing it means re-running the LSH
-    # verify self-join
-    s5 = s4.join(
-        canon5.filter(F.col("canonical_id") == F.col("doc_id")).select("doc_id"),
-        "doc_id",
-    ).localCheckpoint(eager=True)
-
-    # stage 6: exact-substring decontamination vs the benchmark split
-    hits = (
-        dedup.cross_duplicate_spans(s5, bench, "doc_id", "text", gram=30)
-        .select(F.col("id_a").alias("doc_id"))
-        .distinct()
-    )
-    s6 = s5.join(hits, "doc_id", "left_anti")
-
-    # stage 7: token-budget selection
-    return curation.token_budget_select(
-        s6, "doc_id",
-        quality=textanalysis.quality_score("text"),
-        n_tokens=textanalysis.token_count("text"),
-        budget_per_shard=1500, shards=4,
-    )
+@q("curation_web_pipeline_report", _WEB_REPORT_SQL)
+def curation_web_pipeline_report_q(spark, sf_dir):
+    """Per-stage attrition report for the composed web pipeline — the
+    observability twin of curation_web_pipeline_e2e, auditing the SAME
+    stage builder (checkpoints included): one (stage_idx, stage,
+    n_docs) row per stage from corpus through budget selection.  This
+    is the funnel a pipeline owner actually watches: a stage whose
+    survivor count moves 10x between crawls is the alarm, long before
+    downstream model metrics drift.  The oracle reuses the e2e oracle's
+    CTE chain verbatim with a counts-union final select, so the two
+    queries can never diverge silently."""
+    stages = _web_pipeline_stages(spark, sf_dir)
+    names = ["corpus", "url_dedup", "langid", "gopher", "lm_filter",
+             "lsh_dedup", "decontaminated", "budget_selected"]
+    out = None
+    for idx, (nm, df) in enumerate(zip(names, stages)):
+        row = df.agg(
+            F.lit(idx).cast("bigint").alias("stage_idx"),
+            F.lit(nm).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
