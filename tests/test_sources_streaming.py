@@ -434,3 +434,78 @@ def test_streaming_tumbling_append_drops_late_data(spark, tmp_path):
         for r in ev.tumbling(allrows, "1 hour").collect()
     }
     assert batch[("2024-01-01 00:00:00", "click")] == 3
+
+
+def test_builtin_session_window_stream_equals_batch(spark, tmp_path):
+    """Spark's BUILT-IN session_window under a real streaming query
+    (append mode, watermark, two micro-batches) agrees with the batch
+    F.session_window over the same rows for every CLOSED session — the
+    native-state complement to the applyInPandasWithState sessionizer
+    already pinned in test_stateful_streaming."""
+    import os
+    from phenoxtract_spark.streaming import events as ev
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    schema = "user_id bigint, ts_raw string"
+    batches = [
+        # u1: two sessions (gap > 30m); u2: one session
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"),
+         (1, "2024-01-01 02:00:00"), (2, "2024-01-01 00:05:00")],
+        # late-window traffic that closes everything via the watermark
+        [(3, "2024-01-01 09:00:00")],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(str(src))
+    files = sorted(
+        (os.path.getmtime(os.path.join(src, p)), p)
+        for p in os.listdir(src) if p.endswith(".parquet")
+    )
+    base = files[0][0]
+    for i, (_, p) in enumerate(files):
+        os.utime(os.path.join(src, p), (base + 10 * i, base + 10 * i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .select("user_id", F.col("ts_raw").cast("timestamp").alias("ts"))
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_parity")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end)): r.n_events
+        for r in spark.sql("SELECT * FROM sess_parity").collect()
+    }
+    allrows = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    ).select("user_id", F.col("ts_raw").cast("timestamp").alias("ts"))
+    batch = {
+        (r.user_id, str(r.session_start), str(r.session_end)): r.n_events
+        for r in ev.session_windows(allrows, gap="30 minutes").collect()
+    }
+    # every streamed (closed) session matches batch exactly; u3's session
+    # stays open (watermark never passes 09:00 + 30m), hence subset
+    assert got, "no sessions emitted"
+    assert set(got) <= set(batch)
+    for k, v in got.items():
+        assert batch[k] == v
+    # the three closed sessions all emitted
+    assert (1, "2024-01-01 00:00:00", "2024-01-01 00:40:00") in got
+    assert (1, "2024-01-01 02:00:00", "2024-01-01 02:30:00") in got
+    assert (2, "2024-01-01 00:05:00", "2024-01-01 00:35:00") in got
