@@ -382,3 +382,40 @@ def test_log_expiry_preserves_all_reachable_reconstructions(spark):
     for as_of in [50, 55, 60, 65, 70, 999]:
         assert snap(log, as_of) == snap(retained, as_of), as_of
     assert any(snap(log, a) != snap(retained, a) for a in [5, 10, 15, 30])
+
+
+def test_write_partitioned_prunes_partitions_at_scan(spark, tmp_path):
+    """The disk-layout half of scan pruning (complement of the zone-map
+    and bucketing tests): a table written partitionBy(event_type) and
+    read with an event_type predicate must show the predicate under
+    PartitionFilters (not PushedFilters) and touch ONLY the matching
+    partition directories."""
+    from phenoxtract_spark.sources import sinks
+
+    df = spark.createDataFrame(
+        [(i, ["click", "view", "purchase"][i % 3], float(i)) for i in range(300)],
+        "event_id bigint, event_type string, value double",
+    )
+    out = str(tmp_path / "part_events")
+    sinks.write_parquet_partitioned(df, out, ["event_type"])
+
+    back = spark.read.parquet(out)
+    filtered = back.filter(F.col("event_type") == "click")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    # the predicate lands in PartitionFilters (directory pruning), not in
+    # the parquet-level PushedFilters
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "event_type" in pf.group(1)
+    # behavioral proof: plant a corrupt file in a NON-matching partition —
+    # the pruned scan never touches it, an unpruned scan dies on it
+    import os
+    view_dir = os.path.join(out, "event_type=view")
+    with open(os.path.join(view_dir, "part-corrupt.c000.snappy.parquet"), "wb") as fh:
+        fh.write(b"not a parquet file at all")
+    assert filtered.count() == 100
+    assert {r.event_type for r in filtered.collect()} == {"click"}
+    with pytest.raises(Exception):
+        spark.read.parquet(out).filter(
+            F.col("event_type") == "view"
+        ).count()
