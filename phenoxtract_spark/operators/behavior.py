@@ -436,3 +436,57 @@ def markov_attribution(events: DataFrame, conversion: str = "purchase",
         .otherwise(F.lit(0.0))
         .alias("attribution_share"),
     )
+
+
+def cusum_drift(events: DataFrame, type_col: str = "event_type",
+                ts_col: str = "ts", flag_den: int = 40) -> DataFrame:
+    """Page's CUSUM over hourly per-type event counts, expressed
+    RELATIONALLY through the prefix-extrema identity: the recursive
+    ``S_t = max(0, S_{t-1} + dev_t)`` fold equals ``P_t - min_{j<=t}
+    P_j`` over the deviation prefix sums ``P`` (and the downward
+    statistic mirrors with the running max), so the whole detector is
+    one groupBy + two window passes — no recursion, no UDF, no fold.
+
+    Deviations are SCALED INTEGERS (``T·n_t - total``, which sums to
+    zero over the series), so every statistic is exact and
+    engine-identical; the drift flag fires when the statistic exceeds
+    ``total·T / flag_den`` — i.e. a sustained cumulative deviation of
+    more than ``1/flag_den`` of the series' total volume.  CUSUM
+    accumulates small persistent level shifts that the rolling z-score
+    (per-bucket outliers) and the seasonal screen (hour-of-day) both
+    miss.  Returns (event_type, bucket_hour, n_events, cusum_up,
+    cusum_down, drift_flag)."""
+    from ..session import normalize_events  # noqa: F401  (callers normalize)
+
+    buckets = (
+        events.groupBy(
+            F.col(type_col),
+            F.date_trunc("hour", F.col(ts_col)).alias("bucket_hour"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    wall = Window.partitionBy(type_col)
+    stats = buckets.withColumn(
+        "_T", F.count(F.lit(1)).over(wall).cast("bigint")
+    ).withColumn("_total", F.sum("n_events").over(wall).cast("bigint"))
+    dev = F.col("_T") * F.col("n_events") - F.col("_total")
+    worder = Window.partitionBy(type_col).orderBy("bucket_hour")
+    run = worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p = F.sum(dev).over(run)
+    scored = stats.withColumn("_p", p).withColumn(
+        "cusum_up",
+        (F.col("_p") - F.least(F.lit(0).cast("bigint"),
+                               F.min("_p").over(run))).cast("bigint"),
+    ).withColumn(
+        "cusum_down",
+        (F.greatest(F.lit(0).cast("bigint"), F.max("_p").over(run))
+         - F.col("_p")).cast("bigint"),
+    )
+    thr = F.col("_total") * F.col("_T")
+    return scored.select(
+        F.col(type_col),
+        F.col("bucket_hour").cast("string").alias("bucket_hour"),
+        "n_events", "cusum_up", "cusum_down",
+        ((F.col("cusum_up") * flag_den > thr)
+         | (F.col("cusum_down") * flag_den > thr)).alias("drift_flag"),
+    )

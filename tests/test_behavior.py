@@ -414,3 +414,63 @@ def test_markov_attribution_hand_computed(spark):
     assert abs(out["B"].removal_effect - 1.0) < 1e-6
     assert abs(out["A"].attribution_share - 1 / 3) < 1e-5
     assert abs(out["B"].attribution_share - 2 / 3) < 1e-5
+
+
+def test_cusum_drift_fires_on_planted_level_shift(spark):
+    """A series with a genuine +60% level shift halfway through must
+    flag after the shift and keep the pre-shift prefix clean; the
+    recursive-fold identity is checked against a pure-Python Page CUSUM
+    over the same counts."""
+    from phenoxtract_spark.operators import behavior
+
+    # 48 hourly buckets: 20 events/h, then 32 events/h from hour 24
+    rows = []
+    eid = 0
+    for h in range(48):
+        n = 20 if h < 24 else 32
+        for i in range(n):
+            rows.append((eid, 1, f"2024-01-{1 + h // 24:02d} {h % 24:02d}:00:01", "click"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts_raw string, event_type string"
+    ).select("event_id", "user_id",
+             F.col("ts_raw").cast("timestamp").alias("ts"), "event_type")
+    out = sorted(
+        behavior.cusum_drift(ev, flag_den=40).collect(),
+        key=lambda r: r.bucket_hour,
+    )
+    counts = [20] * 24 + [32] * 24
+    T, total = 48, sum(counts)
+    # pure-Python replay of the prefix-extrema identity == Page's fold
+    p = 0; minp = 0; maxp = 0; s_up = 0; s_dn = 0
+    for r, n in zip(out, counts):
+        assert r.n_events == n
+        p += T * n - total
+        minp = min(minp, p); maxp = max(maxp, p)
+        s_up = max(0, s_up + (T * n - total))
+        s_dn = max(0, s_dn - (T * n - total))
+        assert r.cusum_up == p - min(0, minp) == s_up
+        assert r.cusum_down == max(0, maxp) - p == s_dn
+    # flags fire on the shifted series (the low regime accumulates
+    # DOWNWARD drift against the whole-series baseline, the high regime
+    # upward — both are genuine level departures) but never in the
+    # first buckets where nothing has accumulated yet (dev = -288/bucket
+    # crosses the 1497.6 threshold at the 6th bucket: 288*6*40 > 1248*48)
+    assert not any(r.drift_flag for r in out[:5])
+    assert out[5].drift_flag
+    assert any(r.drift_flag for r in out)
+    # control: the same volume with NO shift never flags
+    flat_rows = []
+    eid = 0
+    for h in range(48):
+        for i in range(26):
+            flat_rows.append((eid, 1, f"2024-01-{1 + h // 24:02d} {h % 24:02d}:00:01", "click"))
+            eid += 1
+    flat = spark.createDataFrame(
+        flat_rows, "event_id bigint, user_id bigint, ts_raw string, event_type string"
+    ).select("event_id", "user_id",
+             F.col("ts_raw").cast("timestamp").alias("ts"), "event_type")
+    assert not any(
+        r.drift_flag
+        for r in behavior.cusum_drift(flat, flag_den=40).collect()
+    )
