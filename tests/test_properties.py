@@ -283,3 +283,38 @@ def test_bmp_codec_roundtrip_and_resize_reference(w, h, ow, oh, seed):
             for k in range(3):
                 src = ((r * h // oh) * w + (c * w // ow)) * 3 + k
                 assert small[(r * ow + c) * 3 + k] == rgb[src]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5),          # key
+                  st.integers(0, 30),         # seq
+                  st.sampled_from(["I", "U", "D"])),
+        min_size=1, max_size=25, unique_by=lambda t: (t[0], t[1], t[2]),
+    ),
+    st.integers(0, 30),                       # retention watermark
+)
+def test_log_expiry_matches_python_spec(spark, entries, wm):
+    """For ANY log and watermark, the operator's per-entry status equals
+    the pure-Python spec: above-watermark entries retain; per key, the
+    LWW-ordered (seq desc, op asc) first at-or-below entry is the
+    boundary; everything else expires."""
+    from phenoxtract_spark.operators import cdc
+
+    log = spark.createDataFrame(entries, "k bigint, seq bigint, op string")
+    got = {(r.k, r.seq, r.op): r.status
+           for r in cdc.log_expiry(log, ["k"], wm).collect()}
+    # python spec
+    want = {}
+    below = {}
+    for k, seq, op in entries:
+        if seq > wm:
+            want[(k, seq, op)] = "retain_window"
+        else:
+            below.setdefault(k, []).append((seq, op))
+    for k, rows in below.items():
+        rows.sort(key=lambda t: (-t[0], t[1]))
+        for i, (seq, op) in enumerate(rows):
+            want[(k, seq, op)] = "retain_boundary" if i == 0 else "expire"
+    assert got == want
