@@ -1103,3 +1103,104 @@ def events_cusum_drift_q(spark, sf_dir):
     level-shift pytest proves the detector bites."""
     ev = read_table(spark, sf_dir, "events")
     return behavior.cusum_drift(ev, flag_den=40)
+
+
+@q(
+    "events_abtest_proportions",
+    """
+    WITH arms AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substr(md5('ab-v1::' || CAST(user_id AS VARCHAR)),
+                                       1, 8))::BIGINT % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       >= 14 THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY 1
+    ),
+    agg AS (
+      SELECT
+        CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN arm = 'A' THEN converted ELSE 0 END) AS BIGINT)
+          AS conv_a,
+        CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END) AS BIGINT)
+          AS conv_b
+      FROM arms
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+           round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+           round(CAST(conv_a AS DOUBLE) / n_a
+                 - CAST(conv_b AS DOUBLE) / n_b, 6) AS lift,
+           round(CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+                      THEN 0.0
+                      ELSE (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)) END, 6) AS z_stat,
+           abs(CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+                    THEN 0.0
+                    ELSE (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+               / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                      * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                      * (1.0 / n_a + 1.0 / n_b)) END) > 1.96 AS significant
+    FROM agg
+    """,
+)
+def events_abtest_proportions_q(spark, sf_dir):
+    """Two-proportion z-test (the experimentation readout): users
+    md5-assigned to arms A/B ('ab-v1' — the deterministic assignment
+    split_bucket uses everywhere), converted = any purchase event,
+    pooled-variance z statistic with the 1.96 two-sided gate.  Exact
+    integer counts feed ONE fixed double expression (the stats-profile
+    discipline), so the z and the significance bit are engine-identical;
+    on a null assignment (arm independent of behavior) the test should
+    and does come back non-significant — the calibration property.
+    Two user-keyed aggregates, one scalar row."""
+    ev = read_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.concat(F.lit("ab-v1::"),
+                                          F.col("user_id").cast("string"))),
+                           1, 8), 16, 10).cast("bigint") % 2 == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    arms = (
+        ev.groupBy("user_id")
+        .agg(
+            (F.sum((F.col("event_type") == "purchase").cast("int")) >= 14)
+            .cast("int")
+            .alias("converted")
+        )
+        .withColumn("arm", arm)
+    )
+    agg = arms.agg(
+        F.sum((F.col("arm") == "A").cast("int")).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("arm") == "A", F.col("converted")).otherwise(0))
+        .cast("bigint").alias("conv_a"),
+        F.sum((F.col("arm") == "B").cast("int")).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm") == "B", F.col("converted")).otherwise(0))
+        .cast("bigint").alias("conv_b"),
+    )
+    ra = F.col("conv_a").cast("double") / F.col("n_a")
+    rb = F.col("conv_b").cast("double") / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    degenerate = (
+        (F.col("conv_a") + F.col("conv_b") == 0)
+        | (F.col("conv_a") + F.col("conv_b") == F.col("n_a") + F.col("n_b"))
+    )
+    z = F.when(degenerate, F.lit(0.0)).otherwise(
+        (ra - rb) / F.sqrt(
+            pp * (F.lit(1.0) - pp)
+            * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+        )
+    )
+    return agg.select(
+        "n_a", "conv_a", "n_b", "conv_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(ra - rb, 6).alias("lift"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
