@@ -525,3 +525,64 @@ def test_cross_entropy_score_held_out_semantics(spark):
     # p(cat|the)=(2+1)/(2+5); p(sat|cat)=(1+1)/(2+5)
     want = -(math.log(3 / 7) + math.log(2 / 7)) / 2
     assert out[10]["cross_entropy"] == round(want, 4)
+
+
+def test_mojibake_score_counts_planted_signatures(spark, tmp_path):
+    """Library-level pin for the registered query's counting rules on a
+    synthetic documents table: clean text scores zero; each planted
+    signature class counts exactly (U+FFFD chars, the latin-1 lead
+    byte, the 2-char windows-1252 digraph counted as pairs)."""
+    import __spark_entry__ as ent
+
+    docs = spark.createDataFrame(
+        # doc_ids chosen so the md5 'moji-v1' bucket is >= 3 (no extra
+        # corruption appended): found by probing the bucket function
+        [(i, "clean plain text here", "en", "s") for i in range(40)],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in
+           ent.queries()["text_mojibake_score"](spark, str(tmp_path)).collect()}
+    import hashlib
+    def bucket(i):
+        return int(hashlib.md5(f"moji-v1|{i}".encode()).hexdigest()[:8], 16) % 8
+    for i, r in out.items():
+        b = bucket(i)
+        if b >= 3:
+            assert (r.n_replacement, r.n_latin1_utf8, r.n_win1252_utf8) == (0, 0, 0)
+            assert r.mojibake_score == 0.0 and r.is_damaged is False
+        elif b == 0:   # latin-1 mojibake: three lead bytes
+            assert r.n_latin1_utf8 == 3 and r.is_damaged is True
+        elif b == 1:   # win-1252 digraphs: three 2-char pairs
+            assert r.n_win1252_utf8 == 3 and r.is_damaged is True
+        else:          # b == 2: two replacement chars
+            assert r.n_replacement == 2 and r.is_damaged is True
+
+
+def test_completeness_profile_exact_counts(spark, tmp_path):
+    """NULLs, blank-after-trim, distincts, and length bounds count
+    exactly on a hand-built documents table."""
+    import __spark_entry__ as ent
+
+    rows = [
+        (1, "alpha", None, "s1"),
+        (2, "  ", "en", "s1"),      # blank text after trim
+        (3, None, "en", "s2"),      # null text
+        (4, "alpha", "fr", None),   # null source
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+    out = {r.col_name: r for r in
+           ent.queries()["profiling_completeness_profile"](
+               spark, str(tmp_path)).collect()}
+    t = out["text"]
+    assert (t.n_rows, t.n_null, t.n_blank, t.n_distinct) == (4, 1, 1, 3)
+    assert (t.min_len, t.max_len) == (2, 5)
+    assert t.completeness == 0.5
+    l = out["lang"]
+    assert (l.n_null, l.n_blank, l.n_distinct) == (1, 0, 2)
+    s = out["source"]
+    assert (s.n_null, s.n_distinct) == (1, 2)
