@@ -554,8 +554,8 @@ def test_mojibake_score_counts_planted_signatures(spark, tmp_path):
             assert r.mojibake_score == 0.0 and r.is_damaged is False
         elif b == 0:   # latin-1 mojibake: three lead bytes
             assert r.n_latin1_utf8 == 3 and r.is_damaged is True
-        elif b == 1:   # win-1252 digraphs: three 2-char pairs
-            assert r.n_win1252_utf8 == 3 and r.is_damaged is True
+        elif b == 1:   # win-1252 digraphs: two 2-char pairs in the plant
+            assert r.n_win1252_utf8 == 2 and r.is_damaged is True
         else:          # b == 2: two replacement chars
             assert r.n_replacement == 2 and r.is_damaged is True
 
@@ -579,7 +579,8 @@ def test_completeness_profile_exact_counts(spark, tmp_path):
            ent.queries()["profiling_completeness_profile"](
                spark, str(tmp_path)).collect()}
     t = out["text"]
-    assert (t.n_rows, t.n_null, t.n_blank, t.n_distinct) == (4, 1, 1, 3)
+    # count(DISTINCT) excludes NULL: {'alpha', '  '} -> 2
+    assert (t.n_rows, t.n_null, t.n_blank, t.n_distinct) == (4, 1, 1, 2)
     assert (t.min_len, t.max_len) == (2, 5)
     assert t.completeness == 0.5
     l = out["lang"]
