@@ -617,9 +617,11 @@ def train_quality_lr(df: DataFrame, id_col: str, text_col: str,
     Fixed iteration count, zero init, deterministic arithmetic end to
     end: iteration 1's predictions are exactly σ(0) = 0.5, every later
     weight is plain joins + sums, so a SQL oracle replays the whole
-    trajectory CTE by CTE (the remaining cross-engine slack is
-    summation-order ulps under the final 6-dp round — the same accepted
-    ~0-probability argument as the LM-scoring queries).
+    trajectory CTE by CTE.  Margin and gradient sums use the PageRank
+    recipe (queries_graph.py): per-term products round to 9 dp and
+    accumulate in DECIMAL(28,12) — exact, associative, so partial-agg
+    order cannot shift the result across runs or engines (the r7 driver
+    flake on the calibration row was exactly this class).
 
     Scale shape: the (doc, bucket, x, y) design matrix materializes ONCE
     (it is re-consumed every iteration across job boundaries, where
@@ -664,7 +666,9 @@ def train_quality_lr(df: DataFrame, id_col: str, text_col: str,
             margins = (
                 fl.join(wdf, "bucket")
                 .groupBy("id")
-                .agg(F.sum(F.col("w") * F.col("x")).alias("margin"),
+                .agg(F.sum(F.round(F.col("w") * F.col("x"), 9)
+                           .cast("decimal(28,12)"))
+                     .cast("double").alias("margin"),
                      F.max("y").alias("y"))
             )
             errs = margins.select(
@@ -675,7 +679,9 @@ def train_quality_lr(df: DataFrame, id_col: str, text_col: str,
         grad = (
             fl.join(errs, "id")
             .groupBy("bucket")
-            .agg((F.sum(F.col("x") * F.col("err")) / n).alias("g"))
+            .agg((F.sum(F.round(F.col("x") * F.col("err"), 9)
+                        .cast("decimal(28,12)"))
+                  .cast("double") / n).alias("g"))
             .collect()
         )
         for r in grad:
@@ -1010,7 +1016,9 @@ def lr_reliability_bins(df: DataFrame, id_col: str, text_col: str,
         feats.unionByName(bias)
         .join(F.broadcast(weights), "bucket")
         .groupBy("id")
-        .agg(F.sum(F.col("weight") * F.col("x")).alias("margin"))
+        .agg(F.sum(F.round(F.col("weight") * F.col("x"), 9)
+                   .cast("decimal(28,12)"))
+             .cast("double").alias("margin"))
     )
     prob = F.round(
         F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))), round_dp
@@ -1036,7 +1044,11 @@ def lr_reliability_bins(df: DataFrame, id_col: str, text_col: str,
     # LM-scoring queries
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.round(F.avg("p"), 4).alias("mean_pred"),
+        F.round(
+            F.sum(F.col("p").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_pred"),
         F.round(F.avg("y"), 4).alias("frac_pos"),
     )
 

@@ -586,14 +586,17 @@ def text_ngram_diversity(spark, sf_dir):
            SELECT doc_id, -1, 1.0 FROM documents),
     nn AS (SELECT count(*) AS n FROM documents),
     e1 AS (SELECT id, 0.5 - y AS err FROM labels),
-    g1 AS (SELECT bucket, sum(x * err) / n AS g
+    g1 AS (SELECT bucket,
+                  CAST(sum(CAST(round(x * err, 9) AS DECIMAL(28,12))) AS DOUBLE) / n AS g
            FROM fl JOIN e1 USING (id), nn GROUP BY bucket, n),
     w1 AS (SELECT bucket, 0.0 - 1.0 * g AS w FROM g1),
-    m2 AS (SELECT fl.id, sum(w1.w * fl.x) AS margin
+    m2 AS (SELECT fl.id,
+                  CAST(sum(CAST(round(w1.w * fl.x, 9) AS DECIMAL(28,12))) AS DOUBLE) AS margin
            FROM fl JOIN w1 USING (bucket) GROUP BY fl.id),
     e2 AS (SELECT m2.id, 1.0 / (1.0 + exp(-margin)) - l.y AS err
            FROM m2 JOIN labels l USING (id)),
-    g2 AS (SELECT bucket, sum(x * err) / n AS g
+    g2 AS (SELECT bucket,
+                  CAST(sum(CAST(round(x * err, 9) AS DECIMAL(28,12))) AS DOUBLE) / n AS g
            FROM fl JOIN e2 USING (id), nn GROUP BY bucket, n),
     w2 AS (SELECT w1.bucket, w1.w - 1.0 * g2.g AS w FROM w1 JOIN g2 USING (bucket))
     SELECT bucket, round(w, 6) AS weight FROM w2
@@ -1771,18 +1774,22 @@ def curation_shrunk_source_quality_q(spark, sf_dir):
            SELECT doc_id, -1, 1.0 FROM documents),
     nn AS (SELECT count(*) AS n FROM documents),
     e1 AS (SELECT id, 0.5 - y AS err FROM labels),
-    g1 AS (SELECT bucket, sum(x * err) / n AS g
+    g1 AS (SELECT bucket,
+                  CAST(sum(CAST(round(x * err, 9) AS DECIMAL(28,12))) AS DOUBLE) / n AS g
            FROM fl JOIN e1 USING (id), nn GROUP BY bucket, n),
     w1 AS (SELECT bucket, 0.0 - 1.0 * g AS w FROM g1),
-    m2 AS (SELECT fl.id, sum(w1.w * fl.x) AS margin
+    m2 AS (SELECT fl.id,
+                  CAST(sum(CAST(round(w1.w * fl.x, 9) AS DECIMAL(28,12))) AS DOUBLE) AS margin
            FROM fl JOIN w1 USING (bucket) GROUP BY fl.id),
     e2 AS (SELECT m2.id, 1.0 / (1.0 + exp(-margin)) - l.y AS err
            FROM m2 JOIN labels l USING (id)),
-    g2 AS (SELECT bucket, sum(x * err) / n AS g
+    g2 AS (SELECT bucket,
+                  CAST(sum(CAST(round(x * err, 9) AS DECIMAL(28,12))) AS DOUBLE) / n AS g
            FROM fl JOIN e2 USING (id), nn GROUP BY bucket, n),
     wr AS (SELECT w1.bucket, round(w1.w - 1.0 * g2.g, 6) AS w
            FROM w1 JOIN g2 USING (bucket)),
-    pm AS (SELECT fl.id, sum(wr.w * fl.x) AS margin
+    pm AS (SELECT fl.id,
+                  CAST(sum(CAST(round(wr.w * fl.x, 9) AS DECIMAL(28,12))) AS DOUBLE) AS margin
            FROM fl JOIN wr USING (bucket) GROUP BY fl.id),
     scored AS (
       SELECT round(1.0 / (1.0 + exp(-margin)), 6) AS p, l.y
@@ -1796,7 +1803,7 @@ def curation_shrunk_source_quality_q(spark, sf_dir):
       FROM scored, rng
     )
     SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
-           round(avg(p), 4) AS mean_pred,
+           round(CAST(sum(CAST(p AS DECIMAL(28,12))) AS DOUBLE) / count(*), 4) AS mean_pred,
            round(avg(y), 4) AS frac_pos
     FROM binned GROUP BY bin
     """,
