@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .operators import dedup
+from .operators import curation, dedup
 from .queries_core import q, read_table
 from .queries_scale import _NORM, _SHINGLES3
 
@@ -561,7 +561,14 @@ def dedup_pair_features(spark, sf_dir):
     "dedup_lsh_recall",
     f"""
     WITH {_SHINGLES3},
-    dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+    nd AS (SELECT count(*) AS n_corpus FROM documents),
+    tdoc AS (
+      SELECT doc_id FROM documents, nd
+      WHERE nd.n_corpus <= 10000
+         OR ('0x' || substr(md5('lshr-v1::' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 = 0
+    ),
+    dsh AS (SELECT DISTINCT doc_id, sh FROM sh
+            WHERE doc_id IN (SELECT doc_id FROM tdoc)),
     sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
     common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
@@ -612,12 +619,30 @@ def dedup_lsh_recall(spark, sf_dir):
     report (n_true_pairs, n_candidates, n_hit, recall,
     candidate_precision).  Recall quantifies what the banding misses;
     candidate precision quantifies the verify stage's workload quality.
+
     The exact truth side is the expensive leg (Σ|bucket|² over shingle
-    buckets) — at 100 TB you run this on a SAMPLE to monitor the
-    contract, which is exactly how the report is meant to be used
-    (the docstring of lsh_capped documents the same valve)."""
+    buckets), so it carries a WIRED sampling valve: corpora over 10 000
+    docs restrict the truth computation to the deterministic md5 quarter
+    (``split_bucket('lshr-v1') == 0`` — reproducible across engines,
+    runs, and layouts, and replayed verbatim by the oracle), which cuts
+    the self-join's pair exposure 16×.  Recall over doc-sampled truth
+    pairs is an unbiased estimate of pair recall when LSH misses are
+    independent of the sample (std err ≈ sqrt(r(1-r)/n_true_sampled));
+    candidate counts stay full-corpus.  Test scales (≤10 000 docs) take
+    the full corpus, so the oracle stays exact end to end."""
     d = read_table(spark, sf_dir, "documents")
-    truth = dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.3)
+    nd = d.agg(F.count(F.lit(1)).alias("_n_corpus"))
+    sampled = (
+        d.crossJoin(F.broadcast(nd))
+        .filter(
+            (F.col("_n_corpus") <= F.lit(10000))
+            | (curation.split_bucket("doc_id", "lshr-v1", buckets=4) == 0)
+        )
+        .drop("_n_corpus")
+    )
+    truth = dedup.ngram_jaccard_pairs(
+        sampled, "doc_id", "text", k=3, threshold=0.3
+    )
     sig = dedup.minhash_signature(d, "doc_id", "text", num_hashes=4, k=3)
     cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, rows_per_band=2))
     hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
