@@ -211,10 +211,14 @@ def hilbert_layout(df: DataFrame, dims: list[str], bits: int = 8,
     proj = joined.select(*[F.col(d) for d in dims], *scaled)
     gx, gy = f"_g_{dims[0]}", f"_g_{dims[1]}"
     if bits <= 10:
+        # LEFT join: a NULL dim value yields a NULL grid cell, which must
+        # land under a NULL file_id exactly like the bits>10 per-row-fold
+        # path (an inner join would silently drop those rows)
         dim = hilbert_key_dim(df.sparkSession, bits)
         proj = proj.join(
             F.broadcast(dim),
             (F.col(gx) == F.col("_cx")) & (F.col(gy) == F.col("_cy")),
+            "left",
         )
         key = F.col("_hkey")
     else:

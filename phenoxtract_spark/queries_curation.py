@@ -2040,9 +2040,10 @@ def _web_pipeline_stages(spark, sf_dir):
     return corpus, s1, s2, s3, s4, s5, s6, selected
 
 
-@q(
-    "curation_web_pipeline_e2e",
-    f"""
+# The eight-stage CTE chain shared by the e2e query and its attrition-
+# report twin — a named constant both interpolate, so the two oracles
+# can never diverge (and no string-slicing of registered SQL).
+_WEB_STAGES_CTE = f"""
     WITH split AS (
       SELECT doc_id, text, lang,
              {_CE_BUCKET_SQL} AS ce_b,
@@ -2325,7 +2326,12 @@ def _web_pipeline_stages(spark, sf_dir):
                                       ROWS BETWEEN UNBOUNDED PRECEDING
                                       AND CURRENT ROW) AS BIGINT) AS cum_tokens
       FROM scored
-    )
+    )"""
+
+
+@q(
+    "curation_web_pipeline_e2e",
+    _WEB_STAGES_CTE + """
     SELECT id, shard, n_tokens, quality, cum_tokens
     FROM cum WHERE cum_tokens <= 1500
     """,
@@ -2358,9 +2364,7 @@ def curation_web_pipeline_e2e_q(spark, sf_dir):
     return _web_pipeline_stages(spark, sf_dir)[-1]
 
 
-from .queries_core import QUERIES as _QREG
-_WEB_E2E_SQL = _QREG["curation_web_pipeline_e2e"][1]
-_WEB_REPORT_SQL = _WEB_E2E_SQL[: _WEB_E2E_SQL.rindex("SELECT id, shard")] + """
+_WEB_REPORT_SQL = _WEB_STAGES_CTE + """
     SELECT 0 AS stage_idx, 'corpus' AS stage,
            CAST(count(*) AS BIGINT) AS n_docs FROM corpus
     UNION ALL SELECT 1, 'url_dedup', CAST(count(*) AS BIGINT) FROM s1

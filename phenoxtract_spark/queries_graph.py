@@ -160,15 +160,7 @@ def _peel_sql(r: int) -> str:
     """One peeling round (mirrors graph.onion_peel): degree among the
     still-alive nodes; < k peels with layer r, >= k survives."""
     return f"""
-    deg{r} AS (
-      SELECT a.id, CAST(count(e.dst) AS BIGINT) AS deg
-      FROM alive{r - 1} a
-      LEFT JOIN sym e ON e.src = a.id
-      LEFT JOIN alive{r - 1} b ON b.id = e.dst
-      GROUP BY a.id
-      HAVING TRUE
-    ),
-    degc{r} AS (
+    degc{r} AS MATERIALIZED (
       SELECT a.id,
              CAST(coalesce(sum(CASE WHEN b.id IS NOT NULL THEN 1 ELSE 0 END), 0)
                   AS BIGINT) AS deg
@@ -179,7 +171,7 @@ def _peel_sql(r: int) -> str:
     ),
     peel{r} AS (SELECT id, CAST({r} AS BIGINT) AS peel_round
                 FROM degc{r} WHERE deg < 2),
-    alive{r} AS (SELECT id FROM degc{r} WHERE deg >= 2)"""
+    alive{r} AS MATERIALIZED (SELECT id FROM degc{r} WHERE deg >= 2)"""
 
 
 _PEEL_CHAIN = ",".join(_peel_sql(r) for r in range(1, 9))
