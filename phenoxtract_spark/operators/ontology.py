@@ -208,6 +208,58 @@ class TransportResolver:
         return {t: self._resolve_one(t) for t in terms}
 
 
+def http_search_transport(base_url: str, api_key: Optional[str] = None,
+                          timeout_s: float = 10.0,
+                          extract: Optional[Callable[[dict], Optional[str]]] = None,
+                          http_get: Optional[Callable[[str, dict], tuple[int, bytes]]] = None,
+                          ) -> Callable[[str], tuple[int, Optional[str]]]:
+    """Concrete HTTP binding for :class:`TransportResolver`'s transport
+    seam (~ ontology/bioportal_client.rs:214-287: GET /search?q=term →
+    first collection entry's ``@id``) — the ~20-line adapter a
+    production user writes; everything stateful (rate limit, retry,
+    LRU, negative cache) stays in :class:`TransportResolver`.
+
+    ``http_get(url, headers) -> (status, body)`` is injectable so tests
+    run fully OFFLINE with a fake; the default binding imports
+    ``requests`` lazily INSIDE the closure (never at module import —
+    the engine must load in environments without it, and no network
+    I/O can happen before the first real call).  ``extract`` maps the
+    decoded JSON document to the resolved value; the default reads the
+    BioPortal search shape ``collection[0]["@id"]`` and returns 404
+    semantics (negative-cacheable) for an empty collection."""
+    import json as _json
+    from urllib.parse import quote
+
+    def _default_extract(doc: dict) -> Optional[str]:
+        coll = doc.get("collection") or []
+        return coll[0].get("@id") if coll else None
+
+    extract = extract or _default_extract
+
+    def _default_get(url: str, headers: dict) -> tuple[int, bytes]:
+        import requests  # lazy: optional dependency, only on first use
+
+        r = requests.get(url, headers=headers, timeout=timeout_s)
+        return r.status_code, r.content
+
+    get = http_get or _default_get
+
+    def transport(term: str) -> tuple[int, Optional[str]]:
+        url = f"{base_url.rstrip('/')}/search?q={quote(term)}"
+        headers = (
+            {"Authorization": f"apikey token={api_key}"} if api_key else {}
+        )
+        status, body = get(url, headers)
+        if status != 200:
+            return status, None
+        value = extract(_json.loads(body.decode("utf-8")))
+        if value is None:
+            return 404, None  # empty result: negative-cacheable NOT_FOUND
+        return 200, value
+
+    return transport
+
+
 def resource_dim(spark: SparkSession, resources: list[dict]) -> DataFrame:
     """X5 BioRegistry resource metadata as a static dimension
     ``(prefix, name, url, version, iri_prefix)``."""

@@ -248,3 +248,44 @@ def test_transport_resolver_plugs_into_pre_resolve(spark):
         df, "term", TransportResolver(transport, rate_per_sec=1000.0), spark
     ).orderBy("id").collect()
     assert [r["term_resolved"] for r in out] == ["HP:0001945", None, "HP:0001945"]
+
+
+def test_http_search_transport_offline_fake():
+    """The HTTP binding for the transport seam, driven by an injected
+    fake http_get — fully offline: URL shape, auth header, BioPortal
+    collection extraction, empty-collection -> 404 (negative-cacheable),
+    and upstream error passthrough."""
+    import json
+
+    from phenoxtract_spark.operators.ontology import (
+        TransportResolver, http_search_transport,
+    )
+
+    seen = []
+
+    def fake_get(url, headers):
+        seen.append((url, headers))
+        if "fever" in url:
+            return 200, json.dumps(
+                {"collection": [{"@id": "HP:0001945"}, {"@id": "HP:9"}]}
+            ).encode()
+        if "empty" in url:
+            return 200, json.dumps({"collection": []}).encode()
+        return 503, b""
+
+    t = http_search_transport(
+        "https://example.org/api/", api_key="KEY", http_get=fake_get
+    )
+    assert t("fever") == (200, "HP:0001945")
+    assert t("empty") == (404, None)       # empty result = NOT_FOUND
+    assert t("down") == (503, None)        # transient class passes through
+    url, headers = seen[0]
+    assert url == "https://example.org/api/search?q=fever"
+    assert headers == {"Authorization": "apikey token=KEY"}
+
+    # plugs straight into the resolver: empty-collection terms are
+    # negative-cached, transients retry
+    r = TransportResolver(t, rate_per_sec=1000.0)
+    n = len(seen)
+    assert r(["empty", "empty"]) == {"empty": None}
+    assert len(seen) == n + 1  # second lookup served from negative cache
