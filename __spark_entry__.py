@@ -44,39 +44,31 @@ _PRIORITY = [
     # crashed the driver's sort_values canon) — now posexploded to
     # atomic columns; its green r6 row is the fix evidence
     "multimodal_features",
-    # --- r7 first-time rotation (never driver-checked before; pool from
-    # tools/rotation_status.py — the r6-continuation operators lead) ----
-    # CDC family: IVM, time travel, two-writer conflicts
-    "cdc_incremental_agg", "cdc_time_travel", "cdc_merge_conflicts",
-    # similarity: hybrid RRF fusion, nDCG@k, recall@k
-    "similarity_hybrid_rrf", "similarity_ann_ndcg", "similarity_ann_recall",
-    # layout: zone-map pruning + the Hilbert curve (slowest registered
-    # query — its r7 perf work needs a driver row too)
-    "layout_zonemap_prune", "layout_hilbert_files",
-    # multimodal: VAD, aHash + banded pairs, mean-pool, PCM resample
-    "multimodal_vad_segments", "multimodal_image_ahash",
-    "multimodal_ahash_pairs", "multimodal_image_meanpool",
-    "multimodal_pcm_resample",
-    # web / curation continuation operators
-    "web_url_canonical_dedup", "curation_pareto_frontier",
-    "curation_lr_calibration", "curation_length_bucket_padding",
-    "curation_shrunk_source_quality", "curation_span_corruption",
-    # text / quality / profiling
-    "text_cross_entropy_filter", "quality_group_digest",
-    "quality_table_diff", "quality_drift_report",
-    "profiling_benford_digits", "profiling_join_fanout",
-    # events / behavior
-    "events_trailing_ewma", "events_seasonal_anomaly",
-    "stateful_running_totals",
-    # geo + substring coverage + sketches
-    "geo_grid_radius_join", "geo_nearest_supplier",
-    "dedup_substring_coverage", "sketch_kmv_setops",
-    "sketch_hll_sliding_distinct",
-    # analytics first-timer + the r7 capstone: the composed FineWeb/
-    # CCNet-style web-curation pipeline (WARC -> URL dedup -> langid ->
-    # Gopher -> CCNet LM filter -> MinHash-LSH -> decontaminate ->
-    # token budget) as ONE plan with a full chained-CTE oracle
-    "analytics_mad_outliers", "curation_web_pipeline_e2e",
+    # curation_lr_calibration stays: r7's ONLY red driver row (a
+    # summation-order flake) — now DECIMAL(28,12)-accumulated on both
+    # engines and 5/5 hash-stable under varied partitioning; its r8
+    # row proves the fix UNDER the driver
+    "curation_lr_calibration",
+    # --- r8 first-time rotation (never driver-checked before; pool from
+    # tools/rotation_status.py — the late-r7 operators that missed the
+    # r7 prefix lead, per the r7 verdict) ------------------------------
+    "cdc_log_expiry", "events_markov_attribution", "graph_onion_layers",
+    "events_cusum_drift", "events_abtest_proportions",
+    "multimodal_shot_boundaries", "profiling_ndv_all_columns",
+    "profiling_completeness_profile", "text_mojibake_score",
+    "dedup_substring_shared_report", "dedup_lsh_recall",
+    "dedup_minhash_estimator_quality", "curation_web_pipeline_report",
+    # remaining slots: family-diverse never-checked queries
+    "multimodal_patch_plan", "sketch_join_size_estimate",
+    "analytics_winsorized_stats", "analytics_gini_concentration",
+    "profiling_functional_deps", "analytics_share_shift",
+    "analytics_fulfillment_lag", "dedup_cluster_size_histogram",
+    "c4_specific_cast", "c9_c11_time_element",
+    "text_pii_scrub", "curation_split", "curation_decontaminate",
+    "quality_constraints", "text_vocab_topk",
+    "curation_gopher_rules", "curation_dsir_select",
+    "tpch_q4_order_priority", "tpch_q13_customer_distribution",
+    "events_user_entropy", "graph_triangle_count",
 ]
 
 
