@@ -490,3 +490,76 @@ def cusum_drift(events: DataFrame, type_col: str = "event_type",
         ((F.col("cusum_up") * flag_den > thr)
          | (F.col("cusum_down") * flag_den > thr)).alias("drift_flag"),
     )
+
+
+def holt_linear_forecast(df: DataFrame, key_col: str, order_col: str,
+                         value_col: str, alpha: float = 0.5,
+                         beta: float = 0.5, round_dp: int = 6) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing per key, as one
+    deterministic fold: level ℓ_t = α·x_t + (1−α)(ℓ_{t−1}+b_{t−1}),
+    trend b_t = β(ℓ_t−ℓ_{t−1}) + (1−β)b_{t−1}, initialized ℓ_0 = x_0,
+    b_0 = 0 — the one-step-ahead forecast ℓ+b is the classic trend-aware
+    baseline a metrics pipeline keeps per series.
+
+    Determinism: a sequential per-key fold — same double-op sequence
+    every run regardless of partitioning (the EWMA precedent, extended
+    to two-field state); the oracle replays it as a recursive CTE, NOT
+    ``list_reduce`` (DuckDB's struct-state reduce updates accumulator
+    fields sequentially in place, so field 2's expression sees field 1's
+    new value — measured divergence at element 3).  The series collects
+    via ``array_sort`` on (order, value) structs, never order-sensitive
+    ``collect_list`` alone.
+
+    Scale shape: one groupBy(key) building the per-key array (bounded:
+    one element per period, not per event — aggregate FIRST), one
+    codegen'd sequential ``F.aggregate`` fold.  Returns
+    (key, n_periods, level, trend, forecast_next)."""
+    series = (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(order_col).alias("o"),
+                        F.col(value_col).cast("double").alias("x"),
+                    )
+                )
+            ).alias("_s")
+        )
+    )
+    xs = F.transform(F.col("_s"), lambda s: s["x"])
+    a, b = float(alpha), float(beta)
+    # flattened recurrence (substitute level' into the trend update):
+    #   level' = α·x + (1−α)·ℓ + (1−α)·b
+    #   trend' = αβ·x − αβ·ℓ + (1−αβ)·b
+    # each field is a single linear form of (x, ℓ, b) — no nested reuse
+    # of level' inside trend', which DuckDB's struct-lambda evaluation
+    # mis-shares (measured: the nested form diverges at element 3) —
+    # and the oracle replays the identical expression tree term order.
+    init = F.struct(
+        F.element_at(xs, 1).alias("level"),
+        F.lit(0.0).alias("trend"),
+        F.lit(0).cast("bigint").alias("i"),
+    )
+
+    def step(acc, x):
+        lvl = F.when(acc["i"] == 0, acc["level"]).otherwise(
+            F.lit(a) * x + F.lit(1 - a) * acc["level"]
+            + F.lit(1 - a) * acc["trend"]
+        )
+        trd = F.when(acc["i"] == 0, acc["trend"]).otherwise(
+            F.lit(a * b) * x - F.lit(a * b) * acc["level"]
+            + F.lit(1 - a * b) * acc["trend"]
+        )
+        return F.struct(
+            lvl.alias("level"), trd.alias("trend"), (acc["i"] + 1).alias("i")
+        )
+
+    fold = F.aggregate(xs, init, step)
+    return series.select(
+        F.col("key").alias(key_col),
+        F.size("_s").cast("bigint").alias("n_periods"),
+        F.round(fold["level"], round_dp).alias("level"),
+        F.round(fold["trend"], round_dp).alias("trend"),
+        F.round(fold["level"] + fold["trend"], round_dp).alias("forecast_next"),
+    )

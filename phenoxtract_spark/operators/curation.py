@@ -1112,3 +1112,69 @@ def length_bucket_padding(df: DataFrame, id_col: str, n_tokens,
             round_dp,
         ).alias("waste_frac"),
     )
+
+
+def domain_mixture_weights(df: DataFrame, domain_col: str, quality: Column,
+                           rounds: int = 3, eta: float = 0.5,
+                           round_dp: int = 9) -> DataFrame:
+    """DoReMi-style domain reweighting as data: fixed multiplicative-
+    weights rounds over per-domain excess loss, so a training-data mix
+    upweights domains the proxy finds hard and downweights easy ones —
+    the mixture-optimization step between per-domain scoring and
+    sampling (Xie et al., DoReMi; the exp() update replaced by the
+    rational ``w·(1 + η·(L_d − L̄))`` form so every step is plain
+    arithmetic both engines replay exactly — loss gaps are ≤1 so the
+    factor stays in [1−η, 1+η], strictly positive).
+
+    Determinism: the only data-sized aggregate (per-domain loss) and
+    every cross-domain sum use the DECIMAL(28,12) recipe (9-dp rounded
+    terms, exact associative accumulation); each round's weights round
+    to ``round_dp`` before the next, so the trajectory is a fixed-point
+    sequence an unrolled-CTE oracle reproduces bit-for-bit.
+
+    Scale shape: one groupBy(domain) over the corpus, then ``rounds``
+    iterations on the K-row domain relation (K = #domains, tiny) with
+    1-row broadcast sums — cost is one table pass regardless of rounds.
+    Returns (domain, n_docs, domain_loss, weight), Σweight = 1."""
+    dom = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.round(quality, 9).cast("decimal(28,12)"))
+            .cast("double") / F.count(F.lit(1)),
+            round_dp,
+        ).alias("domain_loss"),
+    )
+    k = dom.agg(F.count(F.lit(1)).alias("_k"))
+    w = (
+        dom.crossJoin(F.broadcast(k))
+        .select(
+            "domain", "n_docs", "domain_loss",
+            F.round(F.lit(1.0) / F.col("_k"), round_dp).alias("weight"),
+        )
+    )
+    for _ in range(int(rounds)):
+        lbar = w.agg(
+            F.sum(
+                F.round(F.col("weight") * F.col("domain_loss"), 9)
+                .cast("decimal(28,12)")
+            ).cast("double").alias("_lbar")
+        )
+        raw = w.crossJoin(F.broadcast(lbar)).select(
+            "domain", "n_docs", "domain_loss",
+            F.round(
+                F.col("weight")
+                * (F.lit(1.0) + F.lit(float(eta))
+                   * (F.col("domain_loss") - F.col("_lbar"))),
+                9,
+            ).alias("_raw"),
+        )
+        tot = raw.agg(
+            F.sum(F.col("_raw").cast("decimal(28,12)"))
+            .cast("double").alias("_tot")
+        )
+        w = raw.crossJoin(F.broadcast(tot)).select(
+            "domain", "n_docs", "domain_loss",
+            F.round(F.col("_raw") / F.col("_tot"), round_dp).alias("weight"),
+        )
+    return w

@@ -687,3 +687,40 @@ def cross_entropy_score(train: DataFrame, score: DataFrame, id_col: str,
             F.round(-F.avg(logp), round_dp).alias("cross_entropy"),
         )
     )
+
+
+def readability_scores(df: DataFrame, id_col: str, text_col: str,
+                       round_dp: int = 4) -> DataFrame:
+    """Flesch-Kincaid-style readability per document, with a
+    deterministic vowel-group syllable proxy (each maximal ``[aeiouy]+``
+    run counts one syllable — the standard dictionary-free
+    approximation) so both engines count identically via one compiled
+    regex scan each; no per-token loop, no UDF.
+
+    grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59
+    (the published FK coefficients); sentences = ``[.!?]+`` runs,
+    floored at 1 so fragments don't divide by zero.  Integer counts
+    cast to double only in the final expression, rounded in-query.
+    Returns (id, n_sentences, n_words, n_syllables, fk_grade); docs
+    with zero words report NULL fk_grade."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), 0)), F.lit(1)
+    ).cast("bigint")
+    n_words = token_count(c).cast("bigint")
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower(c), F.lit(r"[aeiouy]+"), 0)
+    ).cast("bigint")
+    grade = F.round(
+        F.lit(0.39) * n_words.cast("double") / n_sent.cast("double")
+        + F.lit(11.8) * n_syll.cast("double") / n_words.cast("double")
+        - F.lit(15.59),
+        round_dp,
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        n_syll.alias("n_syllables"),
+        F.when(n_words > 0, grade).alias("fk_grade"),
+    )
