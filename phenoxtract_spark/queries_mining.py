@@ -358,51 +358,10 @@ def profiling_numeric_correlation(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@q(
-    "embedding_centroid_outliers",
-    """
-    WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
-    vx AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-           FROM embeddings, idx),
-    cent AS (
-      SELECT i, round(CAST(sum(CAST(round(x, 9) AS DECIMAL(28,12)))
-                           AS DOUBLE) / count(*), 9) AS c
-      FROM vx GROUP BY i
-    ),
-    d2 AS (
-      SELECT vec_id,
-             round(CAST(sum(CAST(round((x - c) * (x - c), 9)
-                                 AS DECIMAL(28,12))) AS DOUBLE), 6) AS dist2
-      FROM vx JOIN cent USING (i) GROUP BY vec_id
-    ),
-    st AS (
-      SELECT CAST(count(*) AS DOUBLE) AS n,
-             CAST(sum(CAST(dist2 AS DECIMAL(28,12))) AS DOUBLE) AS s1,
-             CAST(sum(CAST(round(dist2 * dist2, 9) AS DECIMAL(28,12)))
-                  AS DOUBLE) AS s2
-      FROM d2
-    )
-    SELECT vec_id, dist2,
-           round((dist2 - s1 / n)
-                 / sqrt(greatest(s2 / n - (s1 / n) * (s1 / n),
-                                 CAST(1e-18 AS DOUBLE))), 4) AS z,
-           (dist2 - s1 / n)
-             > 2.0 * sqrt(greatest(s2 / n - (s1 / n) * (s1 / n),
-                                   CAST(1e-18 AS DOUBLE))) AS is_outlier
-    FROM d2, st
-    """,
-)
-def embedding_centroid_outliers(spark, sf_dir):
-    """Embedding-space outlier screen: squared distance to the global
-    centroid, z-scored over the corpus — the cheap first-pass filter
-    for mislabeled/degenerate vectors before ANN indexing or semantic
-    dedup.  Every cross-row double sum (per-dim centroid, per-vector
-    distance, corpus moments) uses the DECIMAL(28,12) recipe so the
-    flags are partition-order-independent.  Plan: one posexplode, one
-    64-key groupBy, one broadcast join back, one per-vector groupBy,
-    one 1-row moment aggregate — all shuffles on bounded keys except
-    the per-vector one, which is the data's own key."""
-    e = read_table(spark, sf_dir, "embeddings")
+def _emb_d2(e):
+    """Shared Spark subtree for the embedding family: (d2, st) where d2
+    is (vec_id, dist2 — DECIMAL-exact squared distance to the global
+    centroid, 6 dp) and st the 1-row corpus moments (n, s1, s2)."""
     vx = e.select(
         "vec_id", F.posexplode("embedding").alias("i", "xf")
     ).select("vec_id", "i", F.col("xf").cast("double").alias("x"))
@@ -433,6 +392,61 @@ def embedding_centroid_outliers(spark, sf_dir):
         F.sum(F.round(F.col("dist2") * F.col("dist2"), 9)
               .cast("decimal(28,12)")).cast("double").alias("s2"),
     )
+    return d2, st
+
+
+# shared embedding-distance CTE chain: per-dim DECIMAL-exact centroid,
+# per-vector squared distance, corpus moments — interpolated by both the
+# outlier report and the embedding-pipeline capstone
+_EMB_D2_SQL = """idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+    vx AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, idx),
+    cent AS (
+      SELECT i, round(CAST(sum(CAST(round(x, 9) AS DECIMAL(28,12)))
+                           AS DOUBLE) / count(*), 9) AS c
+      FROM vx GROUP BY i
+    ),
+    d2 AS (
+      SELECT vec_id,
+             round(CAST(sum(CAST(round((x - c) * (x - c), 9)
+                                 AS DECIMAL(28,12))) AS DOUBLE), 6) AS dist2
+      FROM vx JOIN cent USING (i) GROUP BY vec_id
+    ),
+    st AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(dist2 AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(round(dist2 * dist2, 9) AS DECIMAL(28,12)))
+                  AS DOUBLE) AS s2
+      FROM d2
+    )"""
+
+
+@q(
+    "embedding_centroid_outliers",
+    f"""
+    WITH {_EMB_D2_SQL}
+    SELECT vec_id, dist2,
+           round((dist2 - s1 / n)
+                 / sqrt(greatest(s2 / n - (s1 / n) * (s1 / n),
+                                 CAST(1e-18 AS DOUBLE))), 4) AS z,
+           (dist2 - s1 / n)
+             > 2.0 * sqrt(greatest(s2 / n - (s1 / n) * (s1 / n),
+                                   CAST(1e-18 AS DOUBLE))) AS is_outlier
+    FROM d2, st
+    """,
+)
+def embedding_centroid_outliers(spark, sf_dir):
+    """Embedding-space outlier screen: squared distance to the global
+    centroid, z-scored over the corpus — the cheap first-pass filter
+    for mislabeled/degenerate vectors before ANN indexing or semantic
+    dedup.  Every cross-row double sum (per-dim centroid, per-vector
+    distance, corpus moments) uses the DECIMAL(28,12) recipe so the
+    flags are partition-order-independent.  Plan: one posexplode, one
+    64-key groupBy, one broadcast join back, one per-vector groupBy,
+    one 1-row moment aggregate — all shuffles on bounded keys except
+    the per-vector one, which is the data's own key."""
+    e = read_table(spark, sf_dir, "embeddings")
+    d2, st = _emb_d2(e)
     mu = F.col("s1") / F.col("n")
     sig = F.sqrt(
         F.greatest(F.col("s2") / F.col("n") - mu * mu, F.lit(1e-18))
@@ -540,4 +554,320 @@ def graph_resource_allocation(spark, sf_dir):
     )
     return scored.join(cand, ["id_a", "id_b"], "left_anti").select(
         "id_a", "id_b", "n_common", "ra_score"
+    )
+
+
+# ---------------------------------------------------------------------------
+# behavioral bot screen
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "events_bot_detection",
+    """
+    WITH g AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS DOUBLE) AS gap
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+             quantile_cont(gap, 0.5) AS med
+      FROM g WHERE gap IS NOT NULL GROUP BY 1
+    ),
+    d AS (
+      SELECT g.user_id, abs(g.gap - m.med) AS adev
+      FROM g JOIN m USING (user_id) WHERE g.gap IS NOT NULL
+    ),
+    md AS (SELECT user_id, quantile_cont(adev, 0.5) AS mad FROM d GROUP BY 1)
+    SELECT m.user_id, m.n_gaps,
+           m.med AS median_gap_us, md.mad AS mad_gap_us,
+           round(md.mad / m.med, 4) AS regularity,
+           round(md.mad / m.med, 4) < CAST(0.55 AS DOUBLE) AS is_suspect
+    FROM m JOIN md USING (user_id)
+    WHERE m.n_gaps >= 20
+    """,
+)
+def events_bot_detection(spark, sf_dir):
+    """Behavioral bot screen: per-user inter-event gap regularity.
+    A scripted client fires on a timer, so its gap distribution is
+    tight — mad/median (a scale-free robust dispersion) near 0 — while
+    organic users are bursty (~0.5-1.0 on this corpus).  Flag
+    regularity < 0.55 after a 4-dp round (stable boundary); minimum 20
+    gaps so small samples can't fake regularity.  Gaps are exact
+    integer microseconds; median/MAD via the percentile pair both
+    engines interpolate identically (the analytics_mad_outliers
+    precedent).  Plan: one window pass, two bounded groupBys — no
+    self-joins."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    g = ev.select(
+        "user_id", (us - F.lag(us).over(w)).cast("double").alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    m = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.percentile("gap", F.lit(0.5)).alias("med"),
+    )
+    d = g.join(m, "user_id").select(
+        "user_id", F.abs(F.col("gap") - F.col("med")).alias("adev")
+    )
+    md = d.groupBy("user_id").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    reg = F.round(F.col("mad") / F.col("med"), 4)
+    return (
+        m.join(md, "user_id")
+        .filter(F.col("n_gaps") >= 20)
+        .select(
+            "user_id", "n_gaps",
+            F.col("med").alias("median_gap_us"),
+            F.col("mad").alias("mad_gap_us"),
+            reg.alias("regularity"),
+            (reg < F.lit(0.55)).alias("is_suspect"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# cohort lifetime value
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "analytics_cohort_ltv",
+    """
+    WITH p AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    cohort AS (SELECT user_id, min(day) AS cohort_day FROM p GROUP BY 1),
+    sizes AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_users
+              FROM cohort GROUP BY 1),
+    rev AS (
+      SELECT c.cohort_day,
+             CAST(datediff('day', c.cohort_day, p.day) AS BIGINT) AS age_days,
+             CAST(sum(p.cents) AS BIGINT) AS day_cents,
+             CAST(count(DISTINCT p.user_id) AS BIGINT) AS active_users
+      FROM p JOIN cohort c USING (user_id)
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort_day, age_days, active_users,
+             CAST(sum(day_cents) OVER (PARTITION BY cohort_day
+                                       ORDER BY age_days
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT)
+               AS cum_revenue_cents
+      FROM rev
+    )
+    SELECT c.cohort_day, c.age_days, s.n_users, c.active_users,
+           c.cum_revenue_cents,
+           CAST((c.cum_revenue_cents * 100) // s.n_users AS DOUBLE)
+             / CAST(10000.0 AS DOUBLE) AS ltv_per_user
+    FROM cum c JOIN sizes s USING (cohort_day)
+    """,
+)
+def analytics_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value curves: users cohorted by first purchase
+    day, cumulative revenue per cohort by account age — the curve a
+    growth team reads LTV payback from (the revenue twin of
+    events_retention_cohort).  Revenue accumulates as exact integer
+    cents (order-independent), LTV divides once at the end.  Plan: one
+    filtered scan, a per-user min, one (cohort, age) groupBy, one
+    bounded window over ≤ n_days rows per cohort."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    cohort = p.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = cohort.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    rev = (
+        p.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("bigint").alias("age_days"),
+        )
+        .agg(
+            F.sum("cents").cast("bigint").alias("day_cents"),
+            F.countDistinct("user_id").cast("bigint").alias("active_users"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_day").orderBy("age_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.select(
+        "cohort_day", "age_days", "active_users",
+        F.sum("day_cents").over(w).cast("bigint").alias("cum_revenue_cents"),
+    )
+    # ltv floored at 4 dp via INTEGER division — round(cents/100.0/n, 4)
+    # hit a cross-engine half-boundary at sf0.1; (cents·100) div n is
+    # exact, and the same integer maps to the same double on both engines
+    return cum.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day", "age_days", "n_users", "active_users",
+        "cum_revenue_cents",
+        (F.expr("(cum_revenue_cents * 100) DIV n_users").cast("double")
+         / F.lit(10000.0)).alias("ltv_per_user"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# equi-width histogram profile
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "profiling_histogram_equiwidth",
+    """
+    WITH sc AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS xc
+                FROM orders),
+    b AS (SELECT min(xc) AS lo, max(xc) AS hi FROM sc),
+    bucketed AS (
+      SELECT least((xc - lo) * 16 // (hi - lo + 1), 15) AS bucket, xc
+      FROM sc, b
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(xc) / CAST(100.0 AS DOUBLE), 2) AS min_value,
+           round(max(xc) / CAST(100.0 AS DOUBLE), 2) AS max_value
+    FROM bucketed GROUP BY 1
+    """,
+)
+def profiling_histogram_equiwidth(spark, sf_dir):
+    """16-bucket equi-width histogram of order totals with ALL-INTEGER
+    bucket assignment: 2-dp values scale to cents, bucket =
+    (x−lo)·16 div (hi−lo+1) — no double division, so no boundary value
+    can land in different buckets across engines (the class the LR
+    calibration flake came from).  One scan + a 1-row min/max broadcast
+    + a 16-key groupBy; the profile a query optimizer or drift monitor
+    keeps per column."""
+    o = read_table(spark, sf_dir, "orders")
+    sc = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("xc")
+    )
+    b = sc.agg(F.min("xc").alias("lo"), F.max("xc").alias("hi"))
+    bucketed = sc.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.expr("(xc - lo) * 16 DIV (hi - lo + 1)"), F.lit(15)
+        ).cast("bigint").alias("bucket"),
+        "xc",
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.min("xc") / F.lit(100.0), 2).alias("min_value"),
+        F.round(F.max("xc") / F.lit(100.0), 2).alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding pipeline capstone
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "embedding_pipeline_e2e",
+    f"""
+    WITH {_EMB_D2_SQL},
+    kept AS (
+      SELECT d2.vec_id FROM d2, st
+      WHERE (dist2 - s1 / n)
+            <= 2.0 * sqrt(greatest(s2 / n - (s1 / n) * (s1 / n),
+                                   CAST(1e-18 AS DOUBLE)))
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM vx GROUP BY vec_id),
+    cen AS (SELECT vec_id AS cid FROM embeddings
+            WHERE vec_id % (SELECT greatest(61, CAST(floor(sqrt(count(*))) AS BIGINT))
+                            FROM embeddings) = 0),
+    adots AS (
+      SELECT v.vec_id AS id, c.cid,
+             round(sum(v.x * cv.x) / (nv.nrm * nc.nrm), 6) AS cos
+      FROM vx v
+      JOIN kept k ON k.vec_id = v.vec_id
+      JOIN cen c ON true
+      JOIN vx cv ON cv.vec_id = c.cid AND cv.i = v.i
+      JOIN norms nv ON nv.vec_id = v.vec_id
+      JOIN norms nc ON nc.vec_id = c.cid
+      GROUP BY v.vec_id, c.cid, nv.nrm, nc.nrm
+    ),
+    assign AS (
+      SELECT id, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid) AS rn
+        FROM adots) WHERE rn = 1
+    ),
+    ranked AS (
+      SELECT id, cid,
+             row_number() OVER (
+               PARTITION BY cid
+               ORDER BY md5('embsel-v1::' || CAST(id AS VARCHAR)), id) AS rk
+      FROM assign
+    )
+    SELECT CAST(cid AS BIGINT) AS cell,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(CASE WHEN rk <= 8 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_selected,
+           CAST(min(id) AS BIGINT) AS min_vec_id
+    FROM ranked GROUP BY cid
+    """,
+)
+def embedding_pipeline_e2e(spark, sf_dir):
+    """The embedding-side training-data pipeline as ONE plan (the
+    vector twin of curation_web_pipeline_e2e): centroid-outlier
+    removal (keep z ≤ 2, DECIMAL-exact moments) → IVF cell assignment
+    (√n centroids, the Arrow batched-scoring operator) → per-cell
+    deterministic md5-rank sampling (≤ 8 per cell — cluster-balanced so
+    dense template regions can't dominate the sample) → per-cell
+    report.  Every stage is an already-green operator; the oracle
+    replays outlier filter, assignment, and sampling as one CTE chain,
+    so a value match covers the composition, not just the parts."""
+    import math
+
+    from .operators import similarity
+
+    e = read_table(spark, sf_dir, "embeddings")
+    d2, st = _emb_d2(e)
+    mu = F.col("s1") / F.col("n")
+    sig = F.sqrt(
+        F.greatest(F.col("s2") / F.col("n") - mu * mu, F.lit(1e-18))
+    )
+    kept_ids = (
+        d2.crossJoin(F.broadcast(st))
+        .filter((F.col("dist2") - mu) <= F.lit(2.0) * sig)
+        .select("vec_id")
+    )
+    stride = max(61, int(math.isqrt(e.count())))
+    centroids = e.filter(F.col("vec_id") % stride == 0)
+    kept = e.join(kept_ids, "vec_id", "left_semi")
+    assign = similarity.assign_ivf_centroid(kept, centroids)
+    from pyspark.sql.window import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("centroid_id").orderBy(
+            F.md5(F.concat(F.lit("embsel-v1::"), F.col("id").cast("string"))),
+            "id",
+        )
+    )
+    ranked = assign.select("id", "centroid_id", rk.alias("rk"))
+    return ranked.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum(F.when(F.col("rk") <= 8, 1).otherwise(0))
+        .cast("bigint").alias("n_selected"),
+        F.min("id").cast("bigint").alias("min_vec_id"),
+    ).select(
+        F.col("centroid_id").cast("bigint").alias("cell"),
+        "n_members", "n_selected", "min_vec_id",
     )
