@@ -871,3 +871,189 @@ def embedding_pipeline_e2e(spark, sf_dir):
         F.col("centroid_id").cast("bigint").alias("cell"),
         "n_members", "n_selected", "min_vec_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking
+# ---------------------------------------------------------------------------
+
+_MMR_ROUND = """
+    m{r} AS (
+      SELECT c.id, c.rel, max(s.sim) AS ms
+      FROM cand c
+      JOIN sims s ON s.ia = c.id
+      JOIN sel{p} ON s.ib = sel{p}.id
+      WHERE c.id NOT IN (SELECT id FROM sel{p})
+      GROUP BY c.id, c.rel
+    ),
+    s{r} AS (
+      SELECT id, rel,
+             round(CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * ms, 6)
+               AS score,
+             CAST({r} AS BIGINT) AS rank
+      FROM m{r} ORDER BY score DESC, id LIMIT 1
+    ),
+    sel{r} AS (SELECT id FROM sel{p} UNION ALL SELECT id FROM s{r})"""
+
+
+@q(
+    "similarity_mmr_rerank",
+    f"""
+    WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+    vx AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, idx),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM vx GROUP BY vec_id),
+    rel AS (
+      SELECT v.vec_id AS id,
+             round(sum(v.x * q.x) / (nv.nrm * nq.nrm), 6) AS rel
+      FROM vx v
+      JOIN vx q ON q.vec_id = 0 AND q.i = v.i
+      JOIN norms nv ON nv.vec_id = v.vec_id
+      JOIN norms nq ON nq.vec_id = 0
+      WHERE v.vec_id != 0
+      GROUP BY v.vec_id, nv.nrm, nq.nrm
+    ),
+    cand AS MATERIALIZED (
+      SELECT id, rel FROM (
+        SELECT *, row_number() OVER (ORDER BY rel DESC, id) AS rn FROM rel
+      ) WHERE rn <= 20
+    ),
+    sims AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             round(sum(a.x * b.x) / (na.nrm * nb.nrm), 6) AS sim
+      FROM vx a
+      JOIN cand ca ON ca.id = a.vec_id
+      JOIN vx b ON b.i = a.i AND b.vec_id != a.vec_id
+      JOIN cand cb ON cb.id = b.vec_id
+      JOIN norms na ON na.vec_id = a.vec_id
+      JOIN norms nb ON nb.vec_id = b.vec_id
+      GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm
+    ),
+    s1 AS (
+      SELECT id, rel,
+             round(CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE)
+                   * CAST(0.0 AS DOUBLE), 6) AS score,
+             CAST(1 AS BIGINT) AS rank
+      FROM cand ORDER BY rel DESC, id LIMIT 1
+    ),
+    sel1 AS (SELECT id FROM s1),
+    {_MMR_ROUND.format(r=2, p=1)},
+    {_MMR_ROUND.format(r=3, p=2)},
+    {_MMR_ROUND.format(r=4, p=3)},
+    {_MMR_ROUND.format(r=5, p=4)}
+    SELECT rank, id AS vec_id, rel, score FROM s1
+    UNION ALL SELECT rank, id, rel, score FROM s2
+    UNION ALL SELECT rank, id, rel, score FROM s3
+    UNION ALL SELECT rank, id, rel, score FROM s4
+    UNION ALL SELECT rank, id, rel, score FROM s5
+    """,
+)
+def similarity_mmr_rerank(spark, sf_dir):
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick 5 of the top-20 relevance candidates for query
+    vec 0, each round maximizing λ·rel − (1−λ)·max-sim-to-selected
+    (λ = 0.7) — the diversified-retrieval step after ANN, so near-
+    duplicate hits don't fill the result page.  Deterministic: cosines
+    round to 6 dp, the argmax tie-breaks by id, rounds are UNROLLED
+    (fixed k, like pagerank/onion) and the oracle replays each one.
+    Scale shape: relevance is one linear pass against a 1-vector
+    broadcast; everything after runs on the 20-row candidate dim
+    (20×20 sims), so the greedy loop costs nothing at any corpus
+    size."""
+    from pyspark.sql.window import Window
+
+    e = read_table(spark, sf_dir, "embeddings")
+    vx = e.select(
+        "vec_id", F.posexplode("embedding").alias("i", "xf")
+    ).select("vec_id", "i", F.col("xf").cast("double").alias("x"))
+    norms = vx.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm")
+    )
+    qv = vx.filter(F.col("vec_id") == 0).select(
+        F.col("i").alias("qi"), F.col("x").alias("qx")
+    )
+    qn = norms.filter(F.col("vec_id") == 0).select(
+        F.col("nrm").alias("qnrm")
+    )
+    rel = (
+        vx.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv), F.col("i") == F.col("qi"))
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("x") * F.col("qx")).alias("_dot"))
+        .join(norms, "vec_id")
+        .crossJoin(F.broadcast(qn))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.round(F.col("_dot") / (F.col("nrm") * F.col("qnrm")), 6)
+            .alias("rel"),
+        )
+    )
+    cand = (
+        rel.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("rel").desc(), F.col("id"))
+            ),
+        )
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+        .localCheckpoint(eager=True)  # 20 rows; feeds every round
+    )
+    ca = cand.select(F.col("id").alias("ia"))
+    cb = cand.select(F.col("id").alias("ib"))
+    a = vx.join(F.broadcast(ca), vx.vec_id == ca.ia).select(
+        F.col("ia"), F.col("i"), F.col("x").alias("xa")
+    )
+    b = vx.join(F.broadcast(cb), vx.vec_id == cb.ib).select(
+        F.col("ib"), F.col("i").alias("ib_i"), F.col("x").alias("xb")
+    )
+    na = norms.withColumnRenamed("vec_id", "ia").withColumnRenamed("nrm", "na")
+    nb = norms.withColumnRenamed("vec_id", "ib").withColumnRenamed("nrm", "nb")
+    sims = (
+        a.join(b, (F.col("i") == F.col("ib_i")) & (F.col("ia") != F.col("ib")))
+        .groupBy("ia", "ib")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("_dot"))
+        .join(F.broadcast(na), "ia")
+        .join(F.broadcast(nb), "ib")
+        .select(
+            "ia", "ib",
+            F.round(F.col("_dot") / (F.col("na") * F.col("nb")), 6)
+            .alias("sim"),
+        )
+        .localCheckpoint(eager=True)  # 20×19 rows; probed every round
+    )
+    lam, mu = F.lit(0.7), F.lit(0.3)
+    s1 = (
+        cand.select(
+            "id", "rel",
+            F.round(lam * F.col("rel") - mu * F.lit(0.0), 6).alias("score"),
+            F.lit(1).cast("bigint").alias("rank"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("id"))
+        .limit(1)
+    )
+    out = s1
+    selected = s1.select("id")
+    for r in range(2, 6):
+        ms = (
+            sims.join(
+                selected.withColumnRenamed("id", "ib"), "ib"
+            )
+            .groupBy("ia")
+            .agg(F.max("sim").alias("ms"))
+        )
+        sr = (
+            cand.join(selected, "id", "left_anti")
+            .join(ms.withColumnRenamed("ia", "id"), "id")
+            .select(
+                "id", "rel",
+                F.round(lam * F.col("rel") - mu * F.col("ms"), 6)
+                .alias("score"),
+                F.lit(r).cast("bigint").alias("rank"),
+            )
+            .orderBy(F.col("score").desc(), F.col("id"))
+            .limit(1)
+        )
+        out = out.unionByName(sr)
+        selected = selected.unionByName(sr.select("id"))
+    return out.select("rank", F.col("id").alias("vec_id"), "rel", "score")
