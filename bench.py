@@ -67,6 +67,12 @@ HEADLINE = [
     "multimodal_wav_energy",
     "multimodal_y4m_luma",
     "text_bpe_apply",
+    # round-8 additions: the new mining family's cheapest representatives
+    # (blocked fuzzy linkage, exact-sufficient-statistics correlation,
+    # per-series trend fold)
+    "er_fuzzy_part_pairs",
+    "profiling_numeric_correlation",
+    "analytics_holt_linear",
 ]
 
 # Scale-sensitive subset re-run at sf1 (10x).  Linear operators should land
@@ -91,6 +97,10 @@ SF1_PROBE = [
     # cleaning pipeline are the scale-sensitive new paths
     "dedup_semantic_canonical",
     "curation_clean_pipeline",
+    # round-8 additions: the lineitem-scan-bound exact correlation (pure
+    # linear probe) and the embedding outlier screen (linear in vectors)
+    "profiling_numeric_correlation",
+    "embedding_centroid_outliers",
     # iterative rank propagation: per-round cost ∝ |edges|, so the ratio
     # tracks candidate-pair growth, not vertex count
     "graph_pagerank_similarity",

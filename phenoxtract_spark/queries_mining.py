@@ -1057,3 +1057,199 @@ def similarity_mmr_rerank(spark, sf_dir):
         out = out.unionByName(sr)
         selected = selected.unionByName(sr.select("id"))
     return out.select("rank", F.col("id").alias("vec_id"), "rel", "score")
+
+
+# ---------------------------------------------------------------------------
+# language-ID confusion matrix
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "text_langid_confusion",
+    f"""
+    WITH v AS (
+      SELECT doc_id, lang,
+             {_votes_sql('de')} AS v_de, {_votes_sql('en')} AS v_en,
+             {_votes_sql('es')} AS v_es, {_votes_sql('fr')} AS v_fr,
+             {_votes_sql('it')} AS v_it
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang AS lang_declared,
+             CASE WHEN greatest(v_de, v_en, v_es, v_fr, v_it) = 0 THEN 'und'
+                  WHEN v_de = greatest(v_de, v_en, v_es, v_fr, v_it) THEN 'de'
+                  WHEN v_en = greatest(v_de, v_en, v_es, v_fr, v_it) THEN 'en'
+                  WHEN v_es = greatest(v_de, v_en, v_es, v_fr, v_it) THEN 'es'
+                  WHEN v_fr = greatest(v_de, v_en, v_es, v_fr, v_it) THEN 'fr'
+                  ELSE 'it' END AS lang_pred
+      FROM v
+    ),
+    cell AS (
+      SELECT lang_declared, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+      FROM pred GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT lang_declared, sum(n_docs) AS t FROM cell GROUP BY 1
+    )
+    SELECT c.lang_declared, c.lang_pred, c.n_docs,
+           CAST((c.n_docs * 10000) // t.t AS DOUBLE)
+             / CAST(10000.0 AS DOUBLE) AS row_frac
+    FROM cell c JOIN tot t USING (lang_declared)
+    """,
+)
+def text_langid_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: the stopword-vote classifier's
+    predictions cross-tabulated against the corpus's declared lang —
+    the accuracy audit for the langid stage every curation pipeline
+    gates on (text_langid emits per-doc rows; this is the evaluation).
+    row_frac floors at 4 dp via integer division (the cohort-LTV
+    lesson: round() on a double ratio can land on a cross-engine half
+    boundary).  One scan, two bounded aggregates."""
+    d = read_table(spark, sf_dir, "documents")
+    pred = d.select(
+        F.col("lang").alias("lang_declared"),
+        textanalysis.detect_language("text").alias("lang_pred"),
+    )
+    cell = pred.groupBy("lang_declared", "lang_pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = cell.groupBy("lang_declared").agg(F.sum("n_docs").alias("t"))
+    return cell.join(F.broadcast(tot), "lang_declared").select(
+        "lang_declared", "lang_pred", "n_docs",
+        (F.expr("(n_docs * 10000) DIV t").cast("double")
+         / F.lit(10000.0)).alias("row_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "text_tokenizer_fertility",
+    f"""
+    WITH c AS (
+      SELECT lang,
+             CAST(len(list_filter(string_split({_NORM}, ' '), x -> x != ''))
+                  AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(lower(text),
+                                         '[a-z]{{1,8}}|[0-9]{{1,3}}|[^a-z0-9 ]'))
+                  AS BIGINT) AS n_bpe
+      FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST((sum(n_bpe) * 10000) // greatest(sum(n_words), 1) AS DOUBLE)
+             / CAST(10000.0 AS DOUBLE) AS fertility
+    FROM c GROUP BY lang
+    """,
+)
+def text_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility by language: subword-proxy tokens per
+    whitespace word — the budget multiplier that decides how many
+    DOCUMENTS a per-language token budget buys (fertility 2.0 means the
+    same text costs 2× the tokens; the classic multilingual-tokenizer
+    fairness metric).  Exact integer sums; the ratio floors at 4 dp via
+    integer division.  One scan, one per-language aggregate."""
+    d = read_table(spark, sf_dir, "documents")
+    c = d.select(
+        "lang",
+        textanalysis.token_count("text").cast("bigint").alias("n_words"),
+        textanalysis.bpe_ish_token_count("text").cast("bigint").alias("n_bpe"),
+    )
+    return c.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"),
+        (F.expr("(sum(n_bpe) * 10000) DIV greatest(sum(n_words), 1)")
+         .cast("double") / F.lit(10000.0)).alias("fertility"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence-packing fragmentation report
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "curation_sequence_packing",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('pack-v1::' || CAST(doc_id AS VARCHAR)),
+                             1, 8))::BIGINT % 4 AS shard,
+             CAST(len(list_filter(string_split({_NORM}, ' '), x -> x != ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT) AS cum_toks
+      FROM t
+    ),
+    marked AS (
+      SELECT shard, n_tokens, cum_toks,
+             (cum_toks - n_tokens) // 2048 != (cum_toks - 1) // 2048
+               AS is_split
+      FROM cum WHERE n_tokens > 0
+    )
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST((sum(n_tokens) + 2047) // 2048 AS BIGINT) AS n_bins,
+           CAST((sum(n_tokens) + 2047) // 2048 * 2048 - sum(n_tokens)
+                AS BIGINT) AS tail_padding,
+           CAST(sum(CASE WHEN is_split THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_split_docs,
+           CAST((sum(CASE WHEN is_split THEN 1 ELSE 0 END) * 10000)
+                // count(*) AS DOUBLE) / CAST(10000.0 AS DOUBLE)
+             AS split_frac
+    FROM marked GROUP BY shard
+    """,
+)
+def curation_sequence_packing(spark, sf_dir):
+    """Concat-and-chunk sequence-packing fragmentation report: docs
+    stream in deterministic (md5 shard, id) order, concatenate, and cut
+    into 2048-token training sequences — the GPT-style packing that
+    wastes no padding EXCEPT the tail, at the price of documents split
+    across sequence boundaries (an attention-quality cost).  Per shard:
+    bins used, tail padding, and the split-document count/fraction —
+    the numbers that decide packing vs padding (companion to
+    curation_length_bucket_padding, which reports the padding side).
+    A doc splits iff its start and end land in different 2048 windows
+    of the running total — all integer arithmetic.  One window per
+    shard, one aggregate."""
+    from pyspark.sql.window import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        curation.split_bucket("doc_id", "pack-v1", buckets=4).alias("shard"),
+        textanalysis.token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = t.withColumn("cum_toks", F.sum("n_tokens").over(w).cast("bigint"))
+    marked = cum.filter(F.col("n_tokens") > 0).select(
+        "shard", "n_tokens", "cum_toks",
+        F.expr("(cum_toks - n_tokens) DIV 2048 != (cum_toks - 1) DIV 2048")
+        .alias("is_split"),
+    )
+    return marked.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.expr("(sum(n_tokens) + 2047) DIV 2048").cast("bigint")
+        .alias("n_bins"),
+        F.expr("(sum(n_tokens) + 2047) DIV 2048 * 2048 - sum(n_tokens)")
+        .cast("bigint").alias("tail_padding"),
+        F.sum(F.when(F.col("is_split"), 1).otherwise(0)).cast("bigint")
+        .alias("n_split_docs"),
+        (F.expr("(sum(CASE WHEN is_split THEN 1 ELSE 0 END) * 10000)"
+                " DIV count(*)").cast("double")
+         / F.lit(10000.0)).alias("split_frac"),
+    )
