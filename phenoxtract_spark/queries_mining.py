@@ -13,8 +13,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .operators import behavior, curation, linkage, textanalysis
+from .operators import behavior, curation, dedup, linkage, textanalysis
 from .queries_core import q, read_table
+from .queries_graph import _CAND
 from .queries_scale import _NORM, _votes_sql
 
 # ---------------------------------------------------------------------------
@@ -1252,4 +1253,153 @@ def curation_sequence_packing(spark, sf_dir):
         (F.expr("(sum(CASE WHEN is_split THEN 1 ELSE 0 END) * 10000)"
                 " DIV count(*)").cast("double")
          / F.lit(10000.0)).alias("split_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# active-user windows
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "events_dau_wau_mau",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    joined AS (
+      SELECT d.day AS as_of, u.user_id, u.day AS uday
+      FROM days d JOIN ud u
+        ON u.day BETWEEN d.day - INTERVAL 27 DAY AND d.day
+    ),
+    agg AS (
+      SELECT as_of,
+             CAST(count(DISTINCT CASE WHEN uday = as_of
+                                      THEN user_id END) AS BIGINT) AS dau,
+             CAST(count(DISTINCT CASE WHEN uday >= as_of - INTERVAL 6 DAY
+                                      THEN user_id END) AS BIGINT) AS wau,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      FROM joined GROUP BY as_of
+    )
+    SELECT as_of AS day, dau, wau, mau,
+           CAST((dau * 10000) // mau AS DOUBLE) / CAST(10000.0 AS DOUBLE)
+             AS stickiness
+    FROM agg
+    """,
+)
+def events_dau_wau_mau(spark, sf_dir):
+    """DAU/WAU/MAU + stickiness (DAU/MAU) per day — the canonical
+    product-health triplet, computed EXACTLY: events dedup to a
+    (user, day) relation first (orders of magnitude smaller than the
+    event log — the 100 TB valve), then one bounded range join against
+    the day dim (≤ 28 activity rows per (day, user)) and one aggregate
+    with conditional distincts, so the log is scanned once and no
+    window ever holds raw events.  Stickiness floors at 4 dp via
+    integer division.  The exact twin of sketch_hll_sliding_distinct's
+    approximate path."""
+    ev = read_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).distinct()
+    days = ud.select(F.col("day").alias("as_of")).distinct()
+    joined = ud.join(
+        F.broadcast(days),
+        (F.col("day") <= F.col("as_of"))
+        & (F.col("day") >= F.date_sub(F.col("as_of"), 27)),
+    )
+    agg = joined.groupBy("as_of").agg(
+        F.countDistinct(
+            F.when(F.col("day") == F.col("as_of"), F.col("user_id"))
+        ).cast("bigint").alias("dau"),
+        F.countDistinct(
+            F.when(F.col("day") >= F.date_sub(F.col("as_of"), 6),
+                   F.col("user_id"))
+        ).cast("bigint").alias("wau"),
+        F.countDistinct("user_id").cast("bigint").alias("mau"),
+    )
+    return agg.select(
+        F.col("as_of").alias("day"), "dau", "wau", "mau",
+        (F.expr("(dau * 10000) DIV mau").cast("double")
+         / F.lit(10000.0)).alias("stickiness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup threshold tradeoff curve
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "curation_dedup_tradeoff",
+    f"""
+    WITH {{cand}},
+    dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+    jp AS (
+      SELECT c.id_a, c.id_b,
+             round(CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt), 6) AS jacc
+      FROM (
+        SELECT c.id_a, c.id_b, count(*) AS cnt
+        FROM cand c
+        JOIN dsh a ON a.doc_id = c.id_a
+        JOIN dsh b ON b.doc_id = c.id_b AND b.sh = a.sh
+        GROUP BY c.id_a, c.id_b
+      ) c
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+    ),
+    thr AS (SELECT unnest([CAST(0.2 AS DOUBLE), CAST(0.3 AS DOUBLE),
+                           CAST(0.4 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                           CAST(0.6 AS DOUBLE), CAST(0.7 AS DOUBLE),
+                           CAST(0.8 AS DOUBLE)]) AS threshold),
+    nn AS (SELECT count(*) AS n_corpus FROM documents)
+    SELECT t.threshold,
+           CAST(count(jp.id_a) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT jp.id_b) AS BIGINT) AS n_docs_removed,
+           CAST((count(DISTINCT jp.id_b) * 10000) // nn.n_corpus AS DOUBLE)
+             / CAST(10000.0 AS DOUBLE) AS removal_frac
+    FROM thr t
+    LEFT JOIN jp ON jp.jacc >= t.threshold
+    CROSS JOIN nn
+    GROUP BY t.threshold, nn.n_corpus
+    """.format(cand=_CAND),
+)
+def curation_dedup_tradeoff(spark, sf_dir):
+    """Dedup threshold tradeoff curve: for seven Jaccard thresholds,
+    how many candidate pairs verify and how much of the corpus the
+    keep-min-id rule would remove — the tuning artifact that turns "the
+    threshold is 0.3" from folklore into a measured elbow.  One
+    LSH-bounded verify pass computes every pair's Jaccard ONCE; the
+    7-row threshold dim joins on top, so sweeping costs nothing extra
+    (removal counts use the one-step min-id rule: the higher id of a
+    verified pair is removed — the transitive-closure variant is
+    dedup_cluster_size_histogram's job).  Removal fraction floors at
+    4 dp via integer division."""
+    d = read_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(d, "doc_id", "text", num_hashes=4, k=3)
+    cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, rows_per_band=2))
+    jp = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", k=3, threshold=0.0, candidates=cand
+    ).localCheckpoint(eager=True)  # one verify pass feeds all 7 thresholds
+    thr = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(x) for x in (0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)])
+        ).alias("threshold")
+    )
+    nn = d.agg(F.count(F.lit(1)).alias("n_corpus"))
+    joined = thr.join(jp, jp["jacc"] >= thr["threshold"], "left")
+    return (
+        joined.crossJoin(F.broadcast(nn))
+        .groupBy("threshold", "n_corpus")
+        .agg(
+            F.count("id_a").cast("bigint").alias("n_pairs"),
+            F.countDistinct("id_b").cast("bigint").alias("n_docs_removed"),
+        )
+        .select(
+            "threshold", "n_pairs", "n_docs_removed",
+            (F.expr("(n_docs_removed * 10000) DIV n_corpus").cast("double")
+             / F.lit(10000.0)).alias("removal_frac"),
+        )
     )
