@@ -1144,7 +1144,11 @@ def domain_mixture_weights(df: DataFrame, domain_col: str, quality: Column,
             .cast("double") / F.count(F.lit(1)),
             round_dp,
         ).alias("domain_loss"),
-    )
+        # the ONLY data-sized aggregate: checkpoint so the unrolled
+        # rounds (each with a 1-row crossJoin branch that would otherwise
+        # replay the corpus groupBy) iterate on the K-row result —
+        # without this the 3-round plan held 255 exchanges
+    ).localCheckpoint(eager=True)
     k = dom.agg(F.count(F.lit(1)).alias("_k"))
     w = (
         dom.crossJoin(F.broadcast(k))
@@ -1176,5 +1180,5 @@ def domain_mixture_weights(df: DataFrame, domain_col: str, quality: Column,
         w = raw.crossJoin(F.broadcast(tot)).select(
             "domain", "n_docs", "domain_loss",
             F.round(F.col("_raw") / F.col("_tot"), round_dp).alias("weight"),
-        )
+        ).localCheckpoint(eager=True)  # K rows; keeps round r+1's plan flat
     return w

@@ -1055,6 +1055,10 @@ def similarity_mmr_rerank(spark, sf_dir):
             .orderBy(F.col("score").desc(), F.col("id"))
             .limit(1)
         )
+        # 1-row eager checkpoint per round: each selection feeds BOTH the
+        # output union and every later round's maxsim/anti-join — without
+        # it the unrolled plan re-expands all prior rounds (40 exchanges)
+        sr = sr.localCheckpoint(eager=True)
         out = out.unionByName(sr)
         selected = selected.unionByName(sr.select("id"))
     return out.select("rank", F.col("id").alias("vec_id"), "rel", "score")
