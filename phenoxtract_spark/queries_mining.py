@@ -1407,3 +1407,185 @@ def curation_dedup_tradeoff(spark, sf_dir):
              / F.lit(10000.0)).alias("removal_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# referential integrity
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "quality_referential_integrity",
+    """
+    WITH checks AS (
+      SELECT 'lineitem' AS fk_table, 'l_orderkey' AS fk_column,
+             'orders' AS pk_table,
+             CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_fk_rows,
+             CAST((SELECT count(*) FROM lineitem l
+                   WHERE l.l_orderkey IS NOT NULL
+                     AND NOT EXISTS (SELECT 1 FROM orders o
+                                     WHERE o.o_orderkey = l.l_orderkey))
+                  AS BIGINT) AS n_orphans
+      UNION ALL
+      SELECT 'orders', 'o_custkey', 'customer',
+             CAST((SELECT count(*) FROM orders) AS BIGINT),
+             CAST((SELECT count(*) FROM orders o
+                   WHERE o.o_custkey IS NOT NULL
+                     AND NOT EXISTS (SELECT 1 FROM customer c
+                                     WHERE c.c_custkey = o.o_custkey))
+                  AS BIGINT)
+      UNION ALL
+      SELECT 'customer', 'c_nationkey', 'nation',
+             CAST((SELECT count(*) FROM customer) AS BIGINT),
+             CAST((SELECT count(*) FROM customer c
+                   WHERE c.c_nationkey IS NOT NULL
+                     AND NOT EXISTS (SELECT 1 FROM nation n
+                                     WHERE n.n_nationkey = c.c_nationkey))
+                  AS BIGINT)
+      UNION ALL
+      SELECT 'supplier', 's_nationkey', 'nation',
+             CAST((SELECT count(*) FROM supplier) AS BIGINT),
+             CAST((SELECT count(*) FROM supplier s
+                   WHERE s.s_nationkey IS NOT NULL
+                     AND NOT EXISTS (SELECT 1 FROM nation n
+                                     WHERE n.n_nationkey = s.s_nationkey))
+                  AS BIGINT)
+    )
+    SELECT fk_table, fk_column, pk_table, n_fk_rows, n_orphans,
+           n_orphans = 0 AS passed
+    FROM checks
+    """,
+)
+def quality_referential_integrity(spark, sf_dir):
+    """Cross-table referential-integrity report: orphan counts for the
+    star schema's four FK edges — the DQ check that catches a partial
+    load or a broken CDC feed before any join silently drops rows
+    (companion to quality_constraints' single-table contract and
+    profiling_join_fanout's cardinality guard).  Each edge is one
+    left-anti join on the key; the dimension sides broadcast.  At
+    100 TB the anti-join shuffles only the FK column."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+
+    def edge(fk_df, fk_table, fk_col, pk_df, pk_table, pk_col, bcast):
+        total = fk_df.agg(F.count(F.lit(1)).cast("bigint").alias("n_fk_rows"))
+        pk = F.broadcast(pk_df) if bcast else pk_df
+        orphans = (
+            fk_df.filter(F.col(fk_col).isNotNull())
+            .join(pk, fk_df[fk_col] == pk_df[pk_col], "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+        )
+        return total.crossJoin(orphans).select(
+            F.lit(fk_table).alias("fk_table"),
+            F.lit(fk_col).alias("fk_column"),
+            F.lit(pk_table).alias("pk_table"),
+            "n_fk_rows", "n_orphans",
+            (F.col("n_orphans") == 0).alias("passed"),
+        )
+
+    return (
+        edge(li, "lineitem", "l_orderkey", o, "orders", "o_orderkey", False)
+        .unionByName(edge(o, "orders", "o_custkey", c, "customer",
+                          "c_custkey", True))
+        .unionByName(edge(c, "customer", "c_nationkey", n, "nation",
+                          "n_nationkey", True))
+        .unionByName(edge(s, "supplier", "s_nationkey", n, "nation",
+                          "n_nationkey", True))
+    )
+
+
+# ---------------------------------------------------------------------------
+# forecast backtest
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "events_forecast_backtest",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    mx AS (SELECT event_type, max(day) AS last_day FROM daily GROUP BY 1),
+    train AS (
+      SELECT d.event_type, d.day, d.x
+      FROM daily d JOIN mx ON mx.event_type = d.event_type
+      WHERE d.day < mx.last_day
+    ),
+    ord AS MATERIALIZED (
+      SELECT event_type, x,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+                  AS BIGINT) AS i
+      FROM train
+    ),
+    rec AS MATERIALIZED (
+      WITH RECURSIVE r(event_type, i, level, trend) AS (
+        SELECT event_type, i, x, CAST(0.0 AS DOUBLE)
+        FROM ord WHERE i = 1
+        UNION ALL
+        SELECT r.event_type, r.i + 1,
+               CAST(0.5 AS DOUBLE) * o.x + CAST(0.5 AS DOUBLE) * r.level
+                 + CAST(0.5 AS DOUBLE) * r.trend,
+               CAST(0.25 AS DOUBLE) * o.x - CAST(0.25 AS DOUBLE) * r.level
+                 + CAST(0.75 AS DOUBLE) * r.trend
+        FROM r JOIN ord o ON o.event_type = r.event_type AND o.i = r.i + 1
+      )
+      SELECT * FROM r
+    ),
+    fin AS (SELECT event_type, max(i) AS n FROM rec GROUP BY 1),
+    fc AS (
+      SELECT r.event_type, CAST(fin.n AS BIGINT) AS n_train_days,
+             round(r.level + r.trend, 6) AS forecast
+      FROM rec r JOIN fin ON fin.event_type = r.event_type AND r.i = fin.n
+    ),
+    actual AS (
+      SELECT d.event_type, CAST(d.x AS BIGINT) AS actual
+      FROM daily d JOIN mx ON mx.event_type = d.event_type
+                          AND d.day = mx.last_day
+    )
+    SELECT f.event_type, f.n_train_days, f.forecast, a.actual,
+           round(abs(f.forecast - a.actual), 6) AS abs_error,
+           CAST((CAST(round(abs(f.forecast - a.actual) * 1000000) AS BIGINT)
+                 * 10000) // (a.actual * 1000000) AS DOUBLE)
+             / CAST(10000.0 AS DOUBLE) AS ape
+    FROM fc f JOIN actual a USING (event_type)
+    """,
+)
+def events_forecast_backtest(spark, sf_dir):
+    """Walk-forward backtest of the Holt forecaster: train on every day
+    but the last, forecast the held-out day, report absolute error and
+    APE per series — the honesty check that keeps a forecasting
+    operator from being judged on fit alone (companion to
+    analytics_holt_linear, which smooths the full history).  APE floors
+    at 4 dp via integer division on the 6-dp-scaled error.  Same plan
+    shape as the forecaster plus one broadcast max-day dim."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    mx = daily.groupBy("event_type").agg(F.max("day").alias("last_day"))
+    train = daily.join(F.broadcast(mx), "event_type").filter(
+        F.col("day") < F.col("last_day")
+    )
+    fc = behavior.holt_linear_forecast(
+        train, "event_type", "day", "x", alpha=0.5, beta=0.5
+    ).select(
+        "event_type",
+        F.col("n_periods").alias("n_train_days"),
+        F.col("forecast_next").alias("forecast"),
+    )
+    actual = daily.join(F.broadcast(mx), "event_type").filter(
+        F.col("day") == F.col("last_day")
+    ).select("event_type", F.col("x").cast("bigint").alias("actual"))
+    err = F.round(F.abs(F.col("forecast") - F.col("actual")), 6)
+    return fc.join(actual, "event_type").select(
+        "event_type", "n_train_days", "forecast", "actual",
+        err.alias("abs_error"),
+        (F.expr("(CAST(round(abs(forecast - actual) * 1000000) AS BIGINT)"
+                " * 10000) DIV (actual * 1000000)").cast("double")
+         / F.lit(10000.0)).alias("ape"),
+    )
