@@ -91,6 +91,26 @@ EXPECTATIONS = [
     # fanout guardrail: two per-key counts + key-level merge; the one SMJ
     # is the full-outer key merge (cannot broadcast)
     ("profiling_join_fanout", 3, 0, 1),
+    # r8 mining family: pure projections stay shuffle-free; reports are
+    # bounded-key aggregates; every dimension join broadcasts; the
+    # unrolled-iteration queries (domain mixture, MMR) checkpoint their
+    # tiny per-round state so the FINAL plan is flat (was 255 / 40
+    # exchanges before the checkpoints — pinned here so a refactor that
+    # drops one re-detonates the test, not the cluster)
+    ("text_readability", 0, 0, 0),
+    ("text_tokenizer_fertility", 1, 0, 0),
+    ("curation_sequence_packing", 1, 0, 0),
+    ("profiling_histogram_equiwidth", 2, 0, 0),
+    ("profiling_numeric_correlation", 3, 0, 0),
+    ("er_fuzzy_part_pairs", 0, 1, 0),    # in-block self-join broadcasts
+    ("events_bot_detection", 3, 2, 0),
+    ("events_dau_wau_mau", 4, 0, 0),     # range join vs the day dim is BNL
+    ("text_langid_confusion", 3, 1, 0),
+    ("analytics_holt_linear", 2, 0, 0),
+    ("graph_resource_allocation", 2, 3, 0),
+    ("curation_dedup_tradeoff", 3, 0, 0),
+    ("curation_domain_mixture", 0, 0, 0),
+    ("similarity_mmr_rerank", 0, 0, 0),
 ]
 
 
