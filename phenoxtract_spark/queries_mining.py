@@ -1589,3 +1589,146 @@ def events_forecast_backtest(spark, sf_dir):
                 " * 10000) DIV (actual * 1000000)").cast("double")
          / F.lit(10000.0)).alias("ape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# anomaly-detector ensemble capstone
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "events_anomaly_ensemble",
+    """
+    WITH buckets AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_hour,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    zs AS (
+      SELECT event_type, bucket_hour, n_events,
+             CAST(count(*) OVER w AS DOUBLE) AS n,
+             CAST(sum(n_events) OVER w AS DOUBLE) AS sx,
+             CAST(sum(n_events * n_events) OVER w AS DOUBLE) AS sxx
+      FROM buckets
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_hour
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ),
+    zflag AS (
+      SELECT event_type, bucket_hour,
+             abs(CASE WHEN (sxx - sx * sx / n) / (n - 1.0) > 0
+                      THEN round((CAST(n_events AS DOUBLE) - sx / n)
+                                 / sqrt((sxx - sx * sx / n) / (n - 1.0)), 6)
+                      WHEN CAST(n_events AS DOUBLE) = sx / n THEN 0.0
+                      WHEN CAST(n_events AS DOUBLE) > sx / n THEN 1e9
+                      ELSE -1e9 END) > 3.0 AS z_flag
+      FROM zs WHERE n >= 24
+    ),
+    seas AS (
+      SELECT event_type, bucket_hour,
+             CAST(sum(n_events) OVER w AS BIGINT) AS tot,
+             CAST(count(*) OVER w AS BIGINT) AS n, n_events
+      FROM buckets
+      WINDOW w AS (PARTITION BY event_type, hour(bucket_hour))
+    ),
+    sflag AS (
+      SELECT event_type, bucket_hour,
+             CASE WHEN n > 1
+                  THEN (n_events * (n - 1) > 2 * (tot - n_events))
+                    OR (2 * n_events * (n - 1) < (tot - n_events))
+                  ELSE FALSE END AS seasonal_flag
+      FROM seas
+    ),
+    cstats AS (
+      SELECT *,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS t,
+             CAST(sum(n_events) OVER (PARTITION BY event_type) AS BIGINT)
+               AS total
+      FROM buckets
+    ),
+    cpfx AS (
+      SELECT *,
+             CAST(sum(t * n_events - total) OVER
+               (PARTITION BY event_type ORDER BY bucket_hour
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS p
+      FROM cstats
+    ),
+    cflag AS (
+      SELECT event_type, bucket_hour, n_events,
+             ((p - least(CAST(0 AS BIGINT),
+                         CAST(min(p) OVER (PARTITION BY event_type
+                              ORDER BY bucket_hour ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND CURRENT ROW) AS BIGINT))) * 40
+                > total * t)
+             OR ((greatest(CAST(0 AS BIGINT),
+                           CAST(max(p) OVER (PARTITION BY event_type
+                                ORDER BY bucket_hour ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) AS BIGINT)) - p)
+                 * 40 > total * t) AS cusum_flag
+      FROM cpfx
+    ),
+    ens AS (
+      SELECT c.event_type, c.bucket_hour, c.n_events,
+             coalesce(z.z_flag, FALSE) AS z_flag,
+             s.seasonal_flag, c.cusum_flag
+      FROM cflag c
+      JOIN sflag s ON s.event_type = c.event_type
+                  AND s.bucket_hour = c.bucket_hour
+      LEFT JOIN zflag z ON z.event_type = c.event_type
+                       AND z.bucket_hour = c.bucket_hour
+    )
+    SELECT event_type, bucket_hour, n_events, z_flag, seasonal_flag,
+           cusum_flag,
+           CAST((CASE WHEN z_flag THEN 1 ELSE 0 END)
+              + (CASE WHEN seasonal_flag THEN 1 ELSE 0 END)
+              + (CASE WHEN cusum_flag THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_votes
+    FROM ens
+    WHERE z_flag OR seasonal_flag OR cusum_flag
+    """,
+)
+def events_anomaly_ensemble(spark, sf_dir):
+    """Anomaly-detector ensemble (the events-family capstone): the
+    rolling z-score (|z| > 3 vs the trailing 24 h), the leave-one-out
+    hour-of-day seasonal screen, and Page's CUSUM drift detector vote
+    on the SAME hourly buckets; every bucket any detector flags is
+    emitted with its per-detector flags and vote count — the consensus
+    report an on-call actually pages on (one detector = investigate,
+    two+ = incident), and the side-by-side that shows WHICH failure
+    mode fired (spike vs seasonality break vs persistent shift).  All
+    three detectors reuse the already-green operators over one shared
+    bucket aggregate; the plan is one groupBy + four window passes +
+    two bucket-keyed joins — no raw-event shuffle after the first
+    aggregate."""
+    ev = read_table(spark, sf_dir, "events")
+    spine = behavior.cusum_drift(ev, flag_den=40).select(
+        "event_type",
+        F.to_timestamp("bucket_hour").alias("bucket_hour"),
+        "n_events",
+        F.col("drift_flag").alias("cusum_flag"),
+    )
+    seas = behavior.seasonal_hod_anomaly(ev).select(
+        "event_type", "bucket_hour",
+        F.col("anomaly").alias("seasonal_flag"),
+    )
+    z = behavior.rolling_zscore(ev, window_rows=24).select(
+        "event_type", "bucket_hour",
+        (F.abs(F.col("zscore")) > 3.0).alias("z_flag"),
+    )
+    ens = (
+        spine.join(seas, ["event_type", "bucket_hour"])
+        .join(z, ["event_type", "bucket_hour"], "left")
+        .select(
+            "event_type", "bucket_hour", "n_events",
+            F.coalesce(F.col("z_flag"), F.lit(False)).alias("z_flag"),
+            "seasonal_flag", "cusum_flag",
+        )
+    )
+    votes = (
+        F.when(F.col("z_flag"), 1).otherwise(0)
+        + F.when(F.col("seasonal_flag"), 1).otherwise(0)
+        + F.when(F.col("cusum_flag"), 1).otherwise(0)
+    ).cast("bigint")
+    return ens.withColumn("n_votes", votes).filter(
+        F.col("z_flag") | F.col("seasonal_flag") | F.col("cusum_flag")
+    )
