@@ -1732,3 +1732,145 @@ def events_anomaly_ensemble(spark, sf_dir):
     return ens.withColumn("n_votes", votes).filter(
         F.col("z_flag") | F.col("seasonal_flag") | F.col("cusum_flag")
     )
+
+
+# ---------------------------------------------------------------------------
+# mixture-driven token allocation
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "curation_mixture_allocation",
+    f"""
+    WITH {_QUALITY_CTE},
+    dom AS (
+      SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+             round(CAST(1.0 AS DOUBLE)
+                   - CAST(sum(CAST(round(quality, 9) AS DECIMAL(28,12)))
+                          AS DOUBLE) / count(*), 9) AS domain_loss
+      FROM scored GROUP BY source
+    ),
+    kk AS (SELECT count(*) AS k FROM dom),
+    w0 AS (SELECT domain, n_docs, domain_loss,
+                  round(CAST(1.0 AS DOUBLE) / k, 9) AS weight
+           FROM dom, kk),
+    {_MW_ROUND.format(t=1, p=0)},
+    {_MW_ROUND.format(t=2, p=1)},
+    {_MW_ROUND.format(t=3, p=2)},
+    avail AS (
+      SELECT source AS domain,
+             CAST(sum(len(list_filter(string_split({_NORM}, ' '),
+                                      x -> x != ''))) AS BIGINT)
+               AS available_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT w.domain, w.weight, a.available_tokens,
+           CAST(floor(w.weight * 20000) AS BIGINT) AS target_tokens,
+           least(CAST(floor(w.weight * 20000) AS BIGINT),
+                 a.available_tokens) AS take_tokens,
+           greatest(CAST(floor(w.weight * 20000) AS BIGINT)
+                    - a.available_tokens, 0) AS deficit,
+           CAST(floor(w.weight * 20000) AS BIGINT) > a.available_tokens
+             AS oversubscribed
+    FROM w3 w JOIN avail a USING (domain)
+    """,
+)
+def curation_mixture_allocation(spark, sf_dir):
+    """Mixture → allocation: turn the DoReMi weights into per-domain
+    token quotas against a fixed 20k-token budget and report each
+    domain's availability, take, and DEFICIT — the step that turns a
+    reweighting paper result into a sampling plan, and the report that
+    flags when an upweighted domain simply doesn't have the tokens
+    (epoch-repeat territory).  floor(weight · budget) is a pure double
+    op on identical bits, so no rounding boundary; everything else is
+    integer.  One extra per-domain token aggregate on top of the
+    (checkpointed) mixture rounds."""
+    d = read_table(spark, sf_dir, "documents")
+    w = curation.domain_mixture_weights(
+        d, "source", textanalysis.quality_score("text"), rounds=3, eta=0.5
+    )
+    avail = d.groupBy(F.col("source").alias("domain")).agg(
+        F.sum(textanalysis.token_count("text")).cast("bigint")
+        .alias("available_tokens")
+    )
+    target = F.floor(F.col("weight") * 20000).cast("bigint")
+    return w.join(avail, "domain").select(
+        "domain", "weight", "available_tokens",
+        target.alias("target_tokens"),
+        F.least(target, F.col("available_tokens")).alias("take_tokens"),
+        F.greatest(target - F.col("available_tokens"), F.lit(0).cast("bigint"))
+        .alias("deficit"),
+        (target > F.col("available_tokens")).alias("oversubscribed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SLO error-budget burn
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "events_slo_burn",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket_hour,
+             CAST(count(*) AS BIGINT) AS n_total,
+             CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+               AS n_errors
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT *,
+             CAST(sum(n_total) OVER w AS BIGINT) AS cum_total,
+             CAST(sum(n_errors) OVER w AS BIGINT) AS cum_errors
+      FROM hourly
+      WINDOW w AS (ORDER BY bucket_hour ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT bucket_hour, n_total, n_errors,
+           CAST((n_errors * 10000) // n_total AS BIGINT) AS rate_bp,
+           CAST((n_errors * 10000 * 100) // (n_total * 2500) AS BIGINT)
+             AS burn_x100,
+           CAST((cum_errors * 10000) // cum_total AS BIGINT) AS cum_rate_bp,
+           cum_errors * 10000 > 2500 * cum_total AS budget_exhausted
+    FROM cum
+    """,
+)
+def events_slo_burn(spark, sf_dir):
+    """SLO error-budget burn report (SRE multiwindow style): per hour,
+    the error rate in basis points, the burn multiple vs a 25% error
+    SLO (×100 — burn_x100 = 100 means burning exactly at budget), and
+    the cumulative rate/exhaustion flag — the alerting math behind
+    'page when the 1 h burn rate exceeds N× budget', as data.  ALL
+    integer arithmetic (rates in basis points via integer division), so
+    no rounding class can flip a flag.  One coarse-key groupBy + one
+    running window over hours — bounded keys end to end."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_hour")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint").alias("n_errors"),
+    )
+    w = Window.orderBy("bucket_hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hourly.select(
+        "*",
+        F.sum("n_total").over(w).cast("bigint").alias("cum_total"),
+        F.sum("n_errors").over(w).cast("bigint").alias("cum_errors"),
+    )
+    return cum.select(
+        "bucket_hour", "n_total", "n_errors",
+        F.expr("(n_errors * 10000) DIV n_total").cast("bigint")
+        .alias("rate_bp"),
+        F.expr("(n_errors * 10000 * 100) DIV (n_total * 2500)")
+        .cast("bigint").alias("burn_x100"),
+        F.expr("(cum_errors * 10000) DIV cum_total").cast("bigint")
+        .alias("cum_rate_bp"),
+        (F.col("cum_errors") * 10000 > F.col("cum_total") * 2500)
+        .alias("budget_exhausted"),
+    )
