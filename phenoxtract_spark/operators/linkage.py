@@ -30,25 +30,30 @@ def blocked_fuzzy_pairs(df: DataFrame, id_col: str, name_col: str,
     ``max_block`` is the quadratic valve: any block larger than it
     raises rather than detonating a b² self-join — the caller picks a
     finer key (the bounded-error philosophy, never a silent truncation).
+    The guard lives INSIDE the plan (a ``raise_error`` branch on the
+    per-block count joined onto the probe side) so no extra eager job
+    runs per invocation — one invocation, one job; the block-count
+    groupBy shuffles on the same key as the pair join, so the exchange
+    is shared, and the guard expression evaluates exactly where the b²
+    blowup would start.
     """
     base = df.select(
         F.col(id_col).alias("_id"), F.col(name_col).alias("_nm"), *block_cols
     )
-    oversized = (
-        base.groupBy(*block_cols)
-        .agg(F.count(F.lit(1)).alias("_b"))
-        .filter(F.col("_b") > max_block)
-        .limit(1)
-        .collect()
+    guard = base.groupBy(*block_cols).agg(
+        F.when(
+            F.count(F.lit(1)) > max_block,
+            F.raise_error(F.format_string(
+                "blocked_fuzzy_pairs: a block has %s rows > max_block="
+                f"{int(max_block)}; refine the blocking key",
+                F.count(F.lit(1)).cast("string"),
+            )).cast("long"),
+        ).otherwise(F.count(F.lit(1))).alias("_b")
     )
-    if oversized:
-        row = oversized[0]
-        raise ValueError(
-            f"blocked_fuzzy_pairs: block {tuple(row[c] for c in block_cols)!r}"
-            f" has {row['_b']} rows > max_block={max_block}; refine the "
-            f"blocking key"
-        )
-    a, b = base.alias("a"), base.alias("b")
+    # referencing _b in the filter below forces the guard branch to
+    # evaluate (column pruning would otherwise drop it silently)
+    a = base.join(guard, list(block_cols)).filter(F.col("_b") >= 0).drop("_b")
+    a, b = a.alias("a"), base.alias("b")
     cond = F.lit(True)
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))

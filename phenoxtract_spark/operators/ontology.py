@@ -239,7 +239,13 @@ def http_search_transport(base_url: str, api_key: Optional[str] = None,
     def _default_get(url: str, headers: dict) -> tuple[int, bytes]:
         import requests  # lazy: optional dependency, only on first use
 
-        r = requests.get(url, headers=headers, timeout=timeout_s)
+        try:
+            r = requests.get(url, headers=headers, timeout=timeout_s)
+        except requests.RequestException:
+            # network-level transient (ConnectionError/Timeout/...) —
+            # surface as 503 so TransportResolver's retry/backoff path
+            # handles it instead of the exception crashing a batch resolve
+            return 503, b""
         return r.status_code, r.content
 
     get = http_get or _default_get
@@ -252,7 +258,13 @@ def http_search_transport(base_url: str, api_key: Optional[str] = None,
         status, body = get(url, headers)
         if status != 200:
             return status, None
-        value = extract(_json.loads(body.decode("utf-8")))
+        try:
+            value = extract(_json.loads(body.decode("utf-8")))
+        except (ValueError, KeyError, IndexError, AttributeError, TypeError):
+            # malformed 200 body (truncated JSON, shape drift) — treat as
+            # a 502-style upstream fault so the retry path gets a shot at
+            # it rather than the exception escaping the transport
+            return 502, None
         if value is None:
             return 404, None  # empty result: negative-cacheable NOT_FOUND
         return 200, value

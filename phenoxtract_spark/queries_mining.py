@@ -585,8 +585,9 @@ def graph_resource_allocation(spark, sf_dir):
     md AS (SELECT user_id, quantile_cont(adev, 0.5) AS mad FROM d GROUP BY 1)
     SELECT m.user_id, m.n_gaps,
            m.med AS median_gap_us, md.mad AS mad_gap_us,
-           round(md.mad / m.med, 4) AS regularity,
-           round(md.mad / m.med, 4) < CAST(0.55 AS DOUBLE) AS is_suspect
+           round(md.mad / greatest(m.med, 1), 4) AS regularity,
+           round(md.mad / greatest(m.med, 1), 4) < CAST(0.55 AS DOUBLE)
+             AS is_suspect
     FROM m JOIN md USING (user_id)
     WHERE m.n_gaps >= 20
     """,
@@ -597,11 +598,14 @@ def events_bot_detection(spark, sf_dir):
     tight — mad/median (a scale-free robust dispersion) near 0 — while
     organic users are bursty (~0.5-1.0 on this corpus).  Flag
     regularity < 0.55 after a 4-dp round (stable boundary); minimum 20
-    gaps so small samples can't fake regularity.  Gaps are exact
-    integer microseconds; median/MAD via the percentile pair both
-    engines interpolate identically (the analytics_mad_outliers
-    precedent).  Plan: one window pass, two bounded groupBys — no
-    self-joins."""
+    gaps so small samples can't fake regularity.  Regularity divides by
+    greatest(med, 1) µs (r9): a client whose gaps are ALL zero — the
+    most machine-like possible — has med=mad=0 and a naive mad/med is
+    NaN, silently un-flagging it; the floor makes it 0/1 = 0 → flagged.
+    Gaps are exact integer microseconds; median/MAD via the percentile
+    pair both engines interpolate identically (the
+    analytics_mad_outliers precedent).  Plan: one window pass, two
+    bounded groupBys — no self-joins."""
     from pyspark.sql.window import Window
 
     ev = read_table(spark, sf_dir, "events")
@@ -620,7 +624,7 @@ def events_bot_detection(spark, sf_dir):
     md = d.groupBy("user_id").agg(
         F.percentile("adev", F.lit(0.5)).alias("mad")
     )
-    reg = F.round(F.col("mad") / F.col("med"), 4)
+    reg = F.round(F.col("mad") / F.greatest(F.col("med"), F.lit(1.0)), 4)
     return (
         m.join(md, "user_id")
         .filter(F.col("n_gaps") >= 20)
@@ -834,12 +838,24 @@ def embedding_pipeline_e2e(spark, sf_dir):
     dense template regions can't dominate the sample) → per-cell
     report.  Every stage is an already-green operator; the oracle
     replays outlier filter, assignment, and sampling as one CTE chain,
-    so a value match covers the composition, not just the parts."""
+    so a value match covers the composition, not just the parts.
+
+    The IVF stride (√n centroids) needs the table row count BEFORE the
+    centroid collect; r9 reads it from the parquet footer metadata
+    (``num_rows`` — a statistics lookup, zero data scanned) instead of
+    an eager ``e.count()`` full-scan job — at 100 TB that count comes
+    from catalog statistics, never a re-scan."""
     import math
+    import os
+
+    import pyarrow.parquet as _pq
 
     from .operators import similarity
 
     e = read_table(spark, sf_dir, "embeddings")
+    n_rows = _pq.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).metadata.num_rows
     d2, st = _emb_d2(e)
     mu = F.col("s1") / F.col("n")
     sig = F.sqrt(
@@ -850,7 +866,7 @@ def embedding_pipeline_e2e(spark, sf_dir):
         .filter((F.col("dist2") - mu) <= F.lit(2.0) * sig)
         .select("vec_id")
     )
-    stride = max(61, int(math.isqrt(e.count())))
+    stride = max(61, int(math.isqrt(n_rows)))
     centroids = e.filter(F.col("vec_id") % stride == 0)
     kept = e.join(kept_ids, "vec_id", "left_semi")
     assign = similarity.assign_ivf_centroid(kept, centroids)
@@ -1844,7 +1860,14 @@ def events_slo_burn(spark, sf_dir):
     'page when the 1 h burn rate exceeds N× budget', as data.  ALL
     integer arithmetic (rates in basis points via integer division), so
     no rounding class can flip a flag.  One coarse-key groupBy + one
-    running window over hours — bounded keys end to end."""
+    running window over hours — bounded keys end to end.
+
+    Scale note: the cumulative window is GLOBAL and un-partitioned —
+    single-task by construction, exactly like events_dau_wau_mau's
+    final window.  That is safe because its input is the hourly
+    aggregate, one row per calendar hour (~9k rows/year regardless of
+    event volume): the heavy reduction happens in the partitioned
+    groupBy; the window only folds the calendar-bounded result."""
     from pyspark.sql.window import Window
 
     ev = read_table(spark, sf_dir, "events")

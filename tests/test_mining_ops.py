@@ -27,15 +27,18 @@ def test_blocked_fuzzy_pairs_blocks_and_verifies(spark):
 
 
 def test_blocked_fuzzy_pairs_max_block_valve(spark):
+    """The valve lives IN the plan (r9: no eager guard job per call), so
+    it fires lazily at action time via raise_error, not at construction."""
     from phenoxtract_spark.operators.linkage import blocked_fuzzy_pairs
 
     df = spark.createDataFrame(
         [(i, f"n{i}", "B", 1) for i in range(5)],
         "id bigint, name string, brand string, size int",
     )
-    with pytest.raises(ValueError, match="max_block"):
-        blocked_fuzzy_pairs(df, "id", "name", ["brand", "size"],
-                            max_dist=3, max_block=4)
+    out = blocked_fuzzy_pairs(df, "id", "name", ["brand", "size"],
+                              max_dist=3, max_block=4)  # lazy: no raise yet
+    with pytest.raises(Exception, match="max_block"):
+        out.collect()
 
 
 def test_er_clusters_transitive_and_singletons(spark):
