@@ -80,6 +80,7 @@ def _registry():
     from phenoxtract_spark import queries_curation, queries_llm, queries_tpch  # noqa: F401
     from phenoxtract_spark import queries_behavior, queries_semantic  # noqa: F401
     from phenoxtract_spark import queries_graph, queries_mining  # noqa: F401
+    from phenoxtract_spark import queries_skew  # noqa: F401
 
     reg = queries_core.QUERIES
     ordered = {n: reg[n] for n in _PRIORITY if n in reg}

@@ -102,7 +102,9 @@ EXPECTATIONS = [
     ("curation_sequence_packing", 1, 0, 0),
     ("profiling_histogram_equiwidth", 2, 0, 0),
     ("profiling_numeric_correlation", 3, 0, 0),
-    ("er_fuzzy_part_pairs", 0, 1, 0),    # in-block self-join broadcasts
+    # r9: the max_block valve moved INTO the plan (no eager guard job) —
+    # its per-block count is the one exchange; the guard dim broadcasts
+    ("er_fuzzy_part_pairs", 1, 2, 0),
     ("events_bot_detection", 3, 2, 0),
     ("events_dau_wau_mau", 4, 0, 0),     # range join vs the day dim is BNL
     ("text_langid_confusion", 3, 1, 0),
@@ -111,6 +113,13 @@ EXPECTATIONS = [
     ("curation_dedup_tradeoff", 3, 0, 0),
     ("curation_domain_mixture", 0, 0, 0),
     ("similarity_mmr_rerank", 0, 0, 0),
+    # r9 skew family: salted agg = exactly the two-phase pair (salt+key
+    # then key); value-salted distinct adds count_distinct's rewrite
+    # exchange; the salted join shuffles fact + replicated dim + final
+    # roll-up and must NOT sort-merge (shuffle_hash asserted below)
+    ("skew_salted_agg_revenue", 2, 0, 0),
+    ("skew_salted_distinct_orders", 3, 0, 0),
+    ("skew_salted_join_supplier", 3, 0, 0),
 ]
 
 
@@ -131,3 +140,41 @@ def test_bm25_topk_plans_take_ordered(spark, registry):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_salted_agg_two_phase_partitioning(spark, registry):
+    """The salted aggregate's defining property: the FIRST exchange
+    partitions by (key, salt) — the hot key spread over B cells — and
+    the SECOND by key alone.  A refactor that collapses the phases
+    (one exchange on the bare key) re-creates the straggler this
+    operator exists to kill."""
+    plan = (
+        registry["skew_salted_agg_revenue"](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    parts = [
+        line for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    assert len(parts) == 2, parts
+    # executed plans list the downstream (key-only) exchange first
+    key_only = [p for p in parts if "_groupingexpression" not in p
+                and "__pxs_salt" not in p]
+    salted = [p for p in parts if "_groupingexpression" in p
+              or "__pxs_salt" in p]
+    assert len(key_only) == 1 and len(salted) == 1, parts
+
+
+def test_salted_join_plans_shuffle_hash_not_smj(spark, registry):
+    """The salted join must plan as ShuffledHashJoin on (key, salt) —
+    never sort-merge (pointless sort of the replicated dim) and never
+    broadcast (the operator models the dim-too-big-to-broadcast
+    regime; broadcasting would silently bypass the salt entirely)."""
+    plan = (
+        registry["skew_salted_join_supplier"](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "__pxs_salt" in plan  # the salt is IN the join key
