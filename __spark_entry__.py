@@ -29,46 +29,48 @@ os.environ["PYTHONPATH"] = _REPO_DIR + os.pathsep + os.environ.get("PYTHONPATH",
 # row, so driver-green evidence accumulates across rounds.  Rotated-out
 # queries keep their green rows in CORRECTNESS_r{1,2,3}.json.
 _PRIORITY = [
-    # --- family representatives (driver-green in earlier rounds) ------
-    # cleaning / casting
-    "c1_trim_empty_to_null", "c3_ambivalent_cast",
-    # mapping / sources
-    "m2_synonym_mapping", "s3_transpose",
+    # --- family representatives (driver-green in earlier rounds; 13
+    # this round — trimmed so the r9+r10 rotations cover every
+    # remaining never-checked query) -----------------------------------
+    "c1_trim_empty_to_null", "m2_synonym_mapping",
     # grouping / packet assembly spine (always sampled — r4 verdict #6)
     "g2_group_collect", "g6_upsert_last", "g10_packet_json",
     "g13_medical_actions", "pipeline_e2e_packets",
     # ontology / events / dedup / similarity
     "x2_bidict_priority_lookup", "events_tumbling_hour",
-    "dedup_exact", "dedup_lsh_candidates", "similarity_ivf_topk",
+    "dedup_exact", "similarity_ivf_topk",
     # multimodal_features stays: r5's ONLY red row (array-typed result
     # crashed the driver's sort_values canon) — now posexploded to
     # atomic columns; its green r6 row is the fix evidence
     "multimodal_features",
     # curation_lr_calibration stays: r7's ONLY red driver row (a
     # summation-order flake) — now DECIMAL(28,12)-accumulated on both
-    # engines and 5/5 hash-stable under varied partitioning; its r8
-    # row proves the fix UNDER the driver
+    # engines and 5/5 hash-stable under varied partitioning; its green
+    # r8 row under the driver is the fix evidence
     "curation_lr_calibration",
-    # --- r8 first-time rotation (never driver-checked before; pool from
-    # tools/rotation_status.py — the late-r7 operators that missed the
-    # r7 prefix lead, per the r7 verdict) ------------------------------
-    "cdc_log_expiry", "events_markov_attribution", "graph_onion_layers",
-    "events_cusum_drift", "events_abtest_proportions",
-    "multimodal_shot_boundaries", "profiling_ndv_all_columns",
-    "profiling_completeness_profile", "text_mojibake_score",
-    "dedup_substring_shared_report", "dedup_lsh_recall",
-    "dedup_minhash_estimator_quality", "curation_web_pipeline_report",
+    # --- r9 first-time rotation (never driver-checked; pool from
+    # tools/rotation_status.py — the r8 mining family leads, per the r8
+    # verdict, plus this round's new skew-mitigation family) -----------
+    "skew_salted_agg_revenue", "skew_salted_distinct_orders",
+    "skew_salted_join_supplier",
+    "er_fuzzy_part_pairs", "er_fuzzy_part_clusters",
+    "curation_domain_mixture", "analytics_holt_linear",
+    "analytics_cohort_ltv", "events_dau_wau_mau",
+    "events_anomaly_ensemble", "curation_mixture_allocation",
+    "events_slo_burn", "events_bot_detection", "text_readability",
+    "profiling_numeric_correlation", "embedding_centroid_outliers",
+    "graph_resource_allocation", "profiling_histogram_equiwidth",
+    "embedding_pipeline_e2e", "similarity_mmr_rerank",
+    "text_langid_confusion", "text_tokenizer_fertility",
+    "curation_sequence_packing", "curation_dedup_tradeoff",
+    "quality_referential_integrity", "events_forecast_backtest",
+    "graph_hierarchy_rollup",
     # remaining slots: family-diverse never-checked queries
-    "multimodal_patch_plan", "sketch_join_size_estimate",
-    "analytics_winsorized_stats", "analytics_gini_concentration",
-    "profiling_functional_deps", "analytics_share_shift",
-    "analytics_fulfillment_lag", "dedup_cluster_size_histogram",
-    "c4_specific_cast", "c9_c11_time_element",
-    "text_pii_scrub", "curation_split", "curation_decontaminate",
-    "quality_constraints", "text_vocab_topk",
-    "curation_gopher_rules", "curation_dsir_select",
-    "tpch_q4_order_priority", "tpch_q13_customer_distribution",
-    "events_user_entropy", "graph_triangle_count",
+    "tpch_q8_market_share", "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity", "tpch_q21_suppliers_kept_waiting",
+    "grouping_sets_revenue", "analytics_rfm_segments",
+    "events_transition_entropy", "process_conformance_orders",
+    "events_temporal_embargo_split", "events_purchase_intervals",
 ]
 
 
