@@ -73,6 +73,9 @@ HEADLINE = [
     "er_fuzzy_part_pairs",
     "profiling_numeric_correlation",
     "analytics_holt_linear",
+    # round-9 addition: the skew-mitigation flagship (salted shuffle
+    # join on the planted 90%-hot fk — SHJ on (key, salt), no SMJ)
+    "skew_salted_join_supplier",
 ]
 
 # Scale-sensitive subset re-run at sf1 (10x).  Linear operators should land

@@ -781,14 +781,29 @@ def duplicate_span_pairs(df: DataFrame, id_col: str, text_col: str,
     from pyspark.sql.window import Window
 
     anchors = substring_anchors(df, id_col, text_col, gram).localCheckpoint(eager=True)
+    # SCALE HAZARD (found at sf10, r9): localCheckpoint REPLACES the plan
+    # with a LogicalRDD whose size estimate comes from the in-memory
+    # block accounting — measured 1.8 MB for 13.2M anchor rows at sf1 —
+    # so the planner happily BROADCASTS this data-sized relation into
+    # its own self-join and the build collect detonates
+    # spark.driver.maxResultSize (2 GiB of task results at sf10).  Pin
+    # the join to sort-merge: the anchors relation may never broadcast,
+    # and shuffle_hash was tried and ALSO dies at sf10 ("Can't acquire
+    # 268435456 bytes memory to build hash relation" — 132M anchors /
+    # 32 partitions is a >100 MB per-task build even before a hot
+    # bucket).  SMJ is the only strategy of the three that spills, i.e.
+    # the only one whose failure mode at 100 TB is slowness, not an
+    # error; at sf1 its steady state matches the old broadcast
+    # (interleaved: 10.2 s vs 10.9 s; only the cold rep is slower).
     if max_bucket is not None:
         sizes = anchors.groupBy("h").agg(F.count(F.lit(1)).alias("_n"))
         anchors = (
-            anchors.join(sizes, "h").filter(F.col("_n") <= max_bucket).drop("_n")
+            anchors.join(sizes.hint("merge"), "h")
+            .filter(F.col("_n") <= max_bucket).drop("_n")
         )
     a = anchors.select(F.col("id").alias("id_a"), F.col("pos").alias("pa"), "h")
     b = anchors.select(F.col("id").alias("id_b"), F.col("pos").alias("pb"), "h")
-    m = a.join(b, "h").filter(F.col("id_a") < F.col("id_b"))
+    m = a.join(b.hint("merge"), "h").filter(F.col("id_a") < F.col("id_b"))
     return _diagonal_spans(m, gram)
 
 
@@ -840,9 +855,15 @@ def cross_duplicate_spans(corpus: DataFrame, benchmark: DataFrame,
     :func:`duplicate_span_pairs`."""
     a = substring_anchors(corpus, id_col, text_col, gram)
     if max_bucket is not None:
+        # post-checkpoint stats are bogus-small (see duplicate_span_pairs):
+        # pin the data-sized sizes join to sort-merge so it can't broadcast
+        # (and can spill, unlike shuffle_hash — the sf10 lesson)
         a = a.localCheckpoint(eager=True)
         sizes = a.groupBy("h").agg(F.count(F.lit(1)).alias("_n"))
-        a = a.join(sizes, "h").filter(F.col("_n") <= max_bucket).drop("_n")
+        a = (
+            a.join(sizes.hint("merge"), "h")
+            .filter(F.col("_n") <= max_bucket).drop("_n")
+        )
     b = substring_anchors(benchmark, id_col, text_col, gram)
     if broadcast_benchmark:
         b = F.broadcast(b)

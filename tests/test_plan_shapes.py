@@ -58,9 +58,14 @@ EXPECTATIONS = [
     # r6: WARC roundtrip is one applyInPandas groupBy + a shuffle-free
     # mapInPandas parse — payloads never shuffle
     ("warc_ingest_roundtrip", 1, 0, 0),
-    # r6: substring spans post-checkpoint = the diagonal window exchange
-    # (the bucket self-join broadcasts at this scale)
-    ("dedup_substring_spans", 1, 1, 0),
+    # r9: the anchor self-join is PINNED to sort-merge — post-checkpoint
+    # stats are bogus-small (1.8 MB reported for 13.2M rows) and the old
+    # broadcast detonated maxResultSize at sf10; shuffle_hash was tried
+    # and also dies there (hash-relation build memory).  SMJ spills, so
+    # its 100 TB failure mode is slowness, not an error.  Exchanges: two
+    # join sides + the diagonal window; ONE SMJ; never a broadcast of
+    # the data-sized anchors
+    ("dedup_substring_spans", 3, 0, 1),
     # r6: CDC apply = LWW window + ONE full outer join (sort-merge: full
     # outer cannot broadcast), nothing else
     ("cdc_apply_customers", 2, 0, 1),
@@ -178,3 +183,19 @@ def test_salted_join_plans_shuffle_hash_not_smj(spark, registry):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" not in plan
     assert "__pxs_salt" in plan  # the salt is IN the join key
+
+
+def test_substring_anchor_join_never_broadcasts(spark, registry):
+    """The anchors relation is data-sized; after localCheckpoint its
+    stats are bogus-small (measured 1.8 MB for 13.2M rows) and an
+    unhinted plan BROADCASTS it — which killed the sf10 run with 2 GiB
+    of build-collect task results (and a shuffle_hash pin died there
+    too: hash-relation build memory).  Pin: SortMergeJoin — the one
+    spill-safe strategy — and zero BroadcastHashJoin in the subtree."""
+    plan = (
+        registry["dedup_substring_spans"](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" not in plan

@@ -70,9 +70,23 @@ def _scaled_copies(table, id_cols, text_col, copies):
     return pa.concat_tables(out)
 
 
+# opt-in (scale_dims=True): also scale the customer/orders spine so the
+# packet-assembly path has a real scaling fixture.  Key shifts are
+# CONSISTENT across tables (o_orderkey matches lineitem.l_orderkey's
+# shift; o_custkey matches c_custkey's), so fk joins keep their fanout.
+# NOT the default: the canonical sf1 fixture (dims verbatim) is what
+# every recorded sweep/bench number was measured on — changing it would
+# silently re-baseline round-over-round comparisons.
+SCALED_DIMS = {
+    "customer": (["c_custkey"], None),
+    "orders": (["o_orderkey", "o_custkey"], None),
+}
+
+
 def generate(src_dir: str = "/root/testdata/sf0.1",
              out_dir: str = "/tmp/phenoxtract_sf1",
-             copies: int = COPIES, force: bool = False) -> str:
+             copies: int = COPIES, force: bool = False,
+             scale_dims: bool = False) -> str:
     """Build the scaled dataset; returns ``out_dir``.  No-op if the marker
     file exists (cheap cache for repeated bench runs)."""
     marker = os.path.join(out_dir, "_GENERATED")
@@ -80,18 +94,24 @@ def generate(src_dir: str = "/root/testdata/sf0.1",
         return out_dir
     import pyarrow.parquet as pq
 
+    scaled_tables = dict(SCALED)
+    verbatim = list(COPY_VERBATIM)
+    if scale_dims:
+        scaled_tables.update(SCALED_DIMS)
+        verbatim = [n for n in verbatim if n not in SCALED_DIMS]
+
     os.makedirs(out_dir, exist_ok=True)
-    for name, (id_cols, text_col) in SCALED.items():
+    for name, (id_cols, text_col) in scaled_tables.items():
         src = os.path.join(src_dir, f"{name}.parquet")
         table = pq.read_table(src)
         scaled = _scaled_copies(table, id_cols, text_col, copies)
         pq.write_table(scaled, os.path.join(out_dir, f"{name}.parquet"))
-    for name in COPY_VERBATIM:
+    for name in verbatim:
         src = os.path.join(src_dir, f"{name}.parquet")
         if os.path.exists(src):
             shutil.copyfile(src, os.path.join(out_dir, f"{name}.parquet"))
     with open(marker, "w") as f:
-        f.write(f"copies={copies} src={src_dir}\n")
+        f.write(f"copies={copies} src={src_dir} scale_dims={scale_dims}\n")
     return out_dir
 
 
