@@ -29,7 +29,7 @@ os.environ["PYTHONPATH"] = _REPO_DIR + os.pathsep + os.environ.get("PYTHONPATH",
 # row, so driver-green evidence accumulates across rounds.  Rotated-out
 # queries keep their green rows in CORRECTNESS_r{1,2,3}.json.
 _PRIORITY = [
-    # --- family representatives (driver-green in earlier rounds; 13
+    # --- family representatives (driver-green in earlier rounds; 14
     # this round — trimmed so the r9+r10 rotations cover every
     # remaining never-checked query) -----------------------------------
     "c1_trim_empty_to_null", "m2_synonym_mapping",
@@ -48,6 +48,8 @@ _PRIORITY = [
     # engines and 5/5 hash-stable under varied partitioning; its green
     # r8 row under the driver is the fix evidence
     "curation_lr_calibration",
+    # source-transform spine rep (pytest pins the prefix to cover it)
+    "s3_transpose",
     # --- r9 first-time rotation (never driver-checked; pool from
     # tools/rotation_status.py — the r8 mining family leads, per the r8
     # verdict, plus this round's new skew-mitigation family) -----------
@@ -70,7 +72,7 @@ _PRIORITY = [
     "tpch_q17_small_quantity", "tpch_q21_suppliers_kept_waiting",
     "grouping_sets_revenue", "analytics_rfm_segments",
     "events_transition_entropy", "process_conformance_orders",
-    "events_temporal_embargo_split", "events_purchase_intervals",
+    "events_temporal_embargo_split",
 ]
 
 

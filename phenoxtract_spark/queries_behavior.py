@@ -1204,3 +1204,96 @@ def events_abtest_proportions_q(spark, sf_dir):
         F.round(z, 6).alias("z_stat"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# survival analysis: time-to-first-purchase hazard table
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "events_survival_hazard",
+    """
+    WITH u AS (
+      SELECT user_id, min(ts) AS t0, max(ts) AS t_last,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_p
+      FROM events GROUP BY user_id
+    ),
+    d AS (
+      SELECT CASE WHEN t_p IS NOT NULL THEN date_diff('day', t0, t_p)
+                  ELSE date_diff('day', t0, t_last) END AS dur,
+             CASE WHEN t_p IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM u
+    ),
+    byday AS (
+      SELECT dur AS day, sum(ev) AS n_event, sum(1 - ev) AS n_censored,
+             count(*) AS n_leaving
+      FROM d GROUP BY dur
+    ),
+    km AS (
+      SELECT day, n_event, n_censored,
+             (SELECT count(*) FROM d)
+               - coalesce(sum(n_leaving) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM byday
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(n_event AS BIGINT) AS n_event,
+           CAST(n_censored AS BIGINT) AS n_censored,
+           CAST((n_event * 10000) // n_risk AS BIGINT) AS hazard_bp
+    FROM km WHERE n_event > 0
+    """,
+)
+def events_survival_hazard_q(spark, sf_dir):
+    """Kaplan-Meier at-risk table for time-to-first-purchase: per user,
+    duration runs from the first event to the first purchase (the event)
+    or to the last observed event (right-censored).  For each duration
+    day with >= 1 conversion the row reports the risk set, conversions,
+    censorings, and the discrete hazard in exact integer basis points
+    (n_event * 10^4 DIV n_risk — never a float division, so both
+    engines agree bit-for-bit).  Scale shape: one groupBy(user) pass
+    over the event log, then all survival arithmetic happens on the
+    duration-day relation, which is CALENDAR-BOUNDED (one row per
+    distinct duration day, <= the dataset's day span) — the cumulative
+    risk-set window is therefore a deliberate single-task window over
+    ~hundreds of rows, same documented posture as events_slo_burn and
+    events_dau_wau_mau.  The censoring rule is the standard KM
+    convention: censored users leave the risk set the day after their
+    duration, conversions count against the risk set of their own day."""
+    from pyspark.sql.window import Window
+
+    e = read_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t_last"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_p"),
+    )
+    d = u.select(
+        F.when(
+            F.col("t_p").isNotNull(), F.datediff(F.col("t_p"), F.col("t0"))
+        )
+        .otherwise(F.datediff(F.col("t_last"), F.col("t0")))
+        .cast("bigint")
+        .alias("dur"),
+        F.when(F.col("t_p").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("ev"),
+    )
+    byday = d.groupBy(F.col("dur").alias("day")).agg(
+        F.sum("ev").alias("n_event"),
+        F.sum(F.lit(1) - F.col("ev")).alias("n_censored"),
+        F.count(F.lit(1)).alias("n_leaving"),
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    km = byday.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk",
+        F.col("n_users") - F.coalesce(F.sum("n_leaving").over(w), F.lit(0)),
+    )
+    return km.filter(F.col("n_event") > 0).select(
+        F.col("day").cast("bigint").alias("day"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("n_event").cast("bigint").alias("n_event"),
+        F.col("n_censored").cast("bigint").alias("n_censored"),
+        F.expr("(n_event * 10000) DIV n_risk").cast("bigint").alias("hazard_bp"),
+    )

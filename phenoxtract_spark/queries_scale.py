@@ -3540,3 +3540,107 @@ def multimodal_ahash_pairs_q(spark, sf_dir):
     media = multimodal.synthetic_bmp_media(lead, "doc_id", "text", width=24, height=16)
     hashes = multimodal.image_ahash(media)
     return multimodal.ahash_banded_pairs(hashes, max_hamming=6)
+
+
+# ---------------------------------------------------------------------------
+# sample-then-verify heavy hitters
+# ---------------------------------------------------------------------------
+
+_HH_KEY_SQL = """CASE WHEN l_orderkey % 10 < 9 THEN l_partkey % 8
+                      ELSE 8 + (l_partkey % 4096) END"""
+_HH_ROW_HASH_SQL = """substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                      || CAST(l_linenumber AS VARCHAR)), 1, 1)"""
+
+
+@q(
+    "sketch_sampled_heavyhitters",
+    f"""
+    WITH keyed AS (
+      SELECT {_HH_KEY_SQL} AS key, {_HH_ROW_HASH_SQL} AS h
+      FROM lineitem
+    ),
+    tot AS (SELECT count(*) AS n_total FROM keyed),
+    samp AS (SELECT key, count(*) AS sample_cnt FROM keyed
+             WHERE h IN ('0', '1') GROUP BY key),
+    stot AS (SELECT sum(sample_cnt) AS n_sample FROM samp),
+    cand AS (SELECT key, sample_cnt FROM samp, stot
+             WHERE sample_cnt * 1000 >= n_sample),
+    exact AS (
+      SELECT k.key AS key, count(*) AS exact_cnt,
+             any_value(c.sample_cnt) AS sample_cnt
+      FROM keyed k JOIN cand c ON k.key = c.key
+      GROUP BY k.key
+    )
+    SELECT CAST(key AS BIGINT) AS key,
+           CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(sample_cnt AS BIGINT) AS sample_cnt,
+           CAST(exact_cnt * 10000 // n_total AS BIGINT) AS share_bp
+    FROM exact, tot
+    WHERE exact_cnt * 1000 >= n_total
+    """,
+)
+def sketch_sampled_heavyhitters_q(spark, sf_dir):
+    """Heavy-hitter keys by SAMPLE-THEN-VERIFY — the two-pass pattern
+    that replaces a full groupBy over a huge keyspace at 100 TB.  Pass 1
+    aggregates only a deterministic 1/8 row sample (md5 of the row id,
+    engine-replayable — never rand()) and keeps keys holding >= 0.1% of
+    the sample; pass 2 re-scans the full table with the candidate set
+    BROADCAST into the scan, so the exact-count shuffle carries only
+    candidate rows (here 8 keys of a ~4k keyspace), not |keys| groups.
+    Reported counts are therefore EXACT, with the one-sided guarantee of
+    the pattern: no false positives survive the verify pass; a key can
+    be missed only if the sample undershoots 8x its threshold, and the
+    deterministic sample means both engines miss identically.  The
+    fixture's uniform columns carry no heavy keys, so the key is a
+    planted Zipf head (8 keys own 90% of rows; same precedent as the
+    skew_* family).  Fully decomposable: both aggregation passes
+    map-side combine, and at 1000 executors the candidate dim stays a
+    broadcast of O(heavy keys)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        F.when(F.col("l_orderkey") % 10 < 9, F.col("l_partkey") % 8)
+        .otherwise(F.lit(8) + F.col("l_partkey") % 4096)
+        .cast("bigint")
+        .alias("key"),
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            1,
+        ).alias("h"),
+    )
+    tot = keyed.agg(F.count(F.lit(1)).alias("n_total"))
+    samp = (
+        keyed.filter(F.col("h").isin("0", "1"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("sample_cnt"))
+    )
+    stot = samp.agg(F.sum("sample_cnt").alias("n_sample"))
+    cand = (
+        samp.crossJoin(F.broadcast(stot))
+        .filter(F.col("sample_cnt") * 1000 >= F.col("n_sample"))
+        .select("key", "sample_cnt")
+    )
+    exact = (
+        keyed.join(F.broadcast(cand), "key")
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("exact_cnt"),
+            F.first("sample_cnt").alias("sample_cnt"),
+        )
+    )
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("exact_cnt") * 1000 >= F.col("n_total"))
+        .select(
+            F.col("key").cast("bigint").alias("key"),
+            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+            F.col("sample_cnt").cast("bigint").alias("sample_cnt"),
+            F.expr("exact_cnt * 10000 DIV n_total").cast("bigint").alias("share_bp"),
+        )
+    )

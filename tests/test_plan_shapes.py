@@ -125,6 +125,14 @@ EXPECTATIONS = [
     ("skew_salted_agg_revenue", 2, 0, 0),
     ("skew_salted_distinct_orders", 3, 0, 0),
     ("skew_salted_join_supplier", 3, 0, 0),
+    # r9 continuation: sample-then-verify heavy hitters — the candidate
+    # set must BROADCAST into the verify scan (the whole point: the
+    # exact-count shuffle carries only candidate rows); the 5 exchanges
+    # are the two count-aggregate passes + three 1-row totals.  The KM
+    # table's exchanges are the user rollup, the duration rollup, the
+    # 1-row user count, and the calendar-bounded single-task window.
+    ("sketch_sampled_heavyhitters", 5, 1, 0),
+    ("events_survival_hazard", 5, 0, 0),
 ]
 
 
