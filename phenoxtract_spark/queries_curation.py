@@ -2401,3 +2401,79 @@ def curation_web_pipeline_report_q(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# within-document overlap chunking (RAG / long-context prep)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "curation_chunk_overlap",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split({_NORM}, ' '), x -> x != '') AS t
+      FROM documents
+    ),
+    sized AS (SELECT doc_id, t, len(t) AS n FROM toks),
+    k AS (
+      SELECT doc_id, t, n,
+             CASE WHEN n <= 16 THEN 1 ELSE 1 + (n - 16 + 11) // 12 END
+               AS n_chunks
+      FROM sized
+    ),
+    c AS (
+      SELECT doc_id, chunk_idx, chunk_idx * 12 AS start_tok,
+             least(chunk_idx * 12 + 16, n) AS end_tok, t
+      FROM k, unnest(generate_series(0, n_chunks - 1)) AS u(chunk_idx)
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(end_tok - start_tok AS BIGINT) AS n_tok,
+           array_to_string(list_slice(t, start_tok + 1, end_tok), ' ')
+             AS chunk_text
+    FROM c
+    """,
+)
+def curation_chunk_overlap_q(spark, sf_dir):
+    """Sliding-window document chunking with overlap (chunk = 16 tokens,
+    stride = 12 → 25% overlap) — the WITHIN-document retrieval/long-context
+    chunker, complementing curation_pack_sequences (which concat-and-chunks
+    ACROSS documents for training batches).  Chunk count per doc is pure
+    integer arithmetic (1 + ceil((n-16)/12), floored at 1 so empty docs
+    still emit their one empty chunk) and the chunk text is an array slice
+    of the one tokenization — the text is tokenized ONCE, not per chunk.
+    Scale shape: a generator projection (explode of an n_chunks-sized
+    sequence) with zero shuffles; output grows by the overlap factor
+    (~n/stride per doc), stated here because a silent 1.33x corpus
+    amplification is exactly the thing to budget for at 100 TB."""
+    from .operators.textanalysis import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", tokens("text").alias("t")
+    ).withColumn("n", F.size("t").cast("bigint"))
+    k = sized.withColumn(
+        "n_chunks",
+        F.expr("CASE WHEN n <= 16 THEN 1 ELSE 1 + (n - 16 + 11) DIV 12 END"),
+    )
+    c = k.select(
+        "doc_id", "t", "n",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        (F.col("chunk_idx") * 12).cast("bigint").alias("start_tok"),
+        (F.least(F.col("chunk_idx") * 12 + 16, F.col("n"))
+         - F.col("chunk_idx") * 12).cast("bigint").alias("n_tok"),
+        F.array_join(
+            F.slice(
+                F.col("t"),
+                (F.col("chunk_idx") * 12 + 1).cast("int"),
+                (F.least(F.col("chunk_idx") * 12 + 16, F.col("n"))
+                 - F.col("chunk_idx") * 12).cast("int"),
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+    return c

@@ -857,3 +857,83 @@ def profiling_join_fanout_q(spark, sf_dir):
         F.col("l_orderkey").alias("k")
     )
     return joins.join_fanout_profile(o, li, ["k"])
+
+
+@q(
+    "join_scd2_point_in_time",
+    """
+    WITH v0 AS (
+      SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             lag(value) OVER (PARTITION BY user_id
+                              ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+      FROM events WHERE event_type = 'view'
+    ),
+    dim AS (
+      SELECT user_id, round(value, 2) AS dim_value, us AS eff_from,
+             lead(us) OVER (PARTITION BY user_id ORDER BY us) AS eff_to,
+             row_number() OVER (PARTITION BY user_id ORDER BY us) AS version_no
+      FROM v0 WHERE prev IS NULL OR value IS DISTINCT FROM prev
+    ),
+    probes AS (
+      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS pus
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           CAST(d.version_no AS BIGINT) AS version_no,
+           d.dim_value
+    FROM probes p JOIN dim d
+      ON p.user_id = d.user_id AND d.eff_from <= p.pus
+     AND (d.eff_to IS NULL OR p.pus < d.eff_to)
+    """,
+)
+def join_scd2_point_in_time_q(spark, sf_dir):
+    """Point-in-time join against an SCD2 dimension — the feature-store
+    correctness primitive: each label event (purchase) joins the dimension
+    VERSION that was valid at its own timestamp ([eff_from, eff_to)
+    half-open tiling), never the current row — joining current-state
+    attributes onto historical labels is the classic label-leakage bug.
+    The dimension is built inline with the events_scd2_versions recipe
+    (consecutive-unchanged collapse, one (user) partitioning).  Scale
+    shape: equi-join on the entity key carries the range predicate as a
+    residual filter, so the shuffle is keyed by user — fanout bounded by
+    versions-per-user, and the version windows tile, so exactly one
+    version survives per matched probe (purchases before the first view
+    version drop: inner semantics).  At 100 TB both sides arrive
+    user-partitioned and the join co-locates."""
+    from pyspark.sql.window import Window
+
+    e = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("timestamp"), "event_id"
+    )
+    v0 = (
+        e.filter(F.col("event_type") == "view")
+        .select(
+            "user_id", "value", us.alias("us"),
+            F.lag("value").over(w).alias("prev"),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("us")
+    dim = (
+        v0.filter(F.col("prev").isNull() | ~F.col("value").eqNullSafe(F.col("prev")))
+        .select(
+            "user_id",
+            F.round("value", 2).alias("dim_value"),
+            F.col("us").alias("eff_from"),
+            F.lead("us").over(w2).alias("eff_to"),
+            F.row_number().over(w2).cast("bigint").alias("version_no"),
+        )
+    )
+    probes = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us.alias("pus")
+    )
+    joined = probes.join(
+        dim,
+        (probes["user_id"] == dim["user_id"])
+        & (dim["eff_from"] <= probes["pus"])
+        & (dim["eff_to"].isNull() | (probes["pus"] < dim["eff_to"])),
+    )
+    return joined.select(
+        probes["event_id"], probes["user_id"], "version_no", "dim_value"
+    )

@@ -133,6 +133,11 @@ EXPECTATIONS = [
     # 1-row user count, and the calendar-bounded single-task window.
     ("sketch_sampled_heavyhitters", 5, 1, 0),
     ("events_survival_hazard", 5, 0, 0),
+    # PIT/SCD2 join: ONE user-keyed exchange feeds both window passes AND
+    # the entity-keyed join (range predicate rides as a residual filter,
+    # never a cartesian); the chunker is a pure generator projection
+    ("join_scd2_point_in_time", 2, 0, 1),
+    ("curation_chunk_overlap", 0, 0, 0),
 ]
 
 

@@ -189,3 +189,129 @@ def test_partitioned_write_scan_prunes(spark, tmp_path):
         .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert {(r.event_type, r.n) for r in q.collect()} == expected
+
+
+def test_scd2_point_in_time_brute_force(spark, tmp_path):
+    """PIT join semantics on a planted version history: boundary probes
+    take the NEW version (half-open windows), pre-history probes drop,
+    current-row probes match the open-ended version."""
+    import __spark_entry__ as ent
+
+    base = datetime.datetime(2024, 5, 1, 0, 0, 0)
+    m = datetime.timedelta(minutes=1)
+    rows = []
+    eid = 0
+
+    def ev(u, t, typ, val):
+        nonlocal eid
+        rows.append((eid, t, u, typ, val, None))
+        eid += 1
+
+    # user 1 dim history: v1 value 1.0 @t0, (unchanged 1.0 @t0+2 collapses),
+    # v2 value 2.0 @t0+4, v3 value 3.0 @t0+8 (open-ended)
+    ev(1, base + 0 * m, "view", 1.0)
+    ev(1, base + 2 * m, "view", 1.0)
+    ev(1, base + 4 * m, "view", 2.0)
+    ev(1, base + 8 * m, "view", 3.0)
+    # probes: before history (drops), inside v1, EXACTLY at v2's boundary
+    # (must take v2, not v1), inside v2, far in the open-ended v3
+    ev(1, base - 1 * m, "purchase", 0.0)
+    ev(1, base + 1 * m, "purchase", 0.0)
+    ev(1, base + 4 * m, "purchase", 0.0)
+    ev(1, base + 5 * m, "purchase", 0.0)
+    ev(1, base + 500 * m, "purchase", 0.0)
+    # user 2: no views at all -> its probe drops
+    ev(2, base + 1 * m, "purchase", 0.0)
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    _write(df, tmp_path, "events")
+    out = {r.event_id: (r.version_no, r.dim_value) for r in
+           ent.queries()["join_scd2_point_in_time"](
+               spark, str(tmp_path)).collect()}
+
+    # probe event_ids are 4..9 in insertion order
+    assert 4 not in out            # pre-history
+    assert out[5] == (1, 1.0)      # inside v1
+    assert out[6] == (2, 2.0)      # boundary -> new version
+    assert out[7] == (2, 2.0)      # inside v2
+    assert out[8] == (3, 3.0)      # open-ended current version
+    assert 9 not in out            # user without history
+    assert len(out) == 4
+
+
+def test_chunk_overlap_brute_force(spark, tmp_path):
+    """Chunk boundaries, counts, and texts match a pure-Python sliding
+    window (size 16, stride 12) including the empty-doc and exact-fit
+    edge cases."""
+    import __spark_entry__ as ent
+
+    texts = {
+        1: " ".join(f"w{i}" for i in range(40)),   # 40 tokens -> 3 chunks
+        2: " ".join(f"w{i}" for i in range(16)),   # exact fit -> 1 chunk
+        3: " ".join(f"w{i}" for i in range(17)),   # 1 over -> 2 chunks
+        4: "",                                      # empty -> 1 empty chunk
+        5: "single",                                # 1 token -> 1 chunk
+    }
+    df = spark.createDataFrame(
+        [(k, v, "en", "src", len(v)) for k, v in texts.items()],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    _write(df, tmp_path, "documents")
+    out = {}
+    for r in ent.queries()["curation_chunk_overlap"](
+            spark, str(tmp_path)).collect():
+        out.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.start_tok, r.n_tok, r.chunk_text))
+
+    for doc_id, text in texts.items():
+        toks = [t for t in text.lower().split() if t]
+        n = len(toks)
+        k = 1 if n <= 16 else 1 + -(-(n - 16) // 12)
+        expected = []
+        for i in range(k):
+            s = i * 12
+            e = min(s + 16, n)
+            expected.append((i, s, e - s, " ".join(toks[s:e])))
+        assert sorted(out[doc_id]) == expected, doc_id
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Two tables bucketed identically on the join key must equi-join with
+    ZERO exchanges — the co-located join that bucketing buys at 100 TB
+    (the write pays the shuffle once; every later join rides it free)."""
+    from pyspark.sql import functions as F
+
+    from phenoxtract_spark.operators import joins
+
+    left = spark.createDataFrame(
+        [(i % 50, i) for i in range(500)], "k bigint, a bigint")
+    right = spark.createDataFrame(
+        [(i % 50, i * 2) for i in range(300)], "k bigint, b bigint")
+    joins.write_bucketed(left, "buck_l", ["k"], num_buckets=8)
+    joins.write_bucketed(right, "buck_r", ["k"], num_buckets=8)
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a real two-sided join (the tiny test tables would
+        # otherwise broadcast, which proves nothing about co-location)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        l, r = spark.table("buck_l"), spark.table("buck_r")
+        j = l.join(r, "k").groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        shuffles = (plan.count("Exchange")
+                    - plan.count("BroadcastExchange")
+                    - plan.count("RoundRobinPartitioning"))
+        assert shuffles == 0, plan
+        assert "SortMergeJoin" in plan
+        assert "SelectedBucketsCount: 8 out of 8" in plan
+        # and the result is right
+        got = {(row.k, row.n) for row in j.collect()}
+        expected = {(k, 10 * 6) for k in range(50)}
+        assert got == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        spark.sql("DROP TABLE IF EXISTS buck_l")
+        spark.sql("DROP TABLE IF EXISTS buck_r")
