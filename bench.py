@@ -76,6 +76,12 @@ HEADLINE = [
     # round-9 addition: the skew-mitigation flagship (salted shuffle
     # join on the planted 90%-hot fk — SHJ on (key, salt), no SMJ)
     "skew_salted_join_supplier",
+    # round-9 continuation: sample-then-verify heavy hitters (two-pass
+    # candidate/broadcast-verify), the PIT/SCD2 feature-store join, and
+    # the zero-shuffle overlap chunker
+    "sketch_sampled_heavyhitters",
+    "join_scd2_point_in_time",
+    "curation_chunk_overlap",
 ]
 
 # Scale-sensitive subset re-run at sf1 (10x).  Linear operators should land
