@@ -1297,3 +1297,104 @@ def events_survival_hazard_q(spark, sf_dir):
         F.col("n_censored").cast("bigint").alias("n_censored"),
         F.expr("(n_event * 10000) DIV n_risk").cast("bigint").alias("hazard_bp"),
     )
+
+
+@q(
+    "events_uplift_did",
+    """
+    WITH span AS (
+      SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
+             max(epoch_us(CAST(ts AS TIMESTAMP))) AS hi
+      FROM events
+    ),
+    base AS (
+      SELECT ('0x' || substr(md5('did-v1::' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS treated,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) - lo >= (hi - lo) // 2
+                  THEN 1 ELSE 0 END AS post,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events, span WHERE event_type = 'purchase'
+    ),
+    cells AS (
+      SELECT CAST(sum(CASE WHEN treated = 1 AND post = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_t0,
+             CAST(sum(CASE WHEN treated = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_t0,
+             CAST(sum(CASE WHEN treated = 1 AND post = 1 THEN cents ELSE 0 END) AS BIGINT) AS s_t1,
+             CAST(sum(CASE WHEN treated = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t1,
+             CAST(sum(CASE WHEN treated = 0 AND post = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_c0,
+             CAST(sum(CASE WHEN treated = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c0,
+             CAST(sum(CASE WHEN treated = 0 AND post = 1 THEN cents ELSE 0 END) AS BIGINT) AS s_c1,
+             CAST(sum(CASE WHEN treated = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_c1
+      FROM base
+    )
+    SELECT n_t0, n_t1, n_c0, n_c1,
+           CAST(s_t0 * 100 // n_t0 AS BIGINT) AS mean_t_pre_cc,
+           CAST(s_t1 * 100 // n_t1 AS BIGINT) AS mean_t_post_cc,
+           CAST(s_c0 * 100 // n_c0 AS BIGINT) AS mean_c_pre_cc,
+           CAST(s_c1 * 100 // n_c1 AS BIGINT) AS mean_c_post_cc,
+           CAST((s_t1 * 100 // n_t1) - (s_t0 * 100 // n_t0)
+                - ((s_c1 * 100 // n_c1) - (s_c0 * 100 // n_c0)) AS BIGINT)
+             AS did_cc
+    FROM cells
+    """,
+)
+def events_uplift_did_q(spark, sf_dir):
+    """Difference-in-differences uplift estimate on purchase value —
+    completes the experimentation family next to the two-proportion
+    z-test: treatment arm = deterministic md5 user hash ('did-v1' seed,
+    null assignment on this fixture so the estimate should hover near 0),
+    post period = second half of the observed time span (boundary from a
+    1-row min/max aggregate, broadcast).  All four cell means and the DiD
+    estimate are exact integer centi-cents (sum*100 DIV n — floors
+    compose identically on both engines; never a float mean).  Scale
+    shape: one conditional aggregate over the purchase slice — a single
+    map-side-combinable pass, one row out; the span dim is the only
+    other relation."""
+    e = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    span = e.agg(F.min(us).alias("lo"), F.max(us).alias("hi"))
+    base = (
+        e.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(span))
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("did-v1::"),
+                                       F.col("user_id").cast("string"))),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("bigint") % 2
+            ).alias("treated"),
+            F.when(us - F.col("lo") >= F.expr("(hi - lo) DIV 2"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("post"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+
+    def _cell(t, p, expr):
+        cond = (F.col("treated") == t) & (F.col("post") == p)
+        return F.sum(F.when(cond, expr).otherwise(F.lit(0))).cast("bigint")
+
+    cells = base.agg(
+        _cell(1, 0, F.col("cents")).alias("s_t0"),
+        _cell(1, 0, F.lit(1)).alias("n_t0"),
+        _cell(1, 1, F.col("cents")).alias("s_t1"),
+        _cell(1, 1, F.lit(1)).alias("n_t1"),
+        _cell(0, 0, F.col("cents")).alias("s_c0"),
+        _cell(0, 0, F.lit(1)).alias("n_c0"),
+        _cell(0, 1, F.col("cents")).alias("s_c1"),
+        _cell(0, 1, F.lit(1)).alias("n_c1"),
+    )
+    return cells.select(
+        "n_t0", "n_t1", "n_c0", "n_c1",
+        F.expr("s_t0 * 100 DIV n_t0").cast("bigint").alias("mean_t_pre_cc"),
+        F.expr("s_t1 * 100 DIV n_t1").cast("bigint").alias("mean_t_post_cc"),
+        F.expr("s_c0 * 100 DIV n_c0").cast("bigint").alias("mean_c_pre_cc"),
+        F.expr("s_c1 * 100 DIV n_c1").cast("bigint").alias("mean_c_post_cc"),
+        F.expr(
+            "(s_t1 * 100 DIV n_t1) - (s_t0 * 100 DIV n_t0)"
+            " - ((s_c1 * 100 DIV n_c1) - (s_c0 * 100 DIV n_c0))"
+        ).cast("bigint").alias("did_cc"),
+    )

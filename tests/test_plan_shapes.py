@@ -138,6 +138,8 @@ EXPECTATIONS = [
     # never a cartesian); the chunker is a pure generator projection
     ("join_scd2_point_in_time", 2, 0, 1),
     ("curation_chunk_overlap", 0, 0, 0),
+    # DiD: one conditional-aggregate pass + the 1-row span broadcast
+    ("events_uplift_did", 2, 0, 0),
 ]
 
 

@@ -315,3 +315,44 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
         spark.sql("DROP TABLE IF EXISTS buck_l")
         spark.sql("DROP TABLE IF EXISTS buck_r")
+
+
+def test_uplift_did_brute_force(spark, tmp_path):
+    """DiD cells and estimate match a pure-Python replay with a PLANTED
+    treatment uplift: users are pre-assigned by replicating the md5 arm
+    hash, treated users get +50 value in the post period only, and the
+    estimate must recover exactly +5000 centi-cents."""
+    import __spark_entry__ as ent
+
+    def arm(u):
+        return int(hashlib.md5(f"did-v1::{u}".encode()).hexdigest()[:8], 16) % 2
+
+    base = datetime.datetime(2024, 6, 1)
+    h = datetime.timedelta(hours=1)
+    rows = []
+    eid = 0
+    # 20 users x 2 purchases (hour 0 = pre, hour 10 = post over a
+    # [0, 10h] span => post boundary at 5h); treated post gets +50
+    for u in range(1, 21):
+        treated = arm(u)
+        rows.append((eid, base + 0 * h, u, "purchase", 100.0, None)); eid += 1
+        rows.append((eid, base + 10 * h, u, "purchase",
+                     100.0 + (50.0 if treated else 0.0), None)); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    _write(df, tmp_path, "events")
+    out = ent.queries()["events_uplift_did"](spark, str(tmp_path)).collect()[0]
+
+    n_treated = sum(arm(u) for u in range(1, 21))
+    n_control = 20 - n_treated
+    assert (out.n_t0, out.n_t1, out.n_c0, out.n_c1) == (
+        n_treated, n_treated, n_control, n_control)
+    # value 100.00 -> 10000 cents -> mean in centi-cents = 1_000_000
+    assert out.mean_t_pre_cc == 1_000_000
+    assert out.mean_t_pre_cc == out.mean_c_pre_cc == out.mean_c_post_cc
+    # planted +50.00 uplift -> +5000 cents -> +500_000 centi-cents
+    assert out.mean_t_post_cc - out.mean_t_pre_cc == 500_000
+    assert out.did_cc == 500_000
