@@ -1,0 +1,120 @@
+"""Distributed prefix-scan: the two-phase decomposition of a GLOBAL
+running sum.
+
+A textbook ``sum(x) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)`` plans
+as ONE window task holding every row — the single-reducer shape that
+cannot survive a 100 TB table.  The classic fix (the same grid trick
+``curation.pareto_frontier_2d`` uses for its running min) decomposes the
+scan into three bounded pieces:
+
+1. rows carry a precomputed integer ``bucket`` that is MONOTONE in the
+   global sort order (a hash prefix for hash order, a value range for
+   value order) — the caller guarantees monotonicity;
+2. per-bucket totals aggregate map-side into an ``n_buckets``-row dim;
+   the ACROSS-bucket exclusive prefix runs as a window over that tiny
+   relation (single task over ``n_buckets`` rows, trivially bounded);
+3. the WITHIN-bucket inclusive running sum is a window PARTITIONED by
+   bucket — distributed, each task holding ~1/n_buckets of the data.
+
+``global cum(x) = bucket offset (2) + within-bucket cum(x) (3)`` — exact
+for any associative sum, including DECIMAL; no approximation anywhere.
+The same shape is how Spark itself scans at scale (range partition +
+per-partition scan + offset merge); expressing it in DataFrame ops keeps
+Catalyst/AQE in charge of the physical plan.
+
+Without materialization the offsets dim is a SECOND branch over the
+input, and column pruning makes the two subtrees differ, so Catalyst's
+exchange reuse cannot deduplicate them — the input would be scanned and
+aggregated twice (measured on the rank-sum plan: 4 source scans).  The
+``materialize`` modes fix that with the repo's eager-checkpoint
+discipline:
+
+- ``"offsets"`` — for big PROJECTION inputs (a corpus with a hash
+  bucket): run the per-bucket totals as their own tiny eager job and
+  checkpoint the ≤ n_buckets-row offsets dim; the main plan is then
+  scan → broadcast join → one bucket-keyed window.  Two column-pruned
+  scans total, zero recomputation.
+- ``"input"`` — for inputs that are themselves expensive subplans (a
+  groupBy cells relation): checkpoint the input once; every downstream
+  branch (offsets, stats, window) reads the materialized relation, so
+  the expensive subplan runs exactly once.
+- ``"none"`` — fully declarative; correct but with the double-branch
+  cost.  Values are identical in all three modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def bucketed_prefix_sum(
+    df: DataFrame,
+    bucket_col: str,
+    order_cols: list[str],
+    sums: dict[str, Column | str],
+    materialize: str = "none",
+    totals: list[str] | None = None,
+) -> DataFrame:
+    """Add ``cum_<name>`` = inclusive running sum of each ``sums`` entry
+    in the global order ``(bucket_col, *order_cols)``, without ever
+    materialising a single-task global window over the data.
+
+    ``bucket_col`` must be monotone in the intended global order and
+    low-cardinality (e.g. 256 hash-prefix or value-range buckets); the
+    caller owns that contract.  Ties in ``order_cols`` within a bucket
+    must be broken by the caller (include a unique id) if a total order
+    matters downstream.  ``totals`` names entries of ``sums`` whose
+    GRAND total should ride along as a constant ``total_<name>`` column
+    (computed from the n_buckets-row dim, never a second data pass).
+    ``materialize`` picks the evaluation shape — see the module
+    docstring; values are identical in all modes.
+    """
+    if materialize not in ("none", "input", "offsets"):
+        raise ValueError(f"unknown materialize mode: {materialize!r}")
+    if materialize == "input":
+        df = df.localCheckpoint()
+
+    vals = {
+        name: (F.col(c) if isinstance(c, str) else c).alias(f"_v_{name}")
+        for name, c in sums.items()
+    }
+    d = df.select("*", *vals.values())
+
+    per_bucket = d.groupBy(bucket_col).agg(
+        *[F.sum(f"_v_{n}").alias(f"_bt_{n}") for n in sums]
+    )
+    # n_buckets rows: the single-task window runs on the TINY relation only
+    wdim = Window.orderBy(bucket_col).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        bucket_col,
+        *[f"_bt_{n}" for n in sums],
+        *[
+            F.coalesce(F.sum(f"_bt_{n}").over(wdim), F.lit(0)).alias(f"_off_{n}")
+            for n in sums
+        ],
+    )
+    if materialize == "offsets":
+        offsets = offsets.localCheckpoint()  # <= n_buckets rows, eager
+
+    win = (
+        Window.partitionBy(bucket_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = d.join(F.broadcast(offsets), bucket_col)
+    for n in sums:
+        out = out.withColumn(
+            f"cum_{n}", F.col(f"_off_{n}") + F.sum(f"_v_{n}").over(win)
+        )
+    if totals:
+        gt = offsets.agg(
+            *[F.sum(f"_bt_{n}").alias(f"total_{n}") for n in totals]
+        )
+        out = out.crossJoin(F.broadcast(gt))
+    return out.drop(
+        *[f"_v_{n}" for n in sums],
+        *[f"_off_{n}" for n in sums],
+        *[f"_bt_{n}" for n in sums],
+    )

@@ -1398,3 +1398,189 @@ def events_uplift_did_q(spark, sf_dir):
             " - ((s_c1 * 100 DIV n_c1) - (s_c0 * 100 DIV n_c0))"
         ).cast("bigint").alias("did_cc"),
     )
+
+
+@q(
+    "analytics_chi2_independence",
+    """
+    WITH cells AS (
+      SELECT o_orderpriority AS priority, o_orderstatus AS status,
+             CAST(count(*) AS BIGINT) AS observed
+      FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT priority, status, observed,
+             sum(observed) OVER (PARTITION BY priority) AS r,
+             sum(observed) OVER (PARTITION BY status) AS c,
+             sum(observed) OVER () AS t
+      FROM cells
+    ),
+    e AS (
+      SELECT priority, status, observed,
+             (CAST(r AS HUGEINT) * c * 10000) // t AS e4,
+             CAST(t AS HUGEINT) AS th
+      FROM m
+    )
+    SELECT priority, status, observed,
+           CAST(e4 AS BIGINT) AS expected_4dp,
+           CAST(CASE WHEN e4 = 0 THEN NULL
+                ELSE (observed * 10000 - e4) * (observed * 10000 - e4)
+                     // e4 END AS BIGINT) AS contrib_bp
+    FROM e
+    """,
+)
+def analytics_chi2_independence_q(spark, sf_dir):
+    """Pearson chi-squared test of independence (order priority x order
+    status), exact to the last basis point: the expected count is the
+    4-dp floor e4 = (r*c*10000) DIV t and each cell's contribution to
+    the statistic is ((o*10000 - e4)^2) DIV e4 — basis points of
+    (O-E)^2/E computed on the PRE-ROUNDED expected count, so every value
+    is a deterministic integer on both engines (no float division, no
+    libm).  contrib_bp is NULL on an expected-zero cell, and its DIV
+    quotient stays in int64 while (O-E)^2/E < 9.2e14 — breached only by
+    a degenerate cell (expected < 1 with observed in the billions), not
+    by any real contingency table.  sum(contrib_bp)/10000 is the chi-squared statistic at
+    df = (|priority|-1)(|status|-1); the per-cell rows ARE the output
+    because the residual table (which cells deviate) is what a data
+    audit reads, not just the scalar.
+
+    Scale shape: ONE map-side-combinable count aggregate over orders —
+    the only data pass.  Row/column/grand totals come from windows OVER
+    THE CELL RELATION (|priority|x|status| = 15 rows), a linear chain on
+    the cells subtree, so the data is never rescanned and the
+    single-task global window touches 15 rows.  Intermediates ride in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): r*c*10000 overflows int64
+    past ~1.2e8 rows, and both engines' exact wide-integer floor
+    divisions agree bit-for-bit (boundary-probed in tests); the DIV
+    quotients themselves always fit int64 by construction."""
+    from pyspark.sql.window import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("observed"))
+    m = (
+        cells.withColumn(
+            "r", F.sum("observed").over(Window.partitionBy("priority"))
+        )
+        .withColumn("c", F.sum("observed").over(Window.partitionBy("status")))
+        # 15 rows: the single-task global window is cell-bounded
+        .withColumn("t", F.sum("observed").over(Window.partitionBy()))
+    )
+    e = m.select(
+        "priority", "status", "observed",
+        F.expr(
+            "CAST(CAST(r AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))"
+            " * 10000 AS DECIMAL(38,0)) DIV t"
+        ).cast("bigint").alias("e4"),
+    )
+    return e.select(
+        "priority", "status", "observed",
+        F.col("e4").alias("expected_4dp"),
+        F.when(F.col("e4") == 0, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.expr(
+                "(CAST(observed * 10000 - e4 AS DECIMAL(19,0))"
+                " * CAST(observed * 10000 - e4 AS DECIMAL(19,0)))"
+                " DIV CAST(e4 AS DECIMAL(19,0))"
+            )
+        )
+        .cast("bigint").alias("contrib_bp"),
+    )
+
+
+@q(
+    "analytics_rank_sum_test",
+    """
+    WITH base AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS g
+      FROM orders
+    ),
+    cells AS (
+      SELECT cents, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(g) AS BIGINT) AS n1
+      FROM base GROUP BY cents
+    ),
+    c AS (
+      SELECT n, n1,
+             2 * sum(n) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+               - n + 1 AS r2
+      FROM cells
+    ),
+    agg AS (
+      SELECT CAST(sum(n1) AS BIGINT) AS n1,
+             CAST(sum(n) - sum(n1) AS BIGINT) AS n2,
+             CAST(sum(n1 * r2) AS BIGINT) AS r1_x2,
+             CAST(sum(n * n * n - n) AS BIGINT) AS tie_term
+      FROM c
+    )
+    SELECT n1, n2,
+           CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           CAST(n1 * n2 AS BIGINT) AS e_u1_x2,
+           tie_term
+    FROM agg
+    """,
+)
+def analytics_rank_sum_test_q(spark, sf_dir):
+    """Mann-Whitney U (Wilcoxon rank-sum) between urgent-priority orders
+    (group 1 = priority 1-URGENT/2-HIGH) and the rest, on order value —
+    the nonparametric two-sample test that needs no normality assumption,
+    completing the experimentation family (z-test, DiD, CUSUM).  Ranks
+    are midranks doubled to stay integral (r2 = 2*cum - n + 1 for a tie
+    group of size n ending at cumulative count cum), so U is emitted as
+    u1_x2 = 2*U1 exactly; e_u1_x2 = n1*n2 = 2*E[U] is the null
+    expectation and tie_term = sum(n^3 - n) is the tie correction the
+    variance formula consumes — everything integer, nothing from libm.
+    u1_x2 > e_u1_x2 means urgent orders stochastically dominate.
+
+    Scale shape: one map-side-combinable aggregate to per-distinct-value
+    cells, then the global rank recurrence runs as the two-phase
+    bucketed_prefix_sum (operators/sweep.py) over 256 VALUE-RANGE
+    buckets (monotone in cents by construction from a 1-row min/max
+    broadcast) — the |distinct values| relation is never in one task.
+    The cells relation is an expensive subplan feeding three consumers
+    (min/max stats, the bucket-totals dim, the window), so it is
+    eagerly checkpointed once (sweep's materialize="input" discipline)
+    — the source is scanned and aggregated exactly once
+    (unmaterialized, column pruning forks the subtree and the scan ran
+    4x: measured, module docstring of sweep).
+    Sums fit int64 through ~3e9 rows (r1_x2 <= n1*(2t+1)); past that the
+    partials cast to DECIMAL(38,0) unchanged."""
+    from .operators import sweep
+
+    o = read_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+        ).otherwise(F.lit(0)).alias("g"),
+    )
+    cells = base.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("g").cast("bigint").alias("n1"),
+    ).localCheckpoint()
+    stats = cells.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    b = (
+        cells.crossJoin(F.broadcast(stats))
+        .withColumn("bk", F.expr("((cents - lo) * 256) DIV (hi - lo + 1)"))
+        .drop("lo", "hi")
+    )
+    c = sweep.bucketed_prefix_sum(b, "bk", ["cents"], {"n": "n"})
+    r = c.withColumn("r2", 2 * F.col("cum_n") - F.col("n") + 1)
+    agg = r.agg(
+        F.sum("n1").cast("bigint").alias("n1"),
+        (F.sum("n") - F.sum("n1")).cast("bigint").alias("n2"),
+        F.sum(F.col("n1") * F.col("r2")).cast("bigint").alias("r1_x2"),
+        F.sum(F.col("n") * F.col("n") * F.col("n") - F.col("n"))
+        .cast("bigint").alias("tie_term"),
+    )
+    return agg.select(
+        "n1", "n2",
+        (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1))
+        .cast("bigint").alias("u1_x2"),
+        (F.col("n1") * F.col("n2")).cast("bigint").alias("e_u1_x2"),
+        "tie_term",
+    )

@@ -2477,3 +2477,91 @@ def curation_chunk_overlap_q(spark, sf_dir):
         ).alias("chunk_text"),
     )
     return c
+
+
+# ---------------------------------------------------------------------------
+# exact-k weighted sampling (PPS systematic)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "curation_pps_sample",
+    """
+    WITH base AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+             md5('pps-v1::' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents WHERE n_chars > 0
+    ),
+    b AS (SELECT *, ('0x' || substr(h, 1, 2))::BIGINT AS bk FROM base),
+    c AS (
+      SELECT doc_id, w,
+             sum(w) OVER (ORDER BY bk, h, doc_id ROWS UNBOUNDED PRECEDING)
+               AS cum
+      FROM b
+    ),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS total_w FROM base)
+    SELECT doc_id, w AS weight,
+           CAST((cum * 100) // total_w
+                - ((cum - w) * 100) // total_w AS BIGINT) AS n_hits,
+           CAST(((cum - w) * 100) // total_w + 1 AS BIGINT) AS first_ticket
+    FROM c, tot
+    WHERE (cum * 100) // total_w - ((cum - w) * 100) // total_w > 0
+    """,
+)
+def curation_pps_sample_q(spark, sf_dir):
+    """Exact-k probability-proportional-to-size sampling WITHOUT
+    replacement (systematic / Madow sampling): k=100 evenly spaced
+    "tickets" land on the cumulative-weight line (weight = n_chars), so
+    every document is drawn with probability exactly k*w/W, the sample
+    size is exactly k (sum(n_hits) == k is a pinned invariant), and a
+    document heavier than one stride W/k can legitimately win multiple
+    tickets — the deterministic complement to the Bernoulli-rate
+    `weighted_sample` (operators/curation.py:354), for recipes that need
+    an exact token budget rather than an expected rate.  Order on the
+    cumulative line is the md5 of the doc id ('pps-v1' seed), so the
+    draw is reproducible across engines, runs, and partitionings — and
+    independent of the weight, as PPS requires.
+
+    Scale shape: the global cumulative sum is the two-phase
+    bucketed_prefix_sum decomposition (operators/sweep.py) — 256
+    hash-prefix buckets (monotone in the md5 order), per-bucket totals
+    as a dim, within-bucket windows distributed by bucket; NO
+    single-task data-sized window anywhere.  materialize="offsets"
+    checkpoints the 256-row dim in its own tiny eager job (and the
+    grand total W derives from that dim), so the main plan is scan →
+    broadcast join → ONE bucket-keyed window — the corpus is scanned
+    twice column-pruned, never aggregated twice.  All ticket arithmetic
+    is integer (cum*k DIV W) — exact on both engines; cum*k fits bigint
+    through ~9e16 total weight (≈90 TB of text at k=100); beyond that
+    cast the cum column to DECIMAL(38,0) — the DIV stays exact while
+    the quotient (≤ k) fits."""
+    from .operators import sweep
+
+    d = read_table(spark, sf_dir, "documents")
+    base = (
+        d.filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("w"),
+            F.md5(F.concat(F.lit("pps-v1::"),
+                           F.col("doc_id").cast("string"))).alias("h"),
+        )
+        .withColumn("bk", F.conv(F.substring("h", 1, 2), 16, 10).cast("bigint"))
+    )
+    c = sweep.bucketed_prefix_sum(
+        base, "bk", ["h", "doc_id"], {"w": "w"},
+        materialize="offsets", totals=["w"],
+    )
+    out = (
+        c.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("w").cast("bigint").alias("weight"),
+            (F.expr("(cum_w * 100) DIV total_w")
+             - F.expr("((cum_w - w) * 100) DIV total_w"))
+            .cast("bigint").alias("n_hits"),
+            (F.expr("((cum_w - w) * 100) DIV total_w") + 1)
+            .cast("bigint").alias("first_ticket"),
+        )
+        .filter(F.col("n_hits") > 0)
+    )
+    return out

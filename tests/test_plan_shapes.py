@@ -140,6 +140,15 @@ EXPECTATIONS = [
     ("curation_chunk_overlap", 0, 0, 0),
     # DiD: one conditional-aggregate pass + the 1-row span broadcast
     ("events_uplift_did", 2, 0, 0),
+    # r9 stats batch: PPS main plan = scan -> broadcast of the eager
+    # 256-row offsets dim -> ONE bucket-keyed window (+ the dim's grand
+    # total); chi2 = one data groupBy + the 15-row cell windows; the
+    # rank-sum main plan runs entirely on the checkpointed cells
+    # relation (its exchanges are cell-bounded, the data shuffle ran
+    # once in the checkpoint job) and must never sort-merge
+    ("curation_pps_sample", 2, 1, 0),
+    ("analytics_chi2_independence", 2, 0, 0),
+    ("analytics_rank_sum_test", 6, 1, 0),
 ]
 
 
@@ -214,3 +223,27 @@ def test_substring_anchor_join_never_broadcasts(spark, registry):
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_pps_main_plan_single_scan_bucketed_window_only(spark, registry):
+    """The sweep's materialize="offsets" contract: the PPS main plan
+    scans the corpus ONCE (the offsets dim ran as its own tiny job) and
+    its only window is PARTITIONED by the bucket — the single-task
+    global-cumsum shape must never reappear over the data."""
+    import re
+
+    df = registry["curation_pps_sample"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert len(specs) == 1 and specs[0].startswith("windowspecdefinition(bk#")
+
+
+def test_rank_sum_main_plan_runs_on_checkpointed_cells(spark, registry):
+    """The cells relation is eagerly checkpointed, so the main rank-sum
+    plan must contain NO parquet scan (every branch reads the
+    materialized cells) and its bucket window must be partitioned."""
+    df = registry["analytics_rank_sum_test"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 0
+    assert "windowspecdefinition(bk#" in plan

@@ -1,0 +1,213 @@
+"""Brute-force cross-checks for the round-9 batch: the distributed
+prefix-scan operator, PPS systematic sampling, the exact chi-squared
+independence test, and the Mann-Whitney rank-sum — each against an
+independent pure-Python replay, plus the wide-integer floor-division
+boundary probe the chi2 docstring promises."""
+
+from __future__ import annotations
+
+import hashlib
+from fractions import Fraction
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _write(df, tmp_path, name):
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / f"{name}.parquet")
+    )
+
+
+# ---------------------------------------------------------------------------
+# operators/sweep.py
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mode", ["none", "input", "offsets"])
+def test_bucketed_prefix_sum_matches_global_cumsum(spark, mode):
+    from phenoxtract_spark.operators import sweep
+
+    rows = [(i, i % 7, (i * 37) % 11 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "id bigint, bk bigint, w bigint")
+    out = sweep.bucketed_prefix_sum(
+        df, "bk", ["id"], {"w": "w"}, materialize=mode, totals=["w"]
+    )
+    got = {r.id: (r.cum_w, r.total_w) for r in out.collect()}
+
+    cum, expect = 0, {}
+    for i, bk, w in sorted(rows, key=lambda r: (r[1], r[0])):
+        cum += w
+        expect[i] = cum
+    total = sum(w for _, _, w in rows)
+    assert len(got) == len(rows)
+    for i, (c, t) in got.items():
+        assert c == expect[i], f"id {i}"
+        assert t == total
+
+
+def test_bucketed_prefix_sum_rejects_unknown_mode(spark):
+    from phenoxtract_spark.operators import sweep
+
+    df = spark.createDataFrame([(1, 1, 1)], "id bigint, bk bigint, w bigint")
+    with pytest.raises(ValueError):
+        sweep.bucketed_prefix_sum(df, "bk", ["id"], {"w": "w"},
+                                  materialize="cache")
+
+
+# ---------------------------------------------------------------------------
+# curation_pps_sample
+# ---------------------------------------------------------------------------
+
+
+def test_pps_sample_brute_force(spark, tmp_path):
+    """k tickets land exactly; a doc heavier than one stride wins
+    multiple tickets; zero-weight docs are never drawn."""
+    import __spark_entry__ as ent
+
+    docs = []
+    for i in range(40):
+        w = 50 if i else 5000  # doc 0 owns ~72% of the mass
+        docs.append((i, "x" * 3, "en", "s", w))
+    docs.append((99, "", "en", "s", 0))  # zero weight: never sampled
+    df = spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    )
+    _write(df, tmp_path, "documents")
+    out = {r.doc_id: r for r in
+           ent.queries()["curation_pps_sample"](spark, str(tmp_path)).collect()}
+
+    # pure-python replay
+    line = []
+    for i, *_rest, w in docs:
+        if w <= 0:
+            continue
+        h = hashlib.md5(f"pps-v1::{i}".encode()).hexdigest()
+        line.append((int(h[:2], 16), h, i, w))
+    line.sort()
+    total = sum(w for *_, w in line)
+    k, cum, expect = 100, 0, {}
+    for _, _, i, w in line:
+        prev = cum
+        cum += w
+        hits = (cum * k) // total - (prev * k) // total
+        if hits > 0:
+            expect[i] = (w, hits, (prev * k) // total + 1)
+
+    assert {i: (r.weight, r.n_hits, r.first_ticket)
+            for i, r in out.items()} == expect
+    assert sum(r.n_hits for r in out.values()) == k
+    assert out[0].n_hits >= 2  # heavier than one stride
+    assert 99 not in out
+
+
+# ---------------------------------------------------------------------------
+# analytics_chi2_independence
+# ---------------------------------------------------------------------------
+
+
+def test_chi2_brute_force_planted_association(spark, tmp_path):
+    """A planted priority<->status association is recovered with exact
+    integer expected counts and contributions (Fraction replay)."""
+    import datetime
+
+    import __spark_entry__ as ent
+
+    rows = []
+    oid = 0
+    base = datetime.datetime(2024, 1, 1)
+    # URGENT orders mostly 'F', LOW orders mostly 'O' -> dependence
+    for prio, status, n in [
+        ("1-URGENT", "F", 60), ("1-URGENT", "O", 10),
+        ("5-LOW", "F", 15), ("5-LOW", "O", 45),
+    ]:
+        for _ in range(n):
+            rows.append((oid, oid % 7, status, 100.0 + oid, base, prio))
+            oid += 1
+    df = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    _write(df, tmp_path, "orders")
+    out = {(r.priority, r.status): r for r in
+           ent.queries()["analytics_chi2_independence"](
+               spark, str(tmp_path)).collect()}
+
+    obs = {("1-URGENT", "F"): 60, ("1-URGENT", "O"): 10,
+           ("5-LOW", "F"): 15, ("5-LOW", "O"): 45}
+    rt = {"1-URGENT": 70, "5-LOW": 60}
+    ct = {"F": 75, "O": 55}
+    t = 130
+    for (p, s), o in obs.items():
+        e4 = (rt[p] * ct[s] * 10000) // t
+        contrib = ((o * 10000 - e4) ** 2) // e4
+        row = out[(p, s)]
+        assert row.observed == o
+        assert row.expected_4dp == e4
+        assert row.contrib_bp == contrib
+        # the 4-dp floor is within 1 ulp of the exact rational
+        exact = Fraction(rt[p] * ct[s], t)
+        assert Fraction(e4, 10000) <= exact < Fraction(e4 + 1, 10000)
+    # dependence this strong must light up: chi2 >= 3.84 (df=1, 5%)
+    assert sum(r.contrib_bp for r in out.values()) >= 38400
+
+
+def test_decimal_div_floor_boundary(spark):
+    """The chi2 arithmetic rests on Spark DECIMAL DIV == exact integer
+    floor for in-range quotients; probe the .999999 boundary where a
+    scale-6 rounding division would round UP (and duckdb's HUGEINT //
+    agrees — the oracle side of the same contract)."""
+    import duckdb
+
+    r = spark.sql(
+        "SELECT (CAST(6999999999999999 AS DECIMAL(38,0)) * 1000000 + 999999)"
+        " DIV CAST(1000000 AS DECIMAL(19,0)) AS f1"
+    ).collect()[0]
+    assert r.f1 == 6999999999999999
+    assert duckdb.sql(
+        "SELECT (CAST(6999999999999999 AS HUGEINT) * 1000000 + 999999)"
+        " // 1000000 AS f1"
+    ).fetchone()[0] == 6999999999999999
+
+
+# ---------------------------------------------------------------------------
+# analytics_rank_sum_test
+# ---------------------------------------------------------------------------
+
+
+def test_rank_sum_brute_force_with_ties(spark, tmp_path):
+    """u1_x2 equals 2*U1 computed by the direct pairwise definition
+    (#{x>y} + ties/2) on a planted two-group sample with heavy ties."""
+    import datetime
+
+    import __spark_entry__ as ent
+
+    g1 = [10, 10, 20, 30, 30, 30, 50]   # urgent orders (cents = v)
+    g0 = [10, 20, 20, 25, 30, 40]
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for i, v in enumerate(g1):
+        rows.append((i, i, "O", v / 100.0, base, "1-URGENT"))
+    for i, v in enumerate(g0):
+        rows.append((100 + i, i, "O", v / 100.0, base, "5-LOW"))
+    df = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    _write(df, tmp_path, "orders")
+    row = ent.queries()["analytics_rank_sum_test"](
+        spark, str(tmp_path)).collect()[0]
+
+    u2 = sum(
+        2 if x > y else (1 if x == y else 0) for x in g1 for y in g0
+    )
+    assert row.n1 == len(g1)
+    assert row.n2 == len(g0)
+    assert row.u1_x2 == u2
+    assert row.e_u1_x2 == len(g1) * len(g0)
+    from collections import Counter
+
+    tie = sum(n ** 3 - n for n in Counter(g1 + g0).values())
+    assert row.tie_term == tie
