@@ -952,3 +952,84 @@ def profiling_benford_digits_q(spark, sf_dir):
             F.col("n").cast("double") / F.col("total") - benford, 6
         ).alias("deviation"),
     )
+
+
+@q(
+    "profiling_quantiles_distributed",
+    """
+    WITH cells AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1
+    ),
+    c AS (
+      SELECT cents, n,
+             sum(n) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum
+      FROM cells
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cells),
+    qs AS (SELECT unnest([2500, 5000, 7500, 9000, 9900]) AS q_bp)
+    SELECT q_bp,
+           CAST(((t - 1) * q_bp) // 10000 + 1 AS BIGINT) AS target_rank,
+           CAST(cents AS BIGINT) AS value_cents
+    FROM c, tot, qs
+    WHERE cum >= ((t - 1) * q_bp) // 10000 + 1
+      AND cum - n < ((t - 1) * q_bp) // 10000 + 1
+    """,
+)
+def profiling_quantiles_distributed_q(spark, sf_dir):
+    """Exact p25/p50/p75/p90/p99 of line-item price WITHOUT a global
+    sort and WITHOUT Spark's `percentile` aggregate — whose buffer holds
+    every distinct value of the group on ONE reducer (the existing
+    `percentile_exact` query documents that baseline; this is its
+    100 TB-shaped replacement).  Quantile definition is type-1 (lower):
+    value at target_rank = (t-1)*q DIV 10000 + 1 — pure integer
+    semantics, no interpolation, so both engines agree to the cent.
+
+    Scale shape: one map-side-combinable groupBy to per-distinct-value
+    cells (checkpointed once, the sweep's materialize="input"
+    discipline), then the CDF is the two-phase bucketed_prefix_sum over
+    256 value-range buckets — the rank scan is distributed, each task
+    holding ~1/256 of the distinct values; the 5-row quantile dim
+    broadcasts and the containment filter (cum-n < r <= cum) selects
+    exactly one cell per q.  Selection beats sorting: total work is one
+    shuffle by value + cell-local arithmetic, vs a full range-partition
+    sort for orderBy-then-row_number."""
+    from pyspark.sql import Row
+
+    from .operators import sweep
+
+    li = read_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.select(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents")
+        )
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint()
+    )
+    stats = cells.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    b = (
+        cells.crossJoin(F.broadcast(stats))
+        .withColumn("bk", F.expr("((cents - lo) * 256) DIV (hi - lo + 1)"))
+        .drop("lo", "hi")
+    )
+    c = sweep.bucketed_prefix_sum(
+        b, "bk", ["cents"], {"n": "n"}, totals=["n"]
+    )
+    qdim = F.broadcast(
+        li.sparkSession.createDataFrame(
+            [Row(q_bp=q) for q in (2500, 5000, 7500, 9000, 9900)],
+            "q_bp bigint",
+        )
+    )
+    r = F.expr("((total_n - 1) * q_bp) DIV 10000") + 1
+    return (
+        c.crossJoin(qdim)
+        .filter((F.col("cum_n") >= r) & (F.col("cum_n") - F.col("n") < r))
+        .select(
+            "q_bp",
+            r.cast("bigint").alias("target_rank"),
+            F.col("cents").cast("bigint").alias("value_cents"),
+        )
+    )

@@ -149,6 +149,10 @@ EXPECTATIONS = [
     ("curation_pps_sample", 2, 1, 0),
     ("analytics_chi2_independence", 2, 0, 0),
     ("analytics_rank_sum_test", 6, 1, 0),
+    # distributed exact quantiles: same checkpointed-cells spine as the
+    # rank-sum; every exchange is cell- or dim-bounded, no parquet scan
+    # in the main plan (asserted structurally below)
+    ("profiling_quantiles_distributed", 8, 1, 0),
 ]
 
 
@@ -241,9 +245,11 @@ def test_pps_main_plan_single_scan_bucketed_window_only(spark, registry):
 
 def test_rank_sum_main_plan_runs_on_checkpointed_cells(spark, registry):
     """The cells relation is eagerly checkpointed, so the main rank-sum
-    plan must contain NO parquet scan (every branch reads the
-    materialized cells) and its bucket window must be partitioned."""
-    df = registry["analytics_rank_sum_test"](spark, SF)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("FileScan") == 0
-    assert "windowspecdefinition(bk#" in plan
+    and quantile plans must contain NO parquet scan (every branch reads
+    the materialized cells) and their bucket windows must be
+    partitioned."""
+    for name in ("analytics_rank_sum_test", "profiling_quantiles_distributed"):
+        df = registry[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("FileScan") == 0, name
+        assert "windowspecdefinition(bk#" in plan, name

@@ -211,3 +211,38 @@ def test_rank_sum_brute_force_with_ties(spark, tmp_path):
 
     tie = sum(n ** 3 - n for n in Counter(g1 + g0).values())
     assert row.tie_term == tie
+
+
+# ---------------------------------------------------------------------------
+# profiling_quantiles_distributed
+# ---------------------------------------------------------------------------
+
+
+def test_distributed_quantiles_brute_force(spark, tmp_path):
+    """Type-1 quantiles from the bucketed CDF equal direct selection on
+    the sorted list, including heavy ties and a 1-row edge."""
+    import datetime
+
+    import __spark_entry__ as ent
+
+    vals = [100, 100, 100, 200, 300, 300, 400, 500, 500, 500, 500, 900]
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for i, v in enumerate(vals):
+        rows.append((i, i, i % 3, v / 100.0, 0.1, 0.0, "N", "O", base))
+    df = spark.createDataFrame(
+        rows, "l_orderkey bigint, l_partkey bigint, l_linenumber int,"
+        " l_extendedprice double, l_discount double, l_tax double,"
+        " l_returnflag string, l_linestatus string, l_shipdate timestamp"
+    )
+    _write(df, tmp_path, "lineitem")
+    out = {r.q_bp: r for r in
+           ent.queries()["profiling_quantiles_distributed"](
+               spark, str(tmp_path)).collect()}
+
+    s = sorted(vals)
+    t = len(s)
+    for q in (2500, 5000, 7500, 9000, 9900):
+        rank = ((t - 1) * q) // 10000 + 1
+        assert out[q].target_rank == rank
+        assert out[q].value_cents == s[rank - 1], f"q={q}"
