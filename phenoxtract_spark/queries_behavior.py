@@ -1408,18 +1408,21 @@ def events_uplift_did_q(spark, sf_dir):
              CAST(count(*) AS BIGINT) AS observed
       FROM orders GROUP BY 1, 2
     ),
-    m AS (
-      SELECT priority, status, observed,
-             sum(observed) OVER (PARTITION BY priority) AS r,
-             sum(observed) OVER (PARTITION BY status) AS c,
-             sum(observed) OVER () AS t
-      FROM cells
+    rowt AS (SELECT priority, CAST(sum(observed) AS BIGINT) AS r
+             FROM cells GROUP BY priority),
+    colt AS (SELECT status, CAST(sum(observed) AS BIGINT) AS c
+             FROM cells GROUP BY status),
+    tot AS (SELECT CAST(sum(observed) AS BIGINT) AS t FROM cells),
+    grid AS (
+      SELECT priority, status, r, c, t,
+             coalesce(observed, 0) AS observed
+      FROM rowt CROSS JOIN colt CROSS JOIN tot
+      LEFT JOIN cells USING (priority, status)
     ),
     e AS (
       SELECT priority, status, observed,
-             (CAST(r AS HUGEINT) * c * 10000) // t AS e4,
-             CAST(t AS HUGEINT) AS th
-      FROM m
+             (CAST(r AS HUGEINT) * c * 10000) // t AS e4
+      FROM grid
     )
     SELECT priority, status, observed,
            CAST(e4 AS BIGINT) AS expected_4dp,
@@ -1444,31 +1447,40 @@ def analytics_chi2_independence_q(spark, sf_dir):
     because the residual table (which cells deviate) is what a data
     audit reads, not just the scalar.
 
+    The output is the FULL r x c grid: a combination with zero observed
+    rows still carries expected mass and contributes exactly e4 to the
+    statistic ((0*10000 - e4)^2 DIV e4 == e4 — the floor is exact), so
+    sparse tables are not understated; sum(expected_4dp) partitions
+    t*10000 to within one floor-ulp per grid cell (property-tested).
+
     Scale shape: ONE map-side-combinable count aggregate over orders —
-    the only data pass.  Row/column/grand totals come from windows OVER
-    THE CELL RELATION (|priority|x|status| = 15 rows), a linear chain on
-    the cells subtree, so the data is never rescanned and the
-    single-task global window touches 15 rows.  Intermediates ride in
+    the only data pass, checkpointed at 15 rows; row/column/grand
+    totals and the grid cross-product are re-aggregations of the
+    MATERIALIZED cells, so the source is never rescanned and every
+    post-checkpoint relation is grid-bounded.  Intermediates ride in
     DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): r*c*10000 overflows int64
     past ~1.2e8 rows, and both engines' exact wide-integer floor
     divisions agree bit-for-bit (boundary-probed in tests); the DIV
     quotients themselves always fit int64 by construction."""
-    from pyspark.sql.window import Window
-
     o = read_table(spark, sf_dir, "orders")
+    # the ONE data pass; 15 rows out — checkpointed so the grid's three
+    # re-aggregations read the materialized cells, never the source
     cells = o.groupBy(
         F.col("o_orderpriority").alias("priority"),
         F.col("o_orderstatus").alias("status"),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("observed"))
-    m = (
-        cells.withColumn(
-            "r", F.sum("observed").over(Window.partitionBy("priority"))
-        )
-        .withColumn("c", F.sum("observed").over(Window.partitionBy("status")))
-        # 15 rows: the single-task global window is cell-bounded
-        .withColumn("t", F.sum("observed").over(Window.partitionBy()))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("observed")).localCheckpoint()
+    rowt = cells.groupBy("priority").agg(
+        F.sum("observed").cast("bigint").alias("r"))
+    colt = cells.groupBy("status").agg(
+        F.sum("observed").cast("bigint").alias("c"))
+    tot = cells.agg(F.sum("observed").cast("bigint").alias("t"))
+    grid = (
+        rowt.crossJoin(colt)
+        .crossJoin(F.broadcast(tot))
+        .join(cells, ["priority", "status"], "left")
+        .withColumn("observed", F.coalesce("observed", F.lit(0)))
     )
-    e = m.select(
+    e = grid.select(
         "priority", "status", "observed",
         F.expr(
             "CAST(CAST(r AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))"

@@ -147,7 +147,7 @@ EXPECTATIONS = [
     # relation (its exchanges are cell-bounded, the data shuffle ran
     # once in the checkpoint job) and must never sort-merge
     ("curation_pps_sample", 2, 1, 0),
-    ("analytics_chi2_independence", 2, 0, 0),
+    ("analytics_chi2_independence", 3, 1, 0),  # post-checkpoint: grid-bounded
     ("analytics_rank_sum_test", 6, 1, 0),
     # distributed exact quantiles: same checkpointed-cells spine as the
     # rank-sum; every exchange is cell- or dim-bounded, no parquet scan

@@ -318,3 +318,102 @@ def test_log_expiry_matches_python_spec(spark, entries, wm):
         for i, (seq, op) in enumerate(rows):
             want[(k, seq, op)] = "retain_boundary" if i == 0 else "expire"
     assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-1000, max_value=1000),
+             min_size=1, max_size=120),
+    st.integers(min_value=1, max_value=16),
+)
+def test_bucketed_prefix_sum_any_weights_any_buckets(spark, ws, nb):
+    """The two-phase decomposition equals a plain Python cumsum for ANY
+    integer weights (negatives included — the sum is associative, the
+    operator never assumes positivity) and ANY bucket count."""
+    from phenoxtract_spark.operators import sweep
+
+    rows = [(i, i % nb, w) for i, w in enumerate(ws)]
+    df = spark.createDataFrame(rows, "id bigint, bk bigint, w bigint")
+    out = sweep.bucketed_prefix_sum(df, "bk", ["id"], {"w": "w"},
+                                    totals=["w"])
+    got = {r.id: (r.cum_w, r.total_w) for r in out.collect()}
+    cum, expect = 0, {}
+    for i, _, w in sorted(rows, key=lambda r: (r[1], r[0])):
+        cum += w
+        expect[i] = cum
+    assert got == {i: (c, sum(ws)) for i, c in expect.items()}
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=5000),
+                min_size=1, max_size=60))
+def test_pps_sample_invariants(spark, tmp_path_factory, ws):
+    """For ANY weight vector: exactly k tickets land, every drawn doc's
+    ticket count is within 1 of its proportional share w*k/W, and
+    zero-weight docs never appear."""
+    import __spark_entry__ as ent
+
+    tmp_path = tmp_path_factory.mktemp("pps")
+    docs = [(i, "t", "en", "s", w) for i, w in enumerate(ws)]
+    df = spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    if not any(w > 0 for w in ws):
+        return  # empty sampling frame: nothing to assert
+    out = ent.queries()["curation_pps_sample"](spark, str(tmp_path)).collect()
+    total = sum(w for w in ws if w > 0)
+    k = 100
+    assert sum(r.n_hits for r in out) == k
+    by_id = {r.doc_id: r.n_hits for r in out}
+    for i, w in enumerate(ws):
+        share = w * k / total if w > 0 else 0.0
+        hits = by_id.get(i, 0)
+        if w <= 0:
+            assert hits == 0
+        else:
+            # systematic sampling: hits in {floor(share), ceil(share)}
+            assert share - 1 < hits < share + 1 or hits in (
+                int(share), int(share) + 1
+            ), (i, w, hits, share)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=80), min_size=1, max_size=8),
+)
+def test_chi2_expected_counts_partition_the_total(spark, tmp_path_factory,
+                                                  cells):
+    """Row x column floors: sum(expected_4dp) is within |cells| of
+    t*10000 (each cell floors at most 1 ulp), and sum(observed) == t —
+    for arbitrary 2 x n contingency layouts."""
+    import datetime
+
+    import __spark_entry__ as ent
+
+    tmp_path = tmp_path_factory.mktemp("chi2")
+    rows, oid = [], 0
+    base = datetime.datetime(2024, 1, 1)
+    statuses = ["F", "O", "P"]
+    for j, n in enumerate(cells):
+        prio = "1-URGENT" if j % 2 == 0 else "5-LOW"
+        status = statuses[j % 3]
+        for _ in range(n):
+            rows.append((oid, oid, status, 10.0, base, prio))
+            oid += 1
+    df = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    out = ent.queries()["analytics_chi2_independence"](
+        spark, str(tmp_path)).collect()
+    t = len(rows)
+    assert sum(r.observed for r in out) == t
+    se = sum(r.expected_4dp for r in out)
+    assert t * 10000 - len(out) <= se <= t * 10000
