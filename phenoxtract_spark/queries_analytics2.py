@@ -1033,3 +1033,106 @@ def profiling_quantiles_distributed_q(spark, sf_dir):
             F.col("cents").cast("bigint").alias("value_cents"),
         )
     )
+
+
+@q(
+    "profiling_gini_concentration",
+    """
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    c AS (
+      SELECT o_custkey, cents,
+             sum(1) OVER w AS rnk,
+             sum(cents) OVER w AS cum_cents
+      FROM per
+      WINDOW w AS (ORDER BY cents, o_custkey ROWS UNBOUNDED PRECEDING)
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(cents) AS HUGEINT) AS sx,
+             CAST(sum(CAST(rnk AS HUGEINT) * cents) AS HUGEINT) AS srx
+      FROM c
+    ),
+    deciles AS (SELECT unnest([1,2,3,4,5,6,7,8,9,10]) AS decile)
+    SELECT decile,
+           CAST(rnk AS BIGINT) AS cum_units,
+           CAST((cum_cents * 10000) // sx AS BIGINT) AS cum_share_bp,
+           CAST((CAST(2 AS HUGEINT) * srx * 10000 - (n + 1) * sx * 10000)
+                // (n * sx) AS BIGINT) AS gini_bp
+    FROM c, tot, deciles
+    WHERE rnk = (n * decile) // 10
+    """,
+)
+def profiling_gini_concentration_q(spark, sf_dir):
+    """Lorenz curve + Gini coefficient of revenue concentration across
+    customers — the corpus-curation audit shape ("what fraction of the
+    mass sits in the bottom d/10 of units") applied to the orders spine;
+    the same query over (domain, tokens) is how a training-data recipe
+    detects that 10% of domains own 90% of the corpus.  One row per
+    decile of the UNIT distribution: cum_share_bp is the exact Lorenz
+    ordinate floor(cum_mass*10000/total_mass) at rank n*d DIV 10, and
+    gini_bp = floor((2*sum(rank*x) - (n+1)*sum(x))*10000 / (n*sum(x)))
+    — the discrete (population) Gini, constant across the ten rows.
+    Everything integer: HUGEINT/DECIMAL(38,0) sums (sum(rank*x) passes
+    1e18 at ~sf1), floor division on both engines.
+
+    Scale shape: one groupBy to per-customer totals (checkpointed — the
+    same one-data-pass discipline as the rank-sum), then rank and
+    cumulative mass come from the two-phase bucketed_prefix_sum over
+    256 value-range buckets; the decile dim broadcasts and the
+    rank-containment filter selects exactly ten rows.  No global-order
+    window over data anywhere."""
+    from .operators import sweep
+
+    o = read_table(spark, sf_dir, "orders")
+    per = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint").alias("cents")
+        )
+        .localCheckpoint()
+    )
+    stats = per.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    b = (
+        per.crossJoin(F.broadcast(stats))
+        .withColumn("bk", F.expr("((cents - lo) * 256) DIV (hi - lo + 1)"))
+        .drop("lo", "hi")
+    )
+    c = sweep.bucketed_prefix_sum(
+        b, "bk", ["cents", "o_custkey"], {"one": F.lit(1).cast("bigint"),
+                                          "cents": "cents"}
+    )
+    tot = c.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("sx"),
+        F.sum(
+            F.col("cum_one").cast("decimal(19,0)")
+            * F.col("cents").cast("decimal(19,0)")
+        ).cast("decimal(38,0)").alias("srx"),
+    )
+    from pyspark.sql import Row
+
+    ddim = F.broadcast(
+        o.sparkSession.createDataFrame(
+            [Row(decile=d) for d in range(1, 11)], "decile bigint"
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .crossJoin(ddim)
+        .filter(F.col("cum_one") == F.expr("(n * decile) DIV 10"))
+        .select(
+            "decile",
+            F.col("cum_one").cast("bigint").alias("cum_units"),
+            F.expr("(CAST(cum_cents AS DECIMAL(38,0)) * 10000) DIV sx")
+            .cast("bigint").alias("cum_share_bp"),
+            F.expr(
+                "(2 * srx * 10000 - (n + 1) * sx * 10000) DIV (n * sx)"
+            ).cast("bigint").alias("gini_bp"),
+        )
+    )

@@ -1596,3 +1596,92 @@ def analytics_rank_sum_test_q(spark, sf_dir):
         (F.col("n1") * F.col("n2")).cast("bigint").alias("e_u1_x2"),
         "tie_term",
     )
+
+
+@q(
+    "analytics_kruskal_wallis",
+    """
+    WITH base AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderpriority AS grp
+      FROM orders
+    ),
+    gc AS (
+      SELECT cents, grp, CAST(count(*) AS BIGINT) AS ng
+      FROM base GROUP BY cents, grp
+    ),
+    vc AS (SELECT cents, CAST(sum(ng) AS BIGINT) AS n FROM gc GROUP BY cents),
+    c AS (
+      SELECT cents, n,
+             2 * sum(n) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+               - n + 1 AS r2
+      FROM vc
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM vc)
+    SELECT grp,
+           CAST(sum(ng) AS BIGINT) AS n_g,
+           CAST(sum(ng * r2) AS BIGINT) AS r2_sum,
+           CAST(sum(ng) * (t + 1) AS BIGINT) AS e_r2,
+           CAST(sum(ng * r2) - sum(ng) * (t + 1) AS BIGINT) AS dev_x2
+    FROM gc JOIN c USING (cents), tot
+    GROUP BY grp, t
+    """,
+)
+def analytics_kruskal_wallis_q(spark, sf_dir):
+    """Kruskal-Wallis rank table across ALL order priorities (the
+    k-group generalization of the two-sample rank-sum): per group the
+    doubled-midrank sum r2_sum = sum over members of (2*rank), its null
+    expectation e_r2 = n_g*(t+1) (since E[2*rank] = t+1), and the
+    doubled deviation dev_x2 — sum(dev_x2) over groups is identically 0
+    (a pinned invariant), and the H statistic is
+    3/(t^2(t+1)) * sum(dev_x2^2/n_g) offline, exactly as chi2 emits the
+    residual table rather than one scalar.  All integers, tie-aware
+    midranks, nothing from libm.
+
+    Scale shape: ONE data pass to (value, group) cells (checkpointed);
+    per-value totals, the bucketed rank recurrence
+    (operators/sweep.py), and the final k-row group rollup are all
+    re-aggregations of the materialized cells.  The rank join back to
+    group cells rides the same value key the sweep partitioned on, and
+    is PINNED to sort-merge: both sides are value-cardinality relations
+    whose post-checkpoint stats report bogus-small (the fatal-broadcast
+    failure mode SCALING.md's r9 rehearsal measured on the substring
+    anchors) — SMJ spills, so its 100 TB failure mode is slowness,
+    never an error."""
+    from .operators import sweep
+
+    o = read_table(spark, sf_dir, "orders")
+    gc = (
+        o.select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            F.col("o_orderpriority").alias("grp"),
+        )
+        .groupBy("cents", "grp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ng"))
+        .localCheckpoint()
+    )
+    vc = gc.groupBy("cents").agg(F.sum("ng").cast("bigint").alias("n"))
+    stats = vc.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    b = (
+        vc.crossJoin(F.broadcast(stats))
+        .withColumn("bk", F.expr("((cents - lo) * 256) DIV (hi - lo + 1)"))
+        .drop("lo", "hi")
+    )
+    c = sweep.bucketed_prefix_sum(b, "bk", ["cents"], {"n": "n"})
+    r = c.withColumn("r2", 2 * F.col("cum_n") - F.col("n") + 1)
+    tot = vc.agg(F.sum("n").cast("bigint").alias("t"))
+    return (
+        gc.join(r.select("cents", "r2").hint("merge"), "cents")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("grp", "t")
+        .agg(
+            F.sum("ng").cast("bigint").alias("n_g"),
+            F.sum(F.col("ng") * F.col("r2")).cast("bigint").alias("r2_sum"),
+        )
+        .select(
+            "grp", "n_g", "r2_sum",
+            (F.col("n_g") * (F.col("t") + 1)).cast("bigint").alias("e_r2"),
+            (F.col("r2_sum") - F.col("n_g") * (F.col("t") + 1))
+            .cast("bigint").alias("dev_x2"),
+        )
+    )

@@ -153,6 +153,12 @@ EXPECTATIONS = [
     # rank-sum; every exchange is cell- or dim-bounded, no parquet scan
     # in the main plan (asserted structurally below)
     ("profiling_quantiles_distributed", 8, 1, 0),
+    # Lorenz/Gini: per-customer checkpoint -> sweep -> decile
+    # containment; KW: (value,group) cells checkpoint -> sweep -> the
+    # rank join-back PINNED to sort-merge (value-cardinality sides with
+    # bogus-small post-checkpoint stats must never broadcast)
+    ("profiling_gini_concentration", 11, 2, 0),
+    ("analytics_kruskal_wallis", 12, 1, 1),
 ]
 
 
@@ -253,3 +259,13 @@ def test_rank_sum_main_plan_runs_on_checkpointed_cells(spark, registry):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("FileScan") == 0, name
         assert "windowspecdefinition(bk#" in plan, name
+
+
+def test_kruskal_rank_joinback_never_broadcasts(spark, registry):
+    """Both sides of the KW rank join-back are value-cardinality
+    relations behind a checkpoint (stats bogus-small) — the join must
+    stay sort-merge, the failure mode the substring-anchor rehearsal
+    measured at sf10."""
+    df = registry["analytics_kruskal_wallis"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan

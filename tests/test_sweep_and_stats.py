@@ -246,3 +246,123 @@ def test_distributed_quantiles_brute_force(spark, tmp_path):
         rank = ((t - 1) * q) // 10000 + 1
         assert out[q].target_rank == rank
         assert out[q].value_cents == s[rank - 1], f"q={q}"
+
+
+# ---------------------------------------------------------------------------
+# profiling_gini_concentration
+# ---------------------------------------------------------------------------
+
+
+def test_gini_brute_force_planted_concentration(spark, tmp_path):
+    """Lorenz deciles and the Gini coefficient match a pure-Python
+    replay on a planted 80/20-style distribution (16 small customers,
+    4 whales holding 96% of the mass)."""
+    import datetime
+
+    import __spark_entry__ as ent
+
+    base = datetime.datetime(2024, 1, 1)
+    # 20 customers: 16 small (one 10.00 order), 4 whales (one 960.00)
+    rows = []
+    for i in range(20):
+        price = 960.0 if i >= 16 else 10.0
+        rows.append((i, i, "O", price, base, "3-MEDIUM"))
+    df = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    _write(df, tmp_path, "orders")
+    out = {r.decile: r for r in
+           ent.queries()["profiling_gini_concentration"](
+               spark, str(tmp_path)).collect()}
+
+    xs = sorted([1000] * 16 + [96000] * 4)
+    n, sx = len(xs), sum(xs)
+    srx = sum((i + 1) * x for i, x in enumerate(xs))
+    gini_bp = (2 * srx * 10000 - (n + 1) * sx * 10000) // (n * sx)
+    cum = 0
+    lorenz = {}
+    for i, x in enumerate(xs, start=1):
+        cum += x
+        lorenz[i] = cum
+    assert set(out) == set(range(1, 11))
+    for d in range(1, 11):
+        r = out[d]
+        rank = (n * d) // 10
+        assert r.cum_units == rank
+        assert r.cum_share_bp == lorenz[rank] * 10000 // sx
+        assert r.gini_bp == gini_bp
+    # bottom 80% of units hold 16k/400k = 4% of the mass
+    assert out[8].cum_share_bp == 400
+    assert gini_bp > 7000  # heavy concentration
+
+
+def test_gini_equal_distribution_is_discrete_floor(spark, tmp_path):
+    """All-equal values: discrete population Gini is exactly
+    (2*sum(i*x) - (n+1)*n*x)/(n*n*x) = 0 -- floors to 0_bp."""
+    import datetime
+
+    import __spark_entry__ as ent
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(i, i, "O", 50.0, base, "3-MEDIUM") for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    _write(df, tmp_path, "orders")
+    out = ent.queries()["profiling_gini_concentration"](
+        spark, str(tmp_path)).collect()
+    assert all(r.gini_bp == 0 for r in out)
+    assert {r.decile: r.cum_share_bp for r in out}[5] == 5000
+
+
+# ---------------------------------------------------------------------------
+# analytics_kruskal_wallis
+# ---------------------------------------------------------------------------
+
+
+def test_kruskal_wallis_brute_force(spark, tmp_path):
+    """Per-group doubled rank sums match a midrank replay; deviations
+    sum to zero; collapsing to two groups reproduces the rank-sum U."""
+    import datetime
+    from collections import Counter
+
+    import __spark_entry__ as ent
+
+    groups = {
+        "1-URGENT": [10, 20, 20, 50],
+        "3-MEDIUM": [20, 30, 30],
+        "5-LOW": [10, 40, 40, 40, 90],
+    }
+    rows, oid = [], 0
+    base = datetime.datetime(2024, 1, 1)
+    for g, vs in groups.items():
+        for v in vs:
+            rows.append((oid, oid, "O", v / 100.0, base, g))
+            oid += 1
+    df = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    _write(df, tmp_path, "orders")
+    out = {r.grp: r for r in
+           ent.queries()["analytics_kruskal_wallis"](
+               spark, str(tmp_path)).collect()}
+
+    allv = sorted(v for vs in groups.values() for v in vs)
+    t = len(allv)
+    counts = Counter(allv)
+    # doubled midrank of value v: 2*cum - n + 1
+    r2 = {}
+    cum = 0
+    for v in sorted(counts):
+        cum += counts[v]
+        r2[v] = 2 * cum - counts[v] + 1
+    for g, vs in groups.items():
+        expect_r2 = sum(r2[v] for v in vs)
+        assert out[g].n_g == len(vs)
+        assert out[g].r2_sum == expect_r2
+        assert out[g].e_r2 == len(vs) * (t + 1)
+        assert out[g].dev_x2 == expect_r2 - len(vs) * (t + 1)
+    assert sum(r.dev_x2 for r in out.values()) == 0
