@@ -82,6 +82,12 @@ HEADLINE = [
     "sketch_sampled_heavyhitters",
     "join_scd2_point_in_time",
     "curation_chunk_overlap",
+    # round-9 stats/sweep batch: the distributed prefix-scan family —
+    # exact-k PPS sampling (offsets-checkpoint main plan), rank-selected
+    # exact quantiles, and the Lorenz/Gini concentration audit
+    "curation_pps_sample",
+    "profiling_quantiles_distributed",
+    "profiling_gini_concentration",
 ]
 
 # Scale-sensitive subset re-run at sf1 (10x).  Linear operators should land
