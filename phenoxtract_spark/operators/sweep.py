@@ -61,13 +61,20 @@ def bucketed_prefix_sum(
     in the global order ``(bucket_col, *order_cols)``, without ever
     materialising a single-task global window over the data.
 
-    ``bucket_col`` must be monotone in the intended global order and
-    low-cardinality (e.g. 256 hash-prefix or value-range buckets); the
-    caller owns that contract.  Ties in ``order_cols`` within a bucket
-    must be broken by the caller (include a unique id) if a total order
-    matters downstream.  ``totals`` names entries of ``sums`` whose
-    GRAND total should ride along as a constant ``total_<name>`` column
-    (computed from the n_buckets-row dim, never a second data pass).
+    ``bucket_col`` must be NON-NULL and monotone in the intended global
+    order, and low-cardinality (e.g. 256 hash-prefix or value-range
+    buckets); the caller owns the monotonicity contract, while the
+    non-null contract is ENFORCED — a NULL bucket would silently drop
+    out of the inner offsets join (its weight still counted in the
+    totals), so the value expressions raise at runtime instead of
+    losing rows.  Ties in ``order_cols`` within a bucket must be broken
+    by the caller (include a unique id) if a total order matters
+    downstream.  ``totals`` names entries of ``sums`` whose GRAND total
+    should ride along as a constant ``total_<name>`` column, computed
+    from the n_buckets-row offsets dim — which is only free of a second
+    data pass under ``materialize="offsets"`` (checkpointed dim) or
+    when the input is already materialized; with ``materialize="none"``
+    on a raw scan the gt branch re-aggregates the input.
     ``materialize`` picks the evaluation shape — see the module
     docstring; values are identical in all modes.
     """
@@ -76,8 +83,17 @@ def bucketed_prefix_sum(
     if materialize == "input":
         df = df.localCheckpoint()
 
+    # non-null enforcement rides INSIDE the value expressions (they are
+    # always consumed, so the optimizer cannot prune the assertion):
+    # assert_true returns NULL when the predicate holds, so the `when`
+    # yields the value on the pass path and raises on a NULL bucket.
+    guard = F.assert_true(
+        F.col(bucket_col).isNotNull(),
+        F.lit(f"bucketed_prefix_sum: NULL {bucket_col} would drop rows"),
+    )
     vals = {
-        name: (F.col(c) if isinstance(c, str) else c).alias(f"_v_{name}")
+        name: F.when(guard.isNull(),
+                     F.col(c) if isinstance(c, str) else c).alias(f"_v_{name}")
         for name, c in sums.items()
     }
     d = df.select("*", *vals.values())
@@ -117,4 +133,31 @@ def bucketed_prefix_sum(
         *[f"_v_{n}" for n in sums],
         *[f"_off_{n}" for n in sums],
         *[f"_bt_{n}" for n in sums],
+    )
+
+
+def value_range_buckets(
+    df: DataFrame, value_col: str, bits: int = 8
+) -> DataFrame:
+    """Attach the monotone value-range bucket ``bk`` the prefix scan
+    needs when the global order is BY VALUE: a 1-row min/max aggregate
+    broadcasts onto the relation and ``bk = ((v - lo) << bits-ish) DIV
+    (hi - lo + 1)`` grids the domain into ``2^bits`` ranges — exact
+    integer arithmetic, monotone in ``value_col`` by construction.  The
+    stats pass is one map-side-combined aggregate; call this on a
+    MATERIALIZED relation (the checkpointed-cells discipline) so the
+    stats branch reads the checkpoint rather than rescanning the
+    source.  Shared by the rank-sum, Kruskal-Wallis, quantile, and
+    Gini queries."""
+    stats = df.agg(
+        F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi")
+    )
+    n = 1 << bits
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "bk",
+            F.expr(f"(({value_col} - _lo) * {n}) DIV (_hi - _lo + 1)"),
+        )
+        .drop("_lo", "_hi")
     )

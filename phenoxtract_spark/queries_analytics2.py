@@ -1008,12 +1008,7 @@ def profiling_quantiles_distributed_q(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .localCheckpoint()
     )
-    stats = cells.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
-    b = (
-        cells.crossJoin(F.broadcast(stats))
-        .withColumn("bk", F.expr("((cents - lo) * 256) DIV (hi - lo + 1)"))
-        .drop("lo", "hi")
-    )
+    b = sweep.value_range_buckets(cells, "cents")
     c = sweep.bucketed_prefix_sum(
         b, "bk", ["cents"], {"n": "n"}, totals=["n"]
     )
@@ -1097,12 +1092,7 @@ def profiling_gini_concentration_q(spark, sf_dir):
         )
         .localCheckpoint()
     )
-    stats = per.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
-    b = (
-        per.crossJoin(F.broadcast(stats))
-        .withColumn("bk", F.expr("((cents - lo) * 256) DIV (hi - lo + 1)"))
-        .drop("lo", "hi")
-    )
+    b = sweep.value_range_buckets(per, "cents")
     c = sweep.bucketed_prefix_sum(
         b, "bk", ["cents", "o_custkey"], {"one": F.lit(1).cast("bigint"),
                                           "cents": "cents"}

@@ -1574,12 +1574,7 @@ def analytics_rank_sum_test_q(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("g").cast("bigint").alias("n1"),
     ).localCheckpoint()
-    stats = cells.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
-    b = (
-        cells.crossJoin(F.broadcast(stats))
-        .withColumn("bk", F.expr("((cents - lo) * 256) DIV (hi - lo + 1)"))
-        .drop("lo", "hi")
-    )
+    b = sweep.value_range_buckets(cells, "cents")
     c = sweep.bucketed_prefix_sum(b, "bk", ["cents"], {"n": "n"})
     r = c.withColumn("r2", 2 * F.col("cum_n") - F.col("n") + 1)
     agg = r.agg(
@@ -1661,12 +1656,7 @@ def analytics_kruskal_wallis_q(spark, sf_dir):
         .localCheckpoint()
     )
     vc = gc.groupBy("cents").agg(F.sum("ng").cast("bigint").alias("n"))
-    stats = vc.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
-    b = (
-        vc.crossJoin(F.broadcast(stats))
-        .withColumn("bk", F.expr("((cents - lo) * 256) DIV (hi - lo + 1)"))
-        .drop("lo", "hi")
-    )
+    b = sweep.value_range_buckets(vc, "cents")
     c = sweep.bucketed_prefix_sum(b, "bk", ["cents"], {"n": "n"})
     r = c.withColumn("r2", 2 * F.col("cum_n") - F.col("n") + 1)
     tot = vc.agg(F.sum("n").cast("bigint").alias("t"))

@@ -370,15 +370,17 @@ def test_pps_sample_invariants(spark, tmp_path_factory, ws):
     assert sum(r.n_hits for r in out) == k
     by_id = {r.doc_id: r.n_hits for r in out}
     for i, w in enumerate(ws):
-        share = w * k / total if w > 0 else 0.0
         hits = by_id.get(i, 0)
         if w <= 0:
             assert hits == 0
+            continue
+        # systematic sampling: floor(a+s) - floor(a) is floor(s) or
+        # ceil(s), and EXACTLY s when the share s = w*k/W is integral
+        num = w * k
+        if num % total == 0:
+            assert hits == num // total, (i, w, hits)
         else:
-            # systematic sampling: hits in {floor(share), ceil(share)}
-            assert share - 1 < hits < share + 1 or hits in (
-                int(share), int(share) + 1
-            ), (i, w, hits, share)
+            assert hits in (num // total, num // total + 1), (i, w, hits)
 
 
 @settings(max_examples=15, deadline=None)

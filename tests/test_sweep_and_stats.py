@@ -366,3 +366,19 @@ def test_kruskal_wallis_brute_force(spark, tmp_path):
         assert out[g].e_r2 == len(vs) * (t + 1)
         assert out[g].dev_x2 == expect_r2 - len(vs) * (t + 1)
     assert sum(r.dev_x2 for r in out.values()) == 0
+
+
+def test_bucketed_prefix_sum_null_bucket_raises(spark):
+    """A NULL bucket would silently drop out of the offsets join while
+    its weight still lands in the totals — the operator must raise, not
+    lose rows."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from phenoxtract_spark.operators import sweep
+
+    df = spark.createDataFrame(
+        [(1, 0, 5), (2, None, 7)], "id bigint, bk bigint, w bigint"
+    )
+    out = sweep.bucketed_prefix_sum(df, "bk", ["id"], {"w": "w"})
+    with pytest.raises(SparkRuntimeException, match="NULL bk"):
+        out.collect()
