@@ -80,22 +80,44 @@ def bucketed_prefix_sum(
     """
     if materialize not in ("none", "input", "offsets"):
         raise ValueError(f"unknown materialize mode: {materialize!r}")
+    # fail fast on generated-name collisions (same discipline as the
+    # materialize-mode check): an input that already carries e.g. a
+    # ``cum_w`` or ``total_w`` column would otherwise be silently
+    # overwritten by withColumn/crossJoin instead of rejected.
+    generated = (
+        [f"_v_{n}" for n in sums]
+        + [f"_bt_{n}" for n in sums]
+        + [f"_off_{n}" for n in sums]
+        + [f"cum_{n}" for n in sums]
+        + [f"total_{n}" for n in (totals or [])]
+    )
+    clashes = sorted(set(generated) & set(df.columns))
+    if clashes:
+        raise ValueError(
+            f"bucketed_prefix_sum: input columns collide with generated "
+            f"names {clashes}; rename them first"
+        )
     if materialize == "input":
         df = df.localCheckpoint()
 
     # non-null enforcement rides INSIDE the value expressions (they are
     # always consumed, so the optimizer cannot prune the assertion):
-    # assert_true returns NULL when the predicate holds, so the `when`
-    # yields the value on the pass path and raises on a NULL bucket.
-    guard = F.assert_true(
-        F.col(bucket_col).isNotNull(),
-        F.lit(f"bucketed_prefix_sum: NULL {bucket_col} would drop rows"),
-    )
-    vals = {
-        name: F.when(guard.isNull(),
-                     F.col(c) if isinstance(c, str) else c).alias(f"_v_{name}")
-        for name, c in sums.items()
-    }
+    # raise_error fires on the NULL-bucket branch, otherwise the value
+    # passes through.  ``when(isNull, raise_error).otherwise(v)`` is
+    # data-dependent and side-effecting, so no NullPropagation /
+    # constant-folding pass can prune it (unlike the previous
+    # ``assert_true(...).isNull()`` phrasing, whose trivially-always-
+    # null guard a future optimizer could legally fold away).
+    def _guarded(c):
+        v = F.col(c) if isinstance(c, str) else c
+        return F.when(
+            F.col(bucket_col).isNull(),
+            F.raise_error(
+                F.lit(f"bucketed_prefix_sum: NULL {bucket_col} would drop rows")
+            ),
+        ).otherwise(v)
+
+    vals = {name: _guarded(c).alias(f"_v_{name}") for name, c in sums.items()}
     d = df.select("*", *vals.values())
 
     per_bucket = d.groupBy(bucket_col).agg(
@@ -153,11 +175,24 @@ def value_range_buckets(
         F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi")
     )
     n = 1 << bits
+    # Overflow-safe: ``(v - lo) * 2^bits`` in raw BIGINT wraps silently
+    # in non-ANSI Spark once the column's range exceeds ~2^63/2^bits
+    # (~3.6e16 at bits=8), producing non-monotone buckets and silently
+    # wrong prefix sums — this operator's failure mode must be an error
+    # or nothing, never wrong values (same discipline as the NULL-bucket
+    # guard).  Routing the subtraction and multiply through
+    # DECIMAL(38,0) gives exact integer arithmetic across the full
+    # BIGINT domain; the quotient is < 2^bits and DIV returns BIGINT,
+    # so ``bk``'s type is unchanged for callers.
+    d38 = "DECIMAL(38,0)"
     return (
         df.crossJoin(F.broadcast(stats))
         .withColumn(
             "bk",
-            F.expr(f"(({value_col} - _lo) * {n}) DIV (_hi - _lo + 1)"),
+            F.expr(
+                f"((CAST({value_col} AS {d38}) - CAST(_lo AS {d38})) * {n})"
+                f" DIV (CAST(_hi AS {d38}) - CAST(_lo AS {d38}) + 1)"
+            ),
         )
         .drop("_lo", "_hi")
     )

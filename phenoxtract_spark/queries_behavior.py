@@ -142,7 +142,8 @@ def events_anomaly(spark, sf_dir):
     """
     SELECT n_name, o_orderpriority,
            CAST(grouping(n_name, o_orderpriority) AS BIGINT) AS gid,
-           sum(CAST(o_totalprice AS DECIMAL(18,4))) AS revenue
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
     FROM orders JOIN customer ON o_custkey = c_custkey
                 JOIN nation ON c_nationkey = n_nationkey
     GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), ())
@@ -151,8 +152,13 @@ def events_anomaly(spark, sf_dir):
 def grouping_sets_revenue(spark, sf_dir):
     """GROUPING SETS in one aggregation pass (vs three unioned groupBys):
     per-(nation, priority) revenue, per-nation subtotal, and grand total,
-    disambiguated by ``grouping_id``.  Money accumulates in DECIMAL(18,4)
-    so the subtotal hierarchy is exact."""
+    disambiguated by ``grouping_id``.  Money accumulates as integer
+    CENTS (BIGINT) so the subtotal hierarchy is exact AND the rendered
+    value is engine-independent — a raw DECIMAL output column hashes
+    differently under the external driver (Spark hands back
+    ``decimal.Decimal('…4900')`` objects while DuckDB's ``fetchdf``
+    degrades its DECIMAL sum to float64), the r9 red-row root cause.
+    Same cents discipline as ``skew_salted_agg_revenue``."""
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer")
     n = read_table(spark, sf_dir, "nation")
@@ -165,7 +171,9 @@ def grouping_sets_revenue(spark, sf_dir):
         "o_orderpriority",
     ).agg(
         F.grouping_id().cast("bigint").alias("gid"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("revenue"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents"),
     )
 
 
@@ -232,36 +240,42 @@ def events_pattern(spark, sf_dir):
       SELECT o_custkey AS custkey,
              max(CAST(o_orderdate AS DATE)) AS last_order,
              count(*) AS frequency,
-             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS monetary
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
       FROM orders GROUP BY o_custkey
     )
-    SELECT custkey, last_order, frequency, monetary,
+    SELECT custkey, last_order, frequency, monetary_cents,
            CAST(ntile(4) OVER (ORDER BY last_order DESC, custkey) AS BIGINT) AS r_score,
            CAST(ntile(4) OVER (ORDER BY frequency DESC, custkey) AS BIGINT) AS f_score,
-           CAST(ntile(4) OVER (ORDER BY monetary DESC, custkey) AS BIGINT) AS m_score
+           CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, custkey) AS BIGINT) AS m_score
     FROM base
     """,
 )
 def analytics_rfm(spark, sf_dir):
     """RFM customer segmentation: one aggregate over orders, then three
-    ntile windows with deterministic (metric, custkey) tie-breaks.  The
-    global-sort windows are the textbook shape; at 100 TB replace exact
-    ntile with histogram-quantile thresholds (sketch_histogram_quantiles)
-    and a broadcast threshold join — documented trade, same output
-    contract."""
+    ntile windows with deterministic (metric, custkey) tie-breaks.
+    Money accumulates as integer cents (BIGINT) — the r9 driver red row
+    was a raw DECIMAL ``monetary`` column rendering as Decimal objects
+    on Spark and float64 on DuckDB's fetchdf; integer cents render
+    identically on both engines.  The global-sort windows are the
+    textbook shape; the 100 TB variant is ``analytics_rfm_scalable``
+    (bucketed-CDF thresholds + broadcast join, no data-sized
+    single-task sort)."""
     from pyspark.sql.window import Window
 
     o = read_table(spark, sf_dir, "orders")
     base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("monetary"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_cents"),
     )
     return base.select(
         "custkey",
         "last_order",
         "frequency",
-        "monetary",
+        "monetary_cents",
         F.ntile(4)
         .over(Window.orderBy(F.col("last_order").desc(), "custkey"))
         .cast("bigint")
@@ -271,7 +285,7 @@ def analytics_rfm(spark, sf_dir):
         .cast("bigint")
         .alias("f_score"),
         F.ntile(4)
-        .over(Window.orderBy(F.col("monetary").desc(), "custkey"))
+        .over(Window.orderBy(F.col("monetary_cents").desc(), "custkey"))
         .cast("bigint")
         .alias("m_score"),
     )
@@ -1629,7 +1643,8 @@ def analytics_kruskal_wallis_q(spark, sf_dir):
     expectation e_r2 = n_g*(t+1) (since E[2*rank] = t+1), and the
     doubled deviation dev_x2 — sum(dev_x2) over groups is identically 0
     (a pinned invariant), and the H statistic is
-    3/(t^2(t+1)) * sum(dev_x2^2/n_g) offline, exactly as chi2 emits the
+    3/(t*(t+1)) * sum(dev_x2^2/n_g) offline (dev_x2 = 2*dev_g folds the
+    4 into 12/(t*(t+1))), exactly as chi2 emits the
     residual table rather than one scalar.  All integers, tie-aware
     midranks, nothing from libm.
 

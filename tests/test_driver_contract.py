@@ -20,9 +20,10 @@ import __spark_entry__ as ent
 
 
 def test_every_registered_query_returns_atomic_columns(spark):
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
 
     offenders = {}
+    decimal_offenders = {}
     for name, fn in ent.queries().items():
         df = fn(spark, "/root/testdata/sf0.001")
         complex_cols = [
@@ -32,7 +33,27 @@ def test_every_registered_query_returns_atomic_columns(spark):
         ]
         if complex_cols:
             offenders[name] = complex_cols
+        # Round-10 hardening: DECIMAL output columns are driver-render-
+        # unsafe — Spark toPandas hands back decimal.Decimal objects
+        # (scale-padded str, e.g. '…4900') while DuckDB's fetchdf degrades
+        # DECIMAL aggregates to float64 ('…49'), so the driver's
+        # as-rendered value hash diverges on identical values (the r9
+        # grouping_sets_revenue / analytics_rfm_segments red rows).
+        # DECIMAL is fine in intermediate plans (exact accumulation);
+        # the registry SURFACE must emit integer cents or rounded DOUBLE.
+        decimal_cols = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if isinstance(f.dataType, DecimalType)
+        ]
+        if decimal_cols:
+            decimal_offenders[name] = decimal_cols
     assert not offenders, (
         "driver-facing queries must return atomic columns (the driver's "
         f"sort_values canon crashes on lists): {offenders}"
+    )
+    assert not decimal_offenders, (
+        "driver-facing queries must not emit DECIMAL columns (Decimal-vs-"
+        "float render divergence hash-FAILS under the driver; output "
+        f"integer cents or rounded DOUBLE): {decimal_offenders}"
     )

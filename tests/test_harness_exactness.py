@@ -190,6 +190,42 @@ def test_list_valued_result_columns_fail_as_driver_fatal():
     assert not compare("scalars_eq", c, d)
 
 
+def test_decimal_object_cells_fail_as_driver_render_unsafe():
+    """The r9 red-row class: Spark toPandas delivers DECIMAL sums as
+    decimal.Decimal objects (scale-padded render '…4900') while DuckDB's
+    fetchdf degrades its DECIMAL to float64 ('…49') — identical values,
+    divergent driver hash.  The gate must FAIL Decimal cells on EITHER
+    side regardless of the other side's dtype (the type is banned at the
+    registry surface; test_driver_contract pins the schema-level twin)."""
+    import decimal
+
+    dec = decimal.Decimal("168636624.4900")
+    a = pd.DataFrame({"id": [1], "revenue": [dec]})
+    b = pd.DataFrame({"id": [1], "revenue": [168636624.49]})
+    problems = compare("decimal_vs_float", a, b)
+    assert problems and any("decimal.Decimal" in p for p in problems)
+    # Decimal on BOTH sides is still banned: scales (and thus renders)
+    # are engine-dependent even when values agree
+    c = pd.DataFrame({"id": [1], "revenue": [decimal.Decimal("1.4900")]})
+    d = pd.DataFrame({"id": [1], "revenue": [decimal.Decimal("1.49")]})
+    assert compare("decimal_both_sides", c, d)
+
+
+def test_numeric_object_vs_numeric_dtype_divergence_fails():
+    """Generic class fix (r10): numeric OBJECTS in an object column on one
+    side vs a real numeric dtype on the other render through different
+    str() paths — the compare must flag the dtype split itself instead of
+    forgiving it through pd.to_numeric."""
+    a = pd.DataFrame({"v": pd.array([1.5, 2.5], dtype=object)})
+    b = pd.DataFrame({"v": pd.array([1.5, 2.5], dtype="float64")})
+    problems = compare("obj_float_vs_float64", a, b)
+    assert problems and any("numeric OBJECTS" in p for p in problems)
+    # plain string object columns keep passing against themselves
+    c = pd.DataFrame({"v": ["x", "y"]})
+    d = pd.DataFrame({"v": ["x", "y"]})
+    assert not compare("strings_eq", c, d)
+
+
 def test_check_correctness_rejects_unknown_flags():
     """The r6 lesson: an unrecognized flag used to act as a query-name
     filter and print a deceptively green '0 ok, 0 fail'.  It must exit 2

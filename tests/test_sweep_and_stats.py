@@ -367,6 +367,19 @@ def test_kruskal_wallis_brute_force(spark, tmp_path):
         assert out[g].dev_x2 == expect_r2 - len(vs) * (t + 1)
     assert sum(r.dev_x2 for r in out.values()) == 0
 
+    # the docstring's offline reduction H = 3/(t*(t+1)) * sum(dev_x2^2/n_g)
+    # must equal the textbook H = 12/(t*(t+1)) * sum(R_g^2/n_g) - 3*(t+1)
+    # recomputed from midranks (a consumer following the docstring must
+    # get the right statistic — the r9 advice caught a t^2 typo here)
+    h_doc = 3.0 / (t * (t + 1)) * sum(
+        out[g].dev_x2 ** 2 / len(vs) for g, vs in groups.items()
+    )
+    h_brute = 12.0 / (t * (t + 1)) * sum(
+        (sum(r2[v] for v in vs) / 2.0) ** 2 / len(vs)
+        for vs in groups.values()
+    ) - 3.0 * (t + 1)
+    assert abs(h_doc - h_brute) < 1e-9 and h_doc > 0
+
 
 def test_bucketed_prefix_sum_null_bucket_raises(spark):
     """A NULL bucket would silently drop out of the offsets join while
@@ -382,3 +395,44 @@ def test_bucketed_prefix_sum_null_bucket_raises(spark):
     out = sweep.bucketed_prefix_sum(df, "bk", ["id"], {"w": "w"})
     with pytest.raises(SparkRuntimeException, match="NULL bk"):
         out.collect()
+
+
+def test_bucketed_prefix_sum_rejects_generated_name_collisions(spark):
+    """An input that already carries a generated name (cum_w, total_w,
+    _v_w, ...) must be rejected up front, not silently overwritten by
+    withColumn/crossJoin."""
+    from phenoxtract_spark.operators import sweep
+
+    df = spark.createDataFrame(
+        [(1, 0, 5, 9)], "id bigint, bk bigint, w bigint, cum_w bigint"
+    )
+    with pytest.raises(ValueError, match="cum_w"):
+        sweep.bucketed_prefix_sum(df, "bk", ["id"], {"w": "w"})
+    df2 = spark.createDataFrame(
+        [(1, 0, 5, 9)], "id bigint, bk bigint, w bigint, total_w bigint"
+    )
+    with pytest.raises(ValueError, match="total_w"):
+        sweep.bucketed_prefix_sum(df2, "bk", ["id"], {"w": "w"}, totals=["w"])
+    # no totals requested: a pre-existing total_w is NOT generated → fine
+    assert sweep.bucketed_prefix_sum(
+        df2, "bk", ["id"], {"w": "w"}
+    ).columns
+
+
+def test_value_range_buckets_survive_full_bigint_range(spark):
+    """(v - lo) * 2^bits in raw BIGINT wraps for ranges beyond
+    ~2^63/2^bits; the DECIMAL(38,0) routing must keep buckets exact and
+    monotone across the full BIGINT domain."""
+    from phenoxtract_spark.operators import sweep
+
+    lo, hi = -(1 << 62), (1 << 62)  # range 2^63: raw bigint multiply wraps
+    df = spark.createDataFrame(
+        [(lo,), (-1,), (0,), (hi,)], "v bigint"
+    )
+    rows = {r.v: r.bk for r in sweep.value_range_buckets(df, "v").collect()}
+    assert rows[lo] == 0
+    assert rows[hi] == 255
+    assert 0 <= rows[-1] <= rows[0] <= 255
+    # monotone in v
+    ordered = [rows[v] for v in sorted(rows)]
+    assert ordered == sorted(ordered)

@@ -99,6 +99,8 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     # in the driver — so flag the shape itself, on either side.
     import numpy as np
 
+    import decimal
+
     for side, pdf in (("spark", spark_pdf), ("oracle", duck_pdf)):
         for c in pdf.columns:
             s = pdf[c]
@@ -113,6 +115,51 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
                     f"driver's sort_values canon cannot hash lists and "
                     f"CRASHES (r5 multimodal_features); posexplode or "
                     f"stringify the column"
+                )
+            # Round-10 hardening — the CLASS fix for render divergence
+            # (third instance: r4 int-vs-float, r5 list canon, r9
+            # Decimal-vs-float).  The driver hashes values AS RENDERED,
+            # and a DECIMAL output column renders engine-dependently:
+            # Spark toPandas yields decimal.Decimal('…4900') objects
+            # (scale-padded str) while DuckDB fetchdf degrades DECIMAL
+            # aggregates to float64 ('…49').  Any Decimal cell on either
+            # side is therefore a driver hazard regardless of what the
+            # other side holds — ban the type outright (the registry-wide
+            # pytest pins the same rule at the schema level).
+            if any(isinstance(v, decimal.Decimal) for v in sample):
+                problems.append(
+                    f"col {c}: {side} result holds decimal.Decimal objects "
+                    f"— driver-render-unsafe (r9 grouping_sets_revenue/"
+                    f"analytics_rfm_segments red rows); output integer "
+                    f"cents (BIGINT) or round to DOUBLE instead"
+                )
+    # Generic rendered-dtype agreement (same round-10 class fix): a
+    # column whose cells are NUMERIC OBJECTS on one side (Python
+    # int/float/Decimal inside an object column) but a real numeric
+    # dtype on the other renders through different str() paths — flag
+    # the split itself instead of forgiving it via pd.to_numeric below.
+    for c in spark_pdf.columns:
+        if c not in duck_pdf.columns:
+            continue
+        for s_obj, s_num, on, nn in (
+            (spark_pdf[c], duck_pdf[c], "spark", "oracle"),
+            (duck_pdf[c], spark_pdf[c], "oracle", "spark"),
+        ):
+            if s_obj.dtype != object or s_num.dtype == object:
+                continue
+            if not pd.api.types.is_numeric_dtype(s_num):
+                continue
+            sample = s_obj.dropna().head(100)
+            if len(sample) and all(
+                isinstance(v, (int, float, decimal.Decimal))
+                and not isinstance(v, bool)
+                for v in sample
+            ):
+                problems.append(
+                    f"col {c}: {on} holds numeric OBJECTS (object dtype) vs "
+                    f"{nn} numeric dtype {s_num.dtype} — rendered-value "
+                    f"divergence the driver would hash-FAIL; cast both "
+                    f"sides to the same concrete type"
                 )
     if problems:
         return problems
