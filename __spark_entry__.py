@@ -29,50 +29,58 @@ os.environ["PYTHONPATH"] = _REPO_DIR + os.pathsep + os.environ.get("PYTHONPATH",
 # row, so driver-green evidence accumulates across rounds.  Rotated-out
 # queries keep their green rows in CORRECTNESS_r{1,2,3}.json.
 _PRIORITY = [
-    # --- family representatives (driver-green in earlier rounds; 14
-    # this round — trimmed so the r9+r10 rotations cover every
-    # remaining never-checked query) -----------------------------------
-    "c1_trim_empty_to_null", "m2_synonym_mapping",
+    # --- representatives (driver-green in earlier rounds; trimmed to 8
+    # this round so the r10 rotation covers all but 7 of the remaining
+    # never-checked pool — the r9 handoff's named keeps) ----------------
     # grouping / packet assembly spine (always sampled — r4 verdict #6)
-    "g2_group_collect", "g6_upsert_last", "g10_packet_json",
-    "g13_medical_actions", "pipeline_e2e_packets",
-    # ontology / events / dedup / similarity
-    "x2_bidict_priority_lookup", "events_tumbling_hour",
-    "dedup_exact", "similarity_ivf_topk",
+    "g10_packet_json", "g13_medical_actions", "pipeline_e2e_packets",
     # multimodal_features stays: r5's ONLY red row (array-typed result
     # crashed the driver's sort_values canon) — now posexploded to
-    # atomic columns; its green r6 row is the fix evidence
+    # atomic columns; its green r6+ rows are the fix evidence
     "multimodal_features",
     # curation_lr_calibration stays: r7's ONLY red driver row (a
     # summation-order flake) — now DECIMAL(28,12)-accumulated on both
-    # engines and 5/5 hash-stable under varied partitioning; its green
-    # r8 row under the driver is the fix evidence
+    # engines and 5/5 hash-stable under varied partitioning
     "curation_lr_calibration",
     # source-transform spine rep (pytest pins the prefix to cover it)
     "s3_transpose",
-    # --- r9 first-time rotation (never driver-checked; pool from
-    # tools/rotation_status.py — the r8 mining family leads, per the r8
-    # verdict, plus this round's new skew-mitigation family) -----------
-    "skew_salted_agg_revenue", "skew_salted_distinct_orders",
-    "skew_salted_join_supplier",
-    "er_fuzzy_part_pairs", "er_fuzzy_part_clusters",
-    "curation_domain_mixture", "analytics_holt_linear",
-    "analytics_cohort_ltv", "events_dau_wau_mau",
-    "events_anomaly_ensemble", "curation_mixture_allocation",
-    "events_slo_burn", "events_bot_detection", "text_readability",
-    "profiling_numeric_correlation", "embedding_centroid_outliers",
-    "graph_resource_allocation", "profiling_histogram_equiwidth",
-    "embedding_pipeline_e2e", "similarity_mmr_rerank",
-    "text_langid_confusion", "text_tokenizer_fertility",
-    "curation_sequence_packing", "curation_dedup_tradeoff",
-    "quality_referential_integrity", "events_forecast_backtest",
-    "graph_hierarchy_rollup",
-    # remaining slots: family-diverse never-checked queries
-    "tpch_q8_market_share", "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity", "tpch_q21_suppliers_kept_waiting",
+    # similarity family rep (pytest pins the prefix to cover the family;
+    # no never-checked similarity query remains in the pool)
+    "similarity_ivf_topk",
+    # r9's TWO red rows (DECIMAL-render hash divergence) — now integer
+    # cents on both engines; their green r10 rows are the fix evidence
     "grouping_sets_revenue", "analytics_rfm_segments",
-    "events_transition_entropy", "process_conformance_orders",
-    "events_temporal_embargo_split",
+    # --- r10 first-time rotation (never driver-checked; pool from
+    # tools/rotation_status.py — leads with the r9 stats/sweep batch per
+    # the r9 handoff, then the full remaining pool minus 7 deferred
+    # family-duplicates; plus this round's new scale-safe RFM) ----------
+    "analytics_rfm_scalable",
+    "curation_pps_sample", "profiling_quantiles_distributed",
+    "profiling_gini_concentration", "analytics_chi2_independence",
+    "analytics_rank_sum_test", "analytics_kruskal_wallis",
+    "join_scd2_point_in_time", "sketch_sampled_heavyhitters",
+    "events_survival_hazard", "events_uplift_did",
+    "curation_chunk_overlap",
+    "c6_int_via_float", "curation_stratified_sample",
+    "curation_line_dedup", "text_ngram_diversity",
+    "curation_hashed_features", "curation_cross_source_overlap",
+    "text_html_strip", "text_cooccurrence_pmi", "text_inverted_index",
+    "curation_source_scorecard", "curation_weighted_reservoir",
+    "curation_feature_matrix", "curation_contrastive_positives",
+    "text_unigram_logprob", "dedup_canonical_by_quality",
+    "embedding_mean_pool",
+    "tpch_q19_discounted_revenue", "tpch_q22_sales_opportunity",
+    "tpch_q2_min_cost_supplier", "tpch_q11_important_parts",
+    "tpch_q16_parts_supplier_relationship", "tpch_q20_dominant_suppliers",
+    "events_anomaly_zscore", "analytics_market_basket",
+    "events_audience_overlap", "events_purchase_intervals",
+    "curation_embedding_decontaminate", "curation_source_mix",
+    "dedup_ngram_containment",
+    # deferred to r11 (family twins already sampled this round):
+    # text_bigram_logprob, events_audience_overlap_sketch,
+    # embedding_quantize_int8, c16_strip_punct, curation_word_dropout,
+    # curation_curriculum_phases, text_vocab_richness,
+    # curation_cluster_balanced_sample
 ]
 
 

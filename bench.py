@@ -88,6 +88,9 @@ HEADLINE = [
     "curation_pps_sample",
     "profiling_quantiles_distributed",
     "profiling_gini_concentration",
+    # round-10 addition: the scale-safe RFM (three exact global ntiles
+    # via the bucketed prefix scan — no data-sized single-task sort)
+    "analytics_rfm_scalable",
 ]
 
 # Scale-sensitive subset re-run at sf1 (10x).  Linear operators should land

@@ -1690,3 +1690,94 @@ def analytics_kruskal_wallis_q(spark, sf_dir):
             .cast("bigint").alias("dev_x2"),
         )
     )
+
+
+@q(
+    "analytics_rfm_scalable",
+    """
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             max(CAST(o_orderdate AS DATE)) AS last_order,
+             count(*) AS frequency,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT custkey, last_order, frequency, monetary_cents,
+           CAST(ntile(4) OVER (ORDER BY last_order DESC, custkey) AS BIGINT) AS r_score,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, custkey) AS BIGINT) AS f_score,
+           CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, custkey) AS BIGINT) AS m_score
+    FROM base
+    """,
+)
+def analytics_rfm_scalable(spark, sf_dir):
+    """The 100 TB RFM: same output contract as ``analytics_rfm_segments``
+    (the oracle IS the three-global-ntile SQL) but NO data-sized
+    single-task sort anywhere in the plan.  Each quartile score derives
+    from an EXACT global rank computed by the two-phase prefix scan
+    (operators/sweep.py): 256 value-range buckets (monotone by
+    construction from a 1-row min/max broadcast), per-bucket counts
+    aggregate map-side into a 256-row offsets dim (its window runs on
+    that dim only), and the within-bucket row_number window is
+    PARTITIONED by bucket.  ntile(k) is then pure integer arithmetic on
+    (rank, n): the first n%k buckets take n/k+1 rows, the rest n/k —
+    bit-identical to the window function for a total order (custkey
+    breaks all ties).  Ranks ascend in (metric ASC, custkey DESC) so
+    rank_desc = n - rank_asc + 1 lands exactly on the oracle's
+    (metric DESC, custkey ASC) order.  The relation re-materializes
+    between the three passes (localCheckpoint) so each pass's stats +
+    offsets jobs read the previous materialization instead of replaying
+    upstream windows — the sweep module's "input" discipline; at
+    cluster scale the checkpoint is a narrow per-customer relation,
+    orders of magnitude under the orders table it aggregates."""
+    from .operators import sweep
+
+    o = read_table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+
+    def _ntile4(rank: str, n: str):
+        # ntile(4) from a 1-based total-order rank: the first n%4
+        # buckets hold n DIV 4 + 1 rows, the rest n DIV 4 — all BIGINT
+        # arithmetic (no float div), exact past 2^53
+        return F.expr(
+            f"CASE WHEN {rank} <= ({n} DIV 4 + 1) * ({n} % 4) "
+            f"THEN ({rank} - 1) DIV ({n} DIV 4 + 1) + 1 "
+            f"ELSE {n} % 4 + ({rank} - 1 - ({n} DIV 4 + 1) * ({n} % 4))"
+            f" DIV ({n} DIV 4) + 1 END"
+        ).cast("bigint")
+
+    keep = ["custkey", "last_order", "frequency", "monetary_cents"]
+    passes = [
+        ("r_score", "_r_days", "rr"),
+        ("f_score", "frequency", "rf"),
+        ("m_score", "monetary_cents", "rm"),
+    ]
+    cur = base.withColumn(
+        "_r_days", F.unix_date(F.col("last_order")).cast("bigint")
+    ).localCheckpoint()
+    scores = []
+    for score_col, vcol, nm in passes:
+        vb = sweep.value_range_buckets(cur, vcol)
+        ps = sweep.bucketed_prefix_sum(
+            vb,
+            "bk",
+            [F.col(vcol).asc(), F.col("custkey").desc()],
+            {nm: F.lit(1).cast("bigint")},
+            materialize="offsets",
+            totals=[nm],
+        )
+        ranked = ps.withColumn(
+            "_rank", (F.col(f"total_{nm}") - F.col(f"cum_{nm}") + 1)
+        )
+        scored = ranked.withColumn(
+            score_col, _ntile4("_rank", f"total_{nm}")
+        ).select(*keep, "_r_days", *scores, score_col)
+        scores.append(score_col)
+        cur = scored if score_col == "m_score" else scored.localCheckpoint()
+    return cur.select(*keep, *scores)

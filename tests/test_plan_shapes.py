@@ -249,6 +249,23 @@ def test_pps_main_plan_single_scan_bucketed_window_only(spark, registry):
     assert len(specs) == 1 and specs[0].startswith("windowspecdefinition(bk#")
 
 
+def test_rfm_scalable_never_global_sorts(spark, registry):
+    """The scalable RFM's reason to exist: every window must be
+    PARTITIONED by the sweep bucket — the textbook three-global-ntile
+    shape (an unpartitioned windowspecdefinition over all customers in
+    one task) must never reappear.  The main plan reads the final
+    inter-pass checkpoint (no parquet scan) and joins only broadcasts
+    (the 256-row offsets dim + the 1-row stats)."""
+    import re
+
+    df = registry["analytics_rfm_scalable"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 0
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert specs and all(s.startswith("windowspecdefinition(bk#") for s in specs)
+    assert "SortMergeJoin" not in plan
+
+
 def test_rank_sum_main_plan_runs_on_checkpointed_cells(spark, registry):
     """The cells relation is eagerly checkpointed, so the main rank-sum
     and quantile plans must contain NO parquet scan (every branch reads

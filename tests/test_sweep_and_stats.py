@@ -436,3 +436,42 @@ def test_value_range_buckets_survive_full_bigint_range(spark):
     # monotone in v
     ordered = [rows[v] for v in sorted(rows)]
     assert ordered == sorted(ordered)
+
+
+def test_rfm_scalable_matches_global_ntile_with_ties(spark, tmp_path):
+    """The sweep-based quartiles must be BIT-identical to the three
+    global ntile windows, including (a) heavy ties broken by custkey and
+    (b) n % 4 != 0 bucket-size boundaries (n=10 -> sizes 3,3,2,2)."""
+    import datetime
+
+    import __spark_entry__ as ent
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for cust in range(10):
+        # deliberate ties: two date groups, three frequency groups,
+        # duplicated totals
+        n_orders = 1 + (cust % 3)
+        for j in range(n_orders):
+            rows.append((
+                cust * 100 + j, cust, "O",
+                [10.0, 20.0, 20.0, 50.0, 90.0][cust % 5],
+                base + datetime.timedelta(days=cust % 2),
+                "3-MEDIUM",
+            ))
+    df = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    _write(df, tmp_path, "orders")
+    qs = ent.queries()
+    a = {r.custkey: (r.r_score, r.f_score, r.m_score)
+         for r in qs["analytics_rfm_scalable"](spark, str(tmp_path)).collect()}
+    b = {r.custkey: (r.r_score, r.f_score, r.m_score)
+         for r in qs["analytics_rfm_segments"](spark, str(tmp_path)).collect()}
+    assert a == b
+    # n=10: each score's quartile sizes must be 3,3,2,2
+    from collections import Counter
+    for i in range(3):
+        sizes = Counter(v[i] for v in a.values())
+        assert [sizes[s] for s in (1, 2, 3, 4)] == [3, 3, 2, 2]
