@@ -1126,3 +1126,132 @@ def profiling_gini_concentration_q(spark, sf_dir):
             ).cast("bigint").alias("gini_bp"),
         )
     )
+
+
+@q(
+    "profiling_mad_outliers",
+    """
+    WITH cells AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cells),
+    c AS (
+      SELECT cents, n,
+             sum(n) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum
+      FROM cells
+    ),
+    med AS (
+      SELECT cents AS med FROM c, tot
+      WHERE cum >= (t - 1) // 2 + 1 AND cum - n < (t - 1) // 2 + 1
+    ),
+    dcells AS (
+      SELECT abs(cents - med) AS dev, CAST(sum(n) AS BIGINT) AS n
+      FROM cells, med GROUP BY 1
+    ),
+    dc AS (
+      SELECT dev, n,
+             sum(n) OVER (ORDER BY dev ROWS UNBOUNDED PRECEDING) AS cum
+      FROM dcells
+    ),
+    mad AS (
+      SELECT dev AS mad FROM dc, tot
+      WHERE cum >= (t - 1) // 2 + 1 AND cum - n < (t - 1) // 2 + 1
+    ),
+    outl AS (
+      SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_out
+      FROM cells, med, mad WHERE abs(cents - med) > 3 * mad
+    )
+    SELECT CAST(med AS BIGINT) AS med_cents,
+           CAST(mad AS BIGINT) AS mad_cents,
+           CAST(t AS BIGINT) AS n_total,
+           n_out AS n_outliers,
+           CAST((n_out * 10000) // t AS BIGINT) AS outlier_share_bp
+    FROM med, mad, tot, outl
+    """,
+)
+def profiling_mad_outliers_q(spark, sf_dir):
+    """Robust outlier screen — median/MAD instead of mean/stddev, the
+    screen a curation pipeline wants when the column itself is dirty
+    (mean and stddev are unbounded-influence statistics: ONE corrupt
+    1e15 row drags the z-score gate open, while the median moves one
+    rank and the MAD not at all).  Emits one row: exact median, exact
+    MAD (both type-1 lower quantiles, the same integer rank rule as
+    ``profiling_quantiles_distributed``), and the count/share of rows
+    with |x - med| > 3*MAD — all integer arithmetic end to end.
+
+    Scale shape: the quantile spine COMPOSED TWICE.  Pass 1 selects the
+    median by rank over the bucketed CDF of per-distinct-value cells
+    (one data pass, checkpointed); pass 2 re-aggregates those SAME
+    cells to |x-med| deviation cells (cell-bounded, never a second data
+    scan — the 1-row median broadcasts) and rank-selects their median
+    the same way.  The outlier count is a third cell-bounded aggregate
+    against the broadcast (med, mad) pair.  No global sort, no
+    single-reducer percentile buffer, nothing libm."""
+    from .operators import sweep
+
+    li = read_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.select(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents")
+        )
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint()
+    )
+
+    def _median_of(cells_df, vcol):
+        # type-1 lower median by rank selection over the bucketed CDF:
+        # rank r = (t-1) DIV 2 + 1, value = the cell whose cumulative
+        # weight first reaches r
+        b = sweep.value_range_buckets(cells_df, vcol)
+        c = sweep.bucketed_prefix_sum(b, "bk", [vcol], {"n": "n"}, totals=["n"])
+        r = F.expr("(total_n - 1) DIV 2") + 1
+        return (
+            c.filter((F.col("cum_n") >= r) & (F.col("cum_n") - F.col("n") < r))
+            .select(F.col(vcol).alias("_sel"))
+        )
+
+    med = F.broadcast(_median_of(cells, "cents").select(F.col("_sel").alias("med")))
+    dcells = (
+        cells.crossJoin(med)
+        .select(F.abs(F.col("cents") - F.col("med")).alias("dev"), "n")
+        .groupBy("dev")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+        .localCheckpoint()
+    )
+    mad = F.broadcast(_median_of(dcells, "dev").select(F.col("_sel").alias("mad")))
+    stats = cells.agg(F.sum("n").cast("bigint").alias("n_total"))
+    outl = (
+        cells.crossJoin(med)
+        .crossJoin(mad)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.abs(F.col("cents") - F.col("med"))
+                        > 3 * F.col("mad"),
+                        F.col("n"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+    )
+    return (
+        med.crossJoin(mad)
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(outl))
+        .select(
+            F.col("med").cast("bigint").alias("med_cents"),
+            F.col("mad").cast("bigint").alias("mad_cents"),
+            "n_total",
+            "n_outliers",
+            F.expr("(n_outliers * 10000) DIV n_total")
+            .cast("bigint")
+            .alias("outlier_share_bp"),
+        )
+    )

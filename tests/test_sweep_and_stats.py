@@ -475,3 +475,41 @@ def test_rfm_scalable_matches_global_ntile_with_ties(spark, tmp_path):
     for i in range(3):
         sizes = Counter(v[i] for v in a.values())
         assert [sizes[s] for s in (1, 2, 3, 4)] == [3, 3, 2, 2]
+
+
+def test_mad_outliers_brute_force(spark, tmp_path):
+    """Median/MAD/outlier-count against a pure-Python replay on a
+    fixture with a planted corrupt whale: the whale must be flagged
+    without dragging the median or MAD (the bounded-influence property
+    that is this screen's reason to exist)."""
+    import datetime
+
+    import __spark_entry__ as ent
+
+    # 11 sane prices (cents 100..300, heavy ties) + one corrupt 1e9
+    vals = [100, 100, 150, 150, 150, 200, 200, 250, 250, 300, 300,
+            1_000_000_000]
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for i, v in enumerate(vals):
+        rows.append((i, i, i % 3, v / 100.0, 0.1, 0.0, "N", "O", base))
+    df = spark.createDataFrame(
+        rows, "l_orderkey bigint, l_partkey bigint, l_linenumber int,"
+        " l_extendedprice double, l_discount double, l_tax double,"
+        " l_returnflag string, l_linestatus string, l_shipdate timestamp"
+    )
+    _write(df, tmp_path, "lineitem")
+    row = ent.queries()["profiling_mad_outliers"](
+        spark, str(tmp_path)).collect()[0]
+
+    s = sorted(vals)
+    t = len(s)
+    med = s[(t - 1) // 2]          # type-1 lower median
+    devs = sorted(abs(v - med) for v in vals)
+    mad = devs[(t - 1) // 2]
+    n_out = sum(1 for v in vals if abs(v - med) > 3 * mad)
+    assert row.med_cents == med == 200
+    assert row.mad_cents == mad == 50
+    assert row.n_total == t
+    assert row.n_outliers == n_out == 1      # only the whale
+    assert row.outlier_share_bp == (n_out * 10000) // t
