@@ -779,6 +779,70 @@ def profiling_histogram_equiwidth(spark, sf_dir):
     )
 
 
+@q(
+    "profiling_histogram_equidepth",
+    """
+    WITH cells AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS xc,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cells),
+    c AS (
+      SELECT xc, n,
+             sum(n) OVER (ORDER BY xc ROWS UNBOUNDED PRECEDING) AS cum
+      FROM cells
+    )
+    SELECT CAST((cum - 1) * 8 // t AS BIGINT) AS bin,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(min(xc) AS BIGINT) AS lo_cents,
+           CAST(max(xc) AS BIGINT) AS hi_cents
+    FROM c, tot
+    GROUP BY 1
+    """,
+)
+def profiling_histogram_equidepth(spark, sf_dir):
+    """8-bin equi-depth (equi-height) histogram of order totals — the
+    histogram ANALYZE-style column statistics actually keep (equi-width
+    wastes bins on empty ranges; equi-depth puts equal row mass per bin,
+    which is what selectivity estimation needs).  The hard part at
+    100 TB is that bin EDGES are quantiles: here every distinct value's
+    inclusive CDF position comes from the two-phase bucketed prefix
+    scan (operators/sweep.py — no single-task global window), and
+    bin = (cum−1)·8 DIV t, an exact integer in 0..7, monotone in value.
+    Assignment is per-VALUE, so heavy ties make bins honestly jagged
+    (a value straddling a boundary lands wholly in one bin) — the same
+    semantics as Spark's own equi-height ANALYZE histogram, where a
+    frequent value owns its bins.  (cum−1)·8 stays in BIGINT until
+    t ~ 1.1e18 rows.  One data pass to per-value cells (checkpointed),
+    everything after is cell-bounded."""
+    from .operators import sweep
+
+    o = read_table(spark, sf_dir, "orders")
+    cells = (
+        o.select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("xc")
+        )
+        .groupBy("xc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint()
+    )
+    b = sweep.value_range_buckets(cells, "xc")
+    c = sweep.bucketed_prefix_sum(b, "bk", ["xc"], {"n": "n"}, totals=["n"])
+    return (
+        c.select(
+            F.expr("(cum_n - 1) * 8 DIV total_n").cast("bigint").alias("bin"),
+            "xc", "n",
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.min("xc").cast("bigint").alias("lo_cents"),
+            F.max("xc").cast("bigint").alias("hi_cents"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding pipeline capstone
 # ---------------------------------------------------------------------------

@@ -258,3 +258,21 @@ def test_check_correctness_sf_dir_without_value_exits_cleanly():
     assert r.returncode == 2
     assert "--sf-dir requires a path" in r.stdout
     assert "IndexError" not in r.stderr
+
+
+def test_check_correctness_conf_without_value_exits_cleanly():
+    """``--conf`` without a key=value (missing entirely, or not of the
+    k=v shape) must print a clear error and exit 2 before any Spark
+    work — same fail-fast discipline as --sf-dir."""
+    import subprocess
+    import sys
+
+    repo = Path(__file__).resolve().parent.parent
+    for tail in (["--conf"], ["--conf", "no-equals-sign"]):
+        r = subprocess.run(
+            [sys.executable, str(repo / "tools" / "check_correctness.py")]
+            + tail,
+            capture_output=True, text=True, timeout=60,
+        )
+        assert r.returncode == 2, tail
+        assert "--conf requires key=value" in r.stdout

@@ -272,7 +272,7 @@ def test_rank_sum_main_plan_runs_on_checkpointed_cells(spark, registry):
     the materialized cells) and their bucket windows must be
     partitioned."""
     for name in ("analytics_rank_sum_test", "profiling_quantiles_distributed",
-                 "profiling_mad_outliers"):
+                 "profiling_mad_outliers", "profiling_histogram_equidepth"):
         df = registry[name](spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("FileScan") == 0, name

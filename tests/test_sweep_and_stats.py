@@ -513,3 +513,46 @@ def test_mad_outliers_brute_force(spark, tmp_path):
     assert row.n_total == t
     assert row.n_outliers == n_out == 1      # only the whale
     assert row.outlier_share_bp == (n_out * 10000) // t
+
+
+def test_histogram_equidepth_brute_force(spark, tmp_path):
+    """Bin assignment (cum-1)*8 DIV t replayed in pure Python on a
+    tie-heavy fixture: a frequent value owns its bin wholly (jagged
+    counts are the honest per-value semantics), masses sum to t, and
+    bins partition the value range in order."""
+    import datetime
+    from collections import Counter
+
+    import __spark_entry__ as ent
+
+    # 16 rows, value 200 repeated 7x straddling a boundary
+    vals = [100, 150, 200, 200, 200, 200, 200, 200, 200,
+            300, 350, 400, 450, 500, 550, 600]
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for i, v in enumerate(vals):
+        rows.append((i, i % 5, "O", v / 100.0, base, "3-MEDIUM"))
+    df = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    _write(df, tmp_path, "orders")
+    out = {r.bin: r for r in
+           ent.queries()["profiling_histogram_equidepth"](
+               spark, str(tmp_path)).collect()}
+
+    t = len(vals)
+    counts = Counter(vals)
+    cum, expect = 0, {}
+    for v in sorted(counts):
+        cum += counts[v]
+        b = (cum - 1) * 8 // t
+        lo, hi, n = expect.get(b, (v, v, 0))
+        expect[b] = (min(lo, v), max(hi, v), n + counts[v])
+    assert {b: (r.lo_cents, r.hi_cents, r.n_rows)
+            for b, r in out.items()} == expect
+    assert sum(r.n_rows for r in out.values()) == t
+    # ranges are ordered and non-overlapping
+    bins = [out[b] for b in sorted(out)]
+    for a, b in zip(bins, bins[1:]):
+        assert a.hi_cents < b.lo_cents

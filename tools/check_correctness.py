@@ -6,7 +6,8 @@ comparison (order-insensitive; columns sorted by name, rows sorted by all
 columns).  Exact equality is the target — queries are written so both
 engines produce bit-identical values (doubles rounded in-query).
 
-Usage: python tools/check_correctness.py [--vanilla] [query ...]
+Usage: python tools/check_correctness.py [--vanilla] [--sf-dir PATH]
+       [--conf k=v ...] [query ...]
 
 ``--vanilla`` builds a PLAIN SparkSession exactly like the external driver
 does (no engine confs) instead of ``get_spark`` — any query that silently
@@ -248,6 +249,20 @@ def main():
             sys.exit(2)
         SF_DIR = args[i + 1]
         del args[i : i + 2]
+    # --conf k=v (repeatable): hostile-config gate — rerun the registry
+    # under spark.sql.shuffle.partitions=3 / adaptive.enabled=false /
+    # codegen.wholeStage=false etc. (runtime SQL confs only).  Values
+    # must not depend on partitioning, AQE, or the codegen evaluator;
+    # the r9 round ran this trio ad-hoc, this flag makes it a one-liner.
+    hostile_confs: list[tuple[str, str]] = []
+    while "--conf" in args:
+        i = args.index("--conf")
+        if i + 1 >= len(args) or "=" not in args[i + 1]:
+            print("ERROR: --conf requires key=value")
+            sys.exit(2)
+        k, _, v = args[i + 1].partition("=")
+        hostile_confs.append((k, v))
+        del args[i : i + 2]
     # any remaining arg must name a registered query — an unrecognized
     # flag or a typo would otherwise filter everything out and print a
     # deceptively green "0 ok, 0 fail" (this silently no-op'd a round-6
@@ -267,6 +282,8 @@ def main():
         )
     else:
         spark = get_spark(shuffle_partitions=16)
+    for k, v in hostile_confs:
+        spark.conf.set(k, v)
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connect(SF_DIR)
     qs, oracles = ent.queries(), ent.oracle_sql()
