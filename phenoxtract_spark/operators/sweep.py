@@ -171,6 +171,12 @@ def value_range_buckets(
     stats branch reads the checkpoint rather than rescanning the
     source.  Shared by the rank-sum, Kruskal-Wallis, quantile, and
     Gini queries."""
+    clashes = sorted({"bk", "_lo", "_hi"} & set(df.columns))
+    if clashes:
+        raise ValueError(
+            f"value_range_buckets: input columns collide with generated "
+            f"names {clashes}; rename them first"
+        )
     stats = df.agg(
         F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi")
     )

@@ -556,3 +556,11 @@ def test_histogram_equidepth_brute_force(spark, tmp_path):
     bins = [out[b] for b in sorted(out)]
     for a, b in zip(bins, bins[1:]):
         assert a.hi_cents < b.lo_cents
+
+
+def test_value_range_buckets_rejects_generated_name_collisions(spark):
+    from phenoxtract_spark.operators import sweep
+
+    df = spark.createDataFrame([(1, 2)], "v bigint, bk bigint")
+    with pytest.raises(ValueError, match="bk"):
+        sweep.value_range_buckets(df, "v")
