@@ -1180,6 +1180,11 @@ def profiling_mad_outliers_q(spark, sf_dir):
     MAD (both type-1 lower quantiles, the same integer rank rule as
     ``profiling_quantiles_distributed``), and the count/share of rows
     with |x - med| > 3*MAD — all integer arithmetic end to end.
+    Relationship to ``analytics_mad_outliers``: that query is the
+    small-data baseline (per-segment medians via Spark's `percentile`
+    aggregate, whose buffer holds every value of a group on ONE
+    reducer); this is its 100 TB-shaped replacement — exactly the
+    `percentile_exact` → `profiling_quantiles_distributed` pairing.
 
     Scale shape: the quantile spine COMPOSED TWICE.  Pass 1 selects the
     median by rank over the bucketed CDF of per-distinct-value cells
