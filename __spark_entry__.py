@@ -29,8 +29,8 @@ os.environ["PYTHONPATH"] = _REPO_DIR + os.pathsep + os.environ.get("PYTHONPATH",
 # row, so driver-green evidence accumulates across rounds.  Rotated-out
 # queries keep their green rows in CORRECTNESS_r{1,2,3}.json.
 _PRIORITY = [
-    # --- representatives (driver-green in earlier rounds; trimmed to 8
-    # this round so the r10 rotation covers all but 7 of the remaining
+    # --- representatives (driver-green in earlier rounds; trimmed to 9
+    # this round so the r10 rotation covers all but 8 of the remaining
     # never-checked pool — the r9 handoff's named keeps) ----------------
     # grouping / packet assembly spine (always sampled — r4 verdict #6)
     "g10_packet_json", "g13_medical_actions", "pipeline_e2e_packets",
@@ -52,7 +52,7 @@ _PRIORITY = [
     "grouping_sets_revenue", "analytics_rfm_segments",
     # --- r10 first-time rotation (never driver-checked; pool from
     # tools/rotation_status.py — leads with the r9 stats/sweep batch per
-    # the r9 handoff, then the full remaining pool minus 7 deferred
+    # the r9 handoff, then the full remaining pool minus 8 deferred
     # family-duplicates; plus this round's new scale-safe RFM) ----------
     "analytics_rfm_scalable",
     "curation_pps_sample", "profiling_quantiles_distributed",

@@ -202,3 +202,14 @@ def value_range_buckets(
         )
         .drop("_lo", "_hi")
     )
+
+
+def rank_containment(cum: Column, weight: Column, rank: Column) -> Column:
+    """The type-1 (lower) quantile selection predicate over a CDF of
+    per-distinct-value cells: a cell whose inclusive cumulative weight
+    first reaches ``rank`` contains the rank-th element, i.e.
+    ``cum - weight < rank <= cum``.  ONE place for the rank rule — the
+    quantile, median/MAD, and any future rank-selection query must share
+    it so an off-by-one fix cannot silently diverge between them (their
+    SQL oracles encode the same inequality verbatim)."""
+    return (cum >= rank) & (cum - weight < rank)

@@ -1021,7 +1021,7 @@ def profiling_quantiles_distributed_q(spark, sf_dir):
     r = F.expr("((total_n - 1) * q_bp) DIV 10000") + 1
     return (
         c.crossJoin(qdim)
-        .filter((F.col("cum_n") >= r) & (F.col("cum_n") - F.col("n") < r))
+        .filter(sweep.rank_containment(F.col("cum_n"), F.col("n"), r))
         .select(
             "q_bp",
             r.cast("bigint").alias("target_rank"),
@@ -1209,16 +1209,22 @@ def profiling_mad_outliers_q(spark, sf_dir):
     def _median_of(cells_df, vcol):
         # type-1 lower median by rank selection over the bucketed CDF:
         # rank r = (t-1) DIV 2 + 1, value = the cell whose cumulative
-        # weight first reaches r
+        # weight first reaches r (sweep.rank_containment — the ONE copy
+        # of the rank rule); total_n rides along so the caller never
+        # re-aggregates the cells just to rebuild the grand total
         b = sweep.value_range_buckets(cells_df, vcol)
         c = sweep.bucketed_prefix_sum(b, "bk", [vcol], {"n": "n"}, totals=["n"])
         r = F.expr("(total_n - 1) DIV 2") + 1
         return (
-            c.filter((F.col("cum_n") >= r) & (F.col("cum_n") - F.col("n") < r))
-            .select(F.col(vcol).alias("_sel"))
+            c.filter(sweep.rank_containment(F.col("cum_n"), F.col("n"), r))
+            .select(F.col(vcol).alias("_sel"), F.col("total_n").alias("_tot"))
         )
 
-    med = F.broadcast(_median_of(cells, "cents").select(F.col("_sel").alias("med")))
+    med = F.broadcast(
+        _median_of(cells, "cents").select(
+            F.col("_sel").alias("med"), F.col("_tot").alias("n_total")
+        )
+    )
     dcells = (
         cells.crossJoin(med)
         .select(F.abs(F.col("cents") - F.col("med")).alias("dev"), "n")
@@ -1227,7 +1233,6 @@ def profiling_mad_outliers_q(spark, sf_dir):
         .localCheckpoint()
     )
     mad = F.broadcast(_median_of(dcells, "dev").select(F.col("_sel").alias("mad")))
-    stats = cells.agg(F.sum("n").cast("bigint").alias("n_total"))
     outl = (
         cells.crossJoin(med)
         .crossJoin(mad)
@@ -1248,7 +1253,6 @@ def profiling_mad_outliers_q(spark, sf_dir):
     )
     return (
         med.crossJoin(mad)
-        .crossJoin(F.broadcast(stats))
         .crossJoin(F.broadcast(outl))
         .select(
             F.col("med").cast("bigint").alias("med_cents"),

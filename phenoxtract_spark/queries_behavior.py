@@ -1724,7 +1724,14 @@ def analytics_rfm_scalable(spark, sf_dir):
     bit-identical to the window function for a total order (custkey
     breaks all ties).  Ranks ascend in (metric ASC, custkey DESC) so
     rank_desc = n - rank_asc + 1 lands exactly on the oracle's
-    (metric DESC, custkey ASC) order.  The relation re-materializes
+    (metric DESC, custkey ASC) order.  Precondition: the three metrics
+    are NON-NULL — true by construction here (count, max over the
+    NOT-NULL o_orderdate, sum over the NOT-NULL o_totalprice); a NULL
+    metric would need a cross-engine null-ordering contract (Spark and
+    DuckDB default opposite NULL placements per direction), so the
+    sweep's NULL-bucket guard turns that case into a loud runtime error
+    rather than a silent rank divergence — the engine's "error, never
+    wrong values" discipline.  The relation re-materializes
     between the three passes (localCheckpoint) so each pass's stats +
     offsets jobs read the previous materialization instead of replaying
     upstream windows — the sweep module's "input" discipline; at

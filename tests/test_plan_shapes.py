@@ -235,6 +235,31 @@ def test_substring_anchor_join_never_broadcasts(spark, registry):
     assert "ShuffledHashJoin" not in plan
 
 
+# A window is bucket-PARTITIONED iff its spec's FIRST element is the bare
+# bk column followed by a comma: "windowspecdefinition(bk#9L, v#2 ASC...".
+# An unpartitioned global window merely ORDERED by bk — the single-task
+# regression these pins exist to catch — stringifies with a sort
+# direction instead: "windowspecdefinition(bk#9L ASC NULLS FIRST, ...",
+# which a bare startswith("windowspecdefinition(bk#") cannot distinguish.
+_BK_PARTITIONED = __import__("re").compile(r"^windowspecdefinition\(bk#\d+L?,")
+# The ACROSS-bucket offsets window is allowed to be unpartitioned ONLY in
+# its dim-bounded form: ordered by bk alone with the frame following
+# immediately (<= n_buckets rows).  An unpartitioned window that orders by
+# bk and then DATA columns is the single-task global sort in disguise.
+_BK_DIM_WINDOW = __import__("re").compile(
+    r"^windowspecdefinition\(bk#\d+L? (ASC|DESC) NULLS (FIRST|LAST),"
+    r" specifiedwindowframe"
+)
+
+
+def _bk_partitioned(spec: str) -> bool:
+    return bool(_BK_PARTITIONED.match(spec))
+
+
+def _bk_dim_window(spec: str) -> bool:
+    return bool(_BK_DIM_WINDOW.match(spec))
+
+
 def test_pps_main_plan_single_scan_bucketed_window_only(spark, registry):
     """The sweep's materialize="offsets" contract: the PPS main plan
     scans the corpus ONCE (the offsets dim ran as its own tiny job) and
@@ -246,7 +271,7 @@ def test_pps_main_plan_single_scan_bucketed_window_only(spark, registry):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 1
     specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
-    assert len(specs) == 1 and specs[0].startswith("windowspecdefinition(bk#")
+    assert len(specs) == 1 and _bk_partitioned(specs[0])
 
 
 def test_rfm_scalable_never_global_sorts(spark, registry):
@@ -262,7 +287,7 @@ def test_rfm_scalable_never_global_sorts(spark, registry):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 0
     specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
-    assert specs and all(s.startswith("windowspecdefinition(bk#") for s in specs)
+    assert specs and all(_bk_partitioned(sp) for sp in specs)
     assert "SortMergeJoin" not in plan
 
 
@@ -276,7 +301,16 @@ def test_rank_sum_main_plan_runs_on_checkpointed_cells(spark, registry):
         df = registry[name](spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("FileScan") == 0, name
-        assert "windowspecdefinition(bk#" in plan, name
+        import re as _re
+
+        specs = _re.findall(r"windowspecdefinition\([^)]*\)", plan)
+        assert any(_bk_partitioned(sp) for sp in specs), name
+        # and NO window in these main plans may be an unpartitioned
+        # DATA-sized sort: every spec is either bucket-partitioned or the
+        # <=256-row offsets dim window (ordered by bk alone)
+        assert all(
+            _bk_partitioned(sp) or _bk_dim_window(sp) for sp in specs
+        ), (name, specs)
 
 
 def test_kruskal_rank_joinback_never_broadcasts(spark, registry):

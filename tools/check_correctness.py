@@ -283,7 +283,23 @@ def main():
     else:
         spark = get_spark(shuffle_partitions=16)
     for k, v in hostile_confs:
+        # validate the key: spark.conf.set happily stores arbitrary
+        # unknown strings, so a typo'd key (shuffel.partitions) would run
+        # the registry under the DEFAULT config and record a deceptively
+        # green gate pass that varied nothing — the same deceptive-green
+        # class the round-6 unknown-flag fix closed.  isModifiable is
+        # True exactly for registered runtime SQL confs (what this flag
+        # is for); static or unknown keys exit 2 with a clean message.
+        if not spark.conf.isModifiable(k):
+            print(f"ERROR: --conf key {k!r} is not a modifiable runtime "
+                  f"SQL conf (typo, or a static conf this tool can't set)")
+            sys.exit(2)
         spark.conf.set(k, v)
+        got = spark.conf.get(k)
+        if got != v:
+            print(f"ERROR: --conf {k}={v} did not take (session reports "
+                  f"{got!r})")
+            sys.exit(2)
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connect(SF_DIR)
     qs, oracles = ent.queries(), ent.oracle_sql()
