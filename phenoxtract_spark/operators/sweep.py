@@ -52,22 +52,33 @@ from pyspark.sql.window import Window
 def bucketed_prefix_sum(
     df: DataFrame,
     bucket_col: str,
-    order_cols: list[str],
+    order_cols: list[str | Column],
     sums: dict[str, Column | str],
     materialize: str = "none",
     totals: list[str] | None = None,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Add ``cum_<name>`` = inclusive running sum of each ``sums`` entry
     in the global order ``(bucket_col, *order_cols)``, without ever
     materialising a single-task global window over the data.
 
+    ``order_cols`` entries may be column names or ``Column`` sort
+    expressions (``F.col(v).asc()``, ``F.col(k).desc()`` — how
+    ``analytics_rfm_scalable`` encodes its descending tie-break); both
+    pass straight through to ``Window.orderBy``.
+
     ``bucket_col`` must be NON-NULL and monotone in the intended global
     order, and low-cardinality (e.g. 256 hash-prefix or value-range
     buckets); the caller owns the monotonicity contract, while the
-    non-null contract is ENFORCED — a NULL bucket would silently drop
-    out of the inner offsets join (its weight still counted in the
-    totals), so the value expressions raise at runtime instead of
-    losing rows.  Ties in ``order_cols`` within a bucket must be broken
+    non-null contract is ENFORCED structurally — the offsets dim joins
+    back with a LEFT join (an inner equi-join would silently drop a
+    NULL-keyed row, and Catalyst pushes the inferred ``isnotnull``
+    down to the scan, so no projection-level guard can fire first),
+    and the ``cum_``/``total_`` expressions raise when their offset
+    comes back NULL, which is possible ONLY for a NULL key (every
+    non-null key exists in the dim by construction, and the dim-side
+    offsets are coalesced non-null).  Ties in ``order_cols`` within a
+    bucket must be broken
     by the caller (include a unique id) if a total order matters
     downstream.  ``totals`` names entries of ``sums`` whose GRAND total
     should ride along as a constant ``total_<name>`` column, computed
@@ -77,6 +88,18 @@ def bucketed_prefix_sum(
     on a raw scan the gt branch re-aggregates the input.
     ``materialize`` picks the evaluation shape — see the module
     docstring; values are identical in all modes.
+
+    ``partition_cols`` makes the whole scan PER-GROUP: every running
+    sum restarts at zero inside each distinct ``partition_cols`` tuple
+    (and ``totals`` become per-group grand totals).  The offsets dim
+    grows to ``n_groups × n_buckets`` rows and its across-bucket window
+    partitions by group — each window task holds ≤ n_buckets rows, so
+    the bounded-single-task property is preserved for any group count;
+    keep ``n_groups × n_buckets`` broadcast-sized (≲ low millions),
+    which every segment-dimension caller satisfies by construction.
+    Partition columns must be NON-NULL for the same reason the bucket
+    must be (a NULL group would drop out of the offsets equi-join);
+    the same runtime guard enforces both.
     """
     if materialize not in ("none", "input", "offsets"):
         raise ValueError(f"unknown materialize mode: {materialize!r}")
@@ -90,6 +113,7 @@ def bucketed_prefix_sum(
         + [f"_off_{n}" for n in sums]
         + [f"cum_{n}" for n in sums]
         + [f"total_{n}" for n in (totals or [])]
+        + (["_gtm"] if (totals and partition_cols) else [])
     )
     clashes = sorted(set(generated) & set(df.columns))
     if clashes:
@@ -108,24 +132,32 @@ def bucketed_prefix_sum(
     # constant-folding pass can prune it (unlike the previous
     # ``assert_true(...).isNull()`` phrasing, whose trivially-always-
     # null guard a future optimizer could legally fold away).
-    def _guarded(c):
-        v = F.col(c) if isinstance(c, str) else c
-        return F.when(
-            F.col(bucket_col).isNull(),
-            F.raise_error(
-                F.lit(f"bucketed_prefix_sum: NULL {bucket_col} would drop rows")
-            ),
-        ).otherwise(v)
+    parts = list(partition_cols or [])
+    guard_msg = (
+        f"bucketed_prefix_sum: NULL {bucket_col}"
+        + (f"/{'/'.join(parts)}" if parts else "")
+        + " key would drop rows"
+    )
 
-    vals = {name: _guarded(c).alias(f"_v_{name}") for name, c in sums.items()}
+    def _raise():
+        return F.raise_error(F.lit(guard_msg))
+
+    vals = {
+        name: (F.col(c) if isinstance(c, str) else c).alias(f"_v_{name}")
+        for name, c in sums.items()
+    }
     d = df.select("*", *vals.values())
 
-    per_bucket = d.groupBy(bucket_col).agg(
+    per_bucket = d.groupBy(*parts, bucket_col).agg(
         *[F.sum(f"_v_{n}").alias(f"_bt_{n}") for n in sums]
     )
-    # n_buckets rows: the single-task window runs on the TINY relation only
-    wdim = Window.orderBy(bucket_col).rowsBetween(Window.unboundedPreceding, -1)
+    # the across-bucket window runs on the TINY relation only: globally
+    # ≤ n_buckets rows, or per-group ≤ n_buckets rows when partitioned
+    wdim = (
+        Window.partitionBy(*parts) if parts else Window
+    ).orderBy(bucket_col).rowsBetween(Window.unboundedPreceding, -1)
     offsets = per_bucket.select(
+        *parts,
         bucket_col,
         *[f"_bt_{n}" for n in sums],
         *[
@@ -134,23 +166,54 @@ def bucketed_prefix_sum(
         ],
     )
     if materialize == "offsets":
-        offsets = offsets.localCheckpoint()  # <= n_buckets rows, eager
+        offsets = offsets.localCheckpoint()  # <= n_groups*n_buckets rows, eager
 
     win = (
-        Window.partitionBy(bucket_col)
+        Window.partitionBy(*parts, bucket_col)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = d.join(F.broadcast(offsets), bucket_col)
+    # LEFT join, deliberately: an INNER equi-join would silently drop a
+    # NULL-keyed row, and Catalyst pushes the inferred isnotnull(key)
+    # through the window/aggregate/projection stack to the scan, so no
+    # guard expression BELOW the join can ever see the row.  The left
+    # join keeps every input row; a NULL _off_<n> after it is possible
+    # only for a NULL key (dim-side offsets are coalesce()d non-null and
+    # every non-null key exists in the dim by construction) — so the
+    # cum_ expressions raise exactly on the rows an inner join would
+    # have lost, and nothing is null-rejecting for the optimizer to
+    # convert the join back to inner.
+    out = d.join(F.broadcast(offsets), [*parts, bucket_col], "left")
     for n in sums:
         out = out.withColumn(
-            f"cum_{n}", F.col(f"_off_{n}") + F.sum(f"_v_{n}").over(win)
+            f"cum_{n}",
+            F.when(F.col(f"_off_{n}").isNull(), _raise()).otherwise(
+                F.col(f"_off_{n}") + F.sum(f"_v_{n}").over(win)
+            ),
         )
     if totals:
-        gt = offsets.agg(
-            *[F.sum(f"_bt_{n}").alias(f"total_{n}") for n in totals]
-        )
-        out = out.crossJoin(F.broadcast(gt))
+        if parts:
+            # same left-join + marker-guard discipline; total_<n> itself
+            # can be legitimately NULL (a group whose weights are all
+            # NULL), so the guard keys on a literal marker instead
+            gt = offsets.groupBy(*parts).agg(
+                *[F.sum(f"_bt_{n}").alias(f"total_{n}") for n in totals],
+                F.max(F.lit(1)).alias("_gtm"),
+            )
+            out = out.join(F.broadcast(gt), parts, "left")
+            for n in totals:
+                out = out.withColumn(
+                    f"total_{n}",
+                    F.when(F.col("_gtm").isNull(), _raise()).otherwise(
+                        F.col(f"total_{n}")
+                    ),
+                )
+            out = out.drop("_gtm")
+        else:
+            gt = offsets.agg(
+                *[F.sum(f"_bt_{n}").alias(f"total_{n}") for n in totals]
+            )
+            out = out.crossJoin(F.broadcast(gt))
     return out.drop(
         *[f"_v_{n}" for n in sums],
         *[f"_off_{n}" for n in sums],
@@ -159,27 +222,64 @@ def bucketed_prefix_sum(
 
 
 def value_range_buckets(
-    df: DataFrame, value_col: str, bits: int = 8
+    df: DataFrame,
+    value_col: str,
+    bits: int = 8,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Attach the monotone value-range bucket ``bk`` the prefix scan
     needs when the global order is BY VALUE: a 1-row min/max aggregate
     broadcasts onto the relation and ``bk = ((v - lo) << bits-ish) DIV
     (hi - lo + 1)`` grids the domain into ``2^bits`` ranges — exact
-    integer arithmetic, monotone in ``value_col`` by construction.  The
+    integer arithmetic, monotone in ``value_col`` by construction.
+    ``value_col`` must be INTEGRAL (or scale-0 DECIMAL): the arithmetic
+    routes through CAST(... AS DECIMAL(38,0)), which would silently
+    ROUND a fractional column — still monotone, but coarse, skewed
+    buckets with no warning — so non-integral types are rejected
+    outright (scale fractional domains to integer units first, the way
+    every current caller scales money to cents).  The
     stats pass is one map-side-combined aggregate; call this on a
     MATERIALIZED relation (the checkpointed-cells discipline) so the
     stats branch reads the checkpoint rather than rescanning the
     source.  Shared by the rank-sum, Kruskal-Wallis, quantile, and
-    Gini queries."""
+    Gini queries.
+
+    ``partition_cols`` grids each group against ITS OWN min/max (the
+    stats pass becomes a per-group aggregate joined back on the group
+    key — n_groups rows, still broadcast) so ``bk`` is monotone in
+    ``value_col`` WITHIN each group; pair with the same
+    ``partition_cols`` on ``bucketed_prefix_sum`` for per-group scans.
+    Group keys must be non-null (a NULL group drops out of the stats
+    equi-join); the downstream prefix-sum guard enforces that."""
     clashes = sorted({"bk", "_lo", "_hi"} & set(df.columns))
     if clashes:
         raise ValueError(
             f"value_range_buckets: input columns collide with generated "
             f"names {clashes}; rename them first"
         )
-    stats = df.agg(
-        F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi")
+    from pyspark.sql.types import (
+        ByteType, DecimalType, IntegerType, LongType, ShortType,
     )
+
+    vt = df.schema[value_col].dataType
+    integral = isinstance(vt, (ByteType, ShortType, IntegerType, LongType)) or (
+        isinstance(vt, DecimalType) and vt.scale == 0
+    )
+    if not integral:
+        raise ValueError(
+            f"value_range_buckets: {value_col} is {vt.simpleString()}; the "
+            f"DECIMAL(38,0) bucketing arithmetic would silently round a "
+            f"fractional value — scale to integer units (e.g. cents) first"
+        )
+    parts = list(partition_cols or [])
+    if parts:
+        stats = df.groupBy(*parts).agg(
+            F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi")
+        )
+    else:
+        stats = df.agg(
+            F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi")
+        )
     n = 1 << bits
     # Overflow-safe: ``(v - lo) * 2^bits`` in raw BIGINT wraps silently
     # in non-ANSI Spark once the column's range exceeds ~2^63/2^bits
@@ -191,8 +291,13 @@ def value_range_buckets(
     # BIGINT domain; the quotient is < 2^bits and DIV returns BIGINT,
     # so ``bk``'s type is unchanged for callers.
     d38 = "DECIMAL(38,0)"
+    joined = (
+        df.join(F.broadcast(stats), parts)
+        if parts
+        else df.crossJoin(F.broadcast(stats))
+    )
     return (
-        df.crossJoin(F.broadcast(stats))
+        joined
         .withColumn(
             "bk",
             F.expr(

@@ -843,6 +843,79 @@ def profiling_histogram_equidepth(spark, sf_dir):
     )
 
 
+@q(
+    "profiling_histogram_grouped",
+    """
+    WITH cells AS (
+      SELECT o_orderpriority AS seg,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS xc,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    tot AS (SELECT seg, CAST(sum(n) AS BIGINT) AS t FROM cells GROUP BY 1),
+    c AS (
+      SELECT seg, xc, n,
+             sum(n) OVER (PARTITION BY seg ORDER BY xc
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM cells
+    )
+    SELECT c.seg AS seg,
+           CAST((cum - 1) * 8 // t AS BIGINT) AS bin,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(min(xc) AS BIGINT) AS lo_cents,
+           CAST(max(xc) AS BIGINT) AS hi_cents
+    FROM c JOIN tot ON tot.seg = c.seg
+    GROUP BY 1, 2
+    """,
+)
+def profiling_histogram_grouped(spark, sf_dir):
+    """Per-segment equi-depth histogram — the GROUPED form of
+    ``profiling_histogram_equidepth``: one 8-bin equi-height histogram
+    of order totals per ``o_orderpriority``, the per-partition /
+    per-segment statistic a catalog keeps when a global histogram would
+    blur segment-local skew.  Same spine, now per-group end to end:
+    per-(seg, value) cells (one data pass, checkpointed), per-group
+    min/max gridding (``value_range_buckets(partition_cols=['seg'])``
+    — a 5-row stats dim joined back, not a cross join), and the
+    two-phase prefix scan partitioned by group
+    (``bucketed_prefix_sum(partition_cols=['seg'])`` — the offsets dim
+    is n_groups×256 rows, its across-bucket window partitioned by seg,
+    so every window task stays ≤256 rows no matter how many segments).
+    bin = (cum−1)·8 DIV t_seg with the PER-GROUP total, exact BIGINT.
+    At 100 TB this is the shape ANALYZE ... PARTITION runs: nothing
+    global anywhere, all dims broadcast-sized."""
+    from .operators import sweep
+
+    o = read_table(spark, sf_dir, "orders")
+    cells = (
+        o.select(
+            F.col("o_orderpriority").alias("seg"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("xc"),
+        )
+        .groupBy("seg", "xc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint()
+    )
+    b = sweep.value_range_buckets(cells, "xc", partition_cols=["seg"])
+    c = sweep.bucketed_prefix_sum(
+        b, "bk", ["xc"], {"n": "n"}, totals=["n"], partition_cols=["seg"]
+    )
+    return (
+        c.select(
+            "seg",
+            F.expr("(cum_n - 1) * 8 DIV total_n").cast("bigint").alias("bin"),
+            "xc",
+            "n",
+        )
+        .groupBy("seg", "bin")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.min("xc").cast("bigint").alias("lo_cents"),
+            F.max("xc").cast("bigint").alias("hi_cents"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding pipeline capstone
 # ---------------------------------------------------------------------------

@@ -564,3 +564,135 @@ def test_value_range_buckets_rejects_generated_name_collisions(spark):
     df = spark.createDataFrame([(1, 2)], "v bigint, bk bigint")
     with pytest.raises(ValueError, match="bk"):
         sweep.value_range_buckets(df, "v")
+
+
+def test_bucketed_prefix_sum_partitioned_restarts_per_group(spark):
+    """partition_cols makes the scan per-group: every cum_ restarts at
+    zero inside each group and total_ is the group's own grand total —
+    replayed against a pure-Python per-group cumsum."""
+    from phenoxtract_spark.operators import sweep
+
+    rows = [
+        ("a", 0, 1, 5), ("a", 0, 2, 7), ("a", 1, 3, 11),
+        ("b", 0, 1, 2), ("b", 1, 2, 3), ("b", 1, 3, 4),
+    ]
+    df = spark.createDataFrame(rows, "g string, bk bigint, id bigint, w bigint")
+    out = sweep.bucketed_prefix_sum(
+        df, "bk", ["id"], {"w": "w"}, totals=["w"], partition_cols=["g"]
+    ).collect()
+
+    expect_cum, expect_tot, running = {}, {}, {}
+    for g, bk, i, w in sorted(rows):
+        running[g] = running.get(g, 0) + w
+        expect_cum[(g, i)] = running[g]
+        expect_tot[g] = running[g]
+    assert {(r.g, r.id): r.cum_w for r in out} == expect_cum
+    assert {r.g: r.total_w for r in out} == expect_tot
+
+
+def test_bucketed_prefix_sum_null_partition_col_raises(spark):
+    """A NULL group key would drop out of the offsets equi-join exactly
+    like a NULL bucket — same guard, same failure mode: raise, never
+    lose rows."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from phenoxtract_spark.operators import sweep
+
+    df = spark.createDataFrame(
+        [("a", 0, 1, 5), (None, 0, 2, 7)],
+        "g string, bk bigint, id bigint, w bigint",
+    )
+    out = sweep.bucketed_prefix_sum(
+        df, "bk", ["id"], {"w": "w"}, partition_cols=["g"]
+    )
+    with pytest.raises(SparkRuntimeException, match="NULL bk/g"):
+        out.collect()
+
+
+def test_value_range_buckets_partitioned_grids_per_group(spark):
+    """With partition_cols each group grids against ITS OWN min/max:
+    both groups span bucket 0..255 even though their absolute ranges
+    differ by 10^6, and buckets stay monotone within each group."""
+    from phenoxtract_spark.operators import sweep
+
+    rows = [("a", 0), ("a", 50), ("a", 100),
+            ("b", 1_000_000), ("b", 1_000_001), ("b", 100_000_000)]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    got = {(r.g, r.v): r.bk for r in
+           sweep.value_range_buckets(df, "v", partition_cols=["g"]).collect()}
+    # exact replay of bk = (v - lo_g) * 256 DIV (hi_g - lo_g + 1) with
+    # each group's OWN range — under a global grid, every "a" value
+    # would land in bucket 0
+    bounds = {"a": (0, 100), "b": (1_000_000, 100_000_000)}
+    for (g, v), bk in got.items():
+        lo, hi = bounds[g]
+        assert bk == (v - lo) * 256 // (hi - lo + 1), (g, v)
+    assert got[("a", 100)] > 250  # gridded against a's range, not b's
+    for g in ("a", "b"):
+        ordered = [got[k] for k in sorted(k for k in got if k[0] == g)]
+        assert ordered == sorted(ordered)
+
+
+def test_value_range_buckets_rejects_fractional_value_col(spark):
+    """The DECIMAL(38,0) bucketing arithmetic silently ROUNDS fractional
+    values — coarse skewed buckets with no warning — so a non-integral
+    value_col must be rejected up front (scale to cents first)."""
+    from phenoxtract_spark.operators import sweep
+
+    df = spark.createDataFrame([(1.5,), (2.5,)], "v double")
+    with pytest.raises(ValueError, match="integer units"):
+        sweep.value_range_buckets(df, "v")
+    # scale-0 DECIMAL is exact — allowed
+    dec = spark.createDataFrame([(1.0,), (2.0,)], "v double").select(
+        F.col("v").cast("decimal(18,0)").alias("v")
+    )
+    # (2-1)*256 DIV (2-1+1) = 128: scale-0 DECIMAL goes through unrejected
+    assert {r.bk for r in sweep.value_range_buckets(dec, "v").collect()} \
+        == {0, 128}
+
+
+def test_histogram_grouped_brute_force(spark, tmp_path):
+    """Per-segment bin assignment (cum-1)*8 DIV t_seg replayed in pure
+    Python: each segment's bins use ITS OWN total and value range, tie
+    mass stays whole, per-segment masses sum to that segment's t."""
+    import datetime
+    from collections import Counter, defaultdict
+
+    import __spark_entry__ as ent
+
+    base = datetime.datetime(2024, 1, 1)
+    segs = {
+        "1-URGENT": [100, 150, 200, 200, 200, 300, 400, 500],
+        "2-HIGH": [90_000, 90_000, 90_000, 95_000, 99_000],
+    }
+    rows, i = [], 0
+    for seg, vals in segs.items():
+        for v in vals:
+            rows.append((i, i % 3, "O", v / 100.0, base, seg))
+            i += 1
+    df = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    _write(df, tmp_path, "orders")
+    out = {(r.seg, r.bin): r for r in
+           ent.queries()["profiling_histogram_grouped"](
+               spark, str(tmp_path)).collect()}
+
+    expect = {}
+    for seg, vals in segs.items():
+        t, counts, cum = len(vals), Counter(vals), 0
+        agg = defaultdict(lambda: [1 << 62, -(1 << 62), 0])
+        for v in sorted(counts):
+            cum += counts[v]
+            b = (cum - 1) * 8 // t
+            agg[b][0] = min(agg[b][0], v)
+            agg[b][1] = max(agg[b][1], v)
+            agg[b][2] += counts[v]
+        for b, (lo, hi, n) in agg.items():
+            expect[(seg, b)] = (lo, hi, n)
+    assert {k: (r.lo_cents, r.hi_cents, r.n_rows)
+            for k, r in out.items()} == expect
+    for seg, vals in segs.items():
+        assert sum(r.n_rows for k, r in out.items() if k[0] == seg) \
+            == len(vals)
