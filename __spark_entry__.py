@@ -29,9 +29,8 @@ os.environ["PYTHONPATH"] = _REPO_DIR + os.pathsep + os.environ.get("PYTHONPATH",
 # row, so driver-green evidence accumulates across rounds.  Rotated-out
 # queries keep their green rows in CORRECTNESS_r{1,2,3}.json.
 _PRIORITY = [
-    # --- representatives (driver-green in earlier rounds; trimmed to 9
-    # this round so the r10 rotation covers all but 8 of the remaining
-    # never-checked pool — the r9 handoff's named keeps) ----------------
+    # --- representatives (driver-green in earlier rounds; the r10
+    # verdict's named keeps) --------------------------------------------
     # grouping / packet assembly spine (always sampled — r4 verdict #6)
     "g10_packet_json", "g13_medical_actions", "pipeline_e2e_packets",
     # multimodal_features stays: r5's ONLY red row (array-typed result
@@ -44,43 +43,38 @@ _PRIORITY = [
     "curation_lr_calibration",
     # source-transform spine rep (pytest pins the prefix to cover it)
     "s3_transpose",
-    # similarity family rep (pytest pins the prefix to cover the family;
-    # no never-checked similarity query remains in the pool)
+    # similarity family rep (pytest pins the prefix to cover the family)
     "similarity_ivf_topk",
     # r9's TWO red rows (DECIMAL-render hash divergence) — now integer
     # cents on both engines; their green r10 rows are the fix evidence
     "grouping_sets_revenue", "analytics_rfm_segments",
-    # --- r10 first-time rotation (never driver-checked; pool from
-    # tools/rotation_status.py — leads with the r9 stats/sweep batch per
-    # the r9 handoff, then the full remaining pool minus 8 deferred
-    # family-duplicates; plus this round's new scale-safe RFM) ----------
-    "analytics_rfm_scalable",
-    "curation_pps_sample", "profiling_quantiles_distributed",
-    "profiling_gini_concentration", "analytics_chi2_independence",
-    "analytics_rank_sum_test", "analytics_kruskal_wallis",
-    "join_scd2_point_in_time", "sketch_sampled_heavyhitters",
-    "events_survival_hazard", "events_uplift_did",
-    "curation_chunk_overlap",
-    "c6_int_via_float", "curation_stratified_sample",
-    "curation_line_dedup", "text_ngram_diversity",
-    "curation_hashed_features", "curation_cross_source_overlap",
-    "text_html_strip", "text_cooccurrence_pmi", "text_inverted_index",
-    "curation_source_scorecard", "curation_weighted_reservoir",
-    "curation_feature_matrix", "curation_contrastive_positives",
-    "text_unigram_logprob", "dedup_canonical_by_quality",
-    "embedding_mean_pool",
-    "tpch_q19_discounted_revenue", "tpch_q22_sales_opportunity",
-    "tpch_q2_min_cost_supplier", "tpch_q11_important_parts",
-    "tpch_q16_parts_supplier_relationship", "tpch_q20_dominant_suppliers",
-    "events_anomaly_zscore", "analytics_market_basket",
-    "events_audience_overlap", "events_purchase_intervals",
-    "curation_embedding_decontaminate", "curation_source_mix",
-    "dedup_ngram_containment",
-    # deferred to r11 (family twins already sampled this round):
-    # text_bigram_logprob, events_audience_overlap_sketch,
-    # embedding_quantize_int8, c16_strip_punct, curation_word_dropout,
-    # curation_curriculum_phases, text_vocab_richness,
-    # curation_cluster_balanced_sample
+    # --- r11 first-time rotation: the FINAL 10 never-driver-checked
+    # queries (the 8 family twins deferred from r10 + the two stats
+    # queries added after the r10 snapshot), plus this round's new
+    # grouped equi-depth histogram — green here means every registry
+    # query has a driver row at least once (the r7 program, completed)
+    "profiling_mad_outliers", "profiling_histogram_equidepth",
+    "profiling_histogram_grouped",
+    "c16_strip_punct", "text_bigram_logprob", "text_vocab_richness",
+    "curation_word_dropout", "curation_curriculum_phases",
+    "curation_cluster_balanced_sample", "events_audience_overlap_sketch",
+    "embedding_quantize_int8",
+    # --- re-verification reps: with the never-checked pool exhausted,
+    # the non-rep slots now recycle the queries whose most recent
+    # driver row is OLDEST (r1–r3 artifacts), so driver evidence stays
+    # fresh instead of frozen at the round it was first earned ----------
+    "events_stream_stream_join",                                   # r1
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",        # r2
+    "join_star_revenue", "join_broadcast_dims",
+    "window_running_total", "window_rank", "topk_orders",
+    "rollup_counts", "cube_counts", "set_ops",
+    "range_join_ship_window", "percentile_exact", "approx_aggregates",
+    "asof_last_event", "skew_salted_agg", "skew_salted_join",
+    "c2_integral_promotion", "c5_bool_parse", "c7_multiformat_date",  # r3
+    "c13_age_to_iso", "c17_prefixed_id",
+    "m1_alias_map", "m3_ontology_normalize", "m5_membership_split",
+    "g3_single_valued", "g5_row_zip", "g7_header_collapse",
+    "dedup_ngram_jaccard", "text_fingerprint",
 ]
 
 

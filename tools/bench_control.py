@@ -1,0 +1,271 @@
+"""Bench host-control: adjudicate cross-round bench movement in-session.
+
+The sf0.1 bench runs on a shared, noisy host: one-shot numbers routinely
+move ±30-50% round-over-round with zero code change (SCALING.md
+"one-shot vs steady-state"; the r9 and r10 verdicts both had to
+adjudicate apparent movers by hand — r9 with a byte-identical-commit
+re-bench, r10 with judge-side interleaved reps).  This tool formalizes
+that protocol (r9 verdict ask #6):
+
+1. ``compare`` — the trigger check: given two bench artifacts, compute
+   the COMMON-query cold-total ratio.  Exit 1 when it exceeds the
+   threshold (default 1.3x either direction) — that's the signal to run
+   a control, nothing more.
+
+       python tools/bench_control.py compare BENCH_r09.json BENCH_r10.json
+
+2. ``control`` — the adjudication: check out a prior round's EXACT
+   commit into a git worktree and re-run its own bench.py on THIS host
+   in THIS session (same env, sf1 probe and warm reps off — the metric
+   under adjudication is the cold headline total), then print the
+   per-query comparison table against the current artifact and write
+   the full payload to BENCH_control.json.  Identical-commit re-bench
+   measures the HOST, so (control vs prior-artifact) separates host
+   drift from (current vs prior-artifact) code effects.
+
+       python tools/bench_control.py control 6daea70 \
+           [--current BENCH_last.json] [--queries a,b,c] [--reps N]
+
+   ``--queries``/``--reps`` narrow the control to named movers with
+   best-of-N interleaved reps (the judge-side protocol): reps alternate
+   fairly and the per-rep times stay in the payload so the noise itself
+   remains observable.
+
+The worktree lives under /tmp/bench_control/<commit> and is removed
+afterwards; the repo tree is never touched.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+THRESHOLD = 1.3
+
+
+def _cold(artifact: dict) -> dict[str, float]:
+    qs = artifact.get("queries") or {}
+    return {k: v for k, v in qs.items() if isinstance(v, (int, float))}
+
+
+def _common_ratio(prev: dict, cur: dict) -> tuple[float, float, float, list[str]]:
+    a, b = _cold(prev), _cold(cur)
+    common = sorted(set(a) & set(b))
+    ta = sum(a[q] for q in common)
+    tb = sum(b[q] for q in common)
+    return ta, tb, (tb / ta if ta else float("inf")), common
+
+
+def cmd_compare(args) -> int:
+    prev = json.load(open(args.prev))
+    cur = json.load(open(args.cur))
+    ta, tb, ratio, common = _common_ratio(prev, cur)
+    print(
+        f"common {len(common)} queries: {os.path.basename(args.prev)} "
+        f"{ta:.1f}s -> {os.path.basename(args.cur)} {tb:.1f}s  "
+        f"ratio {ratio:.2f}"
+    )
+    moved = ratio > args.threshold or ratio < 1 / args.threshold
+    if moved:
+        print(
+            f"MOVED beyond {args.threshold}x — run: "
+            f"python tools/bench_control.py control <prior-round-commit>"
+        )
+    else:
+        print(f"within {args.threshold}x — no control run needed")
+    return 1 if moved else 0
+
+
+def _ensure_worktree(commit: str) -> str:
+    full = subprocess.run(
+        ["git", "rev-parse", commit], cwd=REPO, capture_output=True, text=True
+    )
+    if full.returncode != 0:
+        sys.exit(f"ERROR: unknown commit {commit!r}: {full.stderr.strip()}")
+    sha = full.stdout.strip()
+    path = os.path.join("/tmp/bench_control", sha[:12])
+    if not os.path.isdir(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        r = subprocess.run(
+            ["git", "worktree", "add", "--detach", path, sha],
+            cwd=REPO, capture_output=True, text=True,
+        )
+        if r.returncode != 0:
+            sys.exit(f"ERROR: git worktree add failed: {r.stderr.strip()}")
+    return path
+
+
+def _remove_worktree(path: str) -> None:
+    subprocess.run(
+        ["git", "worktree", "remove", "--force", path],
+        cwd=REPO, capture_output=True, text=True,
+    )
+
+
+_SUBSET_RUNNER = r"""
+import json, os, sys, time
+tree = sys.argv[1]
+names = sys.argv[2].split(",")
+sys.path.insert(0, tree)
+import __spark_entry__ as ent
+from phenoxtract_spark import get_spark
+spark = get_spark(app_name="bench-control")
+spark.sparkContext.setLogLevel("ERROR")
+spark.range(1000).count()
+warm = "/root/testdata/sf0.001"
+if os.path.isdir(warm):
+    w = spark.read.parquet(os.path.join(warm, "region.parquet"))
+    w.groupBy(w.columns[0]).count().write.format("noop").mode("overwrite").save()
+qs = ent.queries()
+sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+out = {}
+for name in names:
+    if name not in qs:
+        out[name] = None
+        continue
+    t0 = time.time()
+    try:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    except Exception as exc:
+        out[name] = f"ERR: {type(exc).__name__}"
+print("BENCH_CONTROL_JSON:" + json.dumps(out))
+spark.stop()
+"""
+
+
+def _run_subset(tree: str, names: list[str]) -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = tree
+    r = subprocess.run(
+        [sys.executable, "-c", _SUBSET_RUNNER, tree, ",".join(names)],
+        capture_output=True, text=True, env=env, cwd=tree,
+    )
+    for line in reversed(r.stdout.splitlines()):
+        if line.startswith("BENCH_CONTROL_JSON:"):
+            return json.loads(line[len("BENCH_CONTROL_JSON:"):])
+    sys.exit(
+        f"ERROR: subset run in {tree} produced no result line\n"
+        f"stderr tail: {r.stderr[-1500:]}"
+    )
+
+
+def _run_full_bench(tree: str) -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = tree
+    env["SPARK_GRAFT_SF1"] = "0"   # cold headline total is the metric
+    env["SPARK_GRAFT_WARM"] = "0"  # under adjudication; keep the run lean
+    r = subprocess.run(
+        [sys.executable, os.path.join(tree, "bench.py")],
+        capture_output=True, text=True, env=env, cwd=tree,
+    )
+    art = os.path.join(tree, "BENCH_last.json")
+    if os.path.isfile(art):
+        return json.load(open(art))
+    for line in reversed(r.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    sys.exit(
+        f"ERROR: bench.py in {tree} produced no artifact\n"
+        f"stderr tail: {r.stderr[-1500:]}"
+    )
+
+
+def cmd_control(args) -> int:
+    cur_art = json.load(open(args.current))
+    tree = _ensure_worktree(args.commit)
+    t0 = time.time()
+    try:
+        if args.queries:
+            names = args.queries.split(",")
+            reps_prior: dict[str, list] = {n: [] for n in names}
+            reps_cur: dict[str, list] = {n: [] for n in names}
+            # interleaved, prior-first then current-first on alternating
+            # reps so neither tree systematically pays the colder host
+            for i in range(args.reps):
+                order = [(tree, reps_prior), (REPO, reps_cur)]
+                if i % 2:
+                    order.reverse()
+                for t, sink in order:
+                    got = _run_subset(t, names)
+                    for n in names:
+                        sink[n].append(got.get(n))
+            prior_best = {
+                n: min([v for v in vs if isinstance(v, (int, float))] or [None],
+                       key=lambda x: (x is None, x))
+                for n, vs in reps_prior.items()
+            }
+            cur_best = {
+                n: min([v for v in vs if isinstance(v, (int, float))] or [None],
+                       key=lambda x: (x is None, x))
+                for n, vs in reps_cur.items()
+            }
+            payload = {
+                "mode": "subset-interleaved",
+                "commit": args.commit,
+                "reps": args.reps,
+                "prior": {"best": prior_best, "reps": reps_prior},
+                "current": {"best": cur_best, "reps": reps_cur},
+            }
+            print(f"\n{'query':<40} {'prior(best)':>12} {'cur(best)':>12} ratio")
+            for n in names:
+                p, c = prior_best.get(n), cur_best.get(n)
+                r = f"{c / p:.2f}" if isinstance(p, float) and isinstance(c, float) and p else "-"
+                print(f"{n:<40} {str(p):>12} {str(c):>12} {r:>5}")
+        else:
+            prior_art = _run_full_bench(tree)
+            ta, tb, ratio, common = _common_ratio(prior_art, cur_art)
+            payload = {
+                "mode": "full-rebench",
+                "commit": args.commit,
+                "prior_rebenched": prior_art,
+                "current_artifact": args.current,
+                "common_n": len(common),
+                "prior_common_cold_sec": round(ta, 3),
+                "current_common_cold_sec": round(tb, 3),
+                "ratio_current_vs_prior_commit": round(ratio, 3),
+            }
+            pq, cq = _cold(prior_art), _cold(cur_art)
+            print(f"\n{'query':<40} {'prior@'+args.commit[:7]:>14} {'current':>9} ratio")
+            for n in common:
+                r = cq[n] / pq[n] if pq[n] else float("inf")
+                flag = "  <-- " if r > THRESHOLD or r < 1 / THRESHOLD else ""
+                print(f"{n:<40} {pq[n]:>14.2f} {cq[n]:>9.2f} {r:>5.2f}{flag}")
+            print(
+                f"{'COMMON TOTAL':<40} {ta:>14.1f} {tb:>9.1f} {ratio:>5.2f}"
+            )
+    finally:
+        _remove_worktree(tree)
+    payload["control_wall_sec"] = round(time.time() - t0, 3)
+    out = os.path.join(REPO, "BENCH_control.json")
+    with open(out, "w") as fh:
+        fh.write(json.dumps(payload) + "\n")
+    print(f"\nwritten: {out}")
+    return 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    c = sub.add_parser("compare", help="trigger check between two artifacts")
+    c.add_argument("prev")
+    c.add_argument("cur")
+    c.add_argument("--threshold", type=float, default=THRESHOLD)
+    r = sub.add_parser("control", help="re-bench a prior commit on this host")
+    r.add_argument("commit")
+    r.add_argument("--current", default=os.path.join(REPO, "BENCH_last.json"))
+    r.add_argument("--queries", default=None,
+                   help="comma-separated movers for interleaved reps")
+    r.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+    return cmd_compare(args) if args.cmd == "compare" else cmd_control(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -139,9 +139,9 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     # int/float/Decimal inside an object column) but a real numeric
     # dtype on the other renders through different str() paths — flag
     # the split itself instead of forgiving it via pd.to_numeric below.
+    # (columns are already known to match on both sides here — a column-set
+    # mismatch appended a problem and returned at the top of compare())
     for c in spark_pdf.columns:
-        if c not in duck_pdf.columns:
-            continue
         for s_obj, s_num, on, nn in (
             (spark_pdf[c], duck_pdf[c], "spark", "oracle"),
             (duck_pdf[c], spark_pdf[c], "oracle", "spark"),
