@@ -48,8 +48,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 THRESHOLD = 1.3
 
 
+def _payload(artifact: dict) -> dict:
+    # the driver's BENCH_rN.json wraps bench.py's stdout payload under
+    # "parsed" (with the raw tail beside it); BENCH_last.json IS the payload
+    if isinstance(artifact.get("parsed"), dict):
+        return artifact["parsed"]
+    return artifact
+
+
 def _cold(artifact: dict) -> dict[str, float]:
-    qs = artifact.get("queries") or {}
+    qs = _payload(artifact).get("queries") or {}
     return {k: v for k, v in qs.items() if isinstance(v, (int, float))}
 
 
