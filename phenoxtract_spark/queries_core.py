@@ -33,6 +33,66 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 QUERIES: dict[str, tuple] = {}
 
+# ---------------------------------------------------------------------------
+# Single-task ledger (r10 verdict #3): the registry deliberately keeps a few
+# queries whose plans contain a data-sized single-task shape — each is either
+# a documented small-data BASELINE whose scale-safe twin is also registered
+# (SCALE_TWINS), or a shape that is bounded/deliberate for a stated reason
+# (SINGLE_TASK_PINS).  tests/test_scale_twins.py re-derives the flagged set
+# from every registered query's physical plan and asserts it equals
+# SCALE_TWINS ∪ SINGLE_TASK_PINS exactly — a future query with an unpaired
+# global window/sort or an exact-percentile buffer cannot ship unlisted, and
+# a stale ledger entry cannot linger after the query is fixed.
+# ---------------------------------------------------------------------------
+
+SCALE_TWINS: dict[str, str] = {
+    # baseline (single-task, oracle-shaped)  ->  scale-safe twin
+    "analytics_rfm_segments": "analytics_rfm_scalable",
+    "percentile_exact": "profiling_quantiles_distributed",
+    "analytics_mad_outliers": "profiling_mad_outliers",
+}
+
+SINGLE_TASK_PINS: dict[str, str] = {
+    # --- sweep spine: the across-bucket offsets window is <= 2^bits rows by
+    # construction; its dim-boundedness is plan-pinned in test_plan_shapes
+    "analytics_rank_sum_test": "sweep offsets dim window (<=2^bits rows)",
+    "analytics_kruskal_wallis": "sweep offsets dim window (<=2^bits rows)",
+    "profiling_quantiles_distributed": "sweep offsets dim window (<=2^bits rows)",
+    "profiling_gini_concentration": "sweep offsets dim window (<=2^bits rows)",
+    "profiling_mad_outliers": "sweep offsets dim window (<=2^bits rows)",
+    "profiling_histogram_equidepth": "sweep offsets dim window (<=2^bits rows)",
+    # --- other bounded unpartitioned windows (audited r10, re-audited r11)
+    "sketch_histogram_quantiles": "CDF window over <=2^bits histogram bins",
+    "curation_dsir_select": "window over the bounded importance-grid dim "
+                            "(operators/curation.py)",
+    "curation_pareto_frontier": "bucket recurrence over the <=2^bits "
+                                "distinct-quality grid",
+    "text_bm25_topk": "rank window over the post-limit(k) top-k relation "
+                      "(operators/textanalysis.py)",
+    "events_survival_hazard": "window over the study-day dim (<= #days rows)",
+    "events_slo_burn": "window over the day/hour dim (<= #hours rows)",
+    # --- deliberate exact-percentile users
+    "approx_aggregates": "exact-vs-approx percentile comparison IS the "
+                         "query's subject; the approx side is the scale path",
+    "analytics_winsorized_stats": "per-flag exact p05/p95 thresholds; "
+                                  "docstring documents the "
+                                  "sketch_histogram_quantiles swap at scale",
+    "analytics_fulfillment_lag": "per-priority exact percentiles (5 groups); "
+                                 "per-group rank stats ride the "
+                                 "partition_cols sweep spine at scale "
+                                 "(profiling_histogram_grouped)",
+    "events_purchase_intervals": "global gap percentiles; the quantile spine "
+                                 "is the registered scale path for exact "
+                                 "ranks",
+    "events_bot_detection": "percentile grouped by user_id — per-group "
+                            "buffers bounded by one user's events "
+                            "(distributed; detector over-approximates)",
+    # --- result-sized global sorts
+    "quality_constraints": "final orderBy over the <=#checks-row report",
+    "tpch_q20_dominant_suppliers": "TPC-H-specified ORDER BY s_name over "
+                                   "the qualifying-supplier result",
+}
+
 
 def q(name: str, sql: str | None):
     def deco(fn):

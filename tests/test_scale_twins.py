@@ -1,0 +1,120 @@
+"""Machine-checkable baseline/scale-twin pairing (r10 verdict #3).
+
+The registry deliberately keeps a few single-task-shaped queries: either
+documented small-data BASELINES whose scale-safe twins are registered
+(``queries_core.SCALE_TWINS``) or bounded/deliberate shapes with a stated
+reason (``queries_core.SINGLE_TASK_PINS``).  Until this test, that
+pairing lived in docstrings — a future query with an unpaired global
+ntile/sort or an exact-percentile buffer could ship unnoticed.  Now the
+flagged set is RE-DERIVED from every registered query's physical plan
+and must equal the declared ledger exactly, in both directions: an
+unlisted single-task query fails, and a stale ledger entry (the query
+was fixed but the listing lingers) also fails.
+
+Detector (deliberately over-approximate — boundedness is a human
+judgment recorded in the pin reason, never inferred):
+- an UNPARTITIONED windowspecdefinition (first spec argument carries a
+  sort direction, i.e. no partition keys) — the single-task global
+  window shape;
+- a GLOBAL Sort (``Sort [...], true``) — an orderBy that isn't a
+  TakeOrderedAndProject top-k;
+- an exact ``percentile(`` aggregate — its merge buffer holds every
+  value of its group in one task.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+_WINDOWSPEC = re.compile(r"windowspecdefinition\([^)]*\)")
+_GLOBAL_SORT = re.compile(r"Sort \[[^\]]*\], true")
+
+
+def single_task_flags(plan: str) -> list[str]:
+    out = []
+    for spec in _WINDOWSPEC.findall(plan):
+        first = spec[len("windowspecdefinition("):].split(",")[0]
+        if " ASC NULLS" in first or " DESC NULLS" in first:
+            out.append("unpartitioned_window")
+            break
+    if _GLOBAL_SORT.search(plan):
+        out.append("global_sort")
+    if "percentile(" in plan:
+        out.append("exact_percentile")
+    return out
+
+
+@pytest.fixture(scope="module")
+def registry():
+    import __spark_entry__ as ent
+
+    return ent.queries()
+
+
+def test_twin_map_well_formed(registry):
+    from phenoxtract_spark.queries_core import SCALE_TWINS, SINGLE_TASK_PINS
+
+    for baseline, twin in SCALE_TWINS.items():
+        assert baseline in registry, f"baseline {baseline} not registered"
+        assert twin in registry, f"scale twin {twin} not registered"
+        assert baseline != twin
+    for name, reason in SINGLE_TASK_PINS.items():
+        assert name in registry, f"pinned query {name} not registered"
+        assert reason.strip(), f"pin {name} has no reason"
+    overlap = set(SCALE_TWINS) & set(SINGLE_TASK_PINS)
+    assert not overlap, f"listed as both baseline and pin: {overlap}"
+
+
+def test_detector_flags_synthetic_unpaired_global_ntile(spark):
+    """The red-flag drill the ledger exists for: a global-ntile query
+    (the textbook single-task RFM shape) must trip the detector — if it
+    were registered without a SCALE_TWINS/pin entry, the registry audit
+    below would name it."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.range(100).select(
+        F.ntile(4).over(Window.orderBy("id")).alias("q")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "unpartitioned_window" in single_task_flags(plan)
+    # and the partitioned form must NOT trip it
+    ok = spark.range(100).select(
+        F.ntile(4).over(Window.partitionBy(F.col("id") % 7).orderBy("id"))
+        .alias("q")
+    )
+    ok_plan = ok._jdf.queryExecution().executedPlan().toString()
+    assert single_task_flags(ok_plan) == []
+
+
+def test_registry_single_task_shapes_match_declared_ledger(spark, registry):
+    """Build every registered query's physical plan at sf0.001 and
+    compare the detector's flagged set against the declared ledger —
+    EXACT equality, so neither an unpaired newcomer nor a stale entry
+    survives.  (~3 min: this is the only gate that can see the whole
+    registry's plan shapes; the driver-contract schema audit pays the
+    same cost for result shapes.)"""
+    from phenoxtract_spark.queries_core import SCALE_TWINS, SINGLE_TASK_PINS
+
+    flagged = {}
+    for name, fn in registry.items():
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        fl = single_task_flags(plan)
+        if fl:
+            flagged[name] = fl
+
+    declared = set(SCALE_TWINS) | set(SINGLE_TASK_PINS)
+    unpaired = {n: f for n, f in flagged.items() if n not in declared}
+    assert not unpaired, (
+        "single-task plan shapes with neither a registered scale twin "
+        f"(SCALE_TWINS) nor a pin reason (SINGLE_TASK_PINS): {unpaired}"
+    )
+    stale = declared - set(flagged)
+    assert not stale, (
+        "ledger entries whose queries no longer trip the detector — "
+        f"remove them so the ledger stays honest: {sorted(stale)}"
+    )
