@@ -54,7 +54,7 @@ _PRIORITY = [
     # grouped equi-depth histogram — green here means every registry
     # query has a driver row at least once (the r7 program, completed)
     "profiling_mad_outliers", "profiling_histogram_equidepth",
-    "profiling_histogram_grouped",
+    "profiling_histogram_grouped", "profiling_quantiles_grouped",
     "c16_strip_punct", "text_bigram_logprob", "text_vocab_richness",
     "curation_word_dropout", "curation_curriculum_phases",
     "curation_cluster_balanced_sample", "events_audience_overlap_sketch",
@@ -66,7 +66,7 @@ _PRIORITY = [
     "events_stream_stream_join",                                   # r1
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",        # r2
     "join_star_revenue", "join_broadcast_dims",
-    "window_running_total", "window_rank", "topk_orders",
+    "window_running_total", "topk_orders",
     "rollup_counts", "cube_counts", "set_ops",
     "range_join_ship_window", "percentile_exact", "approx_aggregates",
     "asof_last_event", "skew_salted_agg", "skew_salted_join",

@@ -91,6 +91,14 @@ HEADLINE = [
     # round-10 addition: the scale-safe RFM (three exact global ntiles
     # via the bucketed prefix scan — no data-sized single-task sort)
     "analytics_rfm_scalable",
+    # round-11 additions: the remaining sweep-spine statistics (median/
+    # MAD via the double rank-selection pass, global + per-segment
+    # equi-depth histograms, and the per-group exact-quantile twin of
+    # the grouped-percentile baseline)
+    "profiling_mad_outliers",
+    "profiling_histogram_equidepth",
+    "profiling_histogram_grouped",
+    "profiling_quantiles_grouped",
 ]
 
 # Scale-sensitive subset re-run at sf1 (10x).  Linear operators should land

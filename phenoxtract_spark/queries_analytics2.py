@@ -1031,6 +1031,91 @@ def profiling_quantiles_distributed_q(spark, sf_dir):
 
 
 @q(
+    "profiling_quantiles_grouped",
+    """
+    WITH lag AS (
+      SELECT o.o_orderpriority AS prio,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS lag_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    cells AS (
+      SELECT prio, lag_days, CAST(count(*) AS BIGINT) AS n
+      FROM lag GROUP BY 1, 2
+    ),
+    tot AS (SELECT prio, CAST(sum(n) AS BIGINT) AS t FROM cells GROUP BY 1),
+    c AS (
+      SELECT prio, lag_days, n,
+             sum(n) OVER (PARTITION BY prio ORDER BY lag_days
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM cells
+    ),
+    qs AS (SELECT unnest([5000, 9000]) AS q_bp)
+    SELECT c.prio AS prio, q_bp,
+           CAST(((t - 1) * q_bp) // 10000 + 1 AS BIGINT) AS target_rank,
+           CAST(lag_days AS BIGINT) AS value_days
+    FROM c JOIN tot ON tot.prio = c.prio, qs
+    WHERE cum >= ((t - 1) * q_bp) // 10000 + 1
+      AND cum - n < ((t - 1) * q_bp) // 10000 + 1
+    """,
+)
+def profiling_quantiles_grouped(spark, sf_dir):
+    """Exact PER-GROUP p50/p90 of fulfillment lag (days from order to
+    ship, per priority class) — the scale-safe twin of
+    ``analytics_fulfillment_lag``, whose grouped `percentile` aggregate
+    buffers every lag value of a priority class on one reducer (5
+    groups => 5 single-task buffers holding ~1/5 of the fact table
+    each; fine at sf0.1, the memory wall at 100 TB).
+
+    Same rank-selection spine as ``profiling_quantiles_distributed``,
+    now per-group end to end via ``partition_cols``: per-(prio, lag)
+    cells (one map-combinable pass off the fact join, checkpointed),
+    per-group value-range gridding, the two-phase prefix scan with
+    every window partitioned by (prio) or (prio, bk), and the per-group
+    total riding along for rank = (t_g - 1)*q DIV 10000 + 1 — type-1
+    (lower) quantile semantics, pure integers, both engines agree to
+    the day.  Shares ``rank_containment`` so the off-by-one rule cannot
+    diverge from the global twin."""
+    from pyspark.sql import Row
+
+    from .operators import sweep
+
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    lag = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    cells = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_orderpriority").alias("prio"), lag.alias("lag_days"))
+        .groupBy("prio", "lag_days")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint()
+    )
+    b = sweep.value_range_buckets(cells, "lag_days", partition_cols=["prio"])
+    c = sweep.bucketed_prefix_sum(
+        b, "bk", ["lag_days"], {"n": "n"}, totals=["n"],
+        partition_cols=["prio"],
+    )
+    qdim = F.broadcast(
+        li.sparkSession.createDataFrame(
+            [Row(q_bp=q) for q in (5000, 9000)], "q_bp bigint"
+        )
+    )
+    r = F.expr("((total_n - 1) * q_bp) DIV 10000") + 1
+    return (
+        c.crossJoin(qdim)
+        .filter(sweep.rank_containment(F.col("cum_n"), F.col("n"), r))
+        .select(
+            "prio",
+            "q_bp",
+            r.cast("bigint").alias("target_rank"),
+            F.col("lag_days").cast("bigint").alias("value_days"),
+        )
+    )
+
+
+@q(
     "profiling_gini_concentration",
     """
     WITH per AS (

@@ -50,6 +50,9 @@ SCALE_TWINS: dict[str, str] = {
     "analytics_rfm_segments": "analytics_rfm_scalable",
     "percentile_exact": "profiling_quantiles_distributed",
     "analytics_mad_outliers": "profiling_mad_outliers",
+    # grouped percentile buffers (5 per-priority single-task buffers) ->
+    # the partition_cols rank-selection spine
+    "analytics_fulfillment_lag": "profiling_quantiles_grouped",
 }
 
 SINGLE_TASK_PINS: dict[str, str] = {
@@ -77,10 +80,6 @@ SINGLE_TASK_PINS: dict[str, str] = {
     "analytics_winsorized_stats": "per-flag exact p05/p95 thresholds; "
                                   "docstring documents the "
                                   "sketch_histogram_quantiles swap at scale",
-    "analytics_fulfillment_lag": "per-priority exact percentiles (5 groups); "
-                                 "per-group rank stats ride the "
-                                 "partition_cols sweep spine at scale "
-                                 "(profiling_histogram_grouped)",
     "events_purchase_intervals": "global gap percentiles; the quantile spine "
                                  "is the registered scale path for exact "
                                  "ranks",

@@ -313,6 +313,26 @@ def test_rank_sum_main_plan_runs_on_checkpointed_cells(spark, registry):
         ), (name, specs)
 
 
+def test_grouped_spine_queries_fully_partitioned_no_rescan(spark, registry):
+    """The partition_cols spine queries (r11): main plans read only the
+    checkpointed cells (no parquet scan) and EVERY window is partitioned
+    — per-group plans have no dim-window exemption, since even the
+    across-bucket offsets window partitions by the group key."""
+    import re as _re
+
+    for name in ("profiling_histogram_grouped", "profiling_quantiles_grouped"):
+        df = registry[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("FileScan") == 0, name
+        specs = _re.findall(r"windowspecdefinition\([^)]*\)", plan)
+        assert specs, name
+        for sp in specs:
+            first = sp[len("windowspecdefinition("):].split(",")[0]
+            assert " ASC NULLS" not in first and " DESC NULLS" not in first, (
+                name, sp
+            )
+
+
 def test_kruskal_rank_joinback_never_broadcasts(spark, registry):
     """Both sides of the KW rank join-back are value-cardinality
     relations behind a checkpoint (stats bogus-small) — the join must

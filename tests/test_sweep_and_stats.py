@@ -696,3 +696,46 @@ def test_histogram_grouped_brute_force(spark, tmp_path):
     for seg, vals in segs.items():
         assert sum(r.n_rows for k, r in out.items() if k[0] == seg) \
             == len(vals)
+
+
+def test_quantiles_grouped_brute_force(spark, tmp_path):
+    """Per-priority type-1 rank selection replayed in pure Python: each
+    group's target rank uses ITS OWN t, ties resolve to the lower value
+    (rank_containment), and every (group, q) pair yields exactly one
+    row."""
+    import datetime
+
+    import __spark_entry__ as ent
+
+    base = datetime.date(2024, 1, 1)
+    # two priorities with different lag distributions incl. heavy ties
+    lags = {"1-URGENT": [1, 1, 2, 2, 2, 3, 9, 30],
+            "2-HIGH": [0, 5, 5, 5, 5, 5, 5, 40, 41]}
+    orows, lrows, ok = [], [], 0
+    for prio, ls in lags.items():
+        for lag in ls:
+            ok += 1
+            orows.append((ok, 1, "O", 100.0,
+                          datetime.datetime(2024, 1, 1), prio))
+            lrows.append((ok, 1, 1.0, base + datetime.timedelta(days=lag)))
+    odf = spark.createDataFrame(
+        orows, "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    ldf = spark.createDataFrame(
+        lrows, "l_orderkey bigint, l_linenumber bigint, l_quantity double,"
+        " l_shipdate date"
+    )
+    _write(odf, tmp_path, "orders")
+    _write(ldf, tmp_path, "lineitem")
+    out = {(r.prio, r.q_bp): (r.target_rank, r.value_days) for r in
+           ent.queries()["profiling_quantiles_grouped"](
+               spark, str(tmp_path)).collect()}
+
+    expect = {}
+    for prio, ls in lags.items():
+        s, t = sorted(ls), len(ls)
+        for q in (5000, 9000):
+            rank = (t - 1) * q // 10000 + 1
+            expect[(prio, q)] = (rank, s[rank - 1])
+    assert out == expect
