@@ -124,14 +124,15 @@ def bucketed_prefix_sum(
     if materialize == "input":
         df = df.localCheckpoint()
 
-    # non-null enforcement rides INSIDE the value expressions (they are
-    # always consumed, so the optimizer cannot prune the assertion):
-    # raise_error fires on the NULL-bucket branch, otherwise the value
-    # passes through.  ``when(isNull, raise_error).otherwise(v)`` is
-    # data-dependent and side-effecting, so no NullPropagation /
-    # constant-folding pass can prune it (unlike the previous
-    # ``assert_true(...).isNull()`` phrasing, whose trivially-always-
-    # null guard a future optimizer could legally fold away).
+    # NULL-key enforcement is STRUCTURAL (see the left-join comment
+    # below): guard expressions placed in the pre-join projection are
+    # useless here — the join-inferred isnotnull(key) pushes below any
+    # deterministic projection and prunes the row before the guard
+    # evaluates (measured: the r10 when(isNull, raise) phrasing was
+    # silently bypassed the moment the key doubled as a window
+    # partition column, and only survived for the bucket because a
+    # filter cannot cross an UNPARTITIONED window's ordering column —
+    # an optimizer accident, not a contract).
     parts = list(partition_cols or [])
     guard_msg = (
         f"bucketed_prefix_sum: NULL {bucket_col}"
