@@ -48,10 +48,11 @@ _PRIORITY = [
     # r9's TWO red rows (DECIMAL-render hash divergence) — now integer
     # cents on both engines; their green r10 rows are the fix evidence
     "grouping_sets_revenue", "analytics_rfm_segments",
-    # --- r11 first-time rotation: the FINAL 10 never-driver-checked
-    # queries (the 8 family twins deferred from r10 + the two stats
-    # queries added after the r10 snapshot), plus this round's new
-    # grouped equi-depth histogram — green here means every registry
+    # --- r11 first-time rotation, 12 rows: the FINAL 10 never-driver-
+    # checked queries (the 8 family twins deferred from r10 + the two
+    # stats queries added after the r10 snapshot), plus this round's
+    # TWO new grouped-spine queries (per-segment equi-depth histogram,
+    # per-group exact quantiles) — green here means every registry
     # query has a driver row at least once (the r7 program, completed)
     "profiling_mad_outliers", "profiling_histogram_equidepth",
     "profiling_histogram_grouped", "profiling_quantiles_grouped",

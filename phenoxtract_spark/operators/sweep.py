@@ -250,8 +250,11 @@ def value_range_buckets(
     key — n_groups rows, still broadcast) so ``bk`` is monotone in
     ``value_col`` WITHIN each group; pair with the same
     ``partition_cols`` on ``bucketed_prefix_sum`` for per-group scans.
-    Group keys must be non-null (a NULL group drops out of the stats
-    equi-join); the downstream prefix-sum guard enforces that."""
+    Group keys must be non-null; the join-back is a LEFT join so a
+    NULL-keyed row is KEPT with NULL ``_lo``/``_hi`` and therefore a
+    NULL ``bk`` (an inner join would silently drop it before any guard
+    could see it), which the downstream prefix-sum NULL-key guard then
+    raises on."""
     clashes = sorted({"bk", "_lo", "_hi"} & set(df.columns))
     if clashes:
         raise ValueError(
@@ -292,8 +295,14 @@ def value_range_buckets(
     # BIGINT domain; the quotient is < 2^bits and DIV returns BIGINT,
     # so ``bk``'s type is unchanged for callers.
     d38 = "DECIMAL(38,0)"
+    # LEFT join for the same structural reason as bucketed_prefix_sum's
+    # offsets join: an inner equi-join on the group key would silently
+    # drop a NULL-keyed row (and its pushed-down isnotnull would prune
+    # it at the scan, ahead of any guard).  Left-joined, the NULL-group
+    # row survives with NULL _lo/_hi -> NULL bk, and the downstream
+    # prefix-sum guard raises instead of losing the row.
     joined = (
-        df.join(F.broadcast(stats), parts)
+        df.join(F.broadcast(stats), parts, "left")
         if parts
         else df.crossJoin(F.broadcast(stats))
     )

@@ -317,20 +317,20 @@ def test_grouped_spine_queries_fully_partitioned_no_rescan(spark, registry):
     """The partition_cols spine queries (r11): main plans read only the
     checkpointed cells (no parquet scan) and EVERY window is partitioned
     — per-group plans have no dim-window exemption, since even the
-    across-bucket offsets window partitions by the group key."""
+    across-bucket offsets window partitions by the group key.  The
+    unpartitioned-window rule has ONE implementation
+    (test_scale_twins.single_task_flags) so a Spark rendering change is
+    fixed in one place."""
     import re as _re
+
+    from test_scale_twins import single_task_flags
 
     for name in ("profiling_histogram_grouped", "profiling_quantiles_grouped"):
         df = registry[name](spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("FileScan") == 0, name
-        specs = _re.findall(r"windowspecdefinition\([^)]*\)", plan)
-        assert specs, name
-        for sp in specs:
-            first = sp[len("windowspecdefinition("):].split(",")[0]
-            assert " ASC NULLS" not in first and " DESC NULLS" not in first, (
-                name, sp
-            )
+        assert _re.search(r"windowspecdefinition\(", plan), name
+        assert single_task_flags(plan) == [], name
 
 
 def test_kruskal_rank_joinback_never_broadcasts(spark, registry):

@@ -739,3 +739,27 @@ def test_quantiles_grouped_brute_force(spark, tmp_path):
             rank = (t - 1) * q // 10000 + 1
             expect[(prio, q)] = (rank, s[rank - 1])
     assert out == expect
+
+
+def test_value_range_buckets_null_group_is_kept_and_raises_downstream(spark):
+    """A NULL group key must never be silently dropped by the grouped
+    stats join (review finding, empirically a 3-rows-in/2-rows-out
+    silent truncation before the fix): the LEFT join keeps the row with
+    NULL _lo/_hi -> NULL bk, and the downstream prefix-sum guard raises
+    the moment cum_ is consumed."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from phenoxtract_spark.operators import sweep
+
+    df = spark.createDataFrame(
+        [("a", 1, 2), (None, 5, 7), ("a", 3, 1)], "g string, v bigint, n bigint"
+    )
+    b = sweep.value_range_buckets(df, "v", partition_cols=["g"])
+    rows = b.collect()
+    assert len(rows) == 3, "NULL-group row must be KEPT by the stats join"
+    assert [r.bk for r in rows if r.g is None] == [None]
+    out = sweep.bucketed_prefix_sum(
+        b, "bk", ["v"], {"n": "n"}, partition_cols=["g"]
+    )
+    with pytest.raises(SparkRuntimeException, match="NULL bk/g"):
+        out.collect()

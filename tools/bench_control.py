@@ -73,6 +73,18 @@ def cmd_compare(args) -> int:
     prev = json.load(open(args.prev))
     cur = json.load(open(args.cur))
     ta, tb, ratio, common = _common_ratio(prev, cur)
+    if not common:
+        # BENCH_r2–r6 have parsed:null, and a compact stdout line that
+        # outgrew the driver window drops its queries map — either way
+        # there is NO comparable data, which must read as an error, not
+        # as "ratio inf -> run a control"
+        print(
+            f"ERROR: no common per-query data between {args.prev} "
+            f"({len(_cold(prev))} cold queries) and {args.cur} "
+            f"({len(_cold(cur))}) — nothing to compare",
+            file=sys.stderr,
+        )
+        return 2  # distinct from exit 1 = "moved, run a control"
     print(
         f"common {len(common)} queries: {os.path.basename(args.prev)} "
         f"{ta:.1f}s -> {os.path.basename(args.cur)} {tb:.1f}s  "
@@ -168,11 +180,21 @@ def _run_full_bench(tree: str) -> dict:
     env["PYTHONPATH"] = tree
     env["SPARK_GRAFT_SF1"] = "0"   # cold headline total is the metric
     env["SPARK_GRAFT_WARM"] = "0"  # under adjudication; keep the run lean
+    art = os.path.join(tree, "BENCH_last.json")
+    # a reused worktree (prior control run killed mid-flight) may hold a
+    # STALE artifact — remove it up front so a failed bench below can
+    # never silently adjudicate with old numbers
+    if os.path.isfile(art):
+        os.remove(art)
     r = subprocess.run(
         [sys.executable, os.path.join(tree, "bench.py")],
         capture_output=True, text=True, env=env, cwd=tree,
     )
-    art = os.path.join(tree, "BENCH_last.json")
+    if r.returncode != 0:
+        sys.exit(
+            f"ERROR: bench.py in {tree} exited {r.returncode}\n"
+            f"stderr tail: {r.stderr[-1500:]}"
+        )
     if os.path.isfile(art):
         return json.load(open(art))
     for line in reversed(r.stdout.splitlines()):
