@@ -48,14 +48,15 @@ _PRIORITY = [
     # r9's TWO red rows (DECIMAL-render hash divergence) — now integer
     # cents on both engines; their green r10 rows are the fix evidence
     "grouping_sets_revenue", "analytics_rfm_segments",
-    # --- r11 first-time rotation, 12 rows: the FINAL 10 never-driver-
+    # --- r11 first-time rotation, 13 rows: the FINAL 10 never-driver-
     # checked queries (the 8 family twins deferred from r10 + the two
     # stats queries added after the r10 snapshot), plus this round's
-    # TWO new grouped-spine queries (per-segment equi-depth histogram,
-    # per-group exact quantiles) — green here means every registry
-    # query has a driver row at least once (the r7 program, completed)
+    # THREE new per-segment statistics (equi-depth histogram, exact
+    # quantiles, MCV) — green here means every registry query has a
+    # driver row at least once (the r7 program, completed)
     "profiling_mad_outliers", "profiling_histogram_equidepth",
     "profiling_histogram_grouped", "profiling_quantiles_grouped",
+    "profiling_mcv_grouped",
     "c16_strip_punct", "text_bigram_logprob", "text_vocab_richness",
     "curation_word_dropout", "curation_curriculum_phases",
     "curation_cluster_balanced_sample", "events_audience_overlap_sketch",
@@ -68,7 +69,7 @@ _PRIORITY = [
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",        # r2
     "join_star_revenue", "join_broadcast_dims",
     "window_running_total", "topk_orders",
-    "rollup_counts", "cube_counts", "set_ops",
+    "rollup_counts", "set_ops",
     "range_join_ship_window", "percentile_exact", "approx_aggregates",
     "asof_last_event", "skew_salted_agg", "skew_salted_join",
     "c2_integral_promotion", "c5_bool_parse", "c7_multiformat_date",  # r3

@@ -99,6 +99,10 @@ HEADLINE = [
     "profiling_histogram_equidepth",
     "profiling_histogram_grouped",
     "profiling_quantiles_grouped",
+    # round-11 late addition: the per-segment MCV (two-pass
+    # sample-then-verify per group — the third ANALYZE-style
+    # per-partition statistic)
+    "profiling_mcv_grouped",
 ]
 
 # Scale-sensitive subset re-run at sf1 (10x).  Linear operators should land

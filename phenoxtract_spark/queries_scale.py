@@ -3552,6 +3552,34 @@ _HH_ROW_HASH_SQL = """substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
                       || CAST(l_linenumber AS VARCHAR)), 1, 1)"""
 
 
+def _hh_key_col():
+    # the planted Zipf head (Spark twin of _HH_KEY_SQL): 8 hot keys own
+    # 90% of rows, tail spread over 4096 — shared by the global and
+    # grouped heavy-hitter queries so the fixture cannot diverge
+    return (
+        F.when(F.col("l_orderkey") % 10 < 9, F.col("l_partkey") % 8)
+        .otherwise(F.lit(8) + F.col("l_partkey") % 4096)
+        .cast("bigint")
+        .alias("key")
+    )
+
+
+def _hh_hash_col():
+    # deterministic engine-replayable 1/16-per-digit row hash (twin of
+    # _HH_ROW_HASH_SQL); h IN ('0','1') selects the 1/8 sample
+    return F.substring(
+        F.md5(
+            F.concat_ws(
+                "-",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ),
+        1,
+        1,
+    ).alias("h")
+
+
 @q(
     "sketch_sampled_heavyhitters",
     f"""
@@ -3597,23 +3625,7 @@ def sketch_sampled_heavyhitters_q(spark, sf_dir):
     map-side combine, and at 1000 executors the candidate dim stays a
     broadcast of O(heavy keys)."""
     li = read_table(spark, sf_dir, "lineitem")
-    keyed = li.select(
-        F.when(F.col("l_orderkey") % 10 < 9, F.col("l_partkey") % 8)
-        .otherwise(F.lit(8) + F.col("l_partkey") % 4096)
-        .cast("bigint")
-        .alias("key"),
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "-",
-                    F.col("l_orderkey").cast("string"),
-                    F.col("l_linenumber").cast("string"),
-                )
-            ),
-            1,
-            1,
-        ).alias("h"),
-    )
+    keyed = li.select(_hh_key_col(), _hh_hash_col())
     tot = keyed.agg(F.count(F.lit(1)).alias("n_total"))
     samp = (
         keyed.filter(F.col("h").isin("0", "1"))
@@ -3642,5 +3654,89 @@ def sketch_sampled_heavyhitters_q(spark, sf_dir):
             F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
             F.col("sample_cnt").cast("bigint").alias("sample_cnt"),
             F.expr("exact_cnt * 10000 DIV n_total").cast("bigint").alias("share_bp"),
+        )
+    )
+
+
+@q(
+    "profiling_mcv_grouped",
+    f"""
+    WITH keyed AS (
+      SELECT l_returnflag AS seg, {_HH_KEY_SQL} AS key,
+             {_HH_ROW_HASH_SQL} AS h
+      FROM lineitem
+    ),
+    tot AS (SELECT seg, count(*) AS n_total FROM keyed GROUP BY seg),
+    samp AS (SELECT seg, key, count(*) AS sample_cnt FROM keyed
+             WHERE h IN ('0', '1') GROUP BY seg, key),
+    stot AS (SELECT seg, sum(sample_cnt) AS n_sample FROM samp GROUP BY seg),
+    cand AS (SELECT samp.seg AS seg, key, sample_cnt
+             FROM samp JOIN stot ON stot.seg = samp.seg
+             WHERE sample_cnt * 1000 >= n_sample),
+    exact AS (
+      SELECT k.seg AS seg, k.key AS key, count(*) AS exact_cnt,
+             any_value(c.sample_cnt) AS sample_cnt
+      FROM keyed k JOIN cand c ON k.seg = c.seg AND k.key = c.key
+      GROUP BY k.seg, k.key
+    )
+    SELECT exact.seg AS seg,
+           CAST(key AS BIGINT) AS key,
+           CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(sample_cnt AS BIGINT) AS sample_cnt,
+           CAST(exact_cnt * 10000 // n_total AS BIGINT) AS share_bp
+    FROM exact JOIN tot ON tot.seg = exact.seg
+    WHERE exact_cnt * 1000 >= n_total
+    """,
+)
+def profiling_mcv_grouped(spark, sf_dir):
+    """PER-SEGMENT most-common-values — the grouped form of
+    ``sketch_sampled_heavyhitters`` and the third ANALYZE-style
+    per-partition statistic beside the grouped histogram and grouped
+    quantiles (a catalog's MCV list is kept per partition for exactly
+    the segment-local-skew reason the histogram is).  Same two-pass
+    sample-then-verify, every stage now per-group: the deterministic
+    1/8 sample aggregates per (seg, key); per-group sample totals set
+    per-group 0.1% thresholds; the candidate dim (O(heavy keys) ×
+    n_groups rows) BROADCASTS into the verify scan so the exact-count
+    shuffle carries only candidate rows; the final filter re-applies
+    the threshold against the segment's own exact total.  Counts are
+    EXACT with the pattern's one-sided guarantee per group, and the
+    md5 sample is engine-replayable so both engines miss identically.
+    Shares _hh_key_col/_hh_hash_col with the global query — the
+    planted-Zipf fixture cannot diverge between the twins."""
+    li = read_table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        F.col("l_returnflag").alias("seg"), _hh_key_col(), _hh_hash_col()
+    )
+    tot = keyed.groupBy("seg").agg(F.count(F.lit(1)).alias("n_total"))
+    samp = (
+        keyed.filter(F.col("h").isin("0", "1"))
+        .groupBy("seg", "key")
+        .agg(F.count(F.lit(1)).alias("sample_cnt"))
+    )
+    stot = samp.groupBy("seg").agg(F.sum("sample_cnt").alias("n_sample"))
+    cand = (
+        samp.join(F.broadcast(stot), "seg")
+        .filter(F.col("sample_cnt") * 1000 >= F.col("n_sample"))
+        .select("seg", "key", "sample_cnt")
+    )
+    exact = (
+        keyed.join(F.broadcast(cand), ["seg", "key"])
+        .groupBy("seg", "key")
+        .agg(
+            F.count(F.lit(1)).alias("exact_cnt"),
+            F.first("sample_cnt").alias("sample_cnt"),
+        )
+    )
+    return (
+        exact.join(F.broadcast(tot), "seg")
+        .filter(F.col("exact_cnt") * 1000 >= F.col("n_total"))
+        .select(
+            "seg",
+            F.col("key").cast("bigint").alias("key"),
+            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+            F.col("sample_cnt").cast("bigint").alias("sample_cnt"),
+            F.expr("exact_cnt * 10000 DIV n_total").cast("bigint")
+            .alias("share_bp"),
         )
     )

@@ -763,3 +763,61 @@ def test_value_range_buckets_null_group_is_kept_and_raises_downstream(spark):
     )
     with pytest.raises(SparkRuntimeException, match="NULL bk/g"):
         out.collect()
+
+
+def test_mcv_grouped_brute_force(spark, tmp_path):
+    """Per-segment sample-then-verify MCV replayed in pure Python on a
+    planted fixture: per-group thresholds (a key can be heavy in one
+    segment and tail in another), exact counts, per-group share_bp."""
+    import hashlib as _hashlib
+
+    import __spark_entry__ as ent
+
+    # segment A: key 5 owns ~50% of 400 rows; segment R: uniform tail
+    # (no heavy key); segment N: key 2 owns ~50% of 200 rows
+    i = 0
+    plan = []
+    for n, hot_pk, seg in ((400, 5, "A"), (300, None, "R"), (200, 2, "N")):
+        for j in range(n):
+            i += 1
+            if hot_pk is not None and j % 2 == 0:
+                pk = hot_pk  # key = pk % 8 (orderkey 10*i keeps % 10 < 9)
+            else:
+                pk = 8 + (j * 13) % 4000
+            plan.append((10 * i, pk, 1, seg))
+    rows = [(ok, ln, pk, seg) for ok, pk, ln, seg in plan]
+    df = spark.createDataFrame(
+        rows, "l_orderkey bigint, l_linenumber bigint, l_partkey bigint,"
+        " l_returnflag string"
+    )
+    _write(df, tmp_path, "lineitem")
+    out = {(r.seg, r.key): r for r in
+           ent.queries()["profiling_mcv_grouped"](
+               spark, str(tmp_path)).collect()}
+
+    # pure-python replay (identical key/hash/threshold rules)
+    def key(ok, pk):
+        return pk % 8 if ok % 10 < 9 else 8 + pk % 4096
+
+    def h(ok, ln):
+        return _hashlib.md5(f"{ok}-{ln}".encode()).hexdigest()[0]
+
+    segs = {seg for *_x, seg in plan}
+    expect = {}
+    for seg in segs:
+        grp = [(ok, pk, ln) for ok, pk, ln, s in plan if s == seg]
+        samp = {}
+        for ok, pk, ln in grp:
+            if h(ok, ln) in ("0", "1"):
+                samp[key(ok, pk)] = samp.get(key(ok, pk), 0) + 1
+        n_sample = sum(samp.values())
+        cand = {k: c for k, c in samp.items() if c * 1000 >= n_sample}
+        n_total = len(grp)
+        for k, sc in cand.items():
+            ec = sum(1 for ok, pk, ln in grp if key(ok, pk) == k)
+            if ec * 1000 >= n_total:
+                expect[(seg, k)] = (ec, sc, ec * 10000 // n_total)
+    assert {(s, k): (r.exact_cnt, r.sample_cnt, r.share_bp)
+            for (s, k), r in out.items()} == expect
+    # the planted heads must actually be found
+    assert ("A", 5) in expect and ("N", 2) in expect
