@@ -202,12 +202,19 @@ def bucketed_prefix_sum(
                 F.max(F.lit(1)).alias("_gtm"),
             )
             out = out.join(F.broadcast(gt), parts, "left")
+            # guard on the group-key marker AND the row's own bucket
+            # offset: _gtm catches a NULL group key (gt join miss),
+            # _off_<n> catches a NULL bucket under non-null group keys
+            # — so a caller that consumes ONLY total_<n> and never
+            # evaluates a cum_ column still raises instead of silently
+            # folding the NULL-key row's weight into the total
             for n in totals:
                 out = out.withColumn(
                     f"total_{n}",
-                    F.when(F.col("_gtm").isNull(), _raise()).otherwise(
-                        F.col(f"total_{n}")
-                    ),
+                    F.when(
+                        F.col("_gtm").isNull() | F.col(f"_off_{n}").isNull(),
+                        _raise(),
+                    ).otherwise(F.col(f"total_{n}")),
                 )
             out = out.drop("_gtm")
         else:
@@ -215,6 +222,19 @@ def bucketed_prefix_sum(
                 *[F.sum(f"_bt_{n}").alias(f"total_{n}") for n in totals]
             )
             out = out.crossJoin(F.broadcast(gt))
+            # same marker-guard discipline as the partitioned branch: the
+            # crossJoin always matches, so the only NULL-key witness on a
+            # totals-only consumer is the row's own _off_<n> (NULL iff the
+            # left join missed, iff the bucket key was NULL); total_<n>
+            # itself can be legitimately NULL (all-NULL weights), so the
+            # guard keys on the offset, never the total
+            for n in totals:
+                out = out.withColumn(
+                    f"total_{n}",
+                    F.when(F.col(f"_off_{n}").isNull(), _raise()).otherwise(
+                        F.col(f"total_{n}")
+                    ),
+                )
     return out.drop(
         *[f"_v_{n}" for n in sums],
         *[f"_off_{n}" for n in sums],

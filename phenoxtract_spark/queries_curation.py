@@ -1899,11 +1899,15 @@ _WEB_E2E_URL_SQL = """
 """
 
 
-def _web_pipeline_stages(spark, sf_dir):
+def _web_pipeline_stages(spark, sf_dir, gzip_members=False):
     """Shared stage builder for the composed web pipeline: returns the
     per-stage survivor relations (corpus, s1..s6, selected) so the e2e
     query and the attrition report audit the SAME plan (checkpoints
-    included)."""
+    included).  ``gzip_members`` switches the ingest stage to the real
+    ``.warc.gz`` framing (one gzip member per record); every parsed
+    field is identical by construction, so stage survivors must match
+    the plain framing exactly — pinned by
+    tests/test_warc.py::test_web_pipeline_gz_ingest_parity."""
     from .functions import urls
     from .operators import textanalysis
     from .sources import warc
@@ -1950,7 +1954,8 @@ def _web_pipeline_stages(spark, sf_dir):
     )
     fetched = corpus.withColumn("url", url)
     segs = warc.synthetic_warc_segments(
-        fetched, "doc_id", "text", docs_per_segment=16, uri_col="url"
+        fetched, "doc_id", "text", docs_per_segment=16, uri_col="url",
+        gzip_members=gzip_members,
     )
     rec = warc.parse_warc_segments(segs).select(
         F.regexp_extract("target_uri", r"#d(\d+)$", 1).cast("bigint").alias("doc_id"),

@@ -12,14 +12,23 @@ oracle recomputes every parsed field from the source table in SQL.
 Scale shape: a WARC segment is the unit of parallelism exactly as on a
 real crawl (one ~1 GB warc.gz per task); records never leave their
 partition, headers parse streaming, and the reader is O(bytes) with no
-backtracking.  Gzip framing is intentionally out of scope here (the
-container walk is the format work; transport compression is parquet's
-job in this engine).
+backtracking.
+
+Both on-disk framings are supported: plain concatenated WARC 1.0, and
+the ``.warc.gz`` layout actual Common Crawl ships — ONE GZIP MEMBER PER
+RECORD, members concatenated, so a reader can seek to any record
+boundary and stream-decompress from there without inflating the whole
+file.  The gzip codec is member-wise stdlib ``zlib`` (wbits=31 so the
+per-member CRC32 + ISIZE trailer is verified), deterministic bytes
+(``mtime=0``) mirroring sources/jsonl_gz.py; the parser dispatches on
+the gzip magic, so mixed corpora parse through one path.
 """
 
 from __future__ import annotations
 
+import gzip
 import hashlib
+import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -29,6 +38,7 @@ WARC_VERSION = b"WARC/1.0"
 # deterministic capture date: engine paths never read the wall clock
 FIXED_WARC_DATE = "2024-01-01T00:00:00Z"
 CRLF = b"\r\n"
+GZIP_MAGIC = b"\x1f\x8b"
 
 
 def encode_warc_record(target_uri: str, body: bytes,
@@ -56,6 +66,60 @@ def encode_warc_segment(records: list[tuple[str, bytes]]) -> bytes:
     """Concatenate (target_uri, body) pairs into one multi-record WARC
     segment — the on-disk unit a crawler emits."""
     return b"".join(encode_warc_record(uri, body) for uri, body in records)
+
+
+def encode_warc_gz_segment(records: list[tuple[str, bytes]]) -> bytes:
+    """The real Common Crawl ``.warc.gz`` layout: each record compresses
+    into its OWN gzip member (``mtime=0`` for byte determinism), members
+    concatenated back-to-back.  Per-record framing is what makes the
+    format splittable: a reader positioned at any member boundary can
+    decompress one record without touching the rest of the file."""
+    return b"".join(
+        gzip.compress(encode_warc_record(uri, body), mtime=0)
+        for uri, body in records
+    )
+
+
+def decode_warc_gz(payload: bytes) -> list[dict]:
+    """Strict member-wise ``.warc.gz`` walk: gunzip one gzip member at a
+    time (stdlib ``zlib`` with wbits=31, so each member's CRC32 + ISIZE
+    trailer is verified — corruption raises ``zlib.error``, truncation
+    raises here), require each member to hold EXACTLY ONE WARC record
+    (the Common Crawl contract; multi-record members would break record
+    seekability), and parse it with the same strict reader as the plain
+    framing.  O(bytes): member boundaries come from
+    ``decompressobj.unused_data`` over a memoryview, no re-scanning."""
+    records = []
+    view = memoryview(payload)
+    off, n = 0, len(payload)
+    while off < n:
+        if bytes(view[off:off + 2]) != GZIP_MAGIC:
+            raise ValueError(
+                f"not a gzip member at offset {off} "
+                f"(magic {bytes(view[off:off + 2])!r})"
+            )
+        d = zlib.decompressobj(wbits=31)
+        member = d.decompress(view[off:])
+        if not d.eof:
+            raise ValueError(f"truncated gzip member at offset {off}")
+        recs = decode_warc(member)
+        if len(recs) != 1:
+            raise ValueError(
+                f"gzip member at offset {off} holds {len(recs)} WARC "
+                f"records; the .warc.gz contract is exactly 1 per member"
+            )
+        records.append(recs[0])
+        off = n - len(d.unused_data)
+    return records
+
+
+def decode_warc_auto(payload: bytes) -> list[dict]:
+    """Dispatch on the leading magic: gzip members (``.warc.gz``) or
+    plain concatenated WARC 1.0 — one parse entry point for mixed
+    corpora, each branch staying fully strict."""
+    if payload[:2] == GZIP_MAGIC:
+        return decode_warc_gz(payload)
+    return decode_warc(payload)
 
 
 def decode_warc(payload: bytes) -> list[dict]:
@@ -112,7 +176,8 @@ def synthetic_warc_segments(df: DataFrame, id_col: str, text_col: str,
                             docs_per_segment: int = 16,
                             uri_prefix: str = "http://corpus.local/doc/",
                             host_col: str | None = None,
-                            uri_col: str | None = None) -> DataFrame:
+                            uri_col: str | None = None,
+                            gzip_members: bool = False) -> DataFrame:
     """Pack documents into multi-record WARC segments through the REAL
     encoder — ``segment_id = id // docs_per_segment`` keys one
     ``applyInPandas`` group per segment (records sorted by id inside, so
@@ -120,8 +185,12 @@ def synthetic_warc_segments(df: DataFrame, id_col: str, text_col: str,
     Target-URI is taken verbatim from that column (crawl-shaped corpora
     where the fetch URL is data); with ``host_col``, the URI is
     ``http://<host>.corpus.local/doc/<id>`` (per-domain corpora); else
-    ``uri_prefix<id>``.  Returns (segment_id, n_records, payload)."""
+    ``uri_prefix<id>``.  With ``gzip_members`` the segment bytes are the
+    real ``.warc.gz`` framing (one gzip member per record) instead of
+    plain concatenation.  Returns (segment_id, n_records, payload)."""
     import pandas as pd
+
+    enc = encode_warc_gz_segment if gzip_members else encode_warc_segment
 
     cols = [
         F.col(id_col).cast("bigint").alias("id"),
@@ -155,7 +224,7 @@ def synthetic_warc_segments(df: DataFrame, id_col: str, text_col: str,
             {
                 "segment_id": [int(pdf["segment_id"].iloc[0])],
                 "n_records": [len(recs)],
-                "payload": [encode_warc_segment(recs)],
+                "payload": [enc(recs)],
             }
         )
 
@@ -167,7 +236,9 @@ def synthetic_warc_segments(df: DataFrame, id_col: str, text_col: str,
 def parse_warc_segments(segments: DataFrame) -> DataFrame:
     """Parse WARC segments back to one row per record via the strict
     reader: (segment_id, rec_index, warc_type, target_uri,
-    content_length, body_md5).  Partition-preserving ``mapInPandas`` —
+    content_length, body_md5).  Dispatches per payload on the gzip
+    magic, so plain and ``.warc.gz`` segments (even mixed) parse through
+    the one entry point.  Partition-preserving ``mapInPandas`` —
     payloads never shuffle; the md5 fingerprints the body so downstream
     value checks need no blob comparison."""
     import pandas as pd
@@ -179,7 +250,7 @@ def parse_warc_segments(segments: DataFrame) -> DataFrame:
                 "target_uri": [], "content_length": [], "body_md5": [],
             }
             for seg_id, payload in zip(pdf["segment_id"], pdf["payload"]):
-                for i, rec in enumerate(decode_warc(bytes(payload))):
+                for i, rec in enumerate(decode_warc_auto(bytes(payload))):
                     rows["segment_id"].append(int(seg_id))
                     rows["rec_index"].append(i)
                     rows["warc_type"].append(rec["type"])

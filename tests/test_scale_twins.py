@@ -30,14 +30,48 @@ import pytest
 
 SF = "/root/testdata/sf0.001"
 
-_WINDOWSPEC = re.compile(r"windowspecdefinition\([^)]*\)")
 _GLOBAL_SORT = re.compile(r"Sort \[[^\]]*\], true")
+
+
+def _window_spec_bodies(plan: str) -> list[str]:
+    """Each windowspecdefinition's argument list, extracted with a
+    balanced-paren scan (the r11 ADVICE robustness fix: a first-`)`
+    regex truncates when the first spec argument is itself a
+    parenthesized expression, and the ' ASC NULLS' sniff then
+    false-negatives)."""
+    out, idx, key = [], 0, "windowspecdefinition("
+    while True:
+        start = plan.find(key, idx)
+        if start < 0:
+            return out
+        depth, i = 1, start + len(key)
+        while i < len(plan) and depth:
+            c = plan[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            i += 1
+        out.append(plan[start + len(key):i - 1])
+        idx = i
+
+
+def _first_top_level_arg(body: str) -> str:
+    depth = 0
+    for i, c in enumerate(body):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            return body[:i]
+    return body
 
 
 def single_task_flags(plan: str) -> list[str]:
     out = []
-    for spec in _WINDOWSPEC.findall(plan):
-        first = spec[len("windowspecdefinition("):].split(",")[0]
+    for body in _window_spec_bodies(plan):
+        first = _first_top_level_arg(body)
         if " ASC NULLS" in first or " DESC NULLS" in first:
             out.append("unpartitioned_window")
             break
@@ -89,6 +123,26 @@ def test_detector_flags_synthetic_unpaired_global_ntile(spark):
     )
     ok_plan = ok._jdf.queryExecution().executedPlan().toString()
     assert single_task_flags(ok_plan) == []
+
+
+def test_detector_survives_parenthesized_first_window_arg():
+    """Crafted plan strings exercising the balanced-paren extraction:
+    an unaliased parenthesized expression as the first spec argument
+    (where the old first-`)` regex truncated before ' ASC NULLS') must
+    still flag, and a PARTITIONED spec whose partition key carries
+    nested parens must still pass clean."""
+    flagged = (
+        "Window [sum(w#3) windowspecdefinition((a#1 + b#2) ASC NULLS "
+        "FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "currentrow$())) AS cum#9]"
+    )
+    assert "unpartitioned_window" in single_task_flags(flagged)
+    partitioned = (
+        "Window [sum(w#3) windowspecdefinition((g#1 % 7), _w0#5 ASC "
+        "NULLS FIRST, specifiedwindowframe(RowFrame, "
+        "unboundedpreceding$(), currentrow$())) AS cum#9]"
+    )
+    assert single_task_flags(partitioned) == []
 
 
 def test_registry_single_task_shapes_match_declared_ledger(spark, registry):

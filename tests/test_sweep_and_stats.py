@@ -609,6 +609,43 @@ def test_bucketed_prefix_sum_null_partition_col_raises(spark):
         out.collect()
 
 
+def test_bucketed_prefix_sum_totals_only_null_bucket_raises(spark):
+    """The r11 ADVICE latent gap: a consumer that selects ONLY
+    total_<n> (never evaluating a cum_ column) must still raise on a
+    NULL-bucket row — otherwise its weight folds into the grand total
+    silently.  Unpartitioned path: the guard rides on the row's own
+    _off_<n> (the crossJoin itself always matches)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from phenoxtract_spark.operators import sweep
+
+    df = spark.createDataFrame(
+        [(1, 0, 5), (2, None, 7)], "id bigint, bk bigint, w bigint"
+    )
+    out = sweep.bucketed_prefix_sum(df, "bk", ["id"], {"w": "w"}, totals=["w"])
+    with pytest.raises(SparkRuntimeException, match="NULL bk"):
+        out.select("id", "total_w").collect()
+
+
+def test_bucketed_prefix_sum_totals_only_null_bucket_raises_partitioned(spark):
+    """Partitioned twin of the totals-only guard: a NULL bucket under
+    NON-NULL group keys passes the _gtm group-marker check (gt joins on
+    the group key alone), so the guard must also key on _off_<n>."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from phenoxtract_spark.operators import sweep
+
+    df = spark.createDataFrame(
+        [("a", 0, 1, 5), ("a", None, 2, 7)],
+        "g string, bk bigint, id bigint, w bigint",
+    )
+    out = sweep.bucketed_prefix_sum(
+        df, "bk", ["id"], {"w": "w"}, totals=["w"], partition_cols=["g"]
+    )
+    with pytest.raises(SparkRuntimeException, match="NULL bk/g"):
+        out.select("id", "total_w").collect()
+
+
 def test_value_range_buckets_partitioned_grids_per_group(spark):
     """With partition_cols each group grids against ITS OWN min/max:
     both groups span bucket 0..255 even though their absolute ranges

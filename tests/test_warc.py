@@ -98,6 +98,98 @@ def test_segments_with_host_col_emit_per_domain_uris(spark):
     }
 
 
+# --- .warc.gz member-wise framing (the real Common Crawl layout) -------
+
+
+def test_warc_gz_roundtrip_and_determinism():
+    recs = [(f"http://x.test/{i}", f"body number {i}".encode()) for i in range(5)]
+    gz = warc.encode_warc_gz_segment(recs)
+    assert gz[:2] == warc.GZIP_MAGIC
+    assert gz == warc.encode_warc_gz_segment(recs)  # mtime=0
+    out = warc.decode_warc_gz(gz)
+    assert [(r["target_uri"], r["body"]) for r in out] == recs
+    # and the parsed fields match the plain framing exactly
+    plain = warc.decode_warc(warc.encode_warc_segment(recs))
+    assert [
+        (r["target_uri"], r["content_length"], r["record_id"]) for r in out
+    ] == [(r["target_uri"], r["content_length"], r["record_id"]) for r in plain]
+
+
+def test_warc_gz_auto_dispatch_on_magic():
+    recs = [("http://x.test/a", b"payload-a")]
+    assert warc.decode_warc_auto(warc.encode_warc_gz_segment(recs))[0][
+        "body"
+    ] == b"payload-a"
+    assert warc.decode_warc_auto(warc.encode_warc_segment(recs))[0][
+        "body"
+    ] == b"payload-a"
+
+
+def test_warc_gz_truncated_member_raises():
+    gz = warc.encode_warc_gz_segment([("http://x.test/1", b"0123456789")])
+    with pytest.raises(ValueError, match="truncated gzip member"):
+        warc.decode_warc_gz(gz[:-9])  # cut into the CRC/ISIZE trailer
+
+
+def test_warc_gz_bad_crc_raises():
+    import zlib
+
+    gz = bytearray(warc.encode_warc_gz_segment([("http://x.test/1", b"abcdef")]))
+    gz[-6] ^= 0xFF  # flip a CRC32 byte (trailer = CRC32 + ISIZE)
+    with pytest.raises(zlib.error):
+        warc.decode_warc_gz(bytes(gz))
+
+
+def test_warc_gz_bad_magic_raises():
+    gz = warc.encode_warc_gz_segment([("http://x.test/1", b"abc")])
+    with pytest.raises(ValueError, match="not a gzip member"):
+        warc.decode_warc_gz(b"XX" + gz)
+    # and a mid-stream framing break is caught at ITS offset
+    with pytest.raises(ValueError, match="not a gzip member at offset"):
+        warc.decode_warc_gz(gz + b"junk")
+
+
+def test_warc_gz_multi_record_member_rejected():
+    import gzip as _gzip
+
+    two = warc.encode_warc_segment(
+        [("http://x.test/1", b"a"), ("http://x.test/2", b"b")]
+    )
+    with pytest.raises(ValueError, match="exactly 1 per member"):
+        warc.decode_warc_gz(_gzip.compress(two, mtime=0))
+
+
+def test_spark_gz_segments_parse_identically(spark):
+    df = spark.createDataFrame(
+        [(i, f"document text {i}") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    plain = warc.parse_warc_segments(
+        warc.synthetic_warc_segments(df, "doc_id", "text", docs_per_segment=16)
+    )
+    gz = warc.parse_warc_segments(
+        warc.synthetic_warc_segments(
+            df, "doc_id", "text", docs_per_segment=16, gzip_members=True
+        )
+    )
+    key = lambda r: (r["segment_id"], r["rec_index"])
+    assert sorted(map(tuple, gz.collect()), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, plain.collect()), key=lambda t: (t[0], t[1])
+    )
+
+
+def test_web_pipeline_gz_ingest_parity(spark):
+    """The e2e capstone's ingest option: .warc.gz framing must yield the
+    SAME per-stage survivor counts as plain framing (every parsed field
+    is identical by construction)."""
+    from phenoxtract_spark.queries_curation import _web_pipeline_stages
+
+    sf = "/root/testdata/sf0.001"
+    plain = [df.count() for df in _web_pipeline_stages(spark, sf)]
+    gz = [df.count() for df in _web_pipeline_stages(spark, sf, gzip_members=True)]
+    assert gz == plain and plain[0] > 0
+
+
 # --- jsonl.gz shard codec (sources/jsonl_gz.py) ------------------------
 
 

@@ -208,7 +208,10 @@ def _run_full_bench(tree: str) -> dict:
 
 
 def cmd_control(args) -> int:
-    cur_art = json.load(open(args.current))
+    # current artifact is only consumed by the full-rebench branch; load
+    # it lazily so a --queries subset run (self-contained interleaved
+    # A/B) never aborts on a missing/deleted BENCH_last.json
+    cur_art = None if args.queries else json.load(open(args.current))
     tree = _ensure_worktree(args.commit)
     t0 = time.time()
     try:
