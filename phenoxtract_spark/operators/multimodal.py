@@ -3,18 +3,20 @@
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct.  The Spark-side machinery — schema, partition-preserving
 ``mapInPandas`` over Arrow batches, UDF signatures, batch shapes — is real
-and tested.  COMPRESSED codec calls (JPEG/PNG/video/audio containers) are
-STUBBED (decode libs are not in this container) behind ``DecoderStub``: a
+and tested.  COMPRESSED codec calls whose decode libs are not in this
+container (JPEG/MP3/H.264) are STUBBED behind ``DecoderStub``: a
 clearly-marked deterministic fake that produces shape-correct features, or
-``NotImplementedError`` in strict mode.  Every UNCOMPRESSED public
-container, however, has a REAL pure-stdlib codec in this module
-(round 4), one per modality: image = 24-bit BMP + binary PPM
-(``multimodal_image_roundtrip``: encode → decode → NN-resize), audio =
-RIFF/WAVE PCM16 (``multimodal_wav_energy``: encode → chunk-walk parse →
-framed Σx² energy), video = YUV4MPEG2 C444 (``multimodal_y4m_luma``:
-encode → FRAME-walk parse → sampled luma sums).  All three run genuinely
-unstubbed and are oracle-checked bit-exact against arithmetic DuckDB
-twins of the md5 keystream that seeds the pixels/samples/planes.
+``NotImplementedError`` in strict mode.  Every format expressible with
+the stdlib, however, has a REAL codec in this module, one per modality:
+image = 24-bit BMP + binary PPM + 8-bit PNG (deflate + the full 5-filter
+unfilter matrix via stdlib ``zlib``, round 12;
+``multimodal_image_roundtrip`` / ``multimodal_png_roundtrip``: encode →
+decode → NN-resize), audio = RIFF/WAVE PCM16 (``multimodal_wav_energy``:
+encode → chunk-walk parse → framed Σx² energy), video = YUV4MPEG2 C444
+(``multimodal_y4m_luma``: encode → FRAME-walk parse → sampled luma sums).
+All run genuinely unstubbed and are oracle-checked bit-exact against
+arithmetic DuckDB twins of the md5 keystream that seeds the
+pixels/samples/planes.
 """
 
 from __future__ import annotations
@@ -336,13 +338,16 @@ def extract_patches(media: DataFrame, width: int = 32, height: int = 32,
 
 
 # ---------------------------------------------------------------------------
-# real pure-stdlib image codec (round 4): uncompressed 24-bit BMP + binary
-# PPM (P6).  Both formats are fully public (Windows BITMAPINFOHEADER layout;
-# netpbm)and simple enough to parse with ``struct`` — so ONE image path can
-# run end-to-end UNSTUBBED in this container: encode → decode →
+# real pure-stdlib image codecs: uncompressed 24-bit BMP + binary PPM
+# (P6) from round 4, and 8-bit truecolor PNG from round 12 (deflate via
+# stdlib zlib + the per-scanline filter matrix — a genuinely COMPRESSED
+# format decoded for real).  All formats are fully public (Windows
+# BITMAPINFOHEADER layout; netpbm; RFC 2083) — so the image path runs
+# end-to-end UNSTUBBED in this container: encode → decode →
 # nearest-neighbor resize, with a DuckDB oracle recomputing the result
-# arithmetically from the md5 keystream that seeds the pixels.  Compressed
-# codecs (JPEG/PNG/video/audio containers) remain honestly stubbed above.
+# arithmetically from the md5 keystream that seeds the pixels.  Codecs
+# with no stdlib decode path (JPEG/MP3/H.264) remain honestly stubbed
+# above.
 # ---------------------------------------------------------------------------
 
 
@@ -434,12 +439,201 @@ def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, bytes(rgb)
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    # PNG spec section 9.4: a=left, b=up, c=upper-left
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(width: int, height: int, rgb: bytes,
+               row_filter: int | str = 0) -> bytes:
+    """REAL PNG encode via stdlib ``zlib`` (converting the last stubbed
+    image codec to a genuine one — deflate + per-scanline filtering is
+    the whole format for 8-bit truecolor): signature, IHDR (bit depth 8,
+    color type 2 RGB, no interlace), one zlib-deflated IDAT of filtered
+    scanlines, IEND — every chunk CRC32'd.  ``row_filter`` is a fixed
+    filter id 0-4 applied to every scanline, or ``"cycle"`` to rotate
+    0→4 per row so ONE file exercises the decoder's whole unfilter
+    matrix (None/Sub/Up/Average/Paeth).  Deterministic bytes: fixed
+    deflate level, no ancillary chunks, no timestamps."""
+    import struct
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    bpp = 3
+    stride = width * bpp
+    prior = bytes(stride)
+    raw = bytearray()
+    for r in range(height):
+        row = rgb[r * stride:(r + 1) * stride]
+        ft = (r % 5) if row_filter == "cycle" else int(row_filter)
+        if not 0 <= ft <= 4:
+            raise ValueError(f"PNG filter type {ft} out of range 0-4")
+        raw.append(ft)
+        if ft == 0:
+            raw += row
+        elif ft == 1:  # Sub
+            raw += bytes(
+                (row[x] - (row[x - bpp] if x >= bpp else 0)) & 0xFF
+                for x in range(stride)
+            )
+        elif ft == 2:  # Up
+            raw += bytes((row[x] - prior[x]) & 0xFF for x in range(stride))
+        elif ft == 3:  # Average
+            raw += bytes(
+                (row[x] - ((row[x - bpp] if x >= bpp else 0) + prior[x]) // 2)
+                & 0xFF
+                for x in range(stride)
+            )
+        else:  # Paeth
+            raw += bytes(
+                (row[x] - _paeth(row[x - bpp] if x >= bpp else 0, prior[x],
+                                 prior[x - bpp] if x >= bpp else 0)) & 0xFF
+                for x in range(stride)
+            )
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Strict PNG decode via stdlib ``zlib``: chunk walk with CRC32
+    verification on EVERY chunk, IHDR first, IDAT segments concatenated
+    then inflated once, and the full 5-filter unfilter matrix
+    (None/Sub/Up/Average/Paeth) applied per scanline.  Scope: bit depth
+    8, color types 2 (RGB) and 6 (RGBA — alpha dropped, matching the
+    ``decode_image`` RGB contract), no interlace (Adam7 rejected
+    loudly).  Truncation, bad CRC, trailing garbage, wrong inflated
+    size, and out-of-range filter ids all raise — never a silent
+    clamp."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    off, n = 8, len(payload)
+    ihdr = None
+    idat = bytearray()
+    ended = False
+    while off < n:
+        if off + 8 > n:
+            raise ValueError(f"truncated chunk header at offset {off}")
+        clen, ctype = struct.unpack_from(">I4s", payload, off)
+        data_start = off + 8
+        crc_end = data_start + clen + 4
+        if crc_end > n:
+            raise ValueError(f"truncated {ctype.decode()} chunk at offset {off}")
+        data = payload[data_start:data_start + clen]
+        crc = struct.unpack_from(">I", payload, data_start + clen)[0]
+        if crc != zlib.crc32(ctype + data):
+            raise ValueError(f"CRC mismatch in {ctype.decode()} chunk")
+        if ctype == b"IHDR":
+            if ihdr is not None:
+                raise ValueError("duplicate IHDR chunk")
+            ihdr = data
+        elif ihdr is None:
+            raise ValueError(f"{ctype.decode()} chunk before IHDR")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            ended = True
+            off = crc_end
+            break
+        # ancillary chunks (lowercase first letter) are skipped; other
+        # unknown CRITICAL chunks would change the pixel meaning
+        elif not ctype[0] & 0x20:
+            raise ValueError(f"unsupported critical chunk {ctype.decode()}")
+        off = crc_end
+    if not ended:
+        raise ValueError("missing IEND chunk")
+    if off != n:
+        raise ValueError(f"{n - off} trailing bytes after IEND")
+    width, height, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or color not in (2, 6):
+        raise ValueError(
+            f"unsupported PNG: bit depth {depth}, color type {color} "
+            f"(stdlib codec scope is 8-bit RGB/RGBA)"
+        )
+    if comp != 0 or filt != 0:
+        raise ValueError("unsupported PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7 interlaced PNG not supported")
+    bpp = 3 if color == 2 else 4
+    stride = width * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(
+            f"inflated IDAT size {len(raw)} != expected {(stride + 1) * height}"
+        )
+    prior = bytearray(stride)
+    out = bytearray(width * height * 3)
+    for r in range(height):
+        base = r * (stride + 1)
+        ft = raw[base]
+        line = bytearray(raw[base + 1:base + 1 + stride])
+        if ft == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prior[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + (left + prior[x]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                ul = prior[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + _paeth(left, prior[x], ul)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"PNG filter type {ft} out of range on row {r}")
+        dst = r * width * 3
+        if bpp == 3:
+            out[dst:dst + stride] = line
+        else:  # RGBA: drop alpha
+            for px in range(width):
+                out[dst + px * 3:dst + px * 3 + 3] = line[px * 4:px * 4 + 3]
+        prior = line
+    return width, height, bytes(out)
+
+
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
-    """Dispatch on magic bytes: BMP (``BM``) or PPM (``P6``)."""
+    """Dispatch on magic bytes: BMP (``BM``), PPM (``P6``), or PNG."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:8] == PNG_MAGIC:
+        return decode_png(payload)
     raise ValueError("unsupported image format for the stdlib codec")
 
 
@@ -485,6 +679,44 @@ def synthetic_bmp_media(df: DataFrame, id_col: str, text_col: str,
                     md5_keystream(
                         hashlib.md5(t.encode("utf-8")).hexdigest(), w * h * 3
                     ),
+                )
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame({"media_id": pdf[id_col], "payload": payloads,
+                                "width": w, "height": h})
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ])
+    base = df.select(F.col(id_col).cast("long").alias(id_col), text_col)
+    out = base.mapInPandas(run, schema=schema)
+    return out.withColumn("width", F.col("width").cast("int")).withColumn(
+        "height", F.col("height").cast("int")
+    )
+
+
+def synthetic_png_media(df: DataFrame, id_col: str, text_col: str,
+                        width: int = 24, height: int = 16,
+                        row_filter: int | str = "cycle") -> DataFrame:
+    """PNG twin of ``synthetic_bmp_media``: the same md5-keystream pixels
+    pass through the REAL stdlib-zlib PNG encoder, so everything
+    downstream exercises the true deflate + unfilter decode path.  The
+    default ``row_filter="cycle"`` rotates filters 0→4 across scanlines,
+    meaning every registry run decodes all five PNG filter types."""
+    w, h = int(width), int(height)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_png(
+                    w, h,
+                    md5_keystream(
+                        hashlib.md5(t.encode("utf-8")).hexdigest(), w * h * 3
+                    ),
+                    row_filter=row_filter,
                 )
                 for t in pdf[text_col]
             ]

@@ -100,6 +100,105 @@ def test_image_roundtrip_stats_spark(spark):
         assert [r["sum_r"], r["sum_g"], r["sum_b"]] == expect
 
 
+# --- PNG (stdlib zlib deflate + 5-filter matrix, round 12) -----------------
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4, "cycle"])
+def test_png_roundtrip_every_filter(ft):
+    rgb = mm.md5_keystream(f"png-{ft}", 24 * 16 * 3)
+    w, h, out = mm.decode_png(mm.encode_png(24, 16, rgb, row_filter=ft))
+    assert (w, h, out) == (24, 16, rgb)
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (7, 5), (4, 1), (1, 6)])
+def test_png_roundtrip_odd_shapes(w, h):
+    # edge pixels exercise the left/upper-left = 0 boundary of
+    # Sub/Average/Paeth
+    rgb = mm.md5_keystream(f"png-{w}x{h}", w * h * 3)
+    assert mm.decode_png(mm.encode_png(w, h, rgb, "cycle")) == (w, h, rgb)
+
+
+def test_png_encode_is_deterministic_and_dispatches():
+    rgb = mm.md5_keystream("png-det", 8 * 8 * 3)
+    p = mm.encode_png(8, 8, rgb, "cycle")
+    assert p == mm.encode_png(8, 8, rgb, "cycle")
+    assert p[:8] == mm.PNG_MAGIC
+    assert mm.decode_image(p) == (8, 8, rgb)
+
+
+def test_png_rgba_decodes_with_alpha_dropped():
+    # hand-build a color-type-6 file: 2x2, filter 0 scanlines
+    import struct
+    import zlib
+
+    rgba = bytes(range(16))  # 2*2*4
+    raw = b"\x00" + rgba[:8] + b"\x00" + rgba[8:]
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)
+    p = (mm.PNG_MAGIC + mm._png_chunk(b"IHDR", ihdr)
+         + mm._png_chunk(b"IDAT", zlib.compress(raw))
+         + mm._png_chunk(b"IEND", b""))
+    w, h, rgb = mm.decode_png(p)
+    assert (w, h) == (2, 2)
+    # alpha bytes (3, 7, 11, 15) dropped
+    assert rgb == bytes([0, 1, 2, 4, 5, 6, 8, 9, 10, 12, 13, 14])
+
+
+def test_png_strict_errors():
+    import struct
+    import zlib
+
+    rgb = mm.md5_keystream("png-err", 6 * 4 * 3)
+    good = mm.encode_png(6, 4, rgb)
+    with pytest.raises(ValueError, match="not a PNG payload"):
+        mm.decode_png(b"XX" + good)
+    # flip a byte inside the IDAT data -> chunk CRC mismatch
+    bad = bytearray(good)
+    bad[8 + 25 + 12] ^= 0xFF  # inside IDAT (IHDR chunk is 25 bytes)
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        mm.decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_png(good[:-6])
+    with pytest.raises(ValueError, match="trailing bytes"):
+        mm.decode_png(good + b"junk")
+    # Adam7 interlace rejected loudly
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    p = (mm.PNG_MAGIC + mm._png_chunk(b"IHDR", ihdr)
+         + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+         + mm._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="Adam7"):
+        mm.decode_png(p)
+    # 16-bit depth out of scope
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    p16 = (mm.PNG_MAGIC + mm._png_chunk(b"IHDR", ihdr16)
+           + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+           + mm._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="bit depth 16"):
+        mm.decode_png(p16)
+    # inflated size mismatch (one scanline short)
+    ihdr2 = struct.pack(">IIBBBBB", 2, 3, 8, 2, 0, 0, 0)
+    p2 = (mm.PNG_MAGIC + mm._png_chunk(b"IHDR", ihdr2)
+          + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+          + mm._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="inflated IDAT size"):
+        mm.decode_png(p2)
+
+
+def test_png_media_matches_bmp_twin_spark(spark):
+    """The PNG path must produce byte-identical pixels to the BMP path
+    for the same keystream — so ahash/meanpool/roundtrip stats agree
+    between the two container formats."""
+    df = spark.createDataFrame(
+        [(1, "first doc"), (2, "second doc")], "doc_id bigint, text string"
+    )
+    bmp = mm.synthetic_bmp_media(df, "doc_id", "text", width=24, height=16)
+    png = mm.synthetic_png_media(df, "doc_id", "text", width=24, height=16)
+    for op in (lambda m: mm.image_roundtrip_stats(m, 8, 8),
+               mm.image_ahash, mm.image_meanpool_stats):
+        a = sorted(map(tuple, op(bmp).collect()))
+        b = sorted(map(tuple, op(png).collect()))
+        assert a == b and len(a) == 2
+
+
 # --- WAV (RIFF/PCM16) ------------------------------------------------------
 
 
