@@ -48,35 +48,36 @@ _PRIORITY = [
     # r9's TWO red rows (DECIMAL-render hash divergence) — now integer
     # cents on both engines; their green r10 rows are the fix evidence
     "grouping_sets_revenue", "analytics_rfm_segments",
-    # --- r11 first-time rotation, 13 rows: the FINAL 10 never-driver-
-    # checked queries (the 8 family twins deferred from r10 + the two
-    # stats queries added after the r10 snapshot), plus this round's
-    # THREE new per-segment statistics (equi-depth histogram, exact
-    # quantiles, MCV) — green here means every registry query has a
-    # driver row at least once (the r7 program, completed)
-    "profiling_mad_outliers", "profiling_histogram_equidepth",
-    "profiling_histogram_grouped", "profiling_quantiles_grouped",
-    "profiling_mcv_grouped",
-    "c16_strip_punct", "text_bigram_logprob", "text_vocab_richness",
-    "curation_word_dropout", "curation_curriculum_phases",
-    "curation_cluster_balanced_sample", "events_audience_overlap_sketch",
-    "embedding_quantize_int8",
-    # --- re-verification reps: with the never-checked pool exhausted,
-    # the non-rep slots now recycle the queries whose most recent
-    # driver row is OLDEST (r1–r3 artifacts), so driver evidence stays
-    # fresh instead of frozen at the round it was first earned ----------
-    "events_stream_stream_join",                                   # r1
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",        # r2
-    "join_star_revenue", "join_broadcast_dims",
-    "window_running_total", "topk_orders",
-    "rollup_counts", "set_ops",
-    "range_join_ship_window", "percentile_exact", "approx_aggregates",
-    "asof_last_event", "skew_salted_agg", "skew_salted_join",
-    "c2_integral_promotion", "c5_bool_parse", "c7_multiformat_date",  # r3
-    "c13_age_to_iso", "c17_prefixed_id",
-    "m1_alias_map", "m3_ontology_normalize", "m5_membership_split",
-    "g3_single_valued", "g5_row_zip", "g7_header_collapse",
-    "dedup_ngram_jaccard", "text_fingerprint",
+    # --- r12 first-time rows: the round's two new operators (the real
+    # .warc.gz member framing and the stdlib PNG codec) ----------------
+    "warc_gz_ingest_roundtrip", "multimodal_png_roundtrip",
+    # --- last-seen-age recycling (the standing r11 policy: with every
+    # query driver-checked at least once, the non-rep slots recycle the
+    # queries whose most recent driver row is OLDEST — r11 refreshed
+    # the r1–r3 stragglers, so this round takes the remaining r2 rows,
+    # all of r3/r4, and the three oldest r5 rows; tools/
+    # rotation_status.py + the CORRECTNESS_r* artifacts derive the
+    # ordering) --------------------------------------------------------
+    "window_rank", "cube_counts",                                   # r2
+    "g10_packet_flat", "similarity_neardup_pairs",                  # r3
+    "g8_variant_classification", "g8_interpretation_assembly",
+    "g1_collect_individual", "g11_resource_prefixes",
+    "c10_timestamp_parse", "events_sliding_window",
+    "similarity_lsh_candidate_pairs", "clustering_kmeans_assign",
+    "dedup_levenshtein_pairs",
+    "window_ntile_distribution", "asof_nearest_event",              # r4
+    "similarity_lsh_signature", "text_langid",
+    "multimodal_image_roundtrip", "sketch_bloom_membership",
+    "sketch_histogram_quantiles", "sketch_kmv_distinct",
+    "dedup_incremental_batch", "dedup_prefix_join",
+    "events_session_stats", "curation_leakproof_split",
+    "dedup_pair_features", "text_bpe_merges",
+    "embedding_ring_negatives", "embedding_label_propagation",
+    "embedding_hard_negatives", "tpch_q9_product_type_profit",
+    "events_funnel", "events_retention_cohort",
+    "events_transition_matrix", "events_pattern_followed_by",
+    "curation_clean_pipeline",
+    "c14_date_diff_iso", "m6_multi_id_extraction", "s4_unpivot",    # r5
 ]
 
 
