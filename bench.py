@@ -103,6 +103,12 @@ HEADLINE = [
     # sample-then-verify per group — the third ANALYZE-style
     # per-partition statistic)
     "profiling_mcv_grouped",
+    # round-12 additions: the real Common Crawl .warc.gz member framing
+    # (member-wise gzip encode -> strict member-walk decode) and the
+    # stdlib PNG codec (deflate + 5-filter unfilter through the shared
+    # image pipeline)
+    "warc_gz_ingest_roundtrip",
+    "multimodal_png_roundtrip",
 ]
 
 # Scale-sensitive subset re-run at sf1 (10x).  Linear operators should land
@@ -428,7 +434,12 @@ def main():
         "wall_sec": payload["wall_sec"],
         "n_queries": len(results),
         "n_errors": len(errors),
-        "queries": {k: v for k, v in results.items()},
+        # 2dp in the compact line (full 3dp lives in BENCH_last.json):
+        # at 49 headline queries the 3dp line ran 1808 of the 1900-char
+        # window — one more round of additions would have silently
+        # dropped the whole per-query dict via the guard below
+        "queries": {k: (round(v, 2) if isinstance(v, float) else v)
+                    for k, v in results.items()},
         "detail": "BENCH_last.json",
     }
     if warm:

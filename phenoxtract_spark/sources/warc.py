@@ -89,6 +89,7 @@ def decode_warc_gz(payload: bytes) -> list[dict]:
     seekability), and parse it with the same strict reader as the plain
     framing.  O(bytes): member boundaries come from
     ``decompressobj.unused_data`` over a memoryview, no re-scanning."""
+    chunk_size = 1 << 20
     records = []
     view = memoryview(payload)
     off, n = 0, len(payload)
@@ -99,9 +100,19 @@ def decode_warc_gz(payload: bytes) -> list[dict]:
                 f"(magic {bytes(view[off:off + 2])!r})"
             )
         d = zlib.decompressobj(wbits=31)
-        member = d.decompress(view[off:])
-        if not d.eof:
-            raise ValueError(f"truncated gzip member at offset {off}")
+        # feed the inflater in bounded chunks: handing it the whole tail
+        # would copy the remaining payload into unused_data per member —
+        # O(n^2/member) across a 1 GB segment of ~100k members; chunked,
+        # each member costs O(member + chunk) and the walk stays O(n)
+        parts = []
+        pos = off
+        while not d.eof:
+            if pos >= n:
+                raise ValueError(f"truncated gzip member at offset {off}")
+            step = view[pos:pos + chunk_size]
+            parts.append(d.decompress(step))
+            pos += len(step)
+        member = b"".join(parts)
         recs = decode_warc(member)
         if len(recs) != 1:
             raise ValueError(
@@ -109,7 +120,7 @@ def decode_warc_gz(payload: bytes) -> list[dict]:
                 f"records; the .warc.gz contract is exactly 1 per member"
             )
         records.append(recs[0])
-        off = n - len(d.unused_data)
+        off = pos - len(d.unused_data)
     return records
 
 

@@ -183,6 +183,24 @@ def test_png_strict_errors():
         mm.decode_png(p2)
 
 
+def test_png_ancillary_chunks_skipped_critical_rejected():
+    import struct
+    import zlib
+
+    rgb = mm.md5_keystream("png-anc", 4 * 3 * 3)
+    good = mm.encode_png(4, 3, rgb)
+    # splice a tEXt ancillary chunk between IHDR and IDAT: decoder must
+    # skip it (lowercase first letter = safe to ignore per the spec)
+    ihdr_end = 8 + 25
+    text = mm._png_chunk(b"tEXt", b"Comment\x00hello")
+    with_anc = good[:ihdr_end] + text + good[ihdr_end:]
+    assert mm.decode_png(with_anc) == (4, 3, rgb)
+    # an unknown CRITICAL chunk (uppercase first letter) must reject
+    crit = mm._png_chunk(b"CrIt", b"\x01\x02")
+    with pytest.raises(ValueError, match="unsupported critical chunk"):
+        mm.decode_png(good[:ihdr_end] + crit + good[ihdr_end:])
+
+
 def test_png_media_matches_bmp_twin_spark(spark):
     """The PNG path must produce byte-identical pixels to the BMP path
     for the same keystream — so ahash/meanpool/roundtrip stats agree
