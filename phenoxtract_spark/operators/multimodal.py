@@ -548,17 +548,17 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
         data_start = off + 8
         crc_end = data_start + clen + 4
         if crc_end > n:
-            raise ValueError(f"truncated {ctype.decode()} chunk at offset {off}")
+            raise ValueError(f"truncated {ctype.decode('latin-1')} chunk at offset {off}")
         data = payload[data_start:data_start + clen]
         crc = struct.unpack_from(">I", payload, data_start + clen)[0]
         if crc != zlib.crc32(ctype + data):
-            raise ValueError(f"CRC mismatch in {ctype.decode()} chunk")
+            raise ValueError(f"CRC mismatch in {ctype.decode('latin-1')} chunk")
         if ctype == b"IHDR":
             if ihdr is not None:
                 raise ValueError("duplicate IHDR chunk")
             ihdr = data
         elif ihdr is None:
-            raise ValueError(f"{ctype.decode()} chunk before IHDR")
+            raise ValueError(f"{ctype.decode('latin-1')} chunk before IHDR")
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -568,12 +568,19 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
         # ancillary chunks (lowercase first letter) are skipped; other
         # unknown CRITICAL chunks would change the pixel meaning
         elif not ctype[0] & 0x20:
-            raise ValueError(f"unsupported critical chunk {ctype.decode()}")
+            raise ValueError(f"unsupported critical chunk {ctype.decode('latin-1')}")
         off = crc_end
     if not ended:
         raise ValueError("missing IEND chunk")
     if off != n:
         raise ValueError(f"{n - off} trailing bytes after IEND")
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError(
+            f"IHDR must be exactly 13 bytes, got "
+            f"{'none' if ihdr is None else len(ihdr)}"
+        )
+    if not idat:
+        raise ValueError("no IDAT chunk")
     width, height, depth, color, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
@@ -588,7 +595,22 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
         raise ValueError("Adam7 interlaced PNG not supported")
     bpp = 3 if color == 2 else 4
     stride = width * bpp
-    raw = zlib.decompress(bytes(idat))
+    # decompressobj instead of zlib.decompress: the one-shot form
+    # silently ignores bytes after the deflate end-of-stream, so a
+    # corrupt (or smuggled-payload) IDAT tail would pass the "strict"
+    # decoder whenever the inflated prefix had the right size
+    infl = zlib.decompressobj()
+    try:
+        raw = infl.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt IDAT deflate stream: {exc}") from exc
+    if not infl.eof:
+        raise ValueError("IDAT deflate stream truncated")
+    if infl.unused_data:
+        raise ValueError(
+            f"{len(infl.unused_data)} trailing bytes after the IDAT "
+            f"deflate stream"
+        )
     if len(raw) != (stride + 1) * height:
         raise ValueError(
             f"inflated IDAT size {len(raw)} != expected {(stride + 1) * height}"
@@ -662,19 +684,20 @@ def md5_keystream(seed_hex: str, n: int) -> bytes:
     return bytes(out[:n])
 
 
-def synthetic_bmp_media(df: DataFrame, id_col: str, text_col: str,
-                        width: int = 24, height: int = 16) -> DataFrame:
-    """Build a media table whose payloads are REAL BMP files: pixel bytes
-    come from the md5 keystream seeded by md5(text), then pass through the
-    actual BMP encoder.  Partition-preserving ``mapInPandas``; the payload
-    leaves this operator as genuine on-disk image bytes, so everything
-    downstream exercises the true decode path."""
+def _synthetic_image_media(df: DataFrame, id_col: str, text_col: str,
+                           width: int, height: int, encode_fn) -> DataFrame:
+    """Shared builder for the real-codec media tables: pixel bytes come
+    from the md5 keystream seeded by md5(text), then pass through the
+    given REAL encoder, so everything downstream exercises the true
+    decode path.  Partition-preserving ``mapInPandas``; one place for
+    the schema and the keystream contract so the BMP/PNG twins cannot
+    drift (the r12 review's dedup finding)."""
     w, h = int(width), int(height)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [
-                encode_bmp(
+                encode_fn(
                     w, h,
                     md5_keystream(
                         hashlib.md5(t.encode("utf-8")).hexdigest(), w * h * 3
@@ -696,44 +719,27 @@ def synthetic_bmp_media(df: DataFrame, id_col: str, text_col: str,
     return out.withColumn("width", F.col("width").cast("int")).withColumn(
         "height", F.col("height").cast("int")
     )
+
+
+def synthetic_bmp_media(df: DataFrame, id_col: str, text_col: str,
+                        width: int = 24, height: int = 16) -> DataFrame:
+    """Media table of REAL BMP files over the shared keystream builder."""
+    return _synthetic_image_media(df, id_col, text_col, width, height,
+                                  encode_bmp)
 
 
 def synthetic_png_media(df: DataFrame, id_col: str, text_col: str,
                         width: int = 24, height: int = 16,
                         row_filter: int | str = "cycle") -> DataFrame:
-    """PNG twin of ``synthetic_bmp_media``: the same md5-keystream pixels
-    pass through the REAL stdlib-zlib PNG encoder, so everything
-    downstream exercises the true deflate + unfilter decode path.  The
-    default ``row_filter="cycle"`` rotates filters 0→4 across scanlines,
-    meaning every registry run decodes all five PNG filter types."""
-    w, h = int(width), int(height)
+    """PNG twin of ``synthetic_bmp_media``: the same keystream pixels
+    pass through the REAL stdlib-zlib PNG encoder.  The default
+    ``row_filter="cycle"`` rotates filters 0→4 across scanlines, so
+    every registry run decodes all five PNG filter types."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = [
-                encode_png(
-                    w, h,
-                    md5_keystream(
-                        hashlib.md5(t.encode("utf-8")).hexdigest(), w * h * 3
-                    ),
-                    row_filter=row_filter,
-                )
-                for t in pdf[text_col]
-            ]
-            yield pd.DataFrame({"media_id": pdf[id_col], "payload": payloads,
-                                "width": w, "height": h})
+    def enc(w, h, rgb):
+        return encode_png(w, h, rgb, row_filter=row_filter)
 
-    schema = T.StructType([
-        T.StructField("media_id", T.LongType()),
-        T.StructField("payload", T.BinaryType()),
-        T.StructField("width", T.IntegerType()),
-        T.StructField("height", T.IntegerType()),
-    ])
-    base = df.select(F.col(id_col).cast("long").alias(id_col), text_col)
-    out = base.mapInPandas(run, schema=schema)
-    return out.withColumn("width", F.col("width").cast("int")).withColumn(
-        "height", F.col("height").cast("int")
-    )
+    return _synthetic_image_media(df, id_col, text_col, width, height, enc)
 
 
 IMAGE_STATS_SCHEMA = T.StructType(

@@ -77,8 +77,12 @@ def bucketed_prefix_sum(
     and the ``cum_``/``total_`` expressions raise when their offset
     comes back NULL, which is possible ONLY for a NULL key (every
     non-null key exists in the dim by construction, and the dim-side
-    offsets are coalesced non-null).  Ties in ``order_cols`` within a
-    bucket must be broken
+    offsets are coalesced non-null).  The dim itself is built from
+    non-null keys only, so a NULL group's weight never leaks into real
+    buckets' offsets or the grand totals — a caller that explicitly
+    filters NULL-key rows out therefore reads correct sums over the
+    rows it kept, while unfiltered NULL rows raise.  Ties in
+    ``order_cols`` within a bucket must be broken
     by the caller (include a unique id) if a total order matters
     downstream.  ``totals`` names entries of ``sums`` whose GRAND total
     should ride along as a constant ``total_<name>`` column, computed
@@ -149,7 +153,19 @@ def bucketed_prefix_sum(
     }
     d = df.select("*", *vals.values())
 
-    per_bucket = d.groupBy(*parts, bucket_col).agg(
+    # the DIM side is built from NON-NULL keys only: a NULL-key group in
+    # per_bucket can never match the equi-join back (NULL != NULL), but
+    # it would sort NULLS FIRST in the across-bucket window and fold its
+    # weight into every real bucket's offset — and into the grand totals
+    # — so a consumer that explicitly filters the NULL rows out would
+    # read silently inflated cum_/total_ values (the r12 review's live
+    # repro).  Filtered out here, such a consumer reads CORRECT sums
+    # over the rows it kept, while an unfiltered NULL-key row still
+    # misses the left join and raises through the _off guard below.
+    key_ok = F.col(bucket_col).isNotNull()
+    for p in parts:
+        key_ok = key_ok & F.col(p).isNotNull()
+    per_bucket = d.filter(key_ok).groupBy(*parts, bucket_col).agg(
         *[F.sum(f"_v_{n}").alias(f"_bt_{n}") for n in sums]
     )
     # the across-bucket window runs on the TINY relation only: globally

@@ -92,35 +92,43 @@ def decode_warc_gz(payload: bytes) -> list[dict]:
     chunk_size = 1 << 20
     records = []
     view = memoryview(payload)
-    off, n = 0, len(payload)
-    while off < n:
-        if bytes(view[off:off + 2]) != GZIP_MAGIC:
+    pos, n = 0, len(payload)
+    # ``carry`` holds the tail of the last fed chunk that belonged to
+    # the NEXT member (the previous inflater's unused_data) — seeding
+    # the next member with it means every payload byte is fed to zlib
+    # exactly once, so the whole walk is O(bytes) regardless of member
+    # count (re-slicing from the member offset instead would re-feed up
+    # to a full chunk per member: ~chunk/member x amplification on
+    # small-record segments)
+    carry = b""
+    while carry or pos < n:
+        member_off = pos - len(carry)
+        head = carry[:2]
+        if len(head) < 2:
+            head += bytes(view[pos:pos + 2 - len(head)])
+        if head != GZIP_MAGIC:
             raise ValueError(
-                f"not a gzip member at offset {off} "
-                f"(magic {bytes(view[off:off + 2])!r})"
+                f"not a gzip member at offset {member_off} (magic {head!r})"
             )
         d = zlib.decompressobj(wbits=31)
-        # feed the inflater in bounded chunks: handing it the whole tail
-        # would copy the remaining payload into unused_data per member —
-        # O(n^2/member) across a 1 GB segment of ~100k members; chunked,
-        # each member costs O(member + chunk) and the walk stays O(n)
-        parts = []
-        pos = off
+        parts = [d.decompress(carry)] if carry else []
         while not d.eof:
             if pos >= n:
-                raise ValueError(f"truncated gzip member at offset {off}")
+                raise ValueError(
+                    f"truncated gzip member at offset {member_off}"
+                )
             step = view[pos:pos + chunk_size]
-            parts.append(d.decompress(step))
             pos += len(step)
+            parts.append(d.decompress(step))
         member = b"".join(parts)
         recs = decode_warc(member)
         if len(recs) != 1:
             raise ValueError(
-                f"gzip member at offset {off} holds {len(recs)} WARC "
+                f"gzip member at offset {member_off} holds {len(recs)} WARC "
                 f"records; the .warc.gz contract is exactly 1 per member"
             )
         records.append(recs[0])
-        off = pos - len(d.unused_data)
+        carry = d.unused_data
     return records
 
 

@@ -181,6 +181,35 @@ def test_png_strict_errors():
           + mm._png_chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="inflated IDAT size"):
         mm.decode_png(p2)
+    # the r12 review's strict-contract escapes — ALL must be ValueError:
+    # garbage after the deflate end-of-stream inside a CRC-valid IDAT
+    ihdr3 = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    p3 = (mm.PNG_MAGIC + mm._png_chunk(b"IHDR", ihdr3)
+          + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * 14) + b"XX")
+          + mm._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="trailing bytes after the IDAT"):
+        mm.decode_png(p3)
+    # short IHDR (12 bytes) -> ValueError, not struct.error
+    p4 = (mm.PNG_MAGIC + mm._png_chunk(b"IHDR", ihdr3[:12])
+          + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+          + mm._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="IHDR must be exactly 13"):
+        mm.decode_png(p4)
+    # zero IDAT chunks -> ValueError, not zlib.error
+    p5 = (mm.PNG_MAGIC + mm._png_chunk(b"IHDR", ihdr3)
+          + mm._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="no IDAT chunk"):
+        mm.decode_png(p5)
+    # corrupt deflate stream -> ValueError, not zlib.error
+    p6 = (mm.PNG_MAGIC + mm._png_chunk(b"IHDR", ihdr3)
+          + mm._png_chunk(b"IDAT", b"\xff\xff\xff\xff")
+          + mm._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="corrupt IDAT deflate"):
+        mm.decode_png(p6)
+    # truncated chunk whose type bytes are not valid UTF-8 -> still the
+    # intended truncation ValueError (latin-1 message rendering)
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_png(mm.PNG_MAGIC + struct.pack(">I", 99) + b"\xff\xfe\xfd\xfc")
 
 
 def test_png_ancillary_chunks_skipped_critical_rejected():

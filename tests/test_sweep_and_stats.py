@@ -646,6 +646,45 @@ def test_bucketed_prefix_sum_totals_only_null_bucket_raises_partitioned(spark):
         out.select("id", "total_w").collect()
 
 
+def test_bucketed_prefix_sum_null_weight_never_leaks_into_real_buckets(spark):
+    """The r12 review's live repro: the dim side must be built from
+    NON-NULL keys only — with a NULL group in the dim, its weight sorts
+    NULLS FIRST in the across-bucket window and inflates every real
+    bucket's offset and the grand total, so a consumer that explicitly
+    filters the NULL rows out silently reads poisoned sums.  After the
+    fix, the filtered consumer reads exact sums over the kept rows and
+    the unfiltered NULL row still raises."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from phenoxtract_spark.operators import sweep
+
+    df = spark.createDataFrame(
+        [(1, 0, 5), (2, None, 7), (3, 1, 11)],
+        "id bigint, bk bigint, w bigint",
+    )
+    out = sweep.bucketed_prefix_sum(df, "bk", ["id"], {"w": "w"}, totals=["w"])
+    kept = (out.filter(F.col("bk").isNotNull()).orderBy("id")
+            .select("id", "cum_w", "total_w").collect())
+    assert [(r.id, r.cum_w, r.total_w) for r in kept] == [
+        (1, 5, 16), (3, 16, 16)
+    ]
+    with pytest.raises(SparkRuntimeException, match="NULL bk"):
+        out.select("id", "cum_w").collect()
+    # partitioned twin: NULL bucket under a non-null group key
+    df2 = spark.createDataFrame(
+        [("a", 0, 1, 5), ("a", None, 2, 7), ("a", 1, 3, 11)],
+        "g string, bk bigint, id bigint, w bigint",
+    )
+    out2 = sweep.bucketed_prefix_sum(
+        df2, "bk", ["id"], {"w": "w"}, totals=["w"], partition_cols=["g"]
+    )
+    kept2 = (out2.filter(F.col("bk").isNotNull()).orderBy("id")
+             .select("id", "cum_w", "total_w").collect())
+    assert [(r.id, r.cum_w, r.total_w) for r in kept2] == [
+        (1, 5, 16), (3, 16, 16)
+    ]
+
+
 def test_value_range_buckets_partitioned_grids_per_group(spark):
     """With partition_cols each group grids against ITS OWN min/max:
     both groups span bucket 0..255 even though their absolute ranges
