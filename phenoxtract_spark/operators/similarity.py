@@ -113,7 +113,7 @@ def _round_half_up(arr, dp: int = 6):
 
 def assign_ivf_centroid(vectors: DataFrame, centroids: DataFrame,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        nprobe: int = 1) -> DataFrame:
+                        nprobe: int = 1, keep_vec: bool = False) -> DataFrame:
     """IVF assignment: nearest centroid(s) by cosine.  Returns
     (id, centroid_id) — one row per probed centroid (``nprobe`` > 1 emits
     the top-``nprobe``; standard IVF probing for the query side).
@@ -134,7 +134,13 @@ def assign_ivf_centroid(vectors: DataFrame, centroids: DataFrame,
     the accumulation; the final 6-dp ``_round_half_up`` matches
     ``F.round`` except on ~probability-0 '.5'-boundary doubles (see the
     module docstring), and the (cos desc, centroid_id asc) tie-break
-    replays the old window rank."""
+    replays the old window rank.
+
+    ``keep_vec`` (r12) additionally emits the input vector as a third
+    column ``v`` — the batch already holds it, so this is free — letting
+    a bucketed self-join downstream carry the payload through its ONE
+    bucket-keyed shuffle instead of re-joining the corpus by id twice
+    (guide §2.4/§3: the ``ivf_neardup_pairs`` restructure)."""
     import numpy as np
     import pandas as pd
 
@@ -197,13 +203,21 @@ def assign_ivf_centroid(vectors: DataFrame, centroids: DataFrame,
                     # break to the lowest centroid_id, like the old window
                     sel = cids[np.argmax(cos, axis=1)]
                     ids = part["id"].values
+                    vecs = part["v"].values
                 else:
                     order = np.argsort(-cos, axis=1, kind="stable")[:, :np_]
                     sel = cids[order].ravel()
                     ids = np.repeat(part["id"].values, np_)
-                yield pd.DataFrame({"id": ids, "centroid_id": sel})
+                    vecs = np.repeat(part["v"].values, np_)
+                out = {"id": ids, "centroid_id": sel}
+                if keep_vec:
+                    out["v"] = vecs
+                yield pd.DataFrame(out)
 
-    return v.mapInPandas(run, schema=f"id {id_type}, centroid_id {cid_type}")
+    schema = f"id {id_type}, centroid_id {cid_type}"
+    if keep_vec:
+        schema += f", v {vectors.schema[vec_col].dataType.simpleString()}"
+    return v.mapInPandas(run, schema=schema)
 
 
 def ivf_topk(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
@@ -629,24 +643,29 @@ def ivf_neardup_pairs(vectors: DataFrame, centroids: DataFrame,
     gate in tests measures this against brute force).
     Returns (id_a, id_b, cos)."""
     # the assignment subtree is the n·√C dot-product pass — and it feeds
-    # BOTH sides of the bucket self-join.  Materialize its (id, centroid)
-    # output once (two narrow columns) so the expensive pass can never
-    # re-execute when AQE breaks exchange reuse.
-    assign = assign_ivf_centroid(vectors, centroids, id_col, vec_col).localCheckpoint(
-        eager=True
-    )
-    a = assign.select(F.col("id").alias("id_a"), "centroid_id")
-    b = assign.select(F.col("id").alias("id_b"), "centroid_id")
-    pairs = a.join(b, "centroid_id").filter(F.col("id_a") < F.col("id_b"))
-    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # BOTH sides of the bucket self-join.  Materialize its output once so
+    # the expensive pass can never re-execute when AQE breaks exchange
+    # reuse.  r12 (guide §2.4/§3): the vector PAYLOAD rides through the
+    # checkpoint (keep_vec — free, the Arrow batch already holds it), so
+    # the bucket self-join provides BOTH pair sides directly: one
+    # centroid-keyed shuffle of 2n vector rows replaces the old shape's
+    # three (narrow self-join + two id-keyed re-joins of the corpus,
+    # which also shuffled the Σ|bucket|² pair list twice).  Measured on
+    # dedup_semantic_canonical: 13 jobs → 9, plan 2 SMJ → 1 self-join.
+    assign = assign_ivf_centroid(
+        vectors, centroids, id_col, vec_col, keep_vec=True
+    ).localCheckpoint(eager=True)
+    a = assign.select(F.col("id").alias("id_a"), "centroid_id",
+                      F.col("v").alias("va"))
+    b = assign.select(F.col("id").alias("id_b"), "centroid_id",
+                      F.col("v").alias("vb"))
     # Σ|bucket|² pair verification is the other per-pair HOF hotspot —
     # score each Arrow batch in one vectorized pass (bitwise-equal floats,
     # see pair_cos_rounded)
     cos = pair_cos_rounded(round_dp)(F.col("va"), F.col("vb"))
     return (
-        pairs.join(va, "id_a")
-        .join(vb, "id_b")
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cos.alias("cos"))
         .filter(F.col("cos") >= threshold)
     )

@@ -263,6 +263,7 @@ def value_range_buckets(
     value_col: str,
     bits: int = 8,
     partition_cols: list[str] | None = None,
+    extra_stats: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Attach the monotone value-range bucket ``bk`` the prefix scan
     needs when the global order is BY VALUE: a 1-row min/max aggregate
@@ -290,8 +291,26 @@ def value_range_buckets(
     NULL-keyed row is KEPT with NULL ``_lo``/``_hi`` and therefore a
     NULL ``bk`` (an inner join would silently drop it before any guard
     could see it), which the downstream prefix-sum NULL-key guard then
-    raises on."""
-    clashes = sorted({"bk", "_lo", "_hi"} & set(df.columns))
+    raises on.
+
+    ``extra_stats`` (r12) rides additional aggregates — typically the
+    grand total ``F.sum(weight)`` a rank expression needs — on the SAME
+    stats pass, landing them as constant (per-group when partitioned)
+    columns on the output.  This replaces ``bucketed_prefix_sum``'s
+    ``totals`` branch for callers that would otherwise re-aggregate the
+    input just to rebuild the grand total (the ``materialize="none"``
+    double-branch cost): one fewer aggregation pass, one fewer
+    broadcast, smaller plan.  Contract difference vs ``totals``: these
+    aggregates run over ALL input rows (``totals`` sums the non-null-key
+    offsets dim), and the NULL-key runtime guard only fires when a
+    ``cum_`` column is consumed downstream — identical for every caller
+    that feeds a rank-containment filter (they all evaluate ``cum_``),
+    and identical everywhere the value/group keys are non-null by
+    construction."""
+    extra_stats = extra_stats or {}
+    clashes = sorted(
+        ({"bk", "_lo", "_hi"} | set(extra_stats)) & set(df.columns)
+    )
     if clashes:
         raise ValueError(
             f"value_range_buckets: input columns collide with generated "
@@ -312,14 +331,15 @@ def value_range_buckets(
             f"fractional value — scale to integer units (e.g. cents) first"
         )
     parts = list(partition_cols or [])
+    stat_aggs = [
+        F.min(value_col).alias("_lo"),
+        F.max(value_col).alias("_hi"),
+        *[c.alias(nm) for nm, c in extra_stats.items()],
+    ]
     if parts:
-        stats = df.groupBy(*parts).agg(
-            F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi")
-        )
+        stats = df.groupBy(*parts).agg(*stat_aggs)
     else:
-        stats = df.agg(
-            F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi")
-        )
+        stats = df.agg(*stat_aggs)
     n = 1 << bits
     # Overflow-safe: ``(v - lo) * 2^bits`` in raw BIGINT wraps silently
     # in non-ANSI Spark once the column's range exceeds ~2^63/2^bits

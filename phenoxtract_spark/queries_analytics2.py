@@ -1008,10 +1008,13 @@ def profiling_quantiles_distributed_q(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .localCheckpoint()
     )
-    b = sweep.value_range_buckets(cells, "cents")
-    c = sweep.bucketed_prefix_sum(
-        b, "bk", ["cents"], {"n": "n"}, totals=["n"]
+    # r12: the grand total rides the value-range stats pass (one fewer
+    # aggregation branch + broadcast than the ``totals`` path — see
+    # value_range_buckets.extra_stats); rank expressions are unchanged
+    b = sweep.value_range_buckets(
+        cells, "cents", extra_stats={"total_n": F.sum("n").cast("bigint")}
     )
+    c = sweep.bucketed_prefix_sum(b, "bk", ["cents"], {"n": "n"})
     qdim = F.broadcast(
         li.sparkSession.createDataFrame(
             [Row(q_bp=q) for q in (2500, 5000, 7500, 9000, 9900)],
@@ -1092,10 +1095,14 @@ def profiling_quantiles_grouped(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .localCheckpoint()
     )
-    b = sweep.value_range_buckets(cells, "lag_days", partition_cols=["prio"])
+    # r12: the per-group total rides the per-group stats dim
+    # (extra_stats) instead of the partitioned-totals join branch
+    b = sweep.value_range_buckets(
+        cells, "lag_days", partition_cols=["prio"],
+        extra_stats={"total_n": F.sum("n").cast("bigint")},
+    )
     c = sweep.bucketed_prefix_sum(
-        b, "bk", ["lag_days"], {"n": "n"}, totals=["n"],
-        partition_cols=["prio"],
+        b, "bk", ["lag_days"], {"n": "n"}, partition_cols=["prio"]
     )
     qdim = F.broadcast(
         li.sparkSession.createDataFrame(
@@ -1276,9 +1283,20 @@ def profiling_mad_outliers_q(spark, sf_dir):
     (one data pass, checkpointed); pass 2 re-aggregates those SAME
     cells to |x-med| deviation cells (cell-bounded, never a second data
     scan — the 1-row median broadcasts) and rank-selects their median
-    the same way.  The outlier count is a third cell-bounded aggregate
-    against the broadcast (med, mad) pair.  No global sort, no
-    single-reducer percentile buffer, nothing libm."""
+    the same way.  The outlier count is an aggregate over the SAME
+    deviation cells (|x-med| > 3*MAD ⇔ dev > 3*MAD — r12: it used to
+    be a third pass over the value cells).  No global sort, no
+    single-reducer percentile buffer, nothing libm.
+
+    r12 optimization (guide §2.3/§2.4 — fewer passes, fewer duplicate
+    subtrees; measured 39 jobs → ~13, cold 22.7 s → see
+    OPTIMIZATION_r12.md): the grand total rides the value-range stats
+    pass (``extra_stats``) instead of a ``totals`` re-aggregation
+    branch; the median and total ride the deviation cells as constant
+    columns, so the median subtree executes exactly once (it used to
+    re-execute inside the outlier count AND the final assembly); the
+    outlier count folds into the final aggregate over deviation cells,
+    consuming the 1-row MAD selection once."""
     from .operators import sweep
 
     li = read_table(spark, sf_dir, "lineitem")
@@ -1290,55 +1308,49 @@ def profiling_mad_outliers_q(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .localCheckpoint()
     )
-
-    def _median_of(cells_df, vcol):
-        # type-1 lower median by rank selection over the bucketed CDF:
-        # rank r = (t-1) DIV 2 + 1, value = the cell whose cumulative
-        # weight first reaches r (sweep.rank_containment — the ONE copy
-        # of the rank rule); total_n rides along so the caller never
-        # re-aggregates the cells just to rebuild the grand total
-        b = sweep.value_range_buckets(cells_df, vcol)
-        c = sweep.bucketed_prefix_sum(b, "bk", [vcol], {"n": "n"}, totals=["n"])
-        r = F.expr("(total_n - 1) DIV 2") + 1
-        return (
-            c.filter(sweep.rank_containment(F.col("cum_n"), F.col("n"), r))
-            .select(F.col(vcol).alias("_sel"), F.col("total_n").alias("_tot"))
-        )
-
-    med = F.broadcast(
-        _median_of(cells, "cents").select(
-            F.col("_sel").alias("med"), F.col("_tot").alias("n_total")
-        )
+    # pass 1: type-1 lower median by rank selection over the bucketed
+    # CDF; rank r = (t-1) DIV 2 + 1 (sweep.rank_containment — the ONE
+    # copy of the rank rule), with t riding the stats pass
+    b = sweep.value_range_buckets(
+        cells, "cents", extra_stats={"n_total": F.sum("n").cast("bigint")}
     )
+    c = sweep.bucketed_prefix_sum(b, "bk", ["cents"], {"n": "n"})
+    r = F.expr("(n_total - 1) DIV 2") + 1
+    med = c.filter(sweep.rank_containment(F.col("cum_n"), F.col("n"), r)).select(
+        F.col("cents").alias("med"), "n_total"
+    )
+    # deviation cells CARRY (med, n_total) as constant columns — the
+    # 1-row median subtree above is consumed exactly here, once
     dcells = (
-        cells.crossJoin(med)
-        .select(F.abs(F.col("cents") - F.col("med")).alias("dev"), "n")
-        .groupBy("dev")
+        cells.crossJoin(F.broadcast(med))
+        .groupBy(
+            F.abs(F.col("cents") - F.col("med")).alias("dev"), "med", "n_total"
+        )
         .agg(F.sum("n").cast("bigint").alias("n"))
         .localCheckpoint()
     )
-    mad = F.broadcast(_median_of(dcells, "dev").select(F.col("_sel").alias("mad")))
-    outl = (
-        cells.crossJoin(med)
-        .crossJoin(mad)
+    # pass 2: median of deviations = MAD, same rank rule, rank from the
+    # carried n_total (no re-aggregation anywhere)
+    b2 = sweep.value_range_buckets(dcells, "dev")
+    c2 = sweep.bucketed_prefix_sum(b2, "bk", ["dev"], {"n": "n"})
+    r2 = F.expr("(n_total - 1) DIV 2") + 1
+    madrow = c2.filter(
+        sweep.rank_containment(F.col("cum_n"), F.col("n"), r2)
+    ).select(F.col("dev").alias("mad"))
+    # outlier count + final assembly in ONE aggregate over the deviation
+    # cells: grouping on the constant (med, n_total) columns yields the
+    # single output row without re-deriving either selection subtree
+    return (
+        dcells.crossJoin(F.broadcast(madrow))
+        .groupBy("med", "mad", "n_total")
         .agg(
             F.coalesce(
-                F.sum(
-                    F.when(
-                        F.abs(F.col("cents") - F.col("med"))
-                        > 3 * F.col("mad"),
-                        F.col("n"),
-                    )
-                ),
+                F.sum(F.when(F.col("dev") > 3 * F.col("mad"), F.col("n"))),
                 F.lit(0),
             )
             .cast("bigint")
             .alias("n_outliers")
         )
-    )
-    return (
-        med.crossJoin(mad)
-        .crossJoin(F.broadcast(outl))
         .select(
             F.col("med").cast("bigint").alias("med_cents"),
             F.col("mad").cast("bigint").alias("mad_cents"),

@@ -1770,14 +1770,19 @@ def analytics_rfm_scalable(spark, sf_dir):
     ).localCheckpoint()
     scores = []
     for score_col, vcol, nm in passes:
-        vb = sweep.value_range_buckets(cur, vcol)
+        # r12: the pass's grand total (= customer count) rides the
+        # 1-row stats broadcast (extra_stats) instead of a second
+        # grand-total broadcast join off the offsets dim
+        vb = sweep.value_range_buckets(
+            cur, vcol,
+            extra_stats={f"total_{nm}": F.count(F.lit(1)).cast("bigint")},
+        )
         ps = sweep.bucketed_prefix_sum(
             vb,
             "bk",
             [F.col(vcol).asc(), F.col("custkey").desc()],
             {nm: F.lit(1).cast("bigint")},
             materialize="offsets",
-            totals=[nm],
         )
         ranked = ps.withColumn(
             "_rank", (F.col(f"total_{nm}") - F.col(f"cum_{nm}") + 1)

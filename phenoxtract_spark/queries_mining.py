@@ -827,8 +827,12 @@ def profiling_histogram_equidepth(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .localCheckpoint()
     )
-    b = sweep.value_range_buckets(cells, "xc")
-    c = sweep.bucketed_prefix_sum(b, "bk", ["xc"], {"n": "n"}, totals=["n"])
+    # r12: the grand total rides the stats pass (extra_stats) instead of
+    # the totals re-aggregation branch — one fewer pass over the cells
+    b = sweep.value_range_buckets(
+        cells, "xc", extra_stats={"total_n": F.sum("n").cast("bigint")}
+    )
+    c = sweep.bucketed_prefix_sum(b, "bk", ["xc"], {"n": "n"})
     return (
         c.select(
             F.expr("(cum_n - 1) * 8 DIV total_n").cast("bigint").alias("bin"),
@@ -896,9 +900,14 @@ def profiling_histogram_grouped(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .localCheckpoint()
     )
-    b = sweep.value_range_buckets(cells, "xc", partition_cols=["seg"])
+    # r12: the per-group total rides the per-group stats dim
+    # (extra_stats) instead of the partitioned-totals join branch
+    b = sweep.value_range_buckets(
+        cells, "xc", partition_cols=["seg"],
+        extra_stats={"total_n": F.sum("n").cast("bigint")},
+    )
     c = sweep.bucketed_prefix_sum(
-        b, "bk", ["xc"], {"n": "n"}, totals=["n"], partition_cols=["seg"]
+        b, "bk", ["xc"], {"n": "n"}, partition_cols=["seg"]
     )
     return (
         c.select(
