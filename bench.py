@@ -276,6 +276,56 @@ SF1_BEST_OF_2 = {
 }
 
 
+def _warm_session(spark, warm_dir: str) -> None:
+    """JVM/session first-use warm-up (r3; extended r12 — see
+    OPTIMIZATION_r12.md "Measurement fix").  Codegen, the parquet reader,
+    shuffle machinery, broadcast-hash-join build, window exec, the
+    object-hash aggregate (collect_list/sort_array), the JSON writer, the
+    noop sink, and the Python/Arrow worker pool all have first-use costs
+    (several seconds total on slow hosts) that otherwise land on whichever
+    HEADLINE query happens to exercise each of them first — engine
+    machinery cost, not query work, and pure noise for cross-round
+    comparison.  Everything here runs on the 5-row sf0.001 region table or
+    a synthetic range: no benched relation is precomputed or cached."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark.range(1000).count()
+    if os.path.isdir(warm_dir):
+        w = spark.read.parquet(os.path.join(warm_dir, "region.parquet"))
+        w.groupBy(w.columns[0]).count().write.format("noop").mode("overwrite").save()
+        k = w.columns[0]
+        j = w.join(F.broadcast(w.select(k)), k).withColumn(
+            "_rn", F.row_number().over(Window.partitionBy(k).orderBy(k))
+        )
+        (
+            j.groupBy(k)
+            .agg(
+                F.to_json(
+                    F.struct(F.sort_array(F.collect_list("_rn")).alias("a"))
+                ).alias("_j")
+            )
+            .write.format("noop").mode("overwrite").save()
+        )
+    # spin up the Arrow worker pool at cluster width: numpy/pandas import
+    # once per Python worker (~1 s each), workers are reused afterwards by
+    # every pandas_udf / mapInPandas query in the session
+    par = spark.sparkContext.defaultParallelism
+
+    def _touch(batches):
+        import numpy as np  # noqa: F401  (the import IS the warm-up)
+
+        for pdf in batches:
+            yield pdf
+
+    (
+        spark.range(par * 4)
+        .repartition(par)
+        .mapInPandas(_touch, "id long")
+        .write.format("noop").mode("overwrite").save()
+    )
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from phenoxtract_spark import get_spark
@@ -286,14 +336,8 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     qs = ent.queries()
     results: dict[str, float] = {}
-    # warm the JVM once: codegen, parquet reader, shuffle machinery, and the
-    # noop sink all have first-use costs (~3-5 s measured) that otherwise
-    # land entirely on whichever query happens to run first
-    spark.range(1000).count()
     warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir):
-        w = spark.read.parquet(os.path.join(warm_dir, "region.parquet"))
-        w.groupBy(w.columns[0]).count().write.format("noop").mode("overwrite").save()
+    _warm_session(spark, warm_dir)
     errors: dict[str, str] = {}
     warm: dict[str, float | str] = {}  # "ERR" marks a failed warm re-run
     do_warm = os.environ.get("SPARK_GRAFT_WARM", "1") != "0"
@@ -366,12 +410,7 @@ def main():
             spark.stop()
             spark = get_spark(app_name="phenoxtract-bench-sf1")
             spark.sparkContext.setLogLevel("ERROR")
-            spark.range(1000).count()
-            if os.path.isdir(warm_dir):
-                w = spark.read.parquet(os.path.join(warm_dir, "region.parquet"))
-                w.groupBy(w.columns[0]).count().write.format("noop").mode(
-                    "overwrite"
-                ).save()
+            _warm_session(spark, warm_dir)
             sf1_results: dict[str, float | str] = {}  # "ERR" on failure
             sf1_reps: dict[str, list[float]] = {}
             for name in SF1_PROBE:

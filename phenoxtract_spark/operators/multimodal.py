@@ -714,7 +714,15 @@ def _synthetic_image_media(df: DataFrame, id_col: str, text_col: str,
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
     ])
-    base = df.select(F.col(id_col).cast("long").alias(id_col), text_col)
+    # the encoder chain is CPU-dense per ROW (md5 keystream + real
+    # codec), so a small input packed into 1-2 scan splits serializes
+    # it on one task — fan out to cluster parallelism (no-op at scale,
+    # where inputs arrive with >= parallelism splits; guide §2.6)
+    from ..session import fan_out
+
+    base = fan_out(
+        df.select(F.col(id_col).cast("long").alias(id_col), text_col)
+    )
     out = base.mapInPandas(run, schema=schema)
     return out.withColumn("width", F.col("width").cast("int")).withColumn(
         "height", F.col("height").cast("int")
@@ -881,7 +889,15 @@ def synthetic_wav_media(df: DataFrame, id_col: str, text_col: str,
         T.StructField("media_id", T.LongType()),
         T.StructField("payload", T.BinaryType()),
     ])
-    base = df.select(F.col(id_col).cast("long").alias(id_col), text_col)
+    # the encoder chain is CPU-dense per ROW (md5 keystream + real
+    # codec), so a small input packed into 1-2 scan splits serializes
+    # it on one task — fan out to cluster parallelism (no-op at scale,
+    # where inputs arrive with >= parallelism splits; guide §2.6)
+    from ..session import fan_out
+
+    base = fan_out(
+        df.select(F.col(id_col).cast("long").alias(id_col), text_col)
+    )
     return base.mapInPandas(run, schema=schema)
 
 
@@ -1002,7 +1018,15 @@ def synthetic_y4m_media(df: DataFrame, id_col: str, text_col: str,
         T.StructField("media_id", T.LongType()),
         T.StructField("payload", T.BinaryType()),
     ])
-    base = df.select(F.col(id_col).cast("long").alias(id_col), text_col)
+    # the encoder chain is CPU-dense per ROW (md5 keystream + real
+    # codec), so a small input packed into 1-2 scan splits serializes
+    # it on one task — fan out to cluster parallelism (no-op at scale,
+    # where inputs arrive with >= parallelism splits; guide §2.6)
+    from ..session import fan_out
+
+    base = fan_out(
+        df.select(F.col(id_col).cast("long").alias(id_col), text_col)
+    )
     return base.mapInPandas(run, schema=schema)
 
 
@@ -1038,7 +1062,15 @@ def synthetic_y4m_shot_media(df: DataFrame, id_col: str, text_col: str,
         T.StructField("media_id", T.LongType()),
         T.StructField("payload", T.BinaryType()),
     ])
-    base = df.select(F.col(id_col).cast("long").alias(id_col), text_col)
+    # the encoder chain is CPU-dense per ROW (md5 keystream + real
+    # codec), so a small input packed into 1-2 scan splits serializes
+    # it on one task — fan out to cluster parallelism (no-op at scale,
+    # where inputs arrive with >= parallelism splits; guide §2.6)
+    from ..session import fan_out
+
+    base = fan_out(
+        df.select(F.col(id_col).cast("long").alias(id_col), text_col)
+    )
     return base.mapInPandas(run, schema=schema)
 
 

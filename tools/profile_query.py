@@ -43,12 +43,10 @@ def main():
     spark = get_spark(app_name="profile-query")
     spark.sparkContext.setLogLevel("ERROR")
     qs = ent.queries()
-    # same warmup as bench.py
-    spark.range(1000).count()
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir):
-        w = spark.read.parquet(os.path.join(warm_dir, "region.parquet"))
-        w.groupBy(w.columns[0]).count().write.format("noop").mode("overwrite").save()
+    # same warmup as bench.py (r12: shared helper)
+    import bench as _bench
+
+    _bench._warm_session(spark, "/root/testdata/sf0.001")
 
     sc = spark.sparkContext
     jsc = sc._jsc.sc()
