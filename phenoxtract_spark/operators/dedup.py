@@ -371,9 +371,14 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     # (minhash → LSH → verify when fed from the dedup pipeline) would
     # replay per round — measured 64 s → 23 s cold at sf1 for
     # dedup_cluster_size_histogram (diameter rounds × a ~10 s subtree)
+    # r12 (guide §2.4, the pagerank discipline): partition the edge list
+    # by the per-round join key BEFORE the checkpoint — LogicalRDD keeps
+    # the hash partitioning, so every round's ``sym.dst == labels.id``
+    # join reuses it instead of re-exchanging the edge list once per
+    # round (diameter rounds × one |2·edges| shuffle saved).
     sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
         edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    ).localCheckpoint(eager=True)
+    ).repartition("dst").localCheckpoint(eager=True)
     labels = vertices.select(F.col(vertices.columns[0]).alias("id")).withColumn(
         "label", F.col("id")
     )

@@ -73,8 +73,16 @@ def pagerank(
             F.round(F.col("rank") / F.col("deg"), 9).cast(_CONTRIB_DEC).alias("c"),
         )
         summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        # r12 (guide §2.4 — don't recompute): the vertex-id set for the
+        # teleport join is exactly the previous round's rank relation,
+        # which is already checkpointed; joining against it instead of
+        # ``ids`` stops the vertices subtree (a parquet scan in every
+        # caller) from re-executing once per iteration.  Round 1 still
+        # reads ``ids`` via ``ranks``'s lineage-free checkpoint parent
+        # (ranks itself is built from ids, so the id set is identical).
+        prev_ids = ranks.select("id")
         ranks = (
-            ids.join(summed, ids.id == summed.dst, "left")
+            prev_ids.join(summed, prev_ids.id == summed.dst, "left")
             .select(
                 "id",
                 F.round(

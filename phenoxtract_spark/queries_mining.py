@@ -362,8 +362,19 @@ def profiling_numeric_correlation(spark, sf_dir):
 def _emb_d2(e):
     """Shared Spark subtree for the embedding family: (d2, st) where d2
     is (vec_id, dist2 — DECIMAL-exact squared distance to the global
-    centroid, 6 dp) and st the 1-row corpus moments (n, s1, s2)."""
-    vx = e.select(
+    centroid, 6 dp) and st the 1-row corpus moments (n, s1, s2).
+
+    r12 (guide §2.5 input skew / §1.2 step 1): the embeddings parquet is
+    a couple of MB = 1-2 scan splits, but the work behind it is the ×64
+    posexplode plus DECIMAL casts — measured 2.5 s + 6.7 s as TWO
+    1-TASK jobs at sf1 (the centroid branch and the distance branch both
+    re-explode at raw-scan parallelism).  ``fan_out`` spreads the explode
+    across the cluster before the CPU-dense projection; at 100 TB inputs
+    arrive with ≥ parallelism splits and the guard makes it a no-op.
+    DECIMAL accumulation is order-independent, so values are unchanged."""
+    from .session import fan_out
+
+    vx = fan_out(e).select(
         "vec_id", F.posexplode("embedding").alias("i", "xf")
     ).select("vec_id", "i", F.col("xf").cast("double").alias("x"))
     cent = vx.groupBy("i").agg(
