@@ -31,6 +31,20 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_num_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of a base table from the parquet footer metadata —
+    a statistics lookup, zero data scanned (r12, guide §1.2 step 1: the
+    IVF-stride queries each ran an eager full-scan ``count()`` job before
+    their real plan; at 100 TB this number comes from catalog statistics,
+    never a re-scan).  Only valid for the RAW table — any filter or
+    projection invalidates the footer count."""
+    import pyarrow.parquet as _pq
+
+    return _pq.ParquetFile(
+        os.path.join(sf_dir, f"{name}.parquet")
+    ).metadata.num_rows
+
+
 QUERIES: dict[str, tuple] = {}
 
 # ---------------------------------------------------------------------------

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .operators import joins, similarity
-from .queries_core import q, read_table
+from .queries_core import q, read_table, table_num_rows
 
 
 @q(
@@ -167,7 +167,7 @@ def neardup_pairs(spark, sf_dir):
     import math
 
     e = read_table(spark, sf_dir, "embeddings")
-    stride = max(61, int(math.isqrt(e.count())))
+    stride = max(61, int(math.isqrt(table_num_rows(sf_dir, "embeddings"))))
     centroids = e.filter(F.col("vec_id") % stride == 0)
     return similarity.ivf_neardup_pairs(e, centroids, threshold=0.4)
 

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .operators import clustering, textanalysis
-from .queries_core import q, read_table
+from .queries_core import q, read_table, table_num_rows
 
 _NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 
@@ -80,7 +80,7 @@ def kmeans_assign_q(spark, sf_dir):
     import math
 
     e = read_table(spark, sf_dir, "embeddings")
-    stride = max(61, int(math.isqrt(e.count())))
+    stride = max(61, int(math.isqrt(table_num_rows(sf_dir, "embeddings"))))
     seeds = e.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )

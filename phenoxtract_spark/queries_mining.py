@@ -1003,16 +1003,11 @@ def embedding_pipeline_e2e(spark, sf_dir):
     an eager ``e.count()`` full-scan job — at 100 TB that count comes
     from catalog statistics, never a re-scan."""
     import math
-    import os
-
-    import pyarrow.parquet as _pq
-
     from .operators import similarity
+    from .queries_core import table_num_rows
 
     e = read_table(spark, sf_dir, "embeddings")
-    n_rows = _pq.ParquetFile(
-        os.path.join(sf_dir, "embeddings.parquet")
-    ).metadata.num_rows
+    n_rows = table_num_rows(sf_dir, "embeddings")
     d2, st = _emb_d2(e)
     mu = F.col("s1") / F.col("n")
     sig = F.sqrt(

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .operators import dedup, multimodal, similarity, textanalysis
-from .queries_core import q, read_table
+from .queries_core import q, read_table, table_num_rows
 from .streaming import events as ev
 
 # shared SQL fragment: normalized text + tokens (mirror of dedup.normalized_text)
@@ -668,7 +668,7 @@ def sim_ivf(spark, sf_dir):  # recall vs brute force also asserted in tests
     import math
 
     e = read_table(spark, sf_dir, "embeddings")
-    stride = max(61, int(math.isqrt(e.count())))
+    stride = max(61, int(math.isqrt(table_num_rows(sf_dir, "embeddings"))))
     queries = e.filter(F.col("vec_id") < 5)
     centroids = e.filter(F.col("vec_id") % stride == 0)
     return similarity.ivf_topk(e, queries, centroids, k=5)
@@ -1370,7 +1370,7 @@ def sim_ivf_nprobe(spark, sf_dir):
     import math
 
     e = read_table(spark, sf_dir, "embeddings")
-    stride = max(61, int(math.isqrt(e.count())))
+    stride = max(61, int(math.isqrt(table_num_rows(sf_dir, "embeddings"))))
     queries = e.filter(F.col("vec_id") < 5)
     centroids = e.filter(F.col("vec_id") % stride == 0)
     return similarity.ivf_topk(e, queries, centroids, k=5, nprobe=2)
@@ -2344,7 +2344,7 @@ def sim_pq_adc(spark, sf_dir):
     import math
 
     e = read_table(spark, sf_dir, "embeddings")
-    stride = max(61, int(math.isqrt(e.count())))
+    stride = max(61, int(math.isqrt(table_num_rows(sf_dir, "embeddings"))))
     samples = e.filter(F.col("vec_id") % stride == 0)
     queries = e.filter(F.col("vec_id") < 5)
     return similarity.pq_topk(e, queries, samples, num_subspaces=8,
@@ -2425,7 +2425,7 @@ def sim_ivfpq(spark, sf_dir):
     import math
 
     e = read_table(spark, sf_dir, "embeddings")
-    stride = max(61, int(math.isqrt(e.count())))
+    stride = max(61, int(math.isqrt(table_num_rows(sf_dir, "embeddings"))))
     centroids = e.filter(F.col("vec_id") % stride == 0)
     samples = centroids
     queries = e.filter(F.col("vec_id") < 5)
@@ -3032,7 +3032,7 @@ def sim_ann_recall(spark, sf_dir):
 
     e = read_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
-    stride = max(61, int(math.isqrt(e.count())))
+    stride = max(61, int(math.isqrt(table_num_rows(sf_dir, "embeddings"))))
     centroids = e.filter(F.col("vec_id") % stride == 0)
     exact = similarity.brute_force_topk(e, queries, k=5)
     approx = similarity.ivf_topk(e, queries, centroids, k=5)
@@ -3482,7 +3482,7 @@ def sim_ann_ndcg(spark, sf_dir):
 
     e = read_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
-    stride = max(61, int(math.isqrt(e.count())))
+    stride = max(61, int(math.isqrt(table_num_rows(sf_dir, "embeddings"))))
     centroids = e.filter(F.col("vec_id") % stride == 0)
     exact = similarity.brute_force_topk(e, queries, k=5)
     approx = similarity.ivf_topk(e, queries, centroids, k=5)

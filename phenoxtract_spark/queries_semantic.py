@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .operators import clustering, curation, dedup
-from .queries_core import q, read_table
+from .queries_core import q, read_table, table_num_rows
 
 # Shared DuckDB CTE prelude: embeddings unnested to (vec_id, i, x) plus
 # per-vector L2 norms — the base relations every embedding oracle builds on.
@@ -91,7 +91,7 @@ def semantic_canonical(spark, sf_dir):
     import math
 
     e = read_table(spark, sf_dir, "embeddings")
-    stride = max(61, int(math.isqrt(e.count())))
+    stride = max(61, int(math.isqrt(table_num_rows(sf_dir, "embeddings"))))
     centroids = e.filter(F.col("vec_id") % stride == 0)
     return clustering.semantic_canonical(e, centroids, threshold=0.4)
 
@@ -359,6 +359,6 @@ def cluster_balanced_sample_q(spark, sf_dir):
     import math
 
     e = read_table(spark, sf_dir, "embeddings")
-    stride = max(61, int(math.isqrt(e.count())))
+    stride = max(61, int(math.isqrt(table_num_rows(sf_dir, "embeddings"))))
     centroids = e.filter(F.col("vec_id") % stride == 0)
     return clustering.cluster_balanced_sample(e, centroids)
