@@ -336,11 +336,44 @@ def value_range_buckets(
         F.max(value_col).alias("_hi"),
         *[c.alias(nm) for nm, c in extra_stats.items()],
     ]
-    if parts:
-        stats = df.groupBy(*parts).agg(*stat_aggs)
-    else:
-        stats = df.agg(*stat_aggs)
     n = 1 << bits
+    if not parts:
+        # r12 (guide §2.4 — remove shuffles outright): the ungrouped
+        # stats relation is ONE row, i.e. dimension-sized in the same
+        # sense as the ANN centroid collects.  Collect it eagerly and
+        # inline lo/hi (and the extra_stats) as typed LITERALS instead
+        # of crossJoin(broadcast(stats)): the lazy-broadcast phrasing
+        # planned the stats aggregate TWICE (the offsets branch's copy
+        # differs from the main branch's by a pushed filter, defeating
+        # ReuseExchange) and cost two BroadcastNestedLoopJoins + two
+        # broadcast-build jobs per caller (measured on
+        # profiling_quantiles_distributed: 4 scans of the checkpointed
+        # cells → 2, 13 jobs → 6).  The collect reads the materialized
+        # input (the docstring contract above), so no subplan re-runs;
+        # the arithmetic and output types are unchanged (literals are
+        # cast to the exact aggregate result types), so values are
+        # bit-identical.  NULL value rows still get a NULL ``bk`` and
+        # raise through the downstream prefix-sum guard exactly as the
+        # join phrasing did.
+        stats_df = df.agg(*stat_aggs)
+        stat_types = {f.name: f.dataType for f in stats_df.schema.fields}
+        row = stats_df.collect()[0].asDict()
+        lo, hi = row["_lo"], row["_hi"]
+        d38 = "DECIMAL(38,0)"
+        if lo is None or hi is None:  # empty input: NULL bk, zero rows
+            bk = F.lit(None).cast("bigint")
+        else:
+            bk = F.expr(
+                f"((CAST({value_col} AS {d38}) - CAST({lo} AS {d38})) * {n})"
+                f" DIV (CAST({hi} AS {d38}) - CAST({lo} AS {d38}) + 1)"
+            )
+        out = df.withColumn("bk", bk)
+        for nm in extra_stats:
+            out = out.withColumn(
+                nm, F.lit(row[nm]).cast(stat_types[nm])
+            )
+        return out
+    stats = df.groupBy(*parts).agg(*stat_aggs)
     # Overflow-safe: ``(v - lo) * 2^bits`` in raw BIGINT wraps silently
     # in non-ANSI Spark once the column's range exceeds ~2^63/2^bits
     # (~3.6e16 at bits=8), producing non-monotone buckets and silently
@@ -357,11 +390,7 @@ def value_range_buckets(
     # it at the scan, ahead of any guard).  Left-joined, the NULL-group
     # row survives with NULL _lo/_hi -> NULL bk, and the downstream
     # prefix-sum guard raises instead of losing the row.
-    joined = (
-        df.join(F.broadcast(stats), parts, "left")
-        if parts
-        else df.crossJoin(F.broadcast(stats))
-    )
+    joined = df.join(F.broadcast(stats), parts, "left")
     return (
         joined
         .withColumn(
