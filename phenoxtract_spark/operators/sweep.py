@@ -373,7 +373,17 @@ def value_range_buckets(
                 nm, F.lit(row[nm]).cast(stat_types[nm])
             )
         return out
-    stats = df.groupBy(*parts).agg(*stat_aggs)
+    # r12: same duplication fix as the ungrouped literal path above, in
+    # dim form — without materialization the per-group stats aggregate
+    # plans TWICE (the offsets branch's copy carries different pushed
+    # filters than the main branch's, so ReuseExchange cannot
+    # deduplicate them; measured on profiling_quantiles_grouped: 4 scans
+    # of the checkpointed cells, two stats subtrees).  The dim is
+    # ``n_groups`` rows (broadcast-sized by the caller contract), so the
+    # eager checkpoint is a tiny job and both branches then scan the
+    # materialized dim.  Join semantics (LEFT, NULL-group kept with NULL
+    # bk) are unchanged.
+    stats = df.groupBy(*parts).agg(*stat_aggs).localCheckpoint()
     # Overflow-safe: ``(v - lo) * 2^bits`` in raw BIGINT wraps silently
     # in non-ANSI Spark once the column's range exceeds ~2^63/2^bits
     # (~3.6e16 at bits=8), producing non-monotone buckets and silently
