@@ -332,9 +332,9 @@ def profiling_numeric_correlation(spark, sf_dir):
         F.sum((F.col("xp") * F.col("xd")).cast(dec)).cast("double").alias("spd"),
     )
 
-    def r_row(label, sxy, sx, sy, sxx, syy):
+    def r_struct(label, sxy, sx, sy, sxx, syy):
         n = F.col("n")
-        return s.select(
+        return F.struct(
             F.lit(label).alias("pair"),
             n.cast("bigint").alias("n_rows"),
             F.round(
@@ -347,10 +347,18 @@ def profiling_numeric_correlation(spark, sf_dir):
             ).alias("r"),
         )
 
-    return (
-        r_row("quantity~extendedprice", "sqp", "sq", "sp", "sqq", "spp")
-        .unionByName(r_row("quantity~discount", "sqd", "sq", "sd", "sqq", "sdd"))
-        .unionByName(r_row("extendedprice~discount", "spd", "sp", "sd", "spp", "sdd"))
+    # r12: the three report rows ride ONE aggregate via inline_outer —
+    # the union-of-three-selects phrasing planned the scan + 10-sum
+    # aggregate subtree three times (exchange reuse is not guaranteed
+    # across the union branches), i.e. three full passes at 100 TB.
+    return s.select(
+        F.inline_outer(
+            F.array(
+                r_struct("quantity~extendedprice", "sqp", "sq", "sp", "sqq", "spp"),
+                r_struct("quantity~discount", "sqd", "sq", "sd", "sqq", "sdd"),
+                r_struct("extendedprice~discount", "spd", "sp", "sd", "spp", "sdd"),
+            )
+        )
     )
 
 

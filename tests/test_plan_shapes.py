@@ -106,7 +106,9 @@ EXPECTATIONS = [
     ("text_tokenizer_fertility", 1, 0, 0),
     ("curation_sequence_packing", 1, 0, 0),
     ("profiling_histogram_equiwidth", 2, 0, 0),
-    ("profiling_numeric_correlation", 3, 0, 0),
+    # r12: the three report rows inline off ONE sufficient-stats
+    # aggregate (was 3 unioned copies of the scan+agg subtree)
+    ("profiling_numeric_correlation", 1, 0, 0),
     # r9: the max_block valve moved INTO the plan (no eager guard job) —
     # its per-block count is the one exchange; the guard dim broadcasts
     ("er_fuzzy_part_pairs", 1, 2, 0),
