@@ -219,9 +219,19 @@ def _pair_overlaps(df: DataFrame, id_col: str, text_col: str, k: int,
             .unionByName(candidates.select(F.col("id_b").alias("__jid")))
             .distinct()
         )
-        arrs = df.join(ids, F.col(id_col) == F.col("__jid"), "leftsemi").select(
-            F.col(id_col).alias("id"),
-            F.array_distinct(shingles(text_col, k)).alias("shs"),
+        # the arrays relation feeds BOTH pair-join sides; without
+        # materialization its subtree (corpus scan + candidate semi-join
+        # + normalize/tokenize/shingle HOF chain) plans and EXECUTES
+        # twice.  It is candidate-bounded like the pairs themselves, so
+        # materialize it once — one scan + one shingle build per query
+        # instead of two (r12; measured on the sf0.1 canonical pipeline).
+        arrs = (
+            df.join(ids, F.col(id_col) == F.col("__jid"), "leftsemi")
+            .select(
+                F.col(id_col).alias("id"),
+                F.array_distinct(shingles(text_col, k)).alias("shs"),
+            )
+            .localCheckpoint(eager=True)
         )
         return (
             candidates.join(
