@@ -1185,10 +1185,15 @@ def profiling_gini_concentration_q(spark, sf_dir):
         .localCheckpoint()
     )
     b = sweep.value_range_buckets(per, "cents")
+    # the prefix-sum relation feeds BOTH the (n, sx, srx) totals
+    # aggregate and the decile-containment filter; without
+    # materialization the post-cells window pipeline executes twice
+    # (two ~1.9 s jobs measured at sf0.1).  Same discipline as the
+    # spine's own cells checkpoint (r12).
     c = sweep.bucketed_prefix_sum(
         b, "bk", ["cents", "o_custkey"], {"one": F.lit(1).cast("bigint"),
                                           "cents": "cents"}
-    )
+    ).localCheckpoint(eager=True)
     tot = c.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
         F.sum("cents").cast("decimal(38,0)").alias("sx"),

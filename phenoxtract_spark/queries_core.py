@@ -75,7 +75,10 @@ SINGLE_TASK_PINS: dict[str, str] = {
     "analytics_rank_sum_test": "sweep offsets dim window (<=2^bits rows)",
     "analytics_kruskal_wallis": "sweep offsets dim window (<=2^bits rows)",
     "profiling_quantiles_distributed": "sweep offsets dim window (<=2^bits rows)",
-    "profiling_gini_concentration": "sweep offsets dim window (<=2^bits rows)",
+    # (profiling_gini_concentration left the ledger in r12: its sweep
+    # offsets window — still <=2^bits rows by construction — now executes
+    # inside the eager prefix-sum checkpoint, so the registered plan the
+    # detector audits no longer contains it)
     "profiling_mad_outliers": "sweep offsets dim window (<=2^bits rows)",
     "profiling_histogram_equidepth": "sweep offsets dim window (<=2^bits rows)",
     # --- other bounded unpartitioned windows (audited r10, re-audited r11)

@@ -159,7 +159,10 @@ EXPECTATIONS = [
     # containment; KW: (value,group) cells checkpoint -> sweep -> the
     # rank join-back PINNED to sort-merge (value-cardinality sides with
     # bogus-small post-checkpoint stats must never broadcast)
-    ("profiling_gini_concentration", 11, 2, 0),
+    # (r12: the prefix-sum relation is checkpointed — the totals agg and
+    # the decile filter no longer replay the sweep subtree, so the final
+    # plan is the one totals exchange over the materialized relation)
+    ("profiling_gini_concentration", 1, 0, 0),
     ("analytics_kruskal_wallis", 12, 1, 1),
 ]
 
