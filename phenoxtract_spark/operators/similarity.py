@@ -641,33 +641,82 @@ def ivf_neardup_pairs(vectors: DataFrame, centroids: DataFrame,
     a near-dup pair straddling two buckets is missed (near-identical
     vectors share a nearest centroid with high probability — the recall
     gate in tests measures this against brute force).
-    Returns (id_a, id_b, cos)."""
-    # the assignment subtree is the n·√C dot-product pass — and it feeds
-    # BOTH sides of the bucket self-join.  Materialize its output once so
-    # the expensive pass can never re-execute when AQE breaks exchange
-    # reuse.  r12 (guide §2.4/§3): the vector PAYLOAD rides through the
-    # checkpoint (keep_vec — free, the Arrow batch already holds it), so
-    # the bucket self-join provides BOTH pair sides directly: one
-    # centroid-keyed shuffle of 2n vector rows replaces the old shape's
-    # three (narrow self-join + two id-keyed re-joins of the corpus,
-    # which also shuffled the Σ|bucket|² pair list twice).  Measured on
-    # dedup_semantic_canonical: 13 jobs → 9, plan 2 SMJ → 1 self-join.
-    assign = assign_ivf_centroid(
-        vectors, centroids, id_col, vec_col, keep_vec=True
-    ).localCheckpoint(eager=True)
-    a = assign.select(F.col("id").alias("id_a"), "centroid_id",
-                      F.col("v").alias("va"))
-    b = assign.select(F.col("id").alias("id_b"), "centroid_id",
-                      F.col("v").alias("vb"))
-    # Σ|bucket|² pair verification is the other per-pair HOF hotspot —
-    # score each Arrow batch in one vectorized pass (bitwise-equal floats,
-    # see pair_cos_rounded)
-    cos = pair_cos_rounded(round_dp)(F.col("va"), F.col("vb"))
-    return (
-        a.join(b, "centroid_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("cos"))
-        .filter(F.col("cos") >= threshold)
+    Returns (id_a, id_b, cos).
+
+    Shape (r12, guide §2.3/§4.1/§8 — move the heavy bytes once): the old
+    phrasing self-joined the assignment on centroid_id, MATERIALIZING the
+    Σ|bucket|² pair list as JVM rows each carrying TWO full float arrays,
+    then shipped both arrays per pair through Arrow into a pandas_udf —
+    the payload crossed the shuffle and the Python boundary once PER PAIR.
+    Now the verification is bucket-local ``applyInPandas``: one shuffle of
+    n (id, vector) rows keyed by centroid, and inside each bucket the pair
+    enumeration, the cosine fold, and the threshold filter all run in one
+    numpy pass — every vector crosses the boundary once per bucket, and
+    only the SURVIVING pairs (dup-density-sized, arrays dropped) return to
+    the JVM.  Arrow bytes per bucket fall from 2·|bucket|²·dim to
+    |bucket|·dim.
+
+    Numeric parity is preserved fold-for-fold (bitwise, same argument as
+    ``pair_cos_rounded``): per-vector norms accumulate sequentially over
+    the dimension index exactly as the per-pair kernel accumulated them,
+    the pair dot is the same sequential fold, and the threshold keeps
+    Spark's NaN-is-greatest comparison semantics (a NaN cosine — zero-norm
+    vector — passes ``>= threshold`` in Spark SQL and DuckDB alike, so it
+    passes here too)."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    assign = assign_ivf_centroid(vectors, centroids, id_col, vec_col,
+                                 keep_vec=True)
+    # pair-index chunk bound: caps the per-slice gather at ~dim·8·2·CHUNK
+    # bytes even on a degenerate giant bucket (the Σ|bucket|² work itself
+    # is the algorithm's contract; this bounds MEMORY, not work)
+    chunk = 2_000_000
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_c = [], [], []
+        m = len(pdf)
+        if m >= 2:
+            order = np.argsort(pdf["id"].values, kind="stable")
+            ids = pdf["id"].values[order]
+            V = np.array(
+                [np.asarray(x, dtype=np.float64) for x in pdf["v"].values[order]]
+            )
+            dim = V.shape[1]
+            # per-vector norm: the same sequential fold over d the per-pair
+            # kernel ran (na += a_d*a_d), hoisted to once per vector —
+            # identical adds in identical order, so sqrt(nrm) is bitwise
+            # equal to the per-pair recomputation it replaces
+            sq = np.zeros(m)
+            for d in range(dim):
+                sq += V[:, d] * V[:, d]
+            nrm = np.sqrt(sq)
+            ia, ib = np.triu_indices(m, k=1)
+            for lo in range(0, len(ia), chunk):
+                sa, sb = ia[lo : lo + chunk], ib[lo : lo + chunk]
+                A, B = V[sa], V[sb]
+                dot = np.zeros(len(sa))
+                for d in range(dim):  # sequential fold — see docstring
+                    dot += A[:, d] * B[:, d]
+                cos = _round_half_up(dot / (nrm[sa] * nrm[sb]), round_dp)
+                # Spark/DuckDB order NaN above every double, so a NaN cos
+                # passes `cos >= threshold`; numpy's NaN >= x is False —
+                # replicate the engine semantics explicitly
+                keep = (cos >= threshold) | np.isnan(cos)
+                out_a.append(ids[sa[keep]])
+                out_b.append(ids[sb[keep]])
+                out_c.append(cos[keep])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=pdf["id"].dtype),
+                                 "id_b": pd.Series([], dtype=pdf["id"].dtype),
+                                 "cos": pd.Series([], dtype="float64")})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "cos": np.concatenate(out_c)})
+
+    return assign.groupBy("centroid_id").applyInPandas(
+        verify, schema=f"id_a {id_type}, id_b {id_type}, cos double"
     )
 
 
