@@ -543,10 +543,18 @@ def plane_components(seed: int, num_planes: int, dim: int) -> list[list[float]]:
 
 def hyperplane_signature(vectors: DataFrame, dim: int, num_planes: int = 16,
                          id_col: str = "vec_id", vec_col: str = "embedding",
-                         seed: int = 42, round_dp: int = 6) -> DataFrame:
+                         seed: int = 42, round_dp: int = 6,
+                         extra_cols: list[str] | None = None,
+                         keep_vec: bool = False) -> DataFrame:
     """Random-hyperplane LSH signature.  Signature bit p = sign of the
     vector's dot product with deterministic plane p (see
     :func:`plane_components`).  Returns (id, sig bigint).
+
+    ``extra_cols`` / ``keep_vec`` (r12, guide §2.4): passthrough columns
+    (and the vector itself as ``v``) ride the Arrow batch for free —
+    callers that previously re-joined the corpus by id just to attach a
+    label or the vector to the signature (one full id-keyed shuffle per
+    attachment) read them straight off the kernel's output instead.
 
     Scale notes: ``dim`` is a parameter (it's schema knowledge — no
     ``.first()`` driver probe).  The dot is rounded before the sign test
@@ -564,7 +572,9 @@ def hyperplane_signature(vectors: DataFrame, dim: int, num_planes: int = 16,
     planes = np.array(plane_components(seed, num_planes, dim))  # (P, dim)
     pows = 2 ** np.arange(num_planes, dtype=np.int64)
     id_type = vectors.schema[id_col].dataType.simpleString()
-    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    extra = list(extra_cols or [])
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                       *extra)
     from ..session import fan_out
 
     v = fan_out(v)
@@ -578,9 +588,19 @@ def hyperplane_signature(vectors: DataFrame, dim: int, num_planes: int = 16,
             for d in range(dim):  # sequential fold — see docstring
                 acc += V[:, d : d + 1] * planes[None, :, d]
             sig = ((_round_half_up(acc, round_dp) > 0) * pows[None, :]).sum(axis=1)
-            yield pd.DataFrame({"id": pdf["id"].values, "sig": sig})
+            out = {"id": pdf["id"].values, "sig": sig}
+            for c in extra:
+                out[c] = pdf[c].values
+            if keep_vec:
+                out["v"] = pdf["v"].values
+            yield pd.DataFrame(out)
 
-    return v.mapInPandas(run, schema=f"id {id_type}, sig bigint")
+    schema = f"id {id_type}, sig bigint"
+    for c in extra:
+        schema += f", {c} {vectors.schema[c].dataType.simpleString()}"
+    if keep_vec:
+        schema += f", v {vectors.schema[vec_col].dataType.simpleString()}"
+    return v.mapInPandas(run, schema=schema)
 
 
 def hyperplane_candidate_pairs(vectors: DataFrame, dim: int, num_planes: int = 16,

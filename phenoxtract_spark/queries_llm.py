@@ -516,10 +516,13 @@ def embedding_label_propagation(spark, sf_dir):
     from .operators.curation import split_bucket
 
     e = read_table(spark, sf_dir, "embeddings")
-    sig = similarity.hyperplane_signature(e, dim=64, num_planes=4)
+    # r12 (guide §2.4): label rides the signature kernel's Arrow batch
+    # (extra_cols) instead of an id-keyed join-back of the corpus — one
+    # full shuffle removed from the checkpointed subtree
     lab = (
-        sig.join(e.select("vec_id", "label"), sig["id"] == F.col("vec_id"))
-        .withColumn("unl", split_bucket("vec_id", "mask-v1", buckets=5) == 0)
+        similarity.hyperplane_signature(e, dim=64, num_planes=4,
+                                        extra_cols=["label"])
+        .withColumn("unl", split_bucket("id", "mask-v1", buckets=5) == 0)
         .select("id", "sig", "label", "unl")
     ).localCheckpoint(eager=True)  # feeds votes + masked side
     votes = (
@@ -598,41 +601,83 @@ def embedding_hard_negatives(spark, sf_dir):
     most from, vs the uniform `embedding_ring_negatives`.  Pairing is
     bucket-bounded (Σ|bucket|², never all-pairs); norms compute once per
     vector and the dot runs on the candidate pairs only."""
+    import numpy as np
+    import pandas as pd
+
     from .operators import similarity
+    from .operators.similarity import _round_half_up
 
     e = read_table(spark, sf_dir, "embeddings")
-    sig = similarity.hyperplane_signature(e, dim=64, num_planes=4)
-    base = (
-        sig.join(e.select("vec_id", "label", "embedding"), sig["id"] == F.col("vec_id"))
-        .select(
-            "id", "sig", "label",
-            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    # r12 (guide §2.3/§4.1/§8): the old shape re-joined the corpus by id to
+    # attach label+vector to the signature, checkpointed it, SELF-JOINED on
+    # sig — materializing ~n²/16 pair rows each carrying two 64-dim array
+    # payloads — and shipped both arrays per pair through Arrow into the
+    # cosine pandas_udf.  Now label and vector ride the signature kernel's
+    # Arrow batch (extra_cols/keep_vec — free), and the verification is
+    # bucket-local applyInPandas: ONE sig-keyed shuffle of n vector rows,
+    # pair enumeration + cross-label mask + the same sequential-fold cosine
+    # inside one numpy pass per bucket, only surviving pairs back to the
+    # JVM.  Folds are order-identical to pair_cos_rounded, so floats (and
+    # the 6-dp rounding) are unchanged.
+    sig = similarity.hyperplane_signature(
+        e.select(
+            "vec_id", "label",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("ve"),
+        ),
+        dim=64, num_planes=4, vec_col="ve",
+        extra_cols=["label"], keep_vec=True,
+    )
+    chunk = 2_000_000
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "label_a": pd.Series([], dtype="float64"),
+            "label_b": pd.Series([], dtype="float64"),
+            "cos_sim": pd.Series([], dtype="float64"),
+        })
+        m = len(pdf)
+        if m < 2:
+            return empty
+        order = np.argsort(pdf["id"].values, kind="stable")
+        ids = pdf["id"].values[order]
+        labels = pdf["label"].values[order]
+        lab_null = pd.isna(labels)
+        V = np.array(
+            [np.asarray(x, dtype=np.float64) for x in pdf["v"].values[order]]
         )
-        .localCheckpoint(eager=True)  # feeds both pair sides
-    )
-    a = base.select(
-        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
-        F.col("label").alias("label_a"), F.col("v").alias("va"),
-    )
-    b = base.select(
-        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
-        F.col("label").alias("label_b"), F.col("v").alias("vb"),
-    )
-    pairs = a.join(
-        b,
-        (F.col("sig_a") == F.col("sig_b"))
-        & (F.col("id_a") < F.col("id_b"))
-        & ~F.col("label_a").eqNullSafe(F.col("label_b")),
-    )
-    # Σ|bucket|² candidate cosines (4 planes → 16 buckets → ~n²/16 pairs)
-    # through the Arrow batch kernel, not interpreted per-pair HOFs —
-    # sqrt(Σx²)·sqrt(Σy²) is the same op sequence the old precomputed-norm
-    # expression evaluated, so floats are unchanged (sf1: 39 → ~7 s)
-    cos = similarity.pair_cos_rounded(6)(F.col("va"), F.col("vb"))
-    return (
-        pairs.withColumn("cos_sim", cos)
-        .filter(F.col("cos_sim") >= 0.3)
-        .select("id_a", "id_b", "label_a", "label_b", "cos_sim")
+        dim = V.shape[1]
+        sq = np.zeros(m)
+        for d in range(dim):  # per-vector norm, same sequential fold
+            sq += V[:, d] * V[:, d]
+        nrm = np.sqrt(sq)
+        ia, ib = np.triu_indices(m, k=1)
+        # cross-label (null-safe IS DISTINCT FROM) mask BEFORE the dot —
+        # same pre-filter position as the old join condition
+        same = (labels[ia] == labels[ib]) | (lab_null[ia] & lab_null[ib])
+        ia, ib = ia[~same], ib[~same]
+        out = []
+        for lo in range(0, len(ia), chunk):
+            sa, sb = ia[lo : lo + chunk], ib[lo : lo + chunk]
+            A, B = V[sa], V[sb]
+            dot = np.zeros(len(sa))
+            for d in range(dim):  # sequential fold — see pair_cos_rounded
+                dot += A[:, d] * B[:, d]
+            cos = _round_half_up(dot / (nrm[sa] * nrm[sb]), 6)
+            keep = (cos >= 0.3) | np.isnan(cos)  # engine NaN-greatest semantics
+            out.append(pd.DataFrame({
+                "id_a": ids[sa[keep]], "id_b": ids[sb[keep]],
+                "label_a": labels[sa[keep]], "label_b": labels[sb[keep]],
+                "cos_sim": cos[keep],
+            }))
+        return pd.concat(out) if out else empty
+
+    lbl_type = e.schema["label"].dataType.simpleString()
+    return sig.groupBy("sig").applyInPandas(
+        verify,
+        schema=f"id_a bigint, id_b bigint, label_a {lbl_type}, "
+               f"label_b {lbl_type}, cos_sim double",
     )
 
 
