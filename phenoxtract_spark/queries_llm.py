@@ -627,7 +627,25 @@ def embedding_hard_negatives(spark, sf_dir):
         dim=64, num_planes=4, vec_col="ve",
         extra_cols=["label"], keep_vec=True,
     )
-    chunk = 2_000_000
+    # Parallelism does NOT come free with bucket-local grouping here: the
+    # bucket count is FIXED at 16 (4 planes — query semantics), so one
+    # group per sig caps the verify at 16 tasks while per-bucket pairs grow
+    # n²/256 (measured sf1: 16 tasks, 42 s vs the pair-join's 24 s).  The
+    # triangle-grid decomposition restores it: split each bucket into s
+    # id-hash blocks and group by (sig, block_i, block_j) — every unordered
+    # pair lands in EXACTLY one of the s(s+1)/2 cells (diagonal cell = triu
+    # within a block, off-diagonal = full cross of two blocks), each vector
+    # ships to s cells (n·s·dim Arrow bytes — still ≪ the pair join's
+    # 2·Σ|bucket|²·dim), and cells spread over the cluster.  s derives from
+    # the parquet row count (catalog statistics at 100 TB) to target ~384
+    # vectors per block; s=1 (small inputs) skips the explode entirely.
+    import math
+
+    from .queries_core import table_num_rows
+
+    m_est = max(1, table_num_rows(sf_dir, "embeddings") // 16)
+    s = max(1, math.ceil(m_est / 384))
+    chunk = 250_000  # caps each gather slice at ~chunk·dim·8·2 bytes
 
     def verify(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({
@@ -652,7 +670,19 @@ def embedding_hard_negatives(spark, sf_dir):
         for d in range(dim):  # per-vector norm, same sequential fold
             sq += V[:, d] * V[:, d]
         nrm = np.sqrt(sq)
-        ia, ib = np.triu_indices(m, k=1)
+        if "ci" in pdf.columns and pdf["ci"].iat[0] != pdf["cj"].iat[0]:
+            # off-diagonal grid cell: all pairs across the two blocks
+            blk = pdf["blk"].values[order]
+            li = np.flatnonzero(blk == pdf["ci"].iat[0])
+            lj = np.flatnonzero(blk == pdf["cj"].iat[0])
+            ia = np.repeat(li, len(lj))
+            ib = np.tile(lj, len(li))
+            # normalize to id_a < id_b (ids are unique; blocks are disjoint)
+            swap = ids[ia] > ids[ib]
+            ia, ib = np.where(swap, ib, ia), np.where(swap, ia, ib)
+        else:
+            # whole bucket (s=1) or diagonal cell: triu over sorted ids
+            ia, ib = np.triu_indices(m, k=1)
         # cross-label (null-safe IS DISTINCT FROM) mask BEFORE the dot —
         # same pre-filter position as the old join condition
         same = (labels[ia] == labels[ib]) | (lab_null[ia] & lab_null[ib])
@@ -674,11 +704,18 @@ def embedding_hard_negatives(spark, sf_dir):
         return pd.concat(out) if out else empty
 
     lbl_type = e.schema["label"].dataType.simpleString()
-    return sig.groupBy("sig").applyInPandas(
-        verify,
-        schema=f"id_a bigint, id_b bigint, label_a {lbl_type}, "
-               f"label_b {lbl_type}, cos_sim double",
+    out_schema = (f"id_a bigint, id_b bigint, label_a {lbl_type}, "
+                  f"label_b {lbl_type}, cos_sim double")
+    if s == 1:
+        return sig.groupBy("sig").applyInPandas(verify, schema=out_schema)
+    g = (
+        sig.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(s)).cast("int"))
+        .withColumn("_mate", F.explode(F.array(*[F.lit(j) for j in range(s)])))
+        .withColumn("ci", F.least("blk", "_mate"))
+        .withColumn("cj", F.greatest("blk", "_mate"))
+        .drop("_mate")
     )
+    return g.groupBy("sig", "ci", "cj").applyInPandas(verify, schema=out_schema)
 
 
 @q(

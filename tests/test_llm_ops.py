@@ -587,3 +587,21 @@ def test_completeness_profile_exact_counts(spark, tmp_path):
     assert (l.n_null, l.n_blank, l.n_distinct) == (1, 0, 2)
     s = out["source"]
     assert (s.n_null, s.n_distinct) == (1, 2)
+
+
+def test_hard_negatives_grid_decomposition_matches_flat(spark, sf_dir, monkeypatch):
+    """The r12 triangle-grid decomposition (s id-hash blocks per sig
+    bucket, pairs enumerated per (sig, block_i, block_j) cell) must
+    return EXACTLY the flat per-bucket enumeration's pairs — the block
+    split is a parallelism shape, never a semantics change.  s derives
+    from the parquet row count, so forcing the count high exercises the
+    s>1 path on the small fixture."""
+    import __spark_entry__ as ent
+    import phenoxtract_spark.queries_core as qc
+
+    fn = ent.queries()["embedding_hard_negatives"]
+    flat = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    # force s = ceil((n//16)/384) > 1 regardless of fixture size
+    monkeypatch.setattr(qc, "table_num_rows", lambda sf, t: 16 * 384 * 3 + 1)
+    grid = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    assert grid == flat and len(flat) > 0
