@@ -57,6 +57,7 @@ def bucketed_prefix_sum(
     materialize: str = "none",
     totals: list[str] | None = None,
     partition_cols: list[str] | None = None,
+    offsets_from: DataFrame | None = None,
 ) -> DataFrame:
     """Add ``cum_<name>`` = inclusive running sum of each ``sums`` entry
     in the global order ``(bucket_col, *order_cols)``, without ever
@@ -92,6 +93,19 @@ def bucketed_prefix_sum(
     on a raw scan the gt branch re-aggregates the input.
     ``materialize`` picks the evaluation shape — see the module
     docstring; values are identical in all modes.
+
+    ``offsets_from`` (r12, guide §2.4): build the per-bucket totals dim
+    from this relation instead of ``df``.  For a ``df`` that is itself a
+    lazy chain (e.g. the RFM passes, where pass i+1's input carries pass
+    i's window), the offsets branch would otherwise replay the whole
+    chain during the dim's eager job — when an EQUIVALENT cheaper branch
+    exists (the same rows off an upstream checkpoint), inject it here.
+    Caller contract: ``offsets_from`` must contain ``bucket_col`` (and
+    ``partition_cols``) and every ``sums`` expression must evaluate to
+    the same per-bucket totals over it as over ``df`` — identical rows,
+    typically a narrower projection of the same materialized relation.
+    The NULL-key guard is unchanged (the dim keeps non-null keys only;
+    ``df``-side NULL-key rows still miss the left join and raise).
 
     ``partition_cols`` makes the whole scan PER-GROUP: every running
     sum restarts at zero inside each distinct ``partition_cols`` tuple
@@ -165,7 +179,17 @@ def bucketed_prefix_sum(
     key_ok = F.col(bucket_col).isNotNull()
     for p in parts:
         key_ok = key_ok & F.col(p).isNotNull()
-    per_bucket = d.filter(key_ok).groupBy(*parts, bucket_col).agg(
+    if offsets_from is not None:
+        dim_src = offsets_from.select(
+            *parts, bucket_col,
+            *[
+                (F.col(c) if isinstance(c, str) else c).alias(f"_v_{name}")
+                for name, c in sums.items()
+            ],
+        )
+    else:
+        dim_src = d
+    per_bucket = dim_src.filter(key_ok).groupBy(*parts, bucket_col).agg(
         *[F.sum(f"_v_{n}").alias(f"_bt_{n}") for n in sums]
     )
     # the across-bucket window runs on the TINY relation only: globally
@@ -258,12 +282,37 @@ def bucketed_prefix_sum(
     )
 
 
+def collect_value_range_stats(
+    df: DataFrame,
+    value_cols: list[str],
+    extra_stats: dict[str, Column] | None = None,
+) -> tuple[dict, dict]:
+    """ONE eager stats job for SEVERAL value columns (r12, guide §2.4):
+    min/max per column plus any ``extra_stats``, returned as the
+    ``precomputed_stats`` input of :func:`value_range_buckets` — a
+    multi-pass caller (e.g. the three RFM quartile passes) collects all
+    its grid bounds in one dimension-sized job instead of one per pass.
+    Returns (row dict, result-type dict); per-column keys are
+    ``_lo_<col>``/``_hi_<col>``."""
+    aggs = []
+    for c in value_cols:
+        aggs.append(F.min(c).alias(f"_lo_{c}"))
+        aggs.append(F.max(c).alias(f"_hi_{c}"))
+    for nm, col in (extra_stats or {}).items():
+        aggs.append(col.alias(nm))
+    stats_df = df.agg(*aggs)
+    types = {f.name: f.dataType for f in stats_df.schema.fields}
+    row = stats_df.collect()[0].asDict()
+    return row, types
+
+
 def value_range_buckets(
     df: DataFrame,
     value_col: str,
     bits: int = 8,
     partition_cols: list[str] | None = None,
     extra_stats: dict[str, Column] | None = None,
+    precomputed_stats: tuple[dict, dict] | None = None,
 ) -> DataFrame:
     """Attach the monotone value-range bucket ``bk`` the prefix scan
     needs when the global order is BY VALUE: a 1-row min/max aggregate
@@ -306,7 +355,14 @@ def value_range_buckets(
     ``cum_`` column is consumed downstream — identical for every caller
     that feeds a rank-containment filter (they all evaluate ``cum_``),
     and identical everywhere the value/group keys are non-null by
-    construction."""
+    construction.
+
+    ``precomputed_stats`` (r12): the (row, types) pair from
+    :func:`collect_value_range_stats` — skips this call's own stats
+    job in the ungrouped path.  Caller contract: the stats were
+    collected over the SAME rows of ``value_col`` (per-column keys
+    ``_lo_<col>``/``_hi_<col>``), so ``bk`` is unchanged; ungrouped
+    only (grouped callers keep their per-group dim)."""
     extra_stats = extra_stats or {}
     clashes = sorted(
         ({"bk", "_lo", "_hi"} | set(extra_stats)) & set(df.columns)
@@ -355,9 +411,18 @@ def value_range_buckets(
         # bit-identical.  NULL value rows still get a NULL ``bk`` and
         # raise through the downstream prefix-sum guard exactly as the
         # join phrasing did.
-        stats_df = df.agg(*stat_aggs)
-        stat_types = {f.name: f.dataType for f in stats_df.schema.fields}
-        row = stats_df.collect()[0].asDict()
+        if precomputed_stats is not None:
+            pre_row, pre_types = precomputed_stats
+            row = dict(pre_row)
+            row["_lo"] = row.pop(f"_lo_{value_col}")
+            row["_hi"] = row.pop(f"_hi_{value_col}")
+            stat_types = dict(pre_types)
+            stat_types["_lo"] = stat_types.pop(f"_lo_{value_col}")
+            stat_types["_hi"] = stat_types.pop(f"_hi_{value_col}")
+        else:
+            stats_df = df.agg(*stat_aggs)
+            stat_types = {f.name: f.dataType for f in stats_df.schema.fields}
+            row = stats_df.collect()[0].asDict()
         lo, hi = row["_lo"], row["_hi"]
         d38 = "DECIMAL(38,0)"
         if lo is None or hi is None:  # empty input: NULL bk, zero rows

@@ -1768,14 +1768,33 @@ def analytics_rfm_scalable(spark, sf_dir):
     cur = base.withColumn(
         "_r_days", F.unix_date(F.col("last_order")).cast("bigint")
     ).localCheckpoint()
+    # r12 (guide §2.4): the passes were CHAINED THROUGH CHECKPOINTS — each
+    # re-materialized the full-width relation so the NEXT pass's eager
+    # stats + offsets jobs would not replay its windows.  Injection makes
+    # the chain fully lazy instead: ONE stats job collects all three grid
+    # bounds + the customer count up front (collect_value_range_stats),
+    # and each pass's offsets dim builds from a narrow branch of the BASE
+    # checkpoint (offsets_from — identical rows, so identical per-bucket
+    # counts) rather than from the chained relation.  The main plan is now
+    # one pass over the base checkpoint with three bucket-partitioned
+    # windows and three broadcast dim joins — zero inter-pass
+    # materializations (two full-width checkpoint writes removed), zero
+    # data-sized joins, and 7 eager jobs -> 4.  Ranks, ntile arithmetic,
+    # and output values are unchanged.
+    pre = sweep.collect_value_range_stats(
+        cur, [v for _, v, _ in passes],
+        extra_stats={
+            f"total_{nm}": F.count(F.lit(1)).cast("bigint")
+            for _, _, nm in passes
+        },
+    )
     scores = []
+    main = cur
     for score_col, vcol, nm in passes:
-        # r12: the pass's grand total (= customer count) rides the
-        # 1-row stats broadcast (extra_stats) instead of a second
-        # grand-total broadcast join off the offsets dim
         vb = sweep.value_range_buckets(
-            cur, vcol,
+            main, vcol,
             extra_stats={f"total_{nm}": F.count(F.lit(1)).cast("bigint")},
+            precomputed_stats=pre,
         )
         ps = sweep.bucketed_prefix_sum(
             vb,
@@ -1783,6 +1802,9 @@ def analytics_rfm_scalable(spark, sf_dir):
             [F.col(vcol).asc(), F.col("custkey").desc()],
             {nm: F.lit(1).cast("bigint")},
             materialize="offsets",
+            offsets_from=sweep.value_range_buckets(
+                cur.select(vcol), vcol, precomputed_stats=pre
+            ),
         )
         ranked = ps.withColumn(
             "_rank", (F.col(f"total_{nm}") - F.col(f"cum_{nm}") + 1)
@@ -1791,5 +1813,5 @@ def analytics_rfm_scalable(spark, sf_dir):
             score_col, _ntile4("_rank", f"total_{nm}")
         ).select(*keep, "_r_days", *scores, score_col)
         scores.append(score_col)
-        cur = scored if score_col == "m_score" else scored.localCheckpoint()
-    return cur.select(*keep, *scores)
+        main = scored
+    return main.select(*keep, *scores)

@@ -897,3 +897,46 @@ def test_mcv_grouped_brute_force(spark, tmp_path):
             for (s, k), r in out.items()} == expect
     # the planted heads must actually be found
     assert ("A", 5) in expect and ("N", 2) in expect
+
+
+def test_prefix_sum_offsets_from_and_precomputed_stats_match_default(spark):
+    """The r12 injection seams — ``offsets_from`` (build the per-bucket
+    dim from an equivalent narrower relation) and ``precomputed_stats``
+    (skip the per-call stats job) — must be pure evaluation-shape
+    changes: identical cum_/total_/bk values to the default paths."""
+    from phenoxtract_spark.operators import sweep
+
+    rows = [(i, ((i * 53) % 997) - 498) for i in range(300)]
+    df = spark.createDataFrame(rows, "id bigint, v bigint").localCheckpoint()
+
+    # precomputed_stats: one multi-column collect vs the per-call agg
+    pre = sweep.collect_value_range_stats(
+        df, ["v", "id"], extra_stats={"total_n": F.count(F.lit(1)).cast("bigint")}
+    )
+    vb_default = sweep.value_range_buckets(
+        df, "v", extra_stats={"total_n": F.count(F.lit(1)).cast("bigint")}
+    )
+    vb_injected = sweep.value_range_buckets(
+        df, "v",
+        extra_stats={"total_n": F.count(F.lit(1)).cast("bigint")},
+        precomputed_stats=pre,
+    )
+    a = {r.id: (r.bk, r.total_n) for r in vb_default.collect()}
+    b = {r.id: (r.bk, r.total_n) for r in vb_injected.collect()}
+    assert a == b
+
+    # offsets_from: dim built from a narrow branch of the same relation
+    out_default = sweep.bucketed_prefix_sum(
+        vb_injected, "bk", ["v", "id"], {"n": F.lit(1).cast("bigint")},
+        materialize="offsets",
+    )
+    out_injected = sweep.bucketed_prefix_sum(
+        vb_injected, "bk", ["v", "id"], {"n": F.lit(1).cast("bigint")},
+        materialize="offsets",
+        offsets_from=sweep.value_range_buckets(
+            df.select("v"), "v", precomputed_stats=pre
+        ),
+    )
+    ga = {r.id: r.cum_n for r in out_default.collect()}
+    gb = {r.id: r.cum_n for r in out_injected.collect()}
+    assert ga == gb and len(ga) == 300
