@@ -48,36 +48,41 @@ _PRIORITY = [
     # r9's TWO red rows (DECIMAL-render hash divergence) — now integer
     # cents on both engines; their green r10 rows are the fix evidence
     "grouping_sets_revenue", "analytics_rfm_segments",
-    # --- r12 first-time rows: the round's two new operators (the real
-    # .warc.gz member framing and the stdlib PNG codec) ----------------
-    "warc_gz_ingest_roundtrip", "multimodal_png_roundtrip",
+    # --- r13-touched pins (the r12 verdict item 8 rule: any query whose
+    # implementation this round touched rides the driver prefix the same
+    # round) — the substring family (anchor pos narrowed to INT, output
+    # contract re-cast), the web pipeline (stage-overlapped LM dims),
+    # the cross-entropy operator (model-injection seam), and the
+    # hard-negatives grid (block target re-derived from bytes) ---------
+    "dedup_substring_spans", "dedup_substring_coverage",
+    "dedup_substring_clean", "dedup_substring_shared_report",
+    "curation_substring_decontaminate",
+    "curation_web_pipeline_e2e", "curation_web_pipeline_report",
+    "text_cross_entropy_filter", "embedding_hard_negatives",
+    # (the extended pre-checkpoint scale audit found and fixed a hidden
+    # corpus-sized top-k window here — implementation changed, so pinned)
+    "similarity_mmr_rerank",
     # --- last-seen-age recycling (the standing r11 policy: with every
     # query driver-checked at least once, the non-rep slots recycle the
-    # queries whose most recent driver row is OLDEST — r11 refreshed
-    # the r1–r3 stragglers, so this round takes the remaining r2 rows,
-    # all of r3/r4, and the three oldest r5 rows; tools/
-    # rotation_status.py + the CORRECTNESS_r* artifacts derive the
-    # ordering) --------------------------------------------------------
-    "window_rank", "cube_counts",                                   # r2
-    "g10_packet_flat", "similarity_neardup_pairs",                  # r3
-    "g8_variant_classification", "g8_interpretation_assembly",
-    "g1_collect_individual", "g11_resource_prefixes",
-    "c10_timestamp_parse", "events_sliding_window",
-    "similarity_lsh_candidate_pairs", "clustering_kmeans_assign",
-    "dedup_levenshtein_pairs",
-    "window_ntile_distribution", "asof_nearest_event",              # r4
-    "similarity_lsh_signature", "text_langid",
-    "multimodal_image_roundtrip", "sketch_bloom_membership",
-    "sketch_histogram_quantiles", "sketch_kmv_distinct",
-    "dedup_incremental_batch", "dedup_prefix_join",
-    "events_session_stats", "curation_leakproof_split",
-    "dedup_pair_features", "text_bpe_merges",
-    "embedding_ring_negatives", "embedding_label_propagation",
-    "embedding_hard_negatives", "tpch_q9_product_type_profit",
-    "events_funnel", "events_retention_cohort",
-    "events_transition_matrix", "events_pattern_followed_by",
-    "curation_clean_pipeline",
-    "c14_date_diff_iso", "m6_multi_id_extraction", "s4_unpivot",    # r5
+    # queries whose most recent driver row is OLDEST — r12 refreshed
+    # the r2–r5 stragglers, so this round takes the remaining r5 rows,
+    # the oldest cohort left; tools/rotation_status.py + the
+    # CORRECTNESS_r* artifacts derive the ordering) ---------------------
+    "asof_forward_event", "join_bloom_prefilter",
+    "features_trailing_windows", "events_sessionize",
+    "dedup_minhash_signature", "dedup_lsh_capped", "dedup_simhash",
+    "similarity_bruteforce_topk", "text_token_counts", "text_quality",
+    "multimodal_bytes", "multimodal_frame_sample",
+    "multimodal_wav_energy", "multimodal_y4m_luma",
+    "similarity_ivf_nprobe_topk", "multimodal_resize_plan",
+    "events_gapfill_hourly", "events_locf_resample",
+    "sketch_countmin_userfreq", "multimodal_audio_energy",
+    "events_rollup_reuse", "events_scd2_versions",
+    "similarity_pq_adc_topk", "semi_join_customers_with_orders",
+    "anti_join_parts_never_bulk_ordered", "having_big_customers",
+    "dedup_pipeline_canonical", "dedup_connected_components",
+    "dedup_simhash_pairs", "text_tfidf_topk",
+    "dedup_semantic_canonical",
 ]
 
 

@@ -724,9 +724,14 @@ def substring_anchors(df: DataFrame, id_col: str, text_col: str,
     expectation is ~1e-5 windows and a collision can only create a
     false anchor pair, which the diagonal-islands merge then reports as a
     (gram-length) span — the same practical-exactness tradeoff the other
-    md5-keyed paths in this module take.  Documents shorter than ``gram``
-    emit nothing (``sequence`` would otherwise count DOWNWARD for a
-    negative span — ANSI-mode footgun).
+    md5-keyed paths in this module take.  ``pos`` is an INT (r13, guide
+    §2.3 narrower types): a document offset always fits 32 bits long
+    before a single text column blows other limits, and the anchor
+    relation is shuffled/sorted/materialized whole, so 4 bytes per row
+    off the widest relation in the repo; consumers that surface
+    positions cast back to the bigint output contract.  Documents
+    shorter than ``gram`` emit nothing (``sequence`` would otherwise
+    count DOWNWARD for a negative span — ANSI-mode footgun).
 
     Scale: one scan, one explode, no shuffle; the per-row ``sequence``
     array is bounded by document length and consumed lazily by the
@@ -745,7 +750,7 @@ def substring_anchors(df: DataFrame, id_col: str, text_col: str,
     return t.select(
         "id",
         F.explode(
-            F.sequence(F.lit(0).cast("bigint"), (F.length("t") - gram).cast("bigint"))
+            F.sequence(F.lit(0), F.length("t") - gram)
         ).alias("pos"),
         F.col("t"),
     ).select(
@@ -753,7 +758,7 @@ def substring_anchors(df: DataFrame, id_col: str, text_col: str,
         "pos",
         F.conv(
             F.substring(
-                F.md5(F.col("t").substr(F.col("pos").cast("int") + F.lit(1), F.lit(gram))),
+                F.md5(F.col("t").substr(F.col("pos") + F.lit(1), F.lit(gram))),
                 1,
                 hex_chars,
             ),
@@ -795,6 +800,23 @@ def duplicate_span_pairs(df: DataFrame, id_col: str, text_col: str,
     The anchor relation feeds both join sides and materializes once."""
     from pyspark.sql.window import Window
 
+    # r13 NOTE — pair-producing-bucket PRE-FILTER tried and REJECTED on
+    # measurement (guide §1.1's "the ideal plan is usually slower at
+    # first", settled empirically): dropping anchors whose hash bucket
+    # cannot form a cross-doc pair (min(id) = max(id) per h) before the
+    # self-join prunes 91% of sf0.1 anchors, but every phrasing of the
+    # by-h decision costs a full pass the join doesn't need —
+    #   · groupBy(h)+merge-semi-join: a SECOND corpus-sized exchange
+    #     (the agg branch shuffles partial-agg rows; ReuseExchange
+    #     cannot dedupe them against the raw side),
+    #   · window-over-h + survivor checkpoint: one exchange + one sort
+    #     + a near-full re-materialization —
+    # and the interleaved A/Bs read 1.0–1.26× at sf0.1 (3-rep best:
+    # spans 5.34→6.38 s, coverage 3.29→4.14 s) and 1.45–1.50× at sf1,
+    # where the generator's planted near-dups leave the filter only
+    # 1.4% to prune (13.22M → 13.04M anchors).  The self-join's two
+    # sorted exchanges over the narrow (id, pos:int, h) relation remain
+    # the cheapest exact shape at every measured scale.
     anchors = substring_anchors(df, id_col, text_col, gram).localCheckpoint(eager=True)
     # SCALE HAZARD (found at sf10, r9): localCheckpoint REPLACES the plan
     # with a LogicalRDD whose size estimate comes from the in-memory
@@ -839,8 +861,10 @@ def _diagonal_spans(matches: DataFrame, gram: int) -> DataFrame:
     return (
         islands.groupBy("id_a", "id_b", "diag", "grp")
         .agg(
-            F.min("pa").alias("start_a"),
-            F.min("pb").alias("start_b"),
+            # positions travel as INT (substring_anchors, r13) — the
+            # output contract stays BIGINT, cast at the surface only
+            F.min("pa").cast("bigint").alias("start_a"),
+            F.min("pb").cast("bigint").alias("start_b"),
             (F.count(F.lit(1)) + F.lit(gram - 1)).cast("bigint").alias("span_len"),
         )
         .select("id_a", "id_b", "start_a", "start_b", "span_len")

@@ -620,8 +620,41 @@ def token_jaccard_topk(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def _toks_pos(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    from ..session import fan_out
+
+    return fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+
+
+def bigram_lm_dims(train: DataFrame, id_col: str,
+                   text_col: str) -> tuple[DataFrame, DataFrame]:
+    """Materialize the two eager reference-bounded LM dims of
+    :func:`cross_entropy_score` — (vocab, bigram counts), both
+    localCheckpointed — as a separate step.  The build depends ONLY on
+    the reference corpus, so a composed pipeline can run it CONCURRENTLY
+    with an independent stage (guide §2.6 — submit from a driver thread
+    so the dim jobs back-fill executors idled by the other stage's
+    stragglers) and inject the result via ``cross_entropy_score``'s
+    ``model=``; relations and values are identical either way."""
+    ttoks = _toks_pos(train, id_col, text_col)
+    vocab = ttoks.select("tok").distinct().localCheckpoint(eager=True)
+    w = Window.partitionBy("id").orderBy("pos")
+    tpairs = ttoks.withColumn("prev", F.lag("tok").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    bg = tpairs.groupBy("prev", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("_bg")
+    ).localCheckpoint(eager=True)
+    return vocab, bg
+
+
 def cross_entropy_score(train: DataFrame, score: DataFrame, id_col: str,
-                        text_col: str, round_dp: int = 4) -> DataFrame:
+                        text_col: str, round_dp: int = 4,
+                        model: tuple[DataFrame, DataFrame] | None = None,
+                        ) -> DataFrame:
     """CCNet-style perplexity filtering (Wenzek et al. 2020): train an
     add-one-smoothed bigram LM on a REFERENCE corpus, score a DIFFERENT
     corpus by per-token cross-entropy — the held-out separation the
@@ -637,31 +670,20 @@ def cross_entropy_score(train: DataFrame, score: DataFrame, id_col: str,
     token; bigrams re-form with one per-doc window lag.  At real scale
     the vocab dim is frequency-capped before broadcast (rare tokens fold
     into UNK anyway) — the standard lever, noted not needed at test
-    scale.  Returns (id, n_bigrams, cross_entropy), LOWER = more fluent
-    under the reference model."""
-    from ..session import fan_out
-
-    def toks_pos(df):
-        return fan_out(df).select(
-            F.col(id_col).alias("id"),
-            F.posexplode(tokens(text_col)).alias("pos", "tok"),
-        )
-
-    ttoks = toks_pos(train)
-    vocab = ttoks.select("tok").distinct().localCheckpoint(eager=True)
+    scale.  ``model`` injects a prebuilt :func:`bigram_lm_dims` pair
+    (r13, guide §2.6 stage overlap); by default the dims build here.
+    Returns (id, n_bigrams, cross_entropy), LOWER = more fluent under
+    the reference model."""
+    vocab, bg = model if model is not None else bigram_lm_dims(
+        train, id_col, text_col
+    )
     v_plus_unk = vocab.agg(
         (F.count(F.lit(1)) + 1).cast("double").alias("_V")
     )
     w = Window.partitionBy("id").orderBy("pos")
-    tpairs = ttoks.withColumn("prev", F.lag("tok").over(w)).filter(
-        F.col("prev").isNotNull()
-    )
-    bg = tpairs.groupBy("prev", "tok").agg(
-        F.count(F.lit(1)).cast("double").alias("_bg")
-    ).localCheckpoint(eager=True)
     ctx = bg.groupBy("prev").agg(F.sum("_bg").alias("_ctx"))
     stoks = (
-        toks_pos(score)
+        _toks_pos(score, id_col, text_col)
         .join(F.broadcast(vocab.withColumn("_known", F.lit(True))), "tok",
               "left")
         .select(

@@ -75,10 +75,19 @@ SINGLE_TASK_PINS: dict[str, str] = {
     "analytics_rank_sum_test": "sweep offsets dim window (<=2^bits rows)",
     "analytics_kruskal_wallis": "sweep offsets dim window (<=2^bits rows)",
     "profiling_quantiles_distributed": "sweep offsets dim window (<=2^bits rows)",
-    # (profiling_gini_concentration left the ledger in r12: its sweep
-    # offsets window — still <=2^bits rows by construction — now executes
-    # inside the eager prefix-sum checkpoint, so the registered plan the
-    # detector audits no longer contains it)
+    # r13: the scale audit now follows localCheckpoint parents (r12
+    # verdict item 5), so the sweep offsets windows that execute INSIDE
+    # eager checkpoints are back on the ledger — same <=2^bits
+    # dim-boundedness as the rest of the spine
+    "profiling_gini_concentration": "sweep offsets dim window (<=2^bits "
+                                    "rows), inside the prefix-sum "
+                                    "checkpoint (r13 pre-ckpt audit)",
+    "analytics_rfm_scalable": "sweep offsets dim windows (<=2^bits rows "
+                              "per pass), inside the offsets "
+                              "checkpoints (r13 pre-ckpt audit)",
+    "curation_pps_sample": "sweep offsets dim window (<=2^bits rows), "
+                           "inside the offsets checkpoint (r13 "
+                           "pre-ckpt audit)",
     "profiling_mad_outliers": "sweep offsets dim window (<=2^bits rows)",
     "profiling_histogram_equidepth": "sweep offsets dim window (<=2^bits rows)",
     # --- other bounded unpartitioned windows (audited r10, re-audited r11)

@@ -1979,9 +1979,25 @@ def _web_pipeline_stages(spark, sf_dir, gzip_members=False):
     # (divergence below the dedup exchange), and everything above it —
     # the WARC codec pass in particular — must execute once, not once
     # per downstream consumer (the r6 checkpoint-placement rule).
-    s2 = s1.filter(
-        textanalysis.detect_language("text") == "en"
-    ).localCheckpoint(eager=True)
+    #
+    # r13 (guide §2.6 — overlap independent jobs): the stage-4 LM dims
+    # depend only on the REF slice, not on any pipeline stage, yet their
+    # two eager checkpoint jobs used to run serialized AFTER this
+    # checkpoint.  Submit them from a driver thread first, so the
+    # reference tokenize/aggregate back-fills executors the WARC-codec
+    # stage leaves idle (its Python-worker tail and shuffle barriers);
+    # relations and results are identical — only the job schedule
+    # overlaps.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        _lm_fut = _pool.submit(
+            textanalysis.bigram_lm_dims, ref, "doc_id", "text"
+        )
+        s2 = s1.filter(
+            textanalysis.detect_language("text") == "en"
+        ).localCheckpoint(eager=True)
+        lm = _lm_fut.result()
 
     # stage 3: Gopher rules, relaxed to <=1 failed rule
     gpass = (
@@ -1992,7 +2008,8 @@ def _web_pipeline_stages(spark, sf_dir, gzip_members=False):
     s3 = s2.join(gpass, "doc_id").select("doc_id", "text")
 
     # stage 4: held-out perplexity filter (LM trained on the ref slice)
-    ces = textanalysis.cross_entropy_score(ref, s3, "doc_id", "text")
+    ces = textanalysis.cross_entropy_score(ref, s3, "doc_id", "text",
+                                           model=lm)
     # checkpointed: four downstream consumers (minhash signatures, both
     # sides of the Jaccard verify, the canonical join) diverge here
     s4 = s3.join(

@@ -637,14 +637,23 @@ def embedding_hard_negatives(spark, sf_dir):
     # within a block, off-diagonal = full cross of two blocks), each vector
     # ships to s cells (n·s·dim Arrow bytes — still ≪ the pair join's
     # 2·Σ|bucket|²·dim), and cells spread over the cluster.  s derives from
-    # the parquet row count (catalog statistics at 100 TB) to target ~384
-    # vectors per block; s=1 (small inputs) skips the explode entirely.
+    # the parquet row count (catalog statistics at 100 TB); the per-block
+    # row target derives from BYTES (r13, r12 verdict item 6): the sf1
+    # measurement that picked 384 rows was taken at dim=64, i.e. ~192 KiB
+    # of float64 payload per block — the quantity the A/B actually
+    # balanced (Arrow gather-slice size vs task count), so it is what
+    # should stay constant if the vector width ever changes.  At dim=64
+    # this is exactly the measured 384; s=1 (small inputs) skips the
+    # explode entirely.
     import math
 
     from .queries_core import table_num_rows
 
+    dim = 64  # query semantics: the 64-dim embeddings table
+    block_target_bytes = 384 * 64 * 8  # r12's measured sf1 optimum, as bytes
+    rows_per_block = max(1, block_target_bytes // (dim * 8))
     m_est = max(1, table_num_rows(sf_dir, "embeddings") // 16)
-    s = max(1, math.ceil(m_est / 384))
+    s = max(1, math.ceil(m_est / rows_per_block))
     chunk = 250_000  # caps each gather slice at ~chunk·dim·8·2 bytes
 
     def verify(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -1165,15 +1165,16 @@ def similarity_mmr_rerank(spark, sf_dir):
             .alias("rel"),
         )
     )
+    # r13: the top-20 candidate cut is a deterministic total order, so
+    # take it with orderBy().limit() — TakeOrderedAndProject, the
+    # distributed per-partition top-k — instead of a global row_number
+    # window, which put every relevance row (corpus-sized) through ONE
+    # window task; the shape hid inside this checkpoint until the
+    # extended pre-checkpoint scale audit (tests/test_scale_twins.py)
+    # flagged it.  Same 20 rows: ties break by id in the same order.
     cand = (
-        rel.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(F.col("rel").desc(), F.col("id"))
-            ),
-        )
-        .filter(F.col("rn") <= 20)
-        .drop("rn")
+        rel.orderBy(F.col("rel").desc(), F.col("id"))
+        .limit(20)
         .localCheckpoint(eager=True)  # 20 rows; feeds every round
     )
     ca = cand.select(F.col("id").alias("ia"))

@@ -129,6 +129,19 @@ def normalize_events(df):
     return df
 
 
+# fan_out's partition probe, memoized per (application, analyzed plan):
+# ``df.rdd`` is a full driver-side physical planning + RDD conversion per
+# call, and the probe is pure within a session (same analyzed plan over
+# the same files/conf ⇒ same split count), so every repeated relation —
+# the documents scan behind the ANN/text/media callers rebuilds the same
+# chains query after query — pays planning once (r13, guide §5: the
+# driver should do almost no data work; r12 verdict item 7).  Keyed on
+# the JVM semanticHash of the ANALYZED plan (cheap tree hash, no
+# planning); bounded so a pathological caller can't grow it unbounded.
+_FAN_OUT_PROBE_CACHE: dict[tuple[str, int], int] = {}
+_FAN_OUT_PROBE_CACHE_MAX = 4096
+
+
 def fan_out(df):
     """Round-robin a DataFrame to cluster parallelism when its current
     plan has fewer partitions — used in front of CPU-dense per-row work
@@ -138,7 +151,15 @@ def fan_out(df):
     sf1 text-stats bundle.  At scale inputs arrive with >= parallelism
     splits and this is a no-op (the guard, not the repartition, is the
     contract — callers stay declarative)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    key = (sc.applicationId, df._jdf.queryExecution().analyzed().semanticHash())
+    n = _FAN_OUT_PROBE_CACHE.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if len(_FAN_OUT_PROBE_CACHE) >= _FAN_OUT_PROBE_CACHE_MAX:
+            _FAN_OUT_PROBE_CACHE.clear()
+        _FAN_OUT_PROBE_CACHE[key] = n
+    if n < par:
         return df.repartition(par)
     return df
