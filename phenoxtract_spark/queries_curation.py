@@ -1952,7 +1952,16 @@ def _web_pipeline_stages(spark, sf_dir, gzip_members=False):
         .otherwise(F.lit("?b=2&a=1&ref=rss")),
         F.lit("#d"), F.col("doc_id").cast("string"),
     )
-    fetched = corpus.withColumn("url", url)
+    # r13 (the r12 media-builder fan-out pattern, guide §2.5 input skew):
+    # the sf1 documents file arrives in 2 scan splits, so BOTH consumers
+    # of this relation — the WARC-synthesis groupBy's map side and the
+    # rehydration join's md5 branch — decoded the corpus and computed
+    # url/md5 on 2 serialized tasks (profiled: a 6.3 s 2-task job inside
+    # the build).  Round-robin to cluster parallelism first; no-op at
+    # real scale where inputs arrive with >= parallelism splits.
+    from .session import fan_out
+
+    fetched = fan_out(corpus.withColumn("url", url))
     segs = warc.synthetic_warc_segments(
         fetched, "doc_id", "text", docs_per_segment=16, uri_col="url",
         gzip_members=gzip_members,
